@@ -1,0 +1,81 @@
+"""Pipeline configuration — the typed equivalent of the reference CLI surface
+(`/root/reference/tesseract-recognize.cc:94-152`) with build-time validation
+mirroring M3 (level parsing, `:64-72,272-290`) and M4 (PSM/OEM legality,
+`:256-271,560-588`). Fail fast at pipeline construction, before any Ray work
+is launched.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+LEVELS = ("region", "line", "word", "glyph")  # reference enum LEVEL_* (:50-62)
+
+# PSM legality: CLI accepts {1, 3..12}; rejects 0, 2 and >=COUNT(13)
+# (tesseract-recognize.cc:256-262). Node-level PSM constraints (:560-584):
+_VALID_PSM = {1} | set(range(3, 13))
+_NODE_PSM = {"line": {7, 13}, "word": {8, 9}, "glyph": {10}}
+
+
+@dataclass
+class PipelineConfig:
+    """Typed replacement for the reference's global CLI options (§2.12)."""
+
+    lang: str = "eng"
+    psm: int = 3
+    oem: int = 3
+    layout_level: str = "line"  # deepest level materialized in the element table
+    text_levels: tuple[str, ...] = ()  # default: text at layout level only (M3)
+    only_layout: bool = False  # --only-layout: AnalyseLayout, no recognition (:342,592)
+    density: int = 300  # PDF render dpi (--density, :45,108,132)
+    save_crops: bool = False  # --save-crops debug sink (K3, :48,551-555)
+    crops_dir: str = "/tmp/trr_crops"
+    page_set: str | None = None  # "0,2-4" page selection (S2, :222-235)
+
+    # Ray execution knobs (no reference equivalent; SURVEY.md §4)
+    recognize_concurrency: tuple[int, int] = (2, 8)  # actor pool (min,max)
+    recognize_batch_size: int = 16
+    decode_batch_size: int = 32
+    segment_batch_size: int = 16
+    join_partitions: int = 16
+    sort_by_cost: bool = False  # cost-homogeneous batching (skew, §4)
+
+    def __post_init__(self) -> None:
+        if self.layout_level not in LEVELS:
+            raise ValueError(f"layout_level {self.layout_level!r} not in {LEVELS} (M3)")
+        for lv in self.text_levels:
+            if lv not in LEVELS:
+                raise ValueError(f"text_levels entry {lv!r} not in {LEVELS} (M3)")
+        if self.psm not in _VALID_PSM and self.psm != 13:
+            raise ValueError(
+                f"psm {self.psm} invalid: reference accepts 1,3-12 "
+                "(tesseract-recognize.cc:256-262)"
+            )
+        if not (0 <= self.oem <= 3):
+            raise ValueError(f"oem {self.oem} outside [0,4) (tesseract-recognize.cc:263-271)")
+        if self.density <= 0:
+            raise ValueError("density must be positive")
+
+    def effective_text_levels(self) -> tuple[str, ...]:
+        """Default: text emitted at the layout level only (M3, :329-331)."""
+        return self.text_levels or (self.layout_level,)
+
+    @staticmethod
+    def check_node_psm(node_level: str, psm: int) -> None:
+        """XML node-level PSM legality: line->{7,13}, word->{8,9}, glyph->{10}
+        (reference :560-584); region accepts any valid psm."""
+        allowed = _NODE_PSM.get(node_level)
+        if allowed is not None and psm not in allowed:
+            raise ValueError(
+                f"psm {psm} illegal for node level {node_level!r}; allowed {sorted(allowed)} "
+                "(tesseract-recognize.cc:560-584)"
+            )
+
+    def check_selection_level(self, selection_level: str) -> None:
+        """layout_level must be >= (deeper or equal to) the selection level
+        (reference :585-588)."""
+        if LEVELS.index(self.layout_level) < LEVELS.index(selection_level):
+            raise ValueError(
+                f"layout_level {self.layout_level!r} shallower than selection "
+                f"{selection_level!r} (tesseract-recognize.cc:585-588)"
+            )

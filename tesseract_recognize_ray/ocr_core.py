@@ -1,0 +1,181 @@
+"""From-scratch page analysis + template OCR core (pure numpy, no Ray).
+
+This is the engine's replacement for the parts of Tesseract the reference
+drives through `TessBaseAPI` (`/root/reference/tesseract-recognize.cc:340-354,
+591-598`): binarization, text-line finding, block (region) grouping via
+projection-profile cuts (the Manhattan-layout case of recursive XY-cut),
+orientation detection (OSD, reference A3 `:602-628`), and glyph recognition
+against the closed template bank of ``glyphs.py``.
+
+All functions are deterministic and vectorized per page; they are called from
+``map_batches`` bodies (stages/segment.py, stages/recognize.py).
+
+Threshold derivation (see fixtures.py geometry constants; scale s in {2,3,4}):
+  * intra-line row gaps   <= 1*s <= 4 px   (sparse glyphs like '-' vs '.')
+  * inter-line row gaps   == 6*s >= 12 px  (every line has a full-height
+    alnum glyph, so bands are exactly 7s tall)
+  * inter-region row gaps == 28*s          -> split regions at > 14*s
+  * intra-word col gaps   <= 4*s           (spacing s + blank glyph edge cols)
+  * inter-word col gaps   >= 7*s           -> split words at > 5.5*s
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .glyphs import GLYPH_H, template_bank
+
+BIN_THRESHOLD = 128  # Otsu is overkill for bilevel fixtures; fixed threshold
+LINE_MERGE_GAP = 5  # px; merges intra-line row gaps (<=4), keeps inter-line (>=12)
+
+# --- template bank, prepared once at import (the recognizer actor's state
+# is this module's tables — the analog of a warm TessBaseAPI per process) ---
+_EXACT: dict[tuple[int, bytes], str] = {}
+_BY_WIDTH: dict[int, tuple[list[str], np.ndarray]] = {}
+for _ch, _pat, _w in template_bank():
+    _EXACT[(_w, _pat.tobytes())] = _ch
+    chars, pats = _BY_WIDTH.setdefault(_w, ([], []))  # type: ignore[assignment]
+    chars.append(_ch)
+    pats.append(_pat)
+_BY_WIDTH = {w: (chs, np.stack(ps)) for w, (chs, ps) in _BY_WIDTH.items()}
+
+
+def binarize(img: np.ndarray) -> np.ndarray:
+    """uint8 grayscale -> bool ink mask (ink = dark), reference binarization
+    being Leptonica/Tesseract-internal (`tesseract-recognize.cc:591-598`)."""
+    return img < BIN_THRESHOLD
+
+
+def runs_1d(profile: np.ndarray, merge_gap: int) -> list[tuple[int, int]]:
+    """[start, end) runs of positive profile entries, merging gaps <= merge_gap."""
+    nz = np.flatnonzero(profile > 0)
+    if nz.size == 0:
+        return []
+    brk = np.flatnonzero(np.diff(nz) - 1 > merge_gap)
+    starts = np.concatenate([nz[:1], nz[brk + 1]])
+    ends = np.concatenate([nz[brk], nz[-1:]]) + 1
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def match_glyph(pattern: np.ndarray) -> tuple[str, float]:
+    """Recognize one 7 x w ink-cropped pattern. Exact dict hit -> conf 1.0
+    (the common case by construction); otherwise nearest-Hamming among
+    same-width templates, conf = 1 - dist/(7*w) — the deterministic analog of
+    `conf = 0.01*iter->Confidence` (M6, tesseract-recognize.cc:206)."""
+    w = pattern.shape[1]
+    ch = _EXACT.get((w, pattern.tobytes()))
+    if ch is not None:
+        return ch, 1.0
+    cand = _BY_WIDTH.get(w)
+    if cand is None:
+        return "-", 0.0
+    chars, pats = cand
+    d = (pats != pattern[None]).reshape(len(chars), -1).sum(axis=1)
+    i = int(np.argmin(d))
+    return chars[i], float(1.0 - d[i] / (GLYPH_H * w))
+
+
+def recognize_line(ink_band: np.ndarray, s: int) -> tuple[str, float]:
+    """OCR one line band (bool ink mask, exactly 7*s rows tall).
+
+    Glyphs separate into single column runs (glyphs.py contiguity invariant);
+    word gaps > 5.5*s insert a single space. Returns (text, mean glyph conf);
+    the text needs no further trimming (leading/trailing space never emitted —
+    reference trims with regex, M5 `tesseract-recognize.cc:205-212`)."""
+    colprof = ink_band.sum(axis=0)
+    runs = runs_1d(colprof, merge_gap=0)
+    if not runs:
+        return "", 0.0
+    word_gap = (11 * s) // 2  # 5.5*s
+    parts: list[str] = []
+    confs: list[float] = []
+    prev_end: int | None = None
+    h = ink_band.shape[0]
+    rows = h // GLYPH_H  # == s for clean bands
+    for c0, c1 in runs:
+        if prev_end is not None and (c0 - prev_end) > word_gap:
+            parts.append(" ")
+        prev_end = c1
+        w_px = c1 - c0
+        w = max(1, round(w_px / s))
+        crop = ink_band[:, c0:c1]
+        if crop.shape != (GLYPH_H * rows, w * s) or rows != s:
+            # tolerant path for off-grid crops: pad/trim to the cell grid
+            fixed = np.zeros((GLYPH_H * s, w * s), dtype=bool)
+            hh = min(crop.shape[0], fixed.shape[0])
+            ww = min(crop.shape[1], fixed.shape[1])
+            fixed[:hh, :ww] = crop[:hh, :ww]
+            crop = fixed
+        pattern = crop.reshape(GLYPH_H, s, w, s).any(axis=(1, 3))
+        ch, conf = match_glyph(pattern)
+        parts.append(ch)
+        confs.append(conf)
+    return "".join(parts), float(np.mean(confs)) if confs else 0.0
+
+
+@dataclass
+class LineBand:
+    block: int  # 0-based region index (reading order, top-to-bottom)
+    line: int  # 0-based line index within region
+    y0: int
+    y1: int  # ink row extent in upright coords
+    x0: int
+    x1: int  # ink col extent in upright coords
+
+
+def find_lines(ink: np.ndarray) -> tuple[int, list[LineBand]]:
+    """Row-projection line finding + region grouping (the engine's A2 core;
+    reference delegates to Tesseract's internal textline finder,
+    `tesseract-recognize.cc:591-598`). Returns (scale s, bands in reading
+    order). Region split at row gaps > 14*s (inter-region == 28*s)."""
+    rowprof = ink.sum(axis=1)
+    bands = runs_1d(rowprof, merge_gap=LINE_MERGE_GAP)
+    if not bands:
+        return 1, []
+    s = max(1, round(max(y1 - y0 for y0, y1 in bands) / GLYPH_H))
+    out: list[LineBand] = []
+    block = 0
+    line = 0
+    prev_end: int | None = None
+    for y0, y1 in bands:
+        if prev_end is not None and (y0 - prev_end) > 14 * s:
+            block += 1
+            line = 0
+        prev_end = y1
+        colprof = ink[y0:y1].sum(axis=0)
+        cols = np.flatnonzero(colprof > 0)
+        out.append(
+            LineBand(block=block, line=line, y0=int(y0), y1=int(y1), x0=int(cols[0]), x1=int(cols[-1]) + 1)
+        )
+        line += 1
+    return s, out
+
+
+def detect_upright_k(img: np.ndarray) -> int:
+    """Orientation detection (reference A3/OSD, tesseract-recognize.cc:602-628):
+    returns k such that np.rot90(img, k) is upright.
+
+    Scores all four rotations by mean template confidence of the first few
+    line bands (wrong axes and 180-flips produce off-template patterns);
+    deterministic, ties prefer the smaller k. The residual ambiguity — a page
+    whose scored lines use only 180-symmetric glyphs (H I N O S X Z 0 8 -) —
+    is the same ambiguity Tesseract's OSD resolves statistically."""
+    ink = binarize(img)
+    if not ink.any():
+        return 0
+    best_k, best_conf = 0, -1.0
+    for k in range(4):
+        up = np.rot90(ink, k) if k else ink
+        s, bands = find_lines(up)
+        if not bands:
+            continue
+        confs = [
+            recognize_line(np.ascontiguousarray(up[b.y0 : b.y1, b.x0 : b.x1]), s)[1]
+            for b in bands[:3]
+        ]
+        conf = float(np.mean(confs))
+        if conf > best_conf + 1e-9:
+            best_k, best_conf = k, conf
+    return best_k
