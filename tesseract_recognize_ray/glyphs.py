@@ -10,7 +10,7 @@ This single table plays two roles (SURVEY.md §5.1, FIXTURES.md §4):
    With a closed alphabet and exact rendering, 100% span-sequence equality is
    achievable by construction — the environment has no tesseract binary.
 
-Alphabet: A-Z 0-9 space . , -  (39 symbols). Each glyph is 7 rows x 5 cols,
+Alphabet: A-Z 0-9 space . , -  (40 symbols, 39 inked templates). Each glyph is 7 rows x 5 cols,
 '#' = ink. Invariants (tested in tests/test_glyphs.py):
   * every glyph's inked-column set is a contiguous run (so glyphs separate
     into single x-runs under projection segmentation),

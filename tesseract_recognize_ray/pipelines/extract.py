@@ -1,0 +1,148 @@
+"""Flagship extraction pipeline (reference lifecycle §3.1 -> SURVEY.md target
+shape): interleaved docs + media tables in, ordered per-document span rows out.
+
+    read(media)  ── decode/expand (S1-S3) ── segment (A2/A3, stateless tasks)
+                 ── recognize (A1, actor pool, warm template bank)
+                 ── drop pixels ── attach (doc_id, order)   [J1]
+    read(docs)   ── explode text spans ────────────┐
+                                                   union
+                                      groupby(doc_id).map_groups(assemble)  [G3]
+                                                   └── flat span rows (SPANS_OUT_SCHEMA)
+
+Scale notes (SURVEY.md §4):
+  * the ONLY required shuffle is the groupby(doc_id) reassembly; the J1
+    attach is a broadcast lookup when the media->doc map fits in the object
+    store (ray.put once, read per actor) and a hash-partitioned
+    ``Dataset.join`` otherwise — never a per-batch re-ship;
+  * pixels never cross the reassembly shuffle (drop_pixels projects the
+    binary column right after recognition);
+  * skew from variable page sizes is handled by small pixel-capped batches on
+    the segment/recognize stages plus optional cost-sorted batching
+    (cfg.sort_by_cost), since est_cost=width*height is known pre-decode.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray
+from ray.data import Dataset
+
+from ..config import PipelineConfig
+from ..idscheme import parse_pages_set
+from ..sources.io import read_docs, read_media
+from ..stages.assemble import (
+    assemble_group,
+    explode_media_map,
+    explode_text_spans,
+    recognized_to_union,
+)
+from ..stages.decode import make_decode_pages
+from ..stages.recognize import Recognizer, drop_pixels
+from ..stages.segment import make_segment_batch
+
+# media->doc maps smaller than this are broadcast via ray.put; larger ones go
+# through the hash-partitioned Dataset.join (per-shard runs at 10^12-doc scale
+# keep the map bounded — see state/manifest.py)
+BROADCAST_MAX_ROWS = 2_000_000
+
+
+def recognized_lines(media_path: str, cfg: PipelineConfig) -> Dataset:
+    """media table -> recognized line rows (no doc context yet)."""
+    page_set = parse_pages_set(cfg.page_set) if cfg.page_set else None
+    media = read_media(media_path)
+    pages = media.map_batches(
+        make_decode_pages(page_set),
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+    )
+    lines = pages.map_batches(
+        make_segment_batch(cfg.crops_dir if cfg.save_crops else None),
+        batch_format="pyarrow",
+        batch_size=cfg.segment_batch_size,
+    )
+    rec = lines.map_batches(
+        Recognizer,
+        fn_constructor_kwargs={
+            "only_layout": cfg.only_layout,
+            "emit_words": cfg.layout_level in ("word", "glyph"),
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.recognize_batch_size,
+        concurrency=cfg.recognize_concurrency,
+        num_cpus=1,
+    )
+    return rec.map_batches(drop_pixels, batch_format="pyarrow")
+
+
+def attach_doc_order(rec: Dataset, media_map: Dataset, cfg: PipelineConfig, strategy: str = "auto") -> Dataset:
+    """J1: give each recognized line its (doc_id, order).
+
+    'broadcast' ships the (media_ref -> doc_id, order) dict to the object
+    store once and looks it up inside map_batches (no shuffle); 'hash' uses
+    the hash-partitioned Dataset.join. 'auto' picks by map size."""
+    if strategy == "auto":
+        # avoid triggering an execution just to pick a strategy: the map is
+        # (media_ref, doc_id, order) — tiny relative to the docs file — so
+        # gate on the docs file size (a safe over-estimate of the map size)
+        try:
+            sz = sum(os.path.getsize(f) for f in media_map.input_files())
+        except Exception:
+            sz = 0
+        strategy = "broadcast" if sz <= 256 * 1024 * 1024 else "hash"
+    if strategy == "hash":
+        return rec.join(
+            media_map,
+            join_type="inner",
+            num_partitions=cfg.join_partitions,
+            on=("media_ref",),
+        )
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mapping: dict[str, tuple[str, int]] = {}
+    for b in media_map.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for ref, doc, order in zip(
+            b.column("media_ref").to_pylist(),
+            b.column("doc_id").to_pylist(),
+            b.column("order").to_pylist(),
+        ):
+            mapping[ref] = (doc, order)
+    ref_handle = ray.put(mapping)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref_handle)
+        refs = batch.column("media_ref").to_pylist()
+        pairs = [m.get(r) for r in refs]
+        keep = [i for i, p in enumerate(pairs) if p is not None]
+        if len(keep) != len(pairs):  # inner-join semantics: unmapped media dropped
+            batch = batch.take(keep)
+            pairs = [pairs[i] for i in keep]
+        return batch.append_column("doc_id", pa.array([p[0] for p in pairs], pa.string())).append_column(
+            "order", pa.array([p[1] for p in pairs], pa.int32())
+        )
+
+    return rec.map_batches(lookup, batch_format="pyarrow")
+
+
+def extract_spans(
+    docs_path: str,
+    media_path: str,
+    cfg: PipelineConfig | None = None,
+    join_strategy: str = "auto",
+) -> Dataset:
+    """The flagship pipeline; returns the flat ordered span table
+    (SPANS_OUT_SCHEMA: doc_id, seq, kind, text, media_ref, order, region_id,
+    line_id, conf). Lazy — consume with write/iter/to_pandas."""
+    cfg = cfg or PipelineConfig()
+    docs = read_docs(docs_path)
+    text_spans = docs.map_batches(explode_text_spans, batch_format="pyarrow")
+    media_map = docs.map_batches(explode_media_map, batch_format="pyarrow")
+
+    rec = recognized_lines(media_path, cfg)
+    rec = attach_doc_order(rec, media_map, cfg, strategy=join_strategy)
+    rec_u = rec.map_batches(recognized_to_union, batch_format="pyarrow")
+
+    all_spans = rec_u.union(text_spans)
+    return all_spans.groupby("doc_id").map_groups(assemble_group, batch_format="pandas")

@@ -1,0 +1,112 @@
+"""Template recognizer: exactness on the closed alphabet, confidence range,
+trim semantics (M5/M6), word emission (SURVEY.md §5.2)."""
+
+import numpy as np
+import pyarrow as pa
+
+from tesseract_recognize_ray import ocr_core as oc
+from tesseract_recognize_ray.fixtures import render_page
+from tesseract_recognize_ray.glyphs import ALPHABET
+from tesseract_recognize_ray.stages.recognize import Recognizer
+from tesseract_recognize_ray.stages.segment import make_segment_batch
+from tesseract_recognize_ray.stages.decode import PAGE_SCHEMA
+from tesseract_recognize_ray.fixtures import encode_raster
+
+
+def _render_line(text: str, s: int) -> np.ndarray:
+    from tesseract_recognize_ray.glyphs import GLYPH_PITCH, GLYPH_W, scaled_glyph
+
+    w = len(text) * GLYPH_PITCH * s
+    img = np.full((7 * s, w), 255, dtype=np.uint8)
+    x = 0
+    for ch in text:
+        if ch != " ":
+            img[:, x : x + GLYPH_W * s][scaled_glyph(ch, s)] = 0
+        x += GLYPH_PITCH * s
+    return img
+
+
+def test_recognize_full_alphabet_each_scale():
+    text = "THE QUICK BROWN FOX 0123456789, JUMPS - OVER."
+    for s in (2, 3, 4):
+        got, conf = oc.recognize_line(oc.binarize(_render_line(text, s)), s)
+        assert got == text
+        assert conf == 1.0
+
+
+def test_every_single_glyph_roundtrip():
+    for ch in ALPHABET:
+        if ch == " ":
+            continue
+        got, conf = oc.recognize_line(oc.binarize(_render_line("A" + ch, 2)), 2)
+        assert got == "A" + ch, ch
+        assert conf == 1.0
+
+
+def test_no_leading_trailing_whitespace_m5():
+    # reference trims text with ^\s+|\s+$ (tesseract-recognize.cc:205-212);
+    # the recognizer never emits edge spaces by construction
+    got, _ = oc.recognize_line(oc.binarize(_render_line("AB CD", 3)), 3)
+    assert got == got.strip()
+
+
+def test_confidence_degrades_on_corruption_m6():
+    img = _render_line("HELLO", 2)
+    ink = oc.binarize(img)
+    ink[0, 0:4] ^= True  # flip pixels inside the first glyph's cell
+    text, conf = oc.recognize_line(ink, 2)
+    assert 0.0 < conf < 1.0
+
+
+def test_recognizer_actor_batch_and_words():
+    rng = np.random.default_rng(21)
+    pg = render_page(rng, rotate=False)
+    page_batch = pa.Table.from_pydict(
+        {
+            "media_ref": pa.array(["m-x"], pa.string()),
+            "page": pa.array([0], pa.int32()),
+            "n_pages": pa.array([1], pa.int32()),
+            "pixels": pa.array([encode_raster(pg.img)], pa.large_binary()),
+            "width": pa.array([pg.img.shape[1]], pa.int32()),
+            "height": pa.array([pg.img.shape[0]], pa.int32()),
+            "est_cost": pa.array([pg.img.size], pa.int64()),
+        },
+        schema=PAGE_SCHEMA,
+    )
+    lines = make_segment_batch()(page_batch)
+    rec = Recognizer(emit_words=True)(lines)
+    line_rows = rec.filter(pa.compute.equal(rec["level"], "line"))
+    assert line_rows.column("text").to_pylist() == [ln.text for ln in pg.lines]
+    assert all(c == 1.0 for c in line_rows.column("conf").to_pylist())
+    word_rows = rec.filter(pa.compute.equal(rec["level"], "word"))
+    first_line_words = [
+        w
+        for w, b, l in zip(
+            word_rows.column("text").to_pylist(),
+            word_rows.column("block").to_pylist(),
+            word_rows.column("line").to_pylist(),
+        )
+        if b == 0 and l == 0
+    ]
+    assert first_line_words == pg.lines[0].text.split()
+
+
+def test_only_layout_mode():
+    rng = np.random.default_rng(22)
+    pg = render_page(rng, rotate=False)
+    page_batch = pa.Table.from_pydict(
+        {
+            "media_ref": pa.array(["m-y"], pa.string()),
+            "page": pa.array([0], pa.int32()),
+            "n_pages": pa.array([1], pa.int32()),
+            "pixels": pa.array([encode_raster(pg.img)], pa.large_binary()),
+            "width": pa.array([pg.img.shape[1]], pa.int32()),
+            "height": pa.array([pg.img.shape[0]], pa.int32()),
+            "est_cost": pa.array([pg.img.size], pa.int64()),
+        },
+        schema=PAGE_SCHEMA,
+    )
+    lines = make_segment_batch()(page_batch)
+    rec = Recognizer(only_layout=True)(lines)
+    assert rec.column("text").null_count == rec.num_rows
+    assert rec.num_rows == len(pg.lines)
