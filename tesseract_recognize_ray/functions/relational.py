@@ -1,0 +1,216 @@
+"""Relational primitives over ray.data.Dataset, built for scale:
+
+  * grouped_agg     — map-side partial aggregation (combiner) before the
+    groupby shuffle, so the all-to-all exchange moves one row per key per
+    input block instead of every input row (SURVEY.md §4 / ray_guide).
+  * broadcast_semi_join / broadcast_anti_join — small-side key set shipped
+    once via ray.put, filter inside map_batches; no shuffle (reference J2's
+    image↔XML validation pattern, tesseract_recognize_api.py:86-103).
+  * hash_join       — hash-partitioned Dataset.join wrapper (both sides big).
+  * window_lag      — per-key lag/lead via groupby().map_groups (reference
+    J3's prev/next-sibling lookup pattern, tesseract-recognize.cc:817-858).
+  * topk            — per-batch local prune, then tiny global sort+limit.
+  * distinct_on     — multi-column distinct via groupby-count projection.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    """Column-pruned parquet read of one testdata table."""
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- grouped agg
+_PARTIAL_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def grouped_agg(
+    ds: Dataset,
+    keys: list[str],
+    specs: list[tuple[str, str, str]],
+    *,
+    combine: bool = True,
+) -> Dataset:
+    """groupby(keys) with aggregate specs [(col, fn, alias)], fn in
+    {sum, count, min, max, mean}. With combine=True (default), a vectorized
+    per-batch pyarrow group_by pre-aggregates before the shuffle; mean is
+    decomposed into sum+count and finalized after the reduce."""
+    # expand mean -> sum + count
+    expanded: list[tuple[str, str, str]] = []
+    finals: list[tuple[str, str]] = []  # (alias, kind)
+    for col, fn, alias in specs:
+        if fn == "mean":
+            expanded.append((col, "sum", f"__{alias}_sum"))
+            expanded.append((col, "count", f"__{alias}_cnt"))
+            finals.append((alias, "mean"))
+        else:
+            expanded.append((col, fn, alias))
+            finals.append((alias, fn))
+
+    if combine:
+        aggs = [(col, fn) for col, fn, _ in expanded]
+        names = [alias for _, _, alias in expanded]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            gb = batch.group_by(keys).aggregate(aggs)
+            # pyarrow names results "{col}_{fn}"
+            rename = {f"{col}_{fn}": alias for (col, fn), alias in zip(aggs, names)}
+            cols = {}
+            for name in gb.schema.names:
+                cols[rename.get(name, name)] = gb.column(name)
+            return pa.table(cols)
+
+        ds = ds.map_batches(partial, batch_format="pyarrow")
+        reducers = []
+        for col, fn, alias in expanded:
+            red = _PARTIAL_FN[fn]  # partial counts reduce by sum
+            cls = {"sum": Sum, "min": Min, "max": Max}[red]
+            reducers.append(cls(alias, alias_name=alias))
+        out = ds.groupby(keys).aggregate(*reducers)
+    else:
+        reducers = []
+        for col, fn, alias in expanded:
+            cls = {"sum": Sum, "count": Count, "min": Min, "max": Max}[fn]
+            reducers.append(cls(col, alias_name=alias) if fn != "count" else Count(alias_name=alias))
+        out = ds.groupby(keys).aggregate(*reducers)
+
+    mean_aliases = [a for a, kind in finals if kind == "mean"]
+    if mean_aliases:
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            for alias in mean_aliases:
+                m = pc.divide(
+                    pc.cast(batch[f"__{alias}_sum"], pa.float64()),
+                    pc.cast(batch[f"__{alias}_cnt"], pa.float64()),
+                )
+                batch = batch.append_column(alias, m)
+            return batch.drop_columns(
+                [c for a in mean_aliases for c in (f"__{a}_sum", f"__{a}_cnt")]
+            )
+
+        out = out.map_batches(finalize, batch_format="pyarrow")
+    return out
+
+
+# -------------------------------------------------------------------- joins
+def collect_key_set(ds: Dataset, key: str) -> set:
+    """Materialize the distinct keys of a SMALL dataset on the driver."""
+    out: set = set()
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        out.update(b.column(key).drop_null().to_pylist())
+    return out
+
+
+def _key_filter(ds: Dataset, key: str, keys_ref, keep_matches: bool) -> Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pc.is_in(batch.column(key), value_set=pa.array(list(ks)))
+        if not keep_matches:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def broadcast_semi_join(big: Dataset, small: Dataset, key: str, small_key: str | None = None) -> Dataset:
+    """Rows of `big` whose key appears in `small` (key set broadcast once)."""
+    keys = collect_key_set(small, small_key or key)
+    return _key_filter(big, key, ray.put(keys), keep_matches=True)
+
+
+def broadcast_anti_join(big: Dataset, small: Dataset, key: str, small_key: str | None = None) -> Dataset:
+    """Rows of `big` whose key does NOT appear in `small`."""
+    keys = collect_key_set(small, small_key or key)
+    return _key_filter(big, key, ray.put(keys), keep_matches=False)
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Hash-partitioned join for two large sides (Dataset.join)."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+    )
+
+
+def broadcast_lookup_join(
+    big: Dataset, small_df: pd.DataFrame, key: str, small_key: str | None = None
+) -> Dataset:
+    """Attach columns of a small pandas dimension table to every row of `big`
+    via an object-store broadcast + per-batch pandas merge (no shuffle)."""
+    ref = ray.put(small_df)
+    skey = small_key or key
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(ref)
+        return batch.merge(dim, left_on=key, right_on=skey, how="inner")
+
+    return big.map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ windows
+def window_lag(
+    ds: Dataset,
+    part_key: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "lag_value",
+    shift: int = 1,
+) -> Dataset:
+    """Per-key lag (shift>0) / lead (shift<0) over rows ordered by order_cols.
+    Requires co-partitioning by part_key — exactly what groupby provides."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        g[out_col] = g[value_col].shift(shift)
+        return g
+
+    return ds.groupby(part_key).map_groups(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- topk
+def topk(ds: Dataset, col: str, k: int, descending: bool = True, tiebreak: list[str] | None = None) -> Dataset:
+    """Global top-k: per-batch local prune to k rows, then a tiny global
+    sort+limit — the shuffle never sees more than k rows per block."""
+    sort_cols = [col] + (tiebreak or [])
+    asc = not descending
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(sort_cols, ascending=asc, kind="mergesort").head(k)
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    keys = [(c, "descending" if descending else "ascending") for c in [col]] + [
+        (c, "ascending") for c in (tiebreak or [])
+    ]
+    return pruned.sort([c for c, _ in keys], descending=[d == "descending" for _, d in keys]).limit(k)
+
+
+def distinct_on(ds: Dataset, cols: list[str]) -> Dataset:
+    """Multi-column distinct (groupby + project)."""
+    out = ds.groupby(cols).aggregate(Count(alias_name="__n"))
+    return out.drop_columns(["__n"])

@@ -47,10 +47,11 @@ from ..stages.segment import make_segment_batch
 BROADCAST_MAX_ROWS = 2_000_000
 
 
-def recognized_lines(media_path: str, cfg: PipelineConfig) -> Dataset:
+def recognized_lines(media: Dataset | str, cfg: PipelineConfig) -> Dataset:
     """media table -> recognized line rows (no doc context yet)."""
     page_set = parse_pages_set(cfg.page_set) if cfg.page_set else None
-    media = read_media(media_path)
+    if isinstance(media, str):
+        media = read_media(media)
     pages = media.map_batches(
         make_decode_pages(page_set),
         batch_format="pyarrow",
@@ -126,6 +127,26 @@ def attach_doc_order(rec: Dataset, media_map: Dataset, cfg: PipelineConfig, stra
     return rec.map_batches(lookup, batch_format="pyarrow")
 
 
+def extract_spans_from(
+    docs: Dataset,
+    media: Dataset,
+    cfg: PipelineConfig | None = None,
+    join_strategy: str = "auto",
+) -> Dataset:
+    """Flagship pipeline over already-constructed datasets (used by the
+    partitioned resumable runner, pipelines/runner.py)."""
+    cfg = cfg or PipelineConfig()
+    text_spans = docs.map_batches(explode_text_spans, batch_format="pyarrow")
+    media_map = docs.map_batches(explode_media_map, batch_format="pyarrow")
+
+    rec = recognized_lines(media, cfg)
+    rec = attach_doc_order(rec, media_map, cfg, strategy=join_strategy)
+    rec_u = rec.map_batches(recognized_to_union, batch_format="pyarrow")
+
+    all_spans = rec_u.union(text_spans)
+    return all_spans.groupby("doc_id").map_groups(assemble_group, batch_format="pandas")
+
+
 def extract_spans(
     docs_path: str,
     media_path: str,
@@ -135,14 +156,4 @@ def extract_spans(
     """The flagship pipeline; returns the flat ordered span table
     (SPANS_OUT_SCHEMA: doc_id, seq, kind, text, media_ref, order, region_id,
     line_id, conf). Lazy — consume with write/iter/to_pandas."""
-    cfg = cfg or PipelineConfig()
-    docs = read_docs(docs_path)
-    text_spans = docs.map_batches(explode_text_spans, batch_format="pyarrow")
-    media_map = docs.map_batches(explode_media_map, batch_format="pyarrow")
-
-    rec = recognized_lines(media_path, cfg)
-    rec = attach_doc_order(rec, media_map, cfg, strategy=join_strategy)
-    rec_u = rec.map_batches(recognized_to_union, batch_format="pyarrow")
-
-    all_spans = rec_u.union(text_spans)
-    return all_spans.groupby("doc_id").map_groups(assemble_group, batch_format="pandas")
+    return extract_spans_from(read_docs(docs_path), read_media(media_path), cfg, join_strategy)

@@ -1,0 +1,122 @@
+"""Resumable partitioned execution of the flagship pipeline (SURVEY.md §4).
+
+The input doc space is split into ``n_parts`` deterministic partitions by a
+stable hash of ``doc_id`` (crc32 — never Python's salted hash). Each
+partition runs the full streaming pipeline over its doc subset plus exactly
+the media rows those docs reference (broadcast ref-set semi-join — the
+media table is never scanned into memory), writes its output parquet
+atomically (tmp dir + rename), and records a manifest entry with input
+fingerprint, lineage (engine version + config hash) and throughput metrics.
+
+Resume = rerun the same call: partitions whose manifest entry matches the
+current fingerprint + lineage are skipped without touching their output.
+At 10^12-doc scale this is the unit of scheduling and failure isolation;
+within a partition Ray's own task retries handle transient failures.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from ..config import PipelineConfig
+from ..sources.io import read_docs, read_media
+from ..state import manifest as mf
+from .extract import extract_spans_from
+
+
+def doc_partition(doc_id: str, n_parts: int) -> int:
+    return zlib.crc32(doc_id.encode()) % n_parts
+
+
+def _docs_part_filter(i: int, n_parts: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mask = [zlib.crc32(d.encode()) % n_parts == i for d in ids]
+        return batch.filter(pa.array(mask))
+
+    return fn
+
+
+def _media_ref_filter(ref_handle):
+    def fn(batch: pa.Table) -> pa.Table:
+        refs = ray.get(ref_handle)
+        mask = pc.is_in(batch.column("media_ref"), value_set=pa.array(list(refs), pa.string()))
+        return batch.filter(mask)
+
+    return fn
+
+
+def run_partitioned(
+    docs_path: str,
+    media_path: str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    n_parts: int = 8,
+    parts: list[int] | None = None,
+) -> dict:
+    """Run (or resume) the pipeline over n_parts doc-hash partitions.
+
+    Returns {"ran": [...], "skipped": [...], "out_dir": out_dir}. ``parts``
+    restricts which partitions are attempted (used by tests to simulate a
+    partial run / crash)."""
+    cfg = cfg or PipelineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    fingerprint = mf.input_fingerprint([docs_path, media_path])
+    lineage = mf.lineage_hash(cfg)
+    ran: list[int] = []
+    skipped: list[int] = []
+    for i in parts if parts is not None else range(n_parts):
+        if mf.is_done(out_dir, i, fingerprint=fingerprint, lineage=lineage, n_parts=n_parts):
+            skipped.append(i)
+            continue
+        t0 = time.time()
+        docs_i = read_docs(docs_path).map_batches(
+            _docs_part_filter(i, n_parts), batch_format="pyarrow"
+        )
+        # collect this partition's media refs (strings only — small side)
+        refs: set[str] = set()
+        n_docs = 0
+        for b in docs_i.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            n_docs += b.num_rows
+            spans = b.column("spans")
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            flat = pc.list_flatten(spans)
+            m = flat.field("media_ref").drop_null().to_pylist()
+            refs.update(m)
+        media_i = read_media(media_path).map_batches(
+            _media_ref_filter(ray.put(refs)), batch_format="pyarrow"
+        )
+        out = extract_spans_from(docs_i, media_i, cfg)
+
+        part_dir = os.path.join(out_dir, mf.part_name(i))
+        tmp_dir = part_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        out.write_parquet(tmp_dir)
+        rows = sum(
+            pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+            for f in os.listdir(tmp_dir)
+            if f.endswith(".parquet")
+        )
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.replace(tmp_dir, part_dir)
+        mf.write_entry(
+            out_dir,
+            i,
+            fingerprint=fingerprint,
+            lineage=lineage,
+            n_parts=n_parts,
+            docs=n_docs,
+            rows=rows,
+            seconds=time.time() - t0,
+        )
+        ran.append(i)
+    return {"ran": ran, "skipped": skipped, "out_dir": out_dir}
