@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (list<float>), Ray-Data-first.
+
+  brute_force_topk — baseline: the query matrix is broadcast once via
+    ray.put; every batch does one numpy matmul against it and locally prunes
+    to k candidates, so the final global step only sorts n_blocks*k rows.
+  ivf_topk — scale path: seeded sampled centroids (a cheap k-means-free IVF),
+    vectors assigned to nearest centroid in one map_batches pass; a query
+    probes only the nprobe nearest centroid partitions. Documented trade-off:
+    recall < 1.0 when the true neighbor lives in an unprobed cell.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+from ray.data import Dataset
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    exclude_ids: set | None = None,
+) -> pd.DataFrame:
+    """Exact cosine top-k per query row. Returns a small pandas frame
+    (query_idx, vec_id, cosine) of k rows per query, sorted by
+    (query_idx, -cosine, vec_id)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(q)
+    excl = exclude_ids or set()
+    eref = ray.put(excl)
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(qref)
+        ex = ray.get(eref)
+        ids = batch[id_col].to_numpy()
+        if len(ex):
+            keep = ~pd.Series(ids).isin(ex).to_numpy()
+            batch = batch[keep]
+            ids = ids[keep]
+        if not len(ids):
+            return pd.DataFrame({"query_idx": [], "vec_id": [], "cosine": []})
+        v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        sims = v @ qm.T  # (n, Q)
+        rows = []
+        kk = min(k, sims.shape[0])
+        for qi in range(qm.shape[0]):
+            idx = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            rows.append(
+                pd.DataFrame({"query_idx": qi, "vec_id": ids[idx], "cosine": sims[idx, qi].astype(float)})
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    cand = ds.map_batches(prune, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["query_idx", "cosine", "vec_id"], ascending=[True, False, True], kind="mergesort")
+    return cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+
+
+def build_ivf_centroids(ds: Dataset, vec_col: str, n_centroids: int = 64, seed: int = 42) -> np.ndarray:
+    """Seeded reservoir-free centroid pick: sample ~4x candidates, keep the
+    first n unique. Cheap, deterministic, good enough for cell routing."""
+    frac = min(1.0, (n_centroids * 4) / max(1, ds.count()))
+    sample = ds.random_sample(frac, seed=seed).take_all()
+    vecs = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample]))
+    return vecs[:n_centroids]
+
+
+def ivf_topk(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Approximate cosine top-k: assign vectors to centroid cells once,
+    search only the nprobe cells nearest each query."""
+    if centroids is None:
+        centroids = build_ivf_centroids(ds, vec_col, n_centroids, seed)
+    cref = ray.put(centroids)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probed = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_set = set(probed.ravel().tolist())
+    pref = ray.put(probe_set)
+    qref = ray.put((q, probed))
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cref)
+        probe = ray.get(pref)
+        qm, probed_cells = ray.get(qref)
+        ids = batch[id_col].to_numpy()
+        v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        cell = np.argmax(v @ cents.T, axis=1)
+        keep = np.isin(cell, list(probe))
+        ids, v, cell = ids[keep], v[keep], cell[keep]
+        if not len(ids):
+            return pd.DataFrame({"query_idx": [], "vec_id": [], "cosine": []})
+        sims = v @ qm.T
+        rows = []
+        for qi in range(qm.shape[0]):
+            in_cells = np.isin(cell, probed_cells[qi])
+            if not in_cells.any():
+                continue
+            s = sims[in_cells, qi]
+            idx = np.argpartition(-s, min(k, len(s)) - 1)[: min(k, len(s))]
+            rows.append(
+                pd.DataFrame({"query_idx": qi, "vec_id": ids[in_cells][idx], "cosine": s[idx].astype(float)})
+            )
+        if not rows:
+            return pd.DataFrame({"query_idx": [], "vec_id": [], "cosine": []})
+        return pd.concat(rows, ignore_index=True)
+
+    cand = ds.map_batches(prune, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["query_idx", "cosine", "vec_id"], ascending=[True, False, True], kind="mergesort")
+    return cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)

@@ -1,0 +1,149 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All vectorized (pandas string kernels / numpy)
+inside map_batches; the language model is a stateful actor-pool class
+(profiles built once per actor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+_TOKEN_RE = r"\S+"
+# a BPE-ish subword splitter: runs of letters, runs of digits, single other
+_BPEISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_PUNCT_RE = r"[.,;:!?'\"()\[\]-]"
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was", "for", "on", "with"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "auf", "sich"},
+    "fr": {"le", "la", "les", "et", "est", "une", "dans", "que", "pour", "sur", "pas"},
+    "es": {"el", "la", "los", "las", "y", "es", "una", "en", "que", "por", "con", "del"},
+}
+
+
+def token_count(ds: Dataset, text_col: str, out_col: str = "n_tokens") -> Dataset:
+    """Whitespace token count per row (0 for blank text)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[out_col] = batch[text_col].fillna("").str.count(_TOKEN_RE).astype("int64")
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def bpeish_token_count(ds: Dataset, text_col: str, out_col: str = "n_subtokens") -> Dataset:
+    """Subword-ish token count (letters / digit runs / single punct)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[out_col] = batch[text_col].fillna("").str.count(_BPEISH_RE).astype("int64")
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def quality_stats(ds: Dataset, text_col: str) -> Dataset:
+    """Per-row quality signals: n_chars, n_tokens, mean token length,
+    punctuation ratio, digit ratio, uppercase ratio. Vectorized pandas."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        n_chars = t.str.len().astype("int64")
+        n_tokens = t.str.count(_TOKEN_RE).astype("int64")
+        denom = n_chars.where(n_chars > 0, 1)
+        batch["n_chars_q"] = n_chars
+        batch["n_tokens"] = n_tokens
+        batch["mean_token_len"] = ((n_chars - n_tokens + 1).clip(lower=0) / n_tokens.where(n_tokens > 0, 1)).round(4)
+        batch["punct_ratio"] = (t.str.count(_PUNCT_RE) / denom).round(4)
+        batch["digit_ratio"] = (t.str.count(r"[0-9]") / denom).round(4)
+        batch["upper_ratio"] = (t.str.count(r"[A-Z]") / denom).round(4)
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def quality_counts(ds: Dataset, id_col: str, text_col: str) -> Dataset:
+    """Exact integer quality signals (no float ratios — deterministic under
+    any execution order, SQL-oracle-friendly): n_chars, n_tokens, n_punct,
+    n_digits, n_upper per row."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "n_chars": t.str.len().astype("int64"),
+                "n_tokens": t.str.count(_TOKEN_RE).astype("int64"),
+                "n_punct": t.str.count(_PUNCT_RE).astype("int64"),
+                "n_digits": t.str.count(r"[0-9]").astype("int64"),
+                "n_upper": t.str.count(r"[A-Z]").astype("int64"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+class LangId:
+    """Stopword + character-profile language scorer (n-gram heuristic).
+    Profiles compiled once per actor (__init__), applied per batch."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zäöüéèêàáíóúñç]+")
+        self.stop = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.accents = {
+            "de": set("äöüß"),
+            "fr": set("éèêàçùâîôû"),
+            "es": set("ñáéíóúü"),
+            "en": set(),
+        }
+
+    def _score_text(self, text: str) -> str:
+        toks = self.word.findall(text.lower())
+        if not toks:
+            return "unknown"
+        scores = {}
+        tokset = toks[:200]
+        for lang, stops in self.stop.items():
+            s = sum(1.0 for w in tokset if w in stops)
+            s += sum(0.5 for w in tokset for ch in self.accents[lang] if ch in w)
+            scores[lang] = s
+        best = max(sorted(scores), key=lambda k: scores[k])
+        return best if scores[best] > 0 else "unknown"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["lang_pred"] = [self._score_text(t or "") for t in batch["text"].tolist()]
+        return batch
+
+
+def lang_id(ds: Dataset, concurrency=(1, 4)) -> Dataset:
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency, num_cpus=1)
+
+
+def fingerprint(ds: Dataset, text_col: str, out_col: str = "fingerprint", window: int = 8) -> Dataset:
+    """Winnowed rolling-hash document fingerprint (Rabin-Karp over tokens,
+    min-hash per window — the standard winnowing scheme). Hex string."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in batch[text_col].fillna("").tolist():
+            toks = text.split()
+            if not toks:
+                out.append("0" * 16)
+                continue
+            hs = np.array(
+                [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") for t in toks],
+                dtype=np.uint64,
+            )
+            if len(hs) >= window:
+                mins = np.array([hs[i : i + window].min() for i in range(len(hs) - window + 1)], dtype=np.uint64)
+            else:
+                mins = hs
+            out.append(hashlib.blake2b(mins.tobytes(), digest_size=8).hexdigest())
+        batch[out_col] = out
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
