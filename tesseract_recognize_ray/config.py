@@ -39,6 +39,7 @@ class PipelineConfig:
     segment_batch_size: int = 16
     join_partitions: int = 16
     sort_by_cost: bool = False  # cost-homogeneous batching (skew, §4)
+    assemble_buckets: int = 64  # reassembly-shuffle partitions (crc32(doc_id) % P)
 
     def __post_init__(self) -> None:
         if self.layout_level not in LEVELS:

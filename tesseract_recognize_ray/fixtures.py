@@ -201,27 +201,23 @@ def _doc_span_plan(rng: np.random.Generator, i: int) -> list[str]:
     return ["text" if rng.random() < 0.6 else "media" for _ in range(n)]
 
 
-def generate_corpus(
-    out_dir: str,
+def build_tables(
+    rng: np.random.Generator,
+    start: int,
     n_docs: int,
-    seed: int = SEED,
     multipage_frac: float = 0.07,
     rotate_frac: float = 0.05,
-) -> dict[str, str]:
-    """Write docs/media/golden_spans/golden_layout parquet under out_dir.
-
-    Returns {table_name: path}. Byte-stable for a given (n_docs, seed).
-    """
-    rng = np.random.default_rng(seed)
-    os.makedirs(out_dir, exist_ok=True)
-
+) -> dict[str, pa.Table]:
+    """Render docs [start, start+n_docs) into the four corpus tables.
+    Deterministic given (rng state, start, n_docs) — the unit of work for
+    both the sequential generator and the Ray-sharded one."""
     doc_ids: list[str] = []
     doc_spans: list[list[dict]] = []
     media_rows = {"media_ref": [], "bytes": [], "width": [], "height": [], "kind": [], "n_pages": []}
     g = {k: [] for k in ("doc_id", "seq", "kind", "text", "media_ref", "order", "region_id", "line_id")}
     lay = {k: [] for k in ("media_ref", "page", "region", "line", "x0", "y0", "x1", "y1", "baseline_y", "scale", "rotation_k", "text")}
 
-    for i in range(n_docs):
+    for i in range(start, start + n_docs):
         doc_id = f"doc-{i:08d}"
         kinds = _doc_span_plan(rng, i)
         spans: list[dict] = []
@@ -321,17 +317,86 @@ def generate_corpus(
         }
     )
     layout_tbl = pa.table({k: pa.array(v) for k, v in lay.items()})
+    return {
+        "docs": docs_tbl,
+        "media": media_tbl,
+        "golden_spans": golden_tbl,
+        "golden_layout": layout_tbl,
+    }
 
+
+def generate_corpus(
+    out_dir: str,
+    n_docs: int,
+    seed: int = SEED,
+    multipage_frac: float = 0.07,
+    rotate_frac: float = 0.05,
+) -> dict[str, str]:
+    """Write docs/media/golden_spans/golden_layout parquet under out_dir.
+
+    Returns {table_name: path}. Byte-stable for a given (n_docs, seed)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    tables = build_tables(rng, 0, n_docs, multipage_frac, rotate_frac)
     paths = {}
-    for name, tbl in (
-        ("docs", docs_tbl),
-        ("media", media_tbl),
-        ("golden_spans", golden_tbl),
-        ("golden_layout", layout_tbl),
-    ):
+    for name, tbl in tables.items():
         p = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(tbl, p)
         paths[name] = p
+    return paths
+
+
+def generate_corpus_sharded(
+    out_dir: str,
+    n_docs: int,
+    seed: int = SEED,
+    shard_docs: int = 1000,
+    **kw,
+) -> dict[str, str]:
+    """Parallel corpus generation: one Ray task per shard of shard_docs docs,
+    shard i seeded with default_rng([seed, i]) — deterministic regardless of
+    scheduling (NOT byte-identical to the sequential generator: different rng
+    stream). Each table becomes a directory of per-shard parquet files, the
+    layout every reader here already handles. Requires an initialized Ray."""
+    import ray
+
+    names = ("docs", "media", "golden_spans", "golden_layout")
+    paths = {n: os.path.join(out_dir, n) for n in names}
+    for p in paths.values():
+        os.makedirs(p, exist_ok=True)
+
+    @ray.remote
+    def gen_shard(i: int, start: int, count: int) -> int:
+        rng = np.random.default_rng([seed, i])
+        tables = build_tables(rng, start, count, **kw)
+        for name, tbl in tables.items():
+            pq.write_table(tbl, os.path.join(paths[name], f"part-{i:05d}.parquet"))
+        return count
+
+    refs = [
+        gen_shard.remote(i, s, min(shard_docs, n_docs - s))
+        for i, s in enumerate(range(0, n_docs, shard_docs))
+    ]
+    assert sum(ray.get(refs)) == n_docs
+    return paths
+
+
+def corpus_sharded_cached(out_dir: str, n_docs: int, seed: int = SEED, **kw) -> dict[str, str]:
+    """generate_corpus_sharded, skipped if the output dirs already exist
+    (marker file records (n_docs, seed) to catch mismatched reuse)."""
+    import json
+
+    marker = os.path.join(out_dir, "_corpus.json")
+    names = ("docs", "media", "golden_spans", "golden_layout")
+    paths = {n: os.path.join(out_dir, n) for n in names}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta == {"n_docs": n_docs, "seed": seed}:
+            return paths
+    paths = generate_corpus_sharded(out_dir, n_docs, seed, **kw)
+    with open(marker, "w") as f:
+        json.dump({"n_docs": n_docs, "seed": seed}, f)
     return paths
 
 

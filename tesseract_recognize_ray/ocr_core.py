@@ -83,7 +83,36 @@ def recognize_line(ink_band: np.ndarray, s: int) -> tuple[str, float]:
     Glyphs separate into single column runs (glyphs.py contiguity invariant);
     word gaps > 5.5*s insert a single space. Returns (text, mean glyph conf);
     the text needs no further trimming (leading/trailing space never emitted —
-    reference trims with regex, M5 `tesseract-recognize.cc:205-212`)."""
+    reference trims with regex, M5 `tesseract-recognize.cc:205-212`).
+
+    Fast path: since glyph ink is blitted in s x s cells aligned to the
+    band's first ink column, the whole band downsamples to its 7 x C cell
+    grid with ONE reduction; glyph runs/gaps/patterns then live on the tiny
+    grid (pixel run == s x cell run; word gap > 5.5*s px == >= 6 cells).
+    Off-grid bands (foreign sizes) take the tolerant per-run pixel path."""
+    h, w = ink_band.shape
+    if h == GLYPH_H * s and w % s == 0 and w > 0:
+        grid = ink_band.reshape(GLYPH_H, s, w // s, s).any(axis=(1, 3))  # (7, C)
+        cellprof = grid.any(axis=0)
+        runs = runs_1d(cellprof.astype(np.int8), merge_gap=0)
+        if not runs:
+            return "", 0.0
+        parts: list[str] = []
+        confs: list[float] = []
+        prev_end: int | None = None
+        for c0, c1 in runs:
+            if prev_end is not None and (c0 - prev_end) >= 6:
+                parts.append(" ")
+            prev_end = c1
+            ch, conf = match_glyph(np.ascontiguousarray(grid[:, c0:c1]))
+            parts.append(ch)
+            confs.append(conf)
+        return "".join(parts), float(np.mean(confs)) if confs else 0.0
+    return _recognize_line_offgrid(ink_band, s)
+
+
+def _recognize_line_offgrid(ink_band: np.ndarray, s: int) -> tuple[str, float]:
+    """Tolerant pixel-level path for bands that don't sit on the cell grid."""
     colprof = ink_band.sum(axis=0)
     runs = runs_1d(colprof, merge_gap=0)
     if not runs:
@@ -153,29 +182,107 @@ def find_lines(ink: np.ndarray) -> tuple[int, list[LineBand]]:
     return s, out
 
 
-def detect_upright_k(img: np.ndarray) -> int:
-    """Orientation detection (reference A3/OSD, tesseract-recognize.cc:602-628):
-    returns k such that np.rot90(img, k) is upright.
+def _score_rotation(up_ink: np.ndarray) -> tuple[float, int, list[LineBand]]:
+    """Mean template confidence of the first few line bands of one rotation."""
+    s, bands = find_lines(up_ink)
+    if not bands:
+        return -1.0, s, bands
+    confs = [
+        recognize_line(np.ascontiguousarray(up_ink[b.y0 : b.y1, b.x0 : b.x1]), s)[1]
+        for b in bands[:3]
+    ]
+    return float(np.mean(confs)), s, bands
 
-    Scores all four rotations by mean template confidence of the first few
-    line bands (wrong axes and 180-flips produce off-template patterns);
-    deterministic, ties prefer the smaller k. The residual ambiguity — a page
-    whose scored lines use only 180-symmetric glyphs (H I N O S X Z 0 8 -) —
-    is the same ambiguity Tesseract's OSD resolves statistically."""
-    ink = binarize(img)
+
+def analyse_orientation(ink: np.ndarray) -> tuple[int, int, list[LineBand]]:
+    """Orientation detection (reference A3/OSD, tesseract-recognize.cc:602-628):
+    returns (k, scale, bands) such that np.rot90(ink, k) is upright, with the
+    line bands of the winning rotation (so callers never re-run find_lines).
+
+    Fast path: the unrotated page is scored first and accepted outright when
+    its template confidence is ~1.0 — the overwhelmingly common case — so the
+    4-rotation sweep only runs on pages that actually look rotated. Ties in
+    the sweep prefer the smaller k. The residual ambiguity — a page whose
+    scored lines use only 180-symmetric glyphs (H I N O S X Z 0 8 -) — is the
+    same ambiguity Tesseract's OSD resolves statistically."""
     if not ink.any():
-        return 0
-    best_k, best_conf = 0, -1.0
-    for k in range(4):
-        up = np.rot90(ink, k) if k else ink
-        s, bands = find_lines(up)
-        if not bands:
-            continue
-        confs = [
-            recognize_line(np.ascontiguousarray(up[b.y0 : b.y1, b.x0 : b.x1]), s)[1]
-            for b in bands[:3]
-        ]
-        conf = float(np.mean(confs))
+        return 0, 1, []
+    conf0, s0, bands0 = _score_rotation(ink)
+    if conf0 >= 0.999:
+        return 0, s0, bands0
+    best = (0, s0, bands0)
+    best_conf = conf0
+    for k in range(1, 4):
+        up = np.ascontiguousarray(np.rot90(ink, k))
+        conf, s, bands = _score_rotation(up)
         if conf > best_conf + 1e-9:
-            best_k, best_conf = k, conf
-    return best_k
+            best, best_conf = (k, s, bands), conf
+    return best
+
+
+def detect_upright_k(img: np.ndarray) -> int:
+    """Back-compat wrapper over analyse_orientation (bool-ink based)."""
+    return analyse_orientation(binarize(img))[0]
+
+
+# --------------------------------------------------------------------------
+# uint8 bilevel fast path: projection profiles straight off the raw page via
+# one sum pass — no page-sized bool temporary. Exact for bilevel rasters
+# (values {0, 255}); gray pixels would count fractionally, which only ever
+# *adds* ink to a profile bin (safe for run detection).
+# --------------------------------------------------------------------------
+
+
+def find_lines_u8(img: np.ndarray) -> tuple[int, list[LineBand]]:
+    """find_lines for a uint8 page without materializing an ink mask:
+    ink-per-row = w - rowsum/255 (one memory pass over the page; per-band
+    column profiles touch only the band's rows)."""
+    h, w = img.shape
+    if h == 0 or w == 0:
+        return 1, []
+    rowprof = w - (img.sum(axis=1, dtype=np.int64) // 255)
+    bands = runs_1d(rowprof, merge_gap=LINE_MERGE_GAP)
+    if not bands:
+        return 1, []
+    s = max(1, round(max(y1 - y0 for y0, y1 in bands) / GLYPH_H))
+    out: list[LineBand] = []
+    block = 0
+    line = 0
+    prev_end: int | None = None
+    for y0, y1 in bands:
+        if prev_end is not None and (y0 - prev_end) > 14 * s:
+            block += 1
+            line = 0
+        prev_end = y1
+        colsum = img[y0:y1].sum(axis=0, dtype=np.int64)
+        cols = np.flatnonzero(colsum < 255 * (y1 - y0))
+        out.append(
+            LineBand(block=block, line=line, y0=int(y0), y1=int(y1), x0=int(cols[0]), x1=int(cols[-1]) + 1)
+        )
+        line += 1
+    return s, out
+
+
+def _score_rotation_u8(up: np.ndarray) -> tuple[float, int, list[LineBand]]:
+    s, bands = find_lines_u8(up)
+    if not bands:
+        return -1.0, s, bands
+    confs = [
+        recognize_line(up[b.y0 : b.y1, b.x0 : b.x1] < BIN_THRESHOLD, s)[1] for b in bands[:3]
+    ]
+    return float(np.mean(confs)), s, bands
+
+
+def analyse_orientation_u8(img: np.ndarray) -> tuple[int, int, list[LineBand]]:
+    """analyse_orientation off the raw uint8 page (same fast-accept logic;
+    rot90 views are summed directly — no contiguous copies for the sweep)."""
+    conf0, s0, bands0 = _score_rotation_u8(img)
+    if conf0 >= 0.999:
+        return 0, s0, bands0
+    best = (0, s0, bands0)
+    best_conf = conf0
+    for k in range(1, 4):
+        conf, s, bands = _score_rotation_u8(np.rot90(img, k))
+        if conf > best_conf + 1e-9:
+            best, best_conf = (k, s, bands), conf
+    return best

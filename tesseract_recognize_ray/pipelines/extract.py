@@ -32,7 +32,8 @@ from ..config import PipelineConfig
 from ..idscheme import parse_pages_set
 from ..sources.io import read_docs, read_media
 from ..stages.assemble import (
-    assemble_group,
+    add_doc_bucket,
+    assemble_bucket,
     explode_media_map,
     explode_text_spans,
     recognized_to_union,
@@ -127,6 +128,22 @@ def attach_doc_order(rec: Dataset, media_map: Dataset, cfg: PipelineConfig, stra
     return rec.map_batches(lookup, batch_format="pyarrow")
 
 
+def _assemble_tail(docs: Dataset, rec: Dataset, cfg: PipelineConfig, join_strategy: str) -> Dataset:
+    """Shared pipeline tail: doc-order attach (J1) -> union with untouched
+    text spans -> bucketed reassembly shuffle (G3)."""
+    text_spans = docs.map_batches(explode_text_spans, batch_format="pyarrow")
+    media_map = docs.map_batches(explode_media_map, batch_format="pyarrow")
+    rec = attach_doc_order(rec, media_map, cfg, strategy=join_strategy)
+    rec_u = rec.map_batches(recognized_to_union, batch_format="pyarrow")
+
+    all_spans = rec_u.union(text_spans)
+    # bucketed reassembly shuffle: co-locate by crc32(doc_id) % P, then one
+    # vectorized assemble per bucket (amortizes per-group overhead ~1000x vs
+    # groupby(doc_id); same correctness — all rows of a doc share a bucket)
+    bucketed = all_spans.map_batches(add_doc_bucket(cfg.assemble_buckets), batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(assemble_bucket, batch_format="pandas")
+
+
 def extract_spans_from(
     docs: Dataset,
     media: Dataset,
@@ -134,17 +151,13 @@ def extract_spans_from(
     join_strategy: str = "auto",
 ) -> Dataset:
     """Flagship pipeline over already-constructed datasets (used by the
-    partitioned resumable runner, pipelines/runner.py)."""
+    partitioned resumable runner, pipelines/runner.py, and any caller whose
+    media already lives in a Dataset). NOTE: this path ships pixels across
+    stage boundaries; prefer extract_spans (fused file source) when the
+    media sits in parquet."""
     cfg = cfg or PipelineConfig()
-    text_spans = docs.map_batches(explode_text_spans, batch_format="pyarrow")
-    media_map = docs.map_batches(explode_media_map, batch_format="pyarrow")
-
     rec = recognized_lines(media, cfg)
-    rec = attach_doc_order(rec, media_map, cfg, strategy=join_strategy)
-    rec_u = rec.map_batches(recognized_to_union, batch_format="pyarrow")
-
-    all_spans = rec_u.union(text_spans)
-    return all_spans.groupby("doc_id").map_groups(assemble_group, batch_format="pandas")
+    return _assemble_tail(docs, rec, cfg, join_strategy)
 
 
 def extract_spans(
@@ -155,5 +168,25 @@ def extract_spans(
 ) -> Dataset:
     """The flagship pipeline; returns the flat ordered span table
     (SPANS_OUT_SCHEMA: doc_id, seq, kind, text, media_ref, order, region_id,
-    line_id, conf). Lazy — consume with write/iter/to_pandas."""
-    return extract_spans_from(read_docs(docs_path), read_media(media_path), cfg, join_strategy)
+    line_id, conf). Lazy — consume with write/iter/to_pandas.
+
+    The media path is the FUSED source (stages/media_source.py): one
+    actor-pool stage does read+decode+segment+recognize per parquet split, so
+    pixels never cross the object store — only recognized line rows do."""
+    cfg = cfg or PipelineConfig()
+    from ..stages.media_source import recognized_lines_from_files
+
+    files = _parquet_files(media_path)
+    rec = recognized_lines_from_files(files, cfg)
+    return _assemble_tail(read_docs(docs_path), rec, cfg, join_strategy)
+
+
+def _parquet_files(path: str) -> list[str]:
+    import glob as _glob
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        return files
+    return [path]

@@ -119,16 +119,17 @@ def recognized_to_union(batch: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=UNION_COLS)
 
 
-def assemble_group(df: pd.DataFrame) -> pd.DataFrame:
-    """G3: one document's spans -> final ordered output rows (SPANS_OUT_SCHEMA).
-
-    Sort key carries the whole reading order in data (O1); ids follow the
-    reference scheme byte-for-byte (M10): region 'b{block+1}' with
+def _assemble_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized G3 core over a frame holding ANY number of whole documents
+    (every row of a doc must be present — guaranteed by the bucket/doc_id
+    shuffle). Sort key carries the whole reading order in data (O1); ids
+    follow the reference scheme byte-for-byte (M10): region 'b{block+1}' with
     'pg{page+1}_' prefix iff the media has multiple pages
     (tesseract-recognize.cc:660,669-670), line '{rid}_p{para+1}_l{line+1}'
-    (:726)."""
-    df = df.sort_values(["order", "page", "block", "para", "line"], kind="mergesort")
+    (:726); seq is the dense per-doc output index."""
+    df = df.sort_values(["doc_id", "order", "page", "block", "para", "line"], kind="mergesort")
     n = len(df)
+    seq = df.groupby("doc_id", sort=False).cumcount().to_numpy().astype(np.int32)
     is_media = df["media_ref"].notna().to_numpy()
     rid = np.full(n, None, dtype=object)
     lid = np.full(n, None, dtype=object)
@@ -138,14 +139,19 @@ def assemble_group(df: pd.DataFrame) -> pd.DataFrame:
         block = df["block"].to_numpy()[is_media]
         para = df["para"].to_numpy()[is_media]
         line = df["line"].to_numpy()[is_media]
-        prefix = np.where(n_pages > 1, [f"pg{p + 1}_" for p in page], "")
-        r = np.array([f"{pr}b{b + 1}" for pr, b in zip(prefix, block)], dtype=object)
-        rid[is_media] = r
-        lid[is_media] = [f"{ri}_p{pa_ + 1}_l{li + 1}" for ri, pa_, li in zip(r, para, line)]
+        prefix = np.where(
+            n_pages > 1, np.char.add(np.char.add("pg", (page + 1).astype(str)), "_"), ""
+        )
+        r = np.char.add(np.char.add(prefix, "b"), (block + 1).astype(str))
+        rid[is_media] = r.astype(object)
+        lid[is_media] = np.char.add(
+            np.char.add(np.char.add(np.char.add(r, "_p"), (para + 1).astype(str)), "_l"),
+            (line + 1).astype(str),
+        ).astype(object)
     return pd.DataFrame(
         {
             "doc_id": df["doc_id"].to_numpy(),
-            "seq": np.arange(n, dtype=np.int32),
+            "seq": seq,
             "kind": np.full(n, "text", dtype=object),
             "text": df["text"].to_numpy(),
             "media_ref": df["media_ref"].to_numpy(),
@@ -155,6 +161,34 @@ def assemble_group(df: pd.DataFrame) -> pd.DataFrame:
             "conf": df["conf"].to_numpy(),
         }
     )
+
+
+def assemble_group(df: pd.DataFrame) -> pd.DataFrame:
+    """G3 for a single document group (kept for the per-doc groupby path and
+    unit tests; the pipeline uses the bucketed variant below)."""
+    return _assemble_frame(df)
+
+
+def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """G3 for one hash bucket of documents: the per-group python overhead of
+    groupby(doc_id).map_groups is amortized over thousands of docs by
+    grouping on bucket = crc32(doc_id) % P instead — same co-location
+    guarantee (all rows of a doc share a bucket), two orders of magnitude
+    fewer group calls (SURVEY.md §4 skew/shuffle note)."""
+    return _assemble_frame(df.drop(columns="__bucket"))
+
+
+def add_doc_bucket(num_buckets: int):
+    """UNION_COLS batch -> same + __bucket = crc32(doc_id) % num_buckets
+    (stable across processes; python hash() is salted and must not be used)."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        b = np.array([zlib.crc32(i.encode()) % num_buckets for i in ids], dtype=np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    return fn
 
 
 def fill_sentinel_words(words: pd.DataFrame, line_bbox: tuple[int, int, int, int]) -> pd.DataFrame:

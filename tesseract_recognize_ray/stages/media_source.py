@@ -1,0 +1,216 @@
+"""Fused media-path source: read → decode → segment → recognize in ONE
+actor-pool stage over parquet file splits.
+
+Why this exists (the 100 TB shape): the media table's pixel payload is 10-50x
+the size of every other column put together. A pipeline that materializes
+pixels at each stage boundary (read block -> decode block -> segment block)
+pushes the whole payload through the object store several times — at
+cluster scale that is pure cross-node traffic, and even single-node it is
+bounded by shared-memory copy bandwidth, not compute (measured here:
+~0.5 GB/s effective vs ~20x less data after recognition). Fusing the media
+path into one operator means pixels live only inside the task: what reaches
+the object store is recognized LINE TEXT rows — a ~100x payload reduction at
+the first boundary (the same reason the reference holds exactly one page
+raster in memory at a time, `/root/reference/tesseract-recognize.cc:540-548,790`).
+
+The stage is a callable CLASS for ``map_batches(..., concurrency=(a,b))`` —
+the warm-engine actor pool the north_star requires (template bank built once
+per actor in ``__init__``, reference A1 `tesseract-recognize.cc:340-354`).
+Inputs are (path, row_start, row_count) splits, so task granularity is
+decoupled from file count; the generator body yields one output table per
+row-chunk, keeping worker heap bounded by chunk size x page size (streaming,
+never a whole file of rasters).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import ocr_core as oc
+from ..glyphs import GLYPH_PITCH
+from .decode import _iter_page_blobs
+from .recognize import REC_COLUMNS, REC_SCHEMA
+
+MEDIA_COLUMNS = ["media_ref", "bytes", "kind", "n_pages"]
+
+
+def media_splits(files: list[str], rows_per_split: int | None = None) -> list[dict]:
+    """Work list of (path, row_start, row_count) splits. With
+    rows_per_split=None, one split per parquet row group (the natural unit of
+    parquet IO — row-group pruning reads only that byte range)."""
+    out = []
+    for f in sorted(files):
+        md = pq.read_metadata(f)
+        if rows_per_split is None:
+            start = 0
+            for rg in range(md.num_row_groups):
+                n = md.row_group(rg).num_rows
+                out.append({"path": f, "row_start": start, "row_count": n})
+                start += n
+        else:
+            for s in range(0, md.num_rows, rows_per_split):
+                out.append(
+                    {"path": f, "row_start": s, "row_count": min(rows_per_split, md.num_rows - s)}
+                )
+    return out
+
+
+class MediaPathReader:
+    """read+decode+segment+recognize for one split, pixels never leaving the
+    task. __init__ = once-per-actor state (A1); __call__ = generator over
+    row-chunks of the split."""
+
+    def __init__(
+        self,
+        page_set: list[int] | None = None,
+        only_layout: bool = False,
+        emit_words: bool = False,
+        save_crops_dir: str | None = None,
+        rows_per_chunk: int = 16,
+    ):
+        # once-per-actor state: template bank tables (the warm engine, A1)
+        self.bank_exact = oc._EXACT
+        self.bank_by_width = oc._BY_WIDTH
+        self.pset = set(page_set) if page_set is not None else None
+        self.only_layout = only_layout
+        self.emit_words = emit_words
+        self.save_crops_dir = save_crops_dir
+        self.rows_per_chunk = rows_per_chunk
+        self._crop_n = 0
+
+    def _run_chunk(self, chunk: pa.Table) -> pa.Table:
+        """decode+segment+recognize for one arrow chunk of media rows, with
+        zero page-sized temporaries beyond the projection pass: pixel blobs
+        are viewed in place (scalar.as_buffer), projections run straight off
+        uint8 (ocr_core.analyse_orientation_u8), only line crops materialize.
+        Output = recognized line rows (REC_SCHEMA, no pixels)."""
+        col_ref = chunk.column("media_ref")
+        col_bytes = chunk.column("bytes")
+        col_np = chunk.column("n_pages")
+        out: dict[str, list] = {k: [] for k in REC_COLUMNS}
+
+        def emit(ref, page, n_pages, block, para, line, word, level, x0, y0, x1, y1, by, s, k_up, text, conf):
+            out["media_ref"].append(ref)
+            out["page"].append(page)
+            out["n_pages"].append(n_pages)
+            out["block"].append(block)
+            out["para"].append(para)
+            out["line"].append(line)
+            out["word"].append(word)
+            out["level"].append(level)
+            out["x0"].append(x0)
+            out["y0"].append(y0)
+            out["x1"].append(x1)
+            out["y1"].append(y1)
+            out["baseline_y"].append(by)
+            out["scale"].append(s)
+            out["orientation_k"].append(k_up)
+            out["text"].append(text)
+            out["conf"].append(conf)
+
+        for i in range(chunk.num_rows):
+            ref = col_ref[i].as_py()
+            n_pages = col_np[i].as_py()
+            buf = memoryview(col_bytes[i].as_buffer())
+            seen = 0
+            for p, blob, w, h in _iter_page_blobs(buf):
+                seen += 1
+                if self.pset is not None and p not in self.pset:
+                    continue
+                img = np.frombuffer(blob, dtype=np.uint8, offset=8, count=w * h).reshape(h, w)
+                k_up, s, bands = oc.analyse_orientation_u8(img)
+                up = np.rot90(img, k_up) if k_up else img
+                for b in bands:
+                    crop_ink = up[b.y0 : b.y1, b.x0 : b.x1] < oc.BIN_THRESHOLD
+                    if self.save_crops_dir:
+                        self._save_crop(ref, p, b, crop_ink)
+                    if self.only_layout:
+                        text, conf = None, None
+                    else:
+                        text, conf = oc.recognize_line(crop_ink, s)
+                    emit(ref, p, n_pages, b.block, 0, b.line, -1, "line",
+                         b.x0, b.y0, b.x1, b.y1, b.y1, s, k_up, text, conf)
+                    if self.emit_words and text:
+                        pos = 0
+                        for w_idx, word in enumerate(text.split(" ")):
+                            if word:
+                                wx0 = b.x0 + pos * GLYPH_PITCH * s
+                                wx1 = wx0 + len(word) * GLYPH_PITCH * s - s
+                                emit(ref, p, n_pages, b.block, 0, b.line, w_idx, "word",
+                                     wx0, b.y0, wx1, b.y1, b.y1, s, k_up, word, conf)
+                            pos += len(word) + 1
+            if self.pset is not None and max(self.pset, default=-1) >= seen:
+                raise ValueError(
+                    f"page selection {sorted(self.pset)} out of range for {ref} "
+                    f"({seen} pages); reference errors likewise "
+                    "(tesseract-recognize.cc:461-466)"
+                )
+        return pa.Table.from_pydict(
+            {f.name: pa.array(out[f.name], f.type) for f in REC_SCHEMA}
+        )
+
+    def _save_crop(self, ref: str, page: int, b, crop_ink: np.ndarray) -> None:
+        """K3 --save-crops debug sink (tesseract-recognize.cc:48,551-555)."""
+        os.makedirs(self.save_crops_dir, exist_ok=True)
+        h, w = crop_ink.shape
+        blob = (
+            np.uint32(w).tobytes() + np.uint32(h).tobytes()
+            + (np.where(crop_ink, 0, 255).astype(np.uint8)).tobytes()
+        )
+        name = f"crop_{self._crop_n}_{ref}_p{page}_b{b.block}_l{b.line}.bin"
+        with open(os.path.join(self.save_crops_dir, name), "wb") as f:
+            f.write(blob)
+        self._crop_n += 1
+
+    def __call__(self, batch: pa.Table):
+        for path, start, count in zip(
+            batch.column("path").to_pylist(),
+            batch.column("row_start").to_pylist(),
+            batch.column("row_count").to_pylist(),
+        ):
+            pf = pq.ParquetFile(path)
+            # iter_batches streams pages lazily, single-threaded by design —
+            # the actor pool provides the parallelism; per-task arrow thread
+            # fans (use_threads=True) thrash at pool width (measured 20x)
+            done = 0
+            for rb in pf.iter_batches(batch_size=self.rows_per_chunk, columns=MEDIA_COLUMNS):
+                lo, hi = done, done + rb.num_rows
+                done = hi
+                if lo >= start + count:
+                    break
+                s, e = max(lo, start), min(hi, start + count)
+                if s < e:
+                    yield self._run_chunk(pa.Table.from_batches([rb]).slice(s - lo, e - s))
+
+
+def recognized_lines_from_files(
+    files: list[str],
+    cfg,
+    rows_per_split: int | None = None,
+):
+    """Dataset of recognized line rows from media parquet files, via the
+    fused source. cfg is a PipelineConfig."""
+    import ray.data as rd
+
+    from ..idscheme import parse_pages_set
+
+    splits = media_splits(files, rows_per_split)
+    src = rd.from_items(splits)
+    return src.map_batches(
+        MediaPathReader,
+        fn_constructor_kwargs={
+            "page_set": parse_pages_set(cfg.page_set) if cfg.page_set else None,
+            "only_layout": cfg.only_layout,
+            "emit_words": cfg.layout_level in ("word", "glyph"),
+            "save_crops_dir": cfg.crops_dir if cfg.save_crops else None,
+            "rows_per_chunk": cfg.decode_batch_size,
+        },
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=cfg.recognize_concurrency,
+        num_cpus=1,
+    )

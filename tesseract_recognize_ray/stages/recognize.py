@@ -43,6 +43,28 @@ REC_COLUMNS = [
     "conf",
 ]
 
+REC_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("page", pa.int32()),
+        ("n_pages", pa.int32()),
+        ("block", pa.int32()),
+        ("para", pa.int32()),
+        ("line", pa.int32()),
+        ("word", pa.int32()),
+        ("level", pa.string()),
+        ("x0", pa.int32()),
+        ("y0", pa.int32()),
+        ("x1", pa.int32()),
+        ("y1", pa.int32()),
+        ("baseline_y", pa.int32()),
+        ("scale", pa.int32()),
+        ("orientation_k", pa.int32()),
+        ("text", pa.string()),
+        ("conf", pa.float64()),
+    ]
+)
+
 
 class Recognizer:
     """Warm-engine actor: one template bank per actor, reused across batches.
@@ -101,28 +123,7 @@ class Recognizer:
             if self.emit_words:
                 self._emit_words(emit, i, text, conf, cols, s)
 
-        schema = pa.schema(
-            [
-                ("media_ref", pa.string()),
-                ("page", pa.int32()),
-                ("n_pages", pa.int32()),
-                ("block", pa.int32()),
-                ("para", pa.int32()),
-                ("line", pa.int32()),
-                ("word", pa.int32()),
-                ("level", pa.string()),
-                ("x0", pa.int32()),
-                ("y0", pa.int32()),
-                ("x1", pa.int32()),
-                ("y1", pa.int32()),
-                ("baseline_y", pa.int32()),
-                ("scale", pa.int32()),
-                ("orientation_k", pa.int32()),
-                ("text", pa.string()),
-                ("conf", pa.float64()),
-            ]
-        )
-        return pa.Table.from_pydict({f.name: pa.array(out[f.name], f.type) for f in schema})
+        return pa.Table.from_pydict({f.name: pa.array(out[f.name], f.type) for f in REC_SCHEMA})
 
     @staticmethod
     def _emit_words(emit, row_i: int, line_text: str, conf: float, cols: dict, s: int) -> None:

@@ -63,10 +63,8 @@ def segment_page(img: np.ndarray) -> tuple[int, int, list[dict]]:
     raster upright (A3); line coords are in upright space — the reference
     likewise rotates the page image before emitting coords when
     apply-image-orientation is set (`tesseract-recognize.cc:793-799`)."""
-    k_up = oc.detect_upright_k(img)
+    k_up, s, bands = oc.analyse_orientation(oc.binarize(img))
     up = np.ascontiguousarray(np.rot90(img, k_up)) if k_up else img
-    ink = oc.binarize(up)
-    s, bands = oc.find_lines(ink)
     lines = []
     for b in bands:
         crop = up[b.y0 : b.y1, b.x0 : b.x1]
