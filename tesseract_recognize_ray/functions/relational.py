@@ -64,16 +64,16 @@ def grouped_agg(
             finals.append((alias, fn))
 
     if combine:
-        aggs = [(col, fn) for col, fn, _ in expanded]
-        names = [alias for _, _, alias in expanded]
+        # dedupe (col, fn): two specs may share a physical aggregate (e.g.
+        # sum + mean of the same column both need its sum) and pyarrow names
+        # results "{col}_{fn}" — duplicates would collide in the schema
+        uniq = list(dict.fromkeys((col, fn) for col, fn, _ in expanded))
 
         def partial(batch: pa.Table) -> pa.Table:
-            gb = batch.group_by(keys).aggregate(aggs)
-            # pyarrow names results "{col}_{fn}"
-            rename = {f"{col}_{fn}": alias for (col, fn), alias in zip(aggs, names)}
-            cols = {}
-            for name in gb.schema.names:
-                cols[rename.get(name, name)] = gb.column(name)
+            gb = batch.group_by(keys).aggregate(uniq)
+            cols = {k: gb.column(k) for k in keys}
+            for col, fn, alias in expanded:
+                cols[alias] = gb.column(f"{col}_{fn}")
             return pa.table(cols)
 
         ds = ds.map_batches(partial, batch_format="pyarrow")

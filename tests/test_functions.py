@@ -1,0 +1,198 @@
+"""Tests for the training-data operator library (functions/): relational
+primitives vs pandas/duckdb ground truth, dedup sketches on planted
+duplicates, similarity search vs brute-force numpy, text analysis."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from tesseract_recognize_ray.functions import dedup as F_dedup
+from tesseract_recognize_ray.functions import relational as F
+from tesseract_recognize_ray.functions import similarity as F_sim
+from tesseract_recognize_ray.functions import textstats as F_text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(ray_session):
+    return pd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+def test_grouped_agg_matches_pandas(ray_session, lineitem):
+    ds = F.load(SF, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = (
+        F.grouped_agg(ds, ["l_returnflag", "l_linestatus"], [("l_quantity", "sum", "sum_qty"), ("l_quantity", "count", "n"), ("l_quantity", "mean", "avg_qty")])
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    gold = (
+        lineitem.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(sum_qty=("l_quantity", "sum"), n=("l_quantity", "count"), avg_qty=("l_quantity", "mean"))
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(gold)
+    assert np.allclose(out["sum_qty"], gold["sum_qty"])
+    assert (out["n"].to_numpy() == gold["n"].to_numpy()).all()
+    assert np.allclose(out["avg_qty"], gold["avg_qty"])
+
+
+def test_broadcast_joins(ray_session):
+    cust = F.load(SF, "customer", columns=["c_custkey", "c_name"])
+    orders_small = F.load(SF, "orders", columns=["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 400000"
+    )
+    semi = F.broadcast_semi_join(cust, orders_small, "c_custkey", "o_custkey").to_pandas()
+    anti = F.broadcast_anti_join(cust, orders_small, "c_custkey", "o_custkey").to_pandas()
+    n_cust = pd.read_parquet(f"{SF}/customer.parquet").shape[0]
+    assert len(semi) + len(anti) == n_cust
+    odf = pd.read_parquet(f"{SF}/orders.parquet")
+    keys = set(odf[odf.o_totalprice > 400000].o_custkey)
+    assert set(semi.c_custkey) == {k for k in semi.c_custkey if k in keys}
+    assert not (set(anti.c_custkey) & keys)
+
+
+def test_window_lag_matches_pandas(ray_session):
+    ds = F.load(SF, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = F.window_lag(ds, "user_id", ["ts", "event_id"], "value", out_col="prev").to_pandas()
+    gold = pd.read_parquet(f"{SF}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    gold["prev"] = gold.groupby("user_id")["value"].shift(1)
+    merged = out.set_index("event_id")["prev"].to_dict()
+    for eid, want in gold.set_index("event_id")["prev"].items():
+        got = merged[eid]
+        assert (pd.isna(got) and pd.isna(want)) or got == want
+
+
+def test_topk(ray_session):
+    ds = F.load(SF, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = F.topk(ds, "o_totalprice", 15, tiebreak=["o_orderkey"]).to_pandas()
+    gold = (
+        pd.read_parquet(f"{SF}/orders.parquet")
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(15)
+        .reset_index(drop=True)
+    )
+    assert (out["o_orderkey"].to_numpy() == gold["o_orderkey"].to_numpy()).all()
+
+
+def test_exact_dedup_planted(ray_session):
+    df = pd.DataFrame(
+        {
+            "id": np.arange(10, dtype=np.int64),
+            "text": ["alpha", "beta", "alpha", "gamma", "beta", "delta", "alpha", "eps", "zeta", "eps"],
+        }
+    )
+    out = F_dedup.exact_dedup(rd.from_pandas(df), "id", "text").to_pandas()
+    assert sorted(out["id"]) == [0, 1, 3, 5, 7, 8]
+
+
+def test_minhash_lsh_finds_planted_near_dups(ray_session):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into the green "
+        "hills where many red birds sing songs at dawn while old ships sail north"
+    )
+    near = base.replace("red birds", "blue birds")  # high jaccard
+    far = "completely different content about database query engines and shuffles"
+    df = pd.DataFrame({"id": np.arange(4, dtype=np.int64), "text": [base, near, far, base + " extra tail words"]})
+    pairs = F_dedup.minhash_lsh_pairs(rd.from_pandas(df), "id", "text", num_perm=64, bands=16).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got and (0, 3) in got
+    assert not any(2 in p for p in got)
+    # verify exact jaccard filter keeps the strong pair
+    v = F_dedup.verify_jaccard_pairs(
+        rd.from_pandas(pairs), rd.from_pandas(df), "id", "text", threshold=0.8
+    ).to_pandas()
+    assert (0, 1) in {tuple(sorted((a, b))) for a, b in zip(v.id_a, v.id_b)}
+
+
+def test_simhash_near_dups_share_fingerprint_prefix(ray_session):
+    a = "shared tokens one two three four five six seven eight nine ten"
+    b = a + " eleven"  # near dup -> small hamming distance
+    c = "entirely other words with zero overlap whatsoever in any token"
+    df = pd.DataFrame({"id": [0, 1, 2], "text": [a, b, c]})
+    out = F_dedup.simhash64(rd.from_pandas(df), "id", "text").to_pandas().set_index("id")["simhash"]
+
+    def ham(x, y):
+        return bin(int(x, 16) ^ int(y, 16)).count("1")
+
+    assert ham(out[0], out[1]) < ham(out[0], out[2])
+    assert ham(out[0], out[1]) <= 12  # near-dup: small fraction of 64 bits
+
+
+def test_embedding_near_dup_planted(ray_session):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.standard_normal(16).astype(np.float32) * 0.01  # planted near-dup
+    df = pd.DataFrame({"vec_id": np.arange(20, dtype=np.int64), "emb": list(vecs)})
+    out = F_dedup.embedding_near_dup_pairs(
+        rd.from_pandas(df), "vec_id", "emb", dim=16, n_planes=8, threshold=0.95
+    ).to_pandas()
+    assert {tuple(sorted((a, b))) for a, b in zip(out.id_a, out.id_b)} == {(3, 7)}
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = vecs[:3]
+    out = F_sim.brute_force_topk(
+        rd.from_pandas(emb.rename(columns={"embedding": "v"})[["vec_id", "v"]]), "vec_id", "v", q, k=5
+    )
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = vn @ qn.T
+    for qi in range(3):
+        order = np.lexsort((emb["vec_id"].to_numpy(), -sims[:, qi]))[:5]
+        want = emb["vec_id"].to_numpy()[order]
+        got = out[out.query_idx == qi]["vec_id"].to_numpy()
+        assert (got == want).all()
+
+
+def test_ivf_topk_recall(ray_session):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = vecs[:3]
+    ds = rd.from_pandas(emb.rename(columns={"embedding": "v"})[["vec_id", "v"]])
+    exact = F_sim.brute_force_topk(ds, "vec_id", "v", q, k=10)
+    approx = F_sim.ivf_topk(ds, "vec_id", "v", q, k=10, n_centroids=16, nprobe=8)
+    for qi in range(3):
+        e = set(exact[exact.query_idx == qi].vec_id)
+        a = set(approx[approx.query_idx == qi].vec_id)
+        assert len(e & a) / len(e) >= 0.5  # documented: recall < 1 by design
+
+
+def test_textstats(ray_session):
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["Hello, World! 42", "", "a b  c"]})
+    ds = rd.from_pandas(df)
+    tc = F_text.token_count(ds, "text").to_pandas().sort_values("doc_id")
+    assert tc["n_tokens"].tolist() == [3, 0, 3]
+    qc = F_text.quality_counts(ds, "doc_id", "text").to_pandas().sort_values("doc_id")
+    assert qc["n_chars"].tolist() == [16, 0, 6]
+    assert qc["n_punct"].tolist() == [2, 0, 0]
+    assert qc["n_digits"].tolist() == [2, 0, 0]
+    assert qc["n_upper"].tolist() == [2, 0, 0]
+    fp = F_text.fingerprint(ds, "text").to_pandas().sort_values("doc_id")
+    assert fp["fingerprint"].str.len().eq(16).all()
+    # determinism
+    fp2 = F_text.fingerprint(ds, "text").to_pandas().sort_values("doc_id")
+    assert fp["fingerprint"].tolist() == fp2["fingerprint"].tolist()
+
+
+def test_lang_id(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat is on the mat and it was a good day for the dog",
+                "der hund ist nicht mit der katze auf dem sofa und ich bin müde",
+                "le chat est dans la maison et il est pour une bonne journée sur le toit",
+                "",
+            ],
+        }
+    )
+    out = F_text.lang_id(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "de", "fr", "unknown"]
