@@ -265,7 +265,9 @@ def _q_minhash_pairs(sf_dir: str):
     """Dedup: MinHash-LSH candidate near-duplicate pairs (signatures shuffle,
     never the text). Non-SQL: probabilistic sketch; rows-only check."""
     ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = F_dedup.minhash_lsh_pairs(ds, "doc_id", "text", num_perm=64, bands=16, shingle_k=5)
+    pairs = F_dedup.minhash_lsh_pairs(
+        ds, "doc_id", "text", num_perm=64, bands=16, shingle_k=5, min_est=0.5
+    )
     return pairs
 
 

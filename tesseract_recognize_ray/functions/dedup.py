@@ -68,14 +68,25 @@ class _MinHasher:
 
     def shingle_hashes(self, text: str) -> np.ndarray:
         if self.char_level:
+            # vectorized k-gram polynomial rolling hash over the utf-8 bytes
+            # (mod 2^64 wraparound): no per-shingle python loop
             t = text if len(text) >= self.k else text + " " * (self.k - len(text))
-            sh = {t[i : i + self.k] for i in range(len(t) - self.k + 1)}
+            b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.uint64)
+            n = len(b) - self.k + 1
+            if n <= 0:
+                b = np.pad(b, (0, self.k - len(b)), constant_values=32)
+                n = 1
+            B = np.uint64(1099511628211)  # FNV prime as the base
+            h = np.zeros(n, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(self.k):
+                    h = h * B + b[j : j + n]
+            return np.unique(h)
+        toks = text.split()
+        if len(toks) < self.k:
+            sh = {" ".join(toks)} if toks else {""}
         else:
-            toks = text.split()
-            if len(toks) < self.k:
-                sh = {" ".join(toks)} if toks else {""}
-            else:
-                sh = {" ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)}
+            sh = {" ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)}
         return np.fromiter((zlib.crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh))
 
     def signature(self, text: str) -> np.ndarray:
@@ -119,12 +130,17 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     max_bucket: int = 64,
+    min_est: float = 0.0,
     concurrency=(1, 8),
 ) -> Dataset:
     """Candidate near-duplicate pairs (id_a < id_b, est_jaccard) via banded
     MinHash-LSH. est_jaccard = fraction of agreeing signature components.
     Buckets larger than max_bucket are truncated with a warning column —
-    never silently (hot-bucket skew guard)."""
+    never silently (hot-bucket skew guard). min_est drops candidates whose
+    signature agreement is below the LSH operating point BEFORE the pair
+    dedupe shuffle — on near-duplicate-rich corpora the raw candidate set is
+    ~bands x larger than the unique pairs, and weak candidates are false
+    positives by the banding scheme's own tuning."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency)
 
@@ -142,19 +158,29 @@ def minhash_lsh_pairs(
 
     banded = sigs.map_batches(explode_bands, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("__id", kind="mergesort").head(max_bucket)
-        ids = g["__id"].tolist()
-        sigs_ = [np.frombuffer(s, dtype=np.int64) for s in g["__sig"].tolist()]
-        a_, b_, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_.append(ids[i])
-                b_.append(ids[j])
-                est.append(float((sigs_[i] == sigs_[j]).mean()))
-        return pd.DataFrame({"id_a": a_, "id_b": b_, "est_jaccard": est})
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All buckets of one band: vectorized pairwise signature agreement
+        per bucket (numpy triu broadcast), pandas groupby only at band
+        granularity — per-bucket python loops would dominate on
+        near-duplicate-rich corpora where buckets are large and many."""
+        frames = []
+        for _bh, grp in g.groupby("bh", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("__id", kind="mergesort").head(max_bucket)
+            ids = grp["__id"].to_numpy()
+            sigs_ = np.stack([np.frombuffer(s, dtype=np.int64) for s in grp["__sig"].tolist()])
+            ii, jj = np.triu_indices(len(ids), k=1)
+            est = (sigs_[ii] == sigs_[jj]).mean(axis=1)
+            if min_est > 0.0:
+                keep = est >= min_est
+                ii, jj, est = ii[keep], jj[keep], est[keep]
+            frames.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "est_jaccard": est}))
+        if not frames:
+            return pd.DataFrame({"id_a": pd.Series(dtype="object"), "id_b": pd.Series(dtype="object"), "est_jaccard": pd.Series(dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
 
-    pairs = banded.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = banded.groupby("band").map_groups(band_pairs, batch_format="pandas")
     # a pair can surface from several bands -> dedupe, keep best estimate
     from ray.data.aggregate import Max
 

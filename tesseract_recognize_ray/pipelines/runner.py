@@ -54,6 +54,70 @@ def _media_ref_filter(ref_handle):
     return fn
 
 
+def run_partitioned_sharded(
+    docs_dir: str,
+    media_dir: str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    parts: list[str] | None = None,
+) -> dict:
+    """Resumable run over FILE-ALIGNED shards: each partition is one
+    (docs/part-X.parquet, media/part-X.parquet) pair, as produced by the
+    sharded corpus generator — and, at production scale, by any writer that
+    co-shards documents with their media. Unlike the doc-hash partitioner
+    (run_partitioned below), this never re-scans the media table per
+    partition: each partition reads exactly its own files once (zero read
+    amplification), and the media side goes through the fused source so
+    pixels never enter the object store. Same manifest/resume semantics."""
+    import glob
+
+    from .extract import _assemble_tail
+    from ..stages.media_source import recognized_lines_from_files
+
+    cfg = cfg or PipelineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    lineage = mf.lineage_hash(cfg)
+    names = sorted(os.path.basename(p) for p in glob.glob(os.path.join(docs_dir, "*.parquet")))
+    ran: list[str] = []
+    skipped: list[str] = []
+    for name in parts if parts is not None else names:
+        docs_f = os.path.join(docs_dir, name)
+        media_f = os.path.join(media_dir, name)
+        fingerprint = mf.input_fingerprint([docs_f, media_f])
+        key = name.removesuffix(".parquet")
+        if mf.is_done(out_dir, key, fingerprint=fingerprint, lineage=lineage, n_parts=len(names)):
+            skipped.append(name)
+            continue
+        t0 = time.time()
+        docs_i = read_docs(docs_f)
+        rec = recognized_lines_from_files([media_f], cfg)
+        out = _assemble_tail(docs_i, rec, cfg, "broadcast")
+
+        part_dir = os.path.join(out_dir, f"part-{key}")
+        tmp_dir = part_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        out.write_parquet(tmp_dir)
+        rows = sum(
+            pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+            for f in os.listdir(tmp_dir)
+            if f.endswith(".parquet")
+        )
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.replace(tmp_dir, part_dir)
+        mf.write_entry(
+            out_dir,
+            key,
+            fingerprint=fingerprint,
+            lineage=lineage,
+            n_parts=len(names),
+            docs=pq.read_metadata(docs_f).num_rows,
+            rows=rows,
+            seconds=time.time() - t0,
+        )
+        ran.append(name)
+    return {"ran": ran, "skipped": skipped, "out_dir": out_dir}
+
+
 def run_partitioned(
     docs_path: str,
     media_path: str,

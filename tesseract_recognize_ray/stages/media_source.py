@@ -191,14 +191,24 @@ def recognized_lines_from_files(
     files: list[str],
     cfg,
     rows_per_split: int | None = None,
+    min_splits: int = 64,
 ):
     """Dataset of recognized line rows from media parquet files, via the
-    fused source. cfg is a PipelineConfig."""
+    fused source. cfg is a PipelineConfig.
+
+    Split granularity: per row group when the file set already yields enough
+    splits to keep the pool busy, otherwise re-split by row ranges so a
+    single big file (or few files) still fans out (min_splits ~ 4x the max
+    pool size keeps stragglers short without per-task overhead dominating)."""
     import ray.data as rd
 
     from ..idscheme import parse_pages_set
 
     splits = media_splits(files, rows_per_split)
+    if rows_per_split is None and len(splits) < min_splits:
+        total_rows = sum(s["row_count"] for s in splits)
+        per = max(8, total_rows // min_splits)
+        splits = media_splits(files, per)
     src = rd.from_items(splits)
     return src.map_batches(
         MediaPathReader,

@@ -47,11 +47,13 @@ def lineage_hash(cfg: Any) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def part_name(i: int) -> str:
-    return f"part-{i:05d}"
+def part_name(i: int | str) -> str:
+    """Partition dir/entry name: zero-padded for int partitions (doc-hash
+    mode), verbatim for string keys (file-aligned shard mode)."""
+    return f"part-{i:05d}" if isinstance(i, int) else f"part-{i}"
 
 
-def manifest_path(out_dir: str, i: int) -> str:
+def manifest_path(out_dir: str, i: int | str) -> str:
     return os.path.join(out_dir, "manifest", part_name(i) + ".json")
 
 

@@ -65,3 +65,34 @@ def test_lineage_change_invalidates(ray_session, tiny_corpus, tmp_path):
         tiny_corpus["docs"], tiny_corpus["media"], out_dir, PipelineConfig(only_layout=True), 2, parts=[0]
     )
     assert r["ran"] == [0]
+
+
+def test_sharded_runner_resume(ray_session, tmp_path):
+    """File-aligned shard mode: zero-read-amplification partitions, same
+    resume semantics, golden equality across the union of parts."""
+    from tesseract_recognize_ray.fixtures import generate_corpus_sharded
+    from tesseract_recognize_ray.pipelines.runner import run_partitioned_sharded
+
+    corp = str(tmp_path / "corpus")
+    paths = generate_corpus_sharded(corp, 200, shard_docs=50)
+    names = sorted(os.listdir(paths["docs"]))
+    assert len(names) == 4
+
+    out_dir = str(tmp_path / "out_sharded")
+    cfg = PipelineConfig()
+    r1 = run_partitioned_sharded(paths["docs"], paths["media"], out_dir, cfg, parts=names[:2])
+    assert r1["ran"] == names[:2] and r1["skipped"] == []
+    r2 = run_partitioned_sharded(paths["docs"], paths["media"], out_dir, cfg)
+    assert r2["skipped"] == names[:2] and r2["ran"] == names[2:]
+
+    out = _read_out(out_dir)
+    gold = (
+        pd.concat(
+            pq.read_table(os.path.join(paths["golden_spans"], n)).to_pandas() for n in names
+        )
+        .sort_values(["doc_id", "seq"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[GOLD_COLS].fillna("<N>"), gold[GOLD_COLS].fillna("<N>")
+    )
