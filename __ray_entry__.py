@@ -326,6 +326,54 @@ def _q_flagship_extract(sf_dir: str):
     return extract_spans(paths["docs"], paths["media"], PipelineConfig())
 
 
+def _q_pagexml_extract(sf_dir: str):
+    """K1 fidelity sink: one PAGE-2013-07-15 XML document per doc covering
+    its media pages (reference's native output format). Rows-only check;
+    structural round-trip is tested in tests/test_pagexml.py."""
+    from tesseract_recognize_ray.pagexml import extract_pagexml
+
+    paths = _corpus()
+    return extract_pagexml(paths["docs"], paths["media"])
+
+
+def _q_image_features(sf_dir: str):
+    """Multimodal: per-image feature vectors (histogram + ink-profile
+    moments) over the synthetic media table, actor-pool stage. Rows-only."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import multimodal as F_mm
+
+    paths = _corpus()
+    ds = rd.read_parquet(paths["media"], columns=["media_ref", "bytes", "n_pages"])
+    out = F_mm.image_features(ds.filter(expr="n_pages == 1"))
+
+    def project(b):
+        import pyarrow.compute as pc_
+
+        n = pc_.list_value_length(b.column("features"))
+        return b.select(["media_ref"]).append_column("feat_dim", n)
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _q_frame_sample_resize(sf_dir: str):
+    """Multimodal: multi-page frame sampling -> nearest-neighbor resize
+    (decode plumbing over opaque binary columns). Rows-only."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import multimodal as F_mm
+
+    paths = _corpus()
+    ds = rd.read_parquet(paths["media"], columns=["media_ref", "bytes"])
+    frames = F_mm.frame_sample(ds, stride=2)
+
+    def rename(b):
+        return b.rename_columns(["media_ref", "frame", "bytes"])
+
+    resized = F_mm.image_resize(frames.map_batches(rename, batch_format="pyarrow"), out_h=32, out_w=32)
+    return resized.select_columns(["media_ref", "frame", "width", "height"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -348,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "embedding_near_dup": _q_embedding_near_dup,
         "flagship_extract": _q_flagship_extract,
+        "pagexml_extract": _q_pagexml_extract,
+        "image_features": _q_image_features,
+        "frame_sample_resize": _q_frame_sample_resize,
     }
 
 

@@ -1,0 +1,69 @@
+"""Multimodal operator plumbing: resize/features/frame-sample (real) and the
+audio decode stub (schema-real, deterministic fake)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from tesseract_recognize_ray.fixtures import decode_raster, split_pages
+from tesseract_recognize_ray.functions import multimodal as mm
+from tesseract_recognize_ray.functions.multimodal import AudioDecode
+
+
+def _media(tiny_corpus):
+    return pq.read_table(tiny_corpus["media"]).to_pandas()
+
+
+def test_frame_sample_and_resize(ray_session, tiny_corpus):
+    media = _media(tiny_corpus)
+    ds = rd.from_arrow(pq.read_table(tiny_corpus["media"]))
+    frames = mm.frame_sample(ds, stride=2).to_pandas()
+    want = sum((r.n_pages + 1) // 2 for r in media.itertuples())
+    assert len(frames) == want
+
+    resized = mm.image_resize(
+        rd.from_pandas(frames.rename(columns={"frame_bytes": "bytes"})), out_h=32, out_w=48
+    ).to_pandas()
+    assert (resized["height"] == 32).all() and (resized["width"] == 48).all()
+    img = decode_raster(resized["resized"].iloc[0])
+    assert img.shape == (32, 48)
+    # determinism: same input -> same bytes
+    resized2 = mm.image_resize(
+        rd.from_pandas(frames.rename(columns={"frame_bytes": "bytes"})), out_h=32, out_w=48
+    ).to_pandas()
+    a = resized.sort_values(["media_ref", "frame"])["resized"].tolist()
+    b = resized2.sort_values(["media_ref", "frame"])["resized"].tolist()
+    assert a == b
+
+
+def test_image_features_shape(ray_session, tiny_corpus):
+    media = _media(tiny_corpus)
+    single = media[media.n_pages == 1]
+    ds = rd.from_pandas(single[["media_ref", "bytes"]])
+    out = mm.image_features(ds).to_pandas()
+    assert len(out) == len(single)
+    f = np.asarray(out["features"].iloc[0])
+    assert f.shape == (16 + 1 + 4,)
+    assert 0.0 < f[:16].sum() <= 1.0001  # normalized histogram
+    # ink fraction of a rendered page is small but nonzero
+    assert 0.0 < f[16] < 0.5
+
+
+def test_audio_stub(ray_session):
+    import pandas as pd
+
+    df = pd.DataFrame({"clip_id": [0, 1], "bytes": [b"payload-a", b"payload-b"]})
+    out = mm.audio_decode(rd.from_pandas(df), deterministic_fake=True).to_pandas()
+    assert list(out.columns) == ["clip_id", "waveform", "sample_rate"]
+    assert all(len(w) == 4096 for w in out["waveform"])
+    assert (out["sample_rate"] == 16000).all()
+    # without the fake and without a codec library, the stub must raise
+    dec = AudioDecode(deterministic_fake=False)
+    assert dec._codec is None  # environment truly has no codec
+    import pyarrow as pa
+
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        dec(pa.table({"bytes": pa.array([b"x"], pa.large_binary())}))

@@ -1,0 +1,65 @@
+"""PAGE XML emission (K1) + parsing (S4): structural validity, id scheme,
+golden text round-trip."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from tesseract_recognize_ray.pagexml import PAGE_NS, extract_pagexml, parse_pagexml
+
+
+def test_pagexml_roundtrip_vs_golden(ray_session, tiny_corpus):
+    out = extract_pagexml(tiny_corpus["docs"], tiny_corpus["media"]).to_pandas()
+    gold = pq.read_table(tiny_corpus["golden_spans"]).to_pandas()
+    media_gold = gold[gold["media_ref"].notna()]
+
+    # every doc with media spans gets exactly one XML document
+    assert set(out["doc_id"]) == set(media_gold["doc_id"])
+
+    parsed_all = []
+    for _, row in out.iterrows():
+        df = parse_pagexml(row["xml"])
+        assert PAGE_NS in row["xml"]
+        df["doc_id"] = row["doc_id"]
+        parsed_all.append(df)
+    parsed = pd.concat(parsed_all, ignore_index=True)
+    lines = parsed[parsed["level"] == "line"]
+
+    # line text + ids round-trip exactly against the golden layout
+    got = lines[["doc_id", "line_id", "text"]].sort_values(["doc_id", "line_id"]).reset_index(drop=True)
+    want = (
+        media_gold[["doc_id", "line_id", "text"]]
+        .sort_values(["doc_id", "line_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # structural invariants: coords are 4-point quads, baselines 2-point,
+    # region id is a prefix of its line ids (M10 scheme)
+    assert lines["coords"].map(len).eq(4).all()
+    assert lines["baseline"].map(len).eq(2).all()
+    assert all(
+        lid.startswith(rid) for rid, lid in zip(lines["region_id"], lines["line_id"])
+    )
+    # baseline sits on the quad bottom edge, clipped inside [x0, x1] (M8)
+    for _, r in lines.head(50).iterrows():
+        (x0, _y0), (x1, _y1), *_ = r["coords"]
+        (bx0, by0), (bx1, by1) = r["baseline"]
+        assert x0 <= bx0 <= bx1 <= x1
+        assert by0 == by1 == r["coords"][2][1]  # bottom edge y
+
+
+def test_pagexml_multipage_filenames(ray_session, tiny_corpus):
+    out = extract_pagexml(tiny_corpus["docs"], tiny_corpus["media"]).to_pandas()
+    media = pq.read_table(tiny_corpus["media"]).to_pandas()
+    multi = set(media[media["n_pages"] > 1]["media_ref"])
+    found_multi = False
+    for _, row in out.iterrows():
+        df = parse_pagexml(row["xml"])
+        for fname in df["image_filename"].unique():
+            if "[" in fname:
+                base = fname.split("[")[0]
+                assert base in multi  # page-suffix syntax only for multipage (S2)
+                found_multi = True
+    assert found_multi  # the 64-doc corpus contains at least one multipage media
