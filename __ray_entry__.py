@@ -336,6 +336,20 @@ def _q_pagexml_extract(sf_dir: str):
     return extract_pagexml(paths["docs"], paths["media"])
 
 
+def _q_rerecognize_xml(sf_dir: str):
+    """§3.2 entry point: PAGE XML input -> region crops -> re-recognition
+    (S5 crop + H2 attach, crop-prefixed ids). Rows-only; golden-text
+    round-trip is enforced in tests/test_rerecognize.py."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.pagexml import extract_pagexml
+    from tesseract_recognize_ray.pipelines.rerecognize import rerecognize_pagexml
+
+    paths = _corpus()
+    xml = extract_pagexml(paths["docs"], paths["media"])
+    return rerecognize_pagexml(rd.from_pandas(xml.to_pandas()), paths["media"])
+
+
 def _q_image_features(sf_dir: str):
     """Multimodal: per-image feature vectors (histogram + ink-profile
     moments) over the synthetic media table, actor-pool stage. Rows-only."""
@@ -397,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "flagship_extract": _q_flagship_extract,
         "pagexml_extract": _q_pagexml_extract,
+        "rerecognize_xml": _q_rerecognize_xml,
         "image_features": _q_image_features,
         "frame_sample_resize": _q_frame_sample_resize,
     }

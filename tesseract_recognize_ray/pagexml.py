@@ -69,7 +69,9 @@ def elements_to_pagexml(
         f"  <Metadata><Creator>{CREATOR}</Creator><Created>{created}</Created>"
         f"<LastChange>{created}</LastChange></Metadata>\n"
     ]
-    for (media_ref, page), pg in df.groupby(["media_ref", "page"], sort=False):
+    page_groups = list(df.groupby(["media_ref", "page"], sort=False))
+    total_pages = len(page_groups)
+    for gpage, ((media_ref, page), pg) in enumerate(page_groups):
         w, h = (page_dims or {}).get((media_ref, int(page)), (0, 0))
         n_pages = int(pg["n_pages"].iloc[0])
         fname = media_ref if n_pages == 1 else f"{media_ref}[{int(page)}]"
@@ -86,7 +88,12 @@ def elements_to_pagexml(
                 f'    <Property key="apply-image-orientation" value="{deg}"/>\n'
             )
         for block, reg in pg.groupby("block", sort=False):
-            rid = make_region_id(int(block), page=int(page), n_pages=n_pages)
+            # id scheme M10 with the reference's GLOBAL page counter: one XML
+            # document spans all of the doc's media pages, and "pg{1+pageno}_"
+            # prefixes apply when the document has more than one page overall
+            # (tesseract-recognize.cc:660,669-670 — pageno counts addPage
+            # calls across ALL input images, not pages within one file)
+            rid = make_region_id(int(block), page=gpage, n_pages=total_pages)
             lines = reg[reg["level"] == "line"]
             rx0, ry0 = int(lines["x0"].min()), int(lines["y0"].min())
             rx1, ry1 = int(lines["x1"].max()), int(lines["y1"].max())
@@ -146,6 +153,10 @@ def parse_pagexml(xml_str: str) -> pd.DataFrame:
 
     for p_idx, page in enumerate(root.findall("p:Page", ns)):
         fname = page.get("imageFilename")
+        orientation_deg = 0
+        for prop in page.findall("p:Property", ns):
+            if prop.get("key") == "apply-image-orientation":
+                orientation_deg = int(prop.get("value"))
         for reg in page.findall("p:TextRegion", ns):
             rid = reg.get("id")
             for ln in reg.findall("p:TextLine", ns):
@@ -155,6 +166,7 @@ def parse_pagexml(xml_str: str) -> pd.DataFrame:
                     {
                         "image_filename": fname,
                         "page_idx": p_idx,
+                        "orientation_deg": orientation_deg,
                         "region_id": rid,
                         "line_id": ln.get("id"),
                         "level": "line",
@@ -171,6 +183,7 @@ def parse_pagexml(xml_str: str) -> pd.DataFrame:
                         {
                             "image_filename": fname,
                             "page_idx": p_idx,
+                            "orientation_deg": orientation_deg,
                             "region_id": rid,
                             "line_id": wd.get("id"),
                             "level": "word",
