@@ -326,6 +326,55 @@ def _q_flagship_extract(sf_dir: str):
     return extract_spans(paths["docs"], paths["media"], PipelineConfig())
 
 
+_SESSION_GAP_S = 3600
+
+
+def _q_sessionize_events(sf_dir: str):
+    """Stream op: per-user gap-based sessionization (new session when the
+    gap to the previous event exceeds 1h). Matches SQL's windowed
+    lag+cumsum formulation exactly (deterministic integer ids)."""
+    from tesseract_recognize_ray.functions import streams as F_st
+
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = F_st.sessionize(ds, "user_id", "ts", _SESSION_GAP_S, order_cols=["event_id"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["event_id", "user_id", "session_id"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+_WINDOW_S = 86400
+
+
+def _q_tumbling_events(sf_dir: str):
+    """Stream op: daily tumbling-window aggregate per event_type (count +
+    exact cents sum + min/max — all order-independent)."""
+    from tesseract_recognize_ray.functions import streams as F_st
+
+    ds = F.load(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "value_cents", pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())
+        )
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    out = F_st.tumbling_agg(
+        ds,
+        "ts",
+        _WINDOW_S,
+        ["event_type"],
+        [
+            ("value_cents", "sum", "sum_value_cents"),
+            ("value", "min", "min_value"),
+            ("value", "count", "n_events"),
+        ],
+        window_col="window_epoch_s",  # int64 epoch seconds by construction
+    )
+    return out
+
+
 def _q_pagexml_extract(sf_dir: str):
     """K1 fidelity sink: one PAGE-2013-07-15 XML document per doc covering
     its media pages (reference's native output format). Rows-only check;
@@ -399,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "window_lag_events": _q_window_lag_events,
         "events_by_type": _q_events_by_type,
+        "sessionize_events": _q_sessionize_events,
+        "tumbling_events": _q_tumbling_events,
         "token_count": _q_token_count,
         "quality_counts": _q_quality_counts,
         "exact_dedup": _q_exact_dedup,
@@ -460,6 +511,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
             FROM events
+        """,
+        "sessionize_events": f"""
+            SELECT event_id, user_id,
+                   CAST(SUM(CASE WHEN gap_us > CAST({_SESSION_GAP_S} AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM (
+                SELECT event_id, user_id, ts,
+                       COALESCE(date_diff('microsecond',
+                                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                ts), 0) AS gap_us
+                FROM events
+            )
+        """,
+        "tumbling_events": f"""
+            SELECT (epoch_us(ts) // (CAST({_WINDOW_S} AS BIGINT) * 1000000)) * {_WINDOW_S} AS window_epoch_s,
+                   event_type,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                   MIN(value) AS min_value,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "events_by_type": """
             SELECT event_type,

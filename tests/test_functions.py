@@ -196,3 +196,35 @@ def test_lang_id(ray_session):
     )
     out = F_text.lang_id(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
     assert out["lang_pred"].tolist() == ["en", "de", "fr", "unknown"]
+
+
+def test_sessionize(ray_session):
+    from tesseract_recognize_ray.functions import streams as F_st
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:10:00", "2024-01-01 02:00:00",
+         "2024-01-01 00:00:00", "2024-01-02 00:00:00"]
+    )
+    df = pd.DataFrame({"uid": [1, 1, 1, 2, 2], "ts": ts, "eid": [0, 1, 2, 3, 4]})
+    out = (
+        F_st.sessionize(rd.from_pandas(df), "uid", "ts", gap_seconds=3600, order_cols=["eid"])
+        .to_pandas()
+        .sort_values("eid")
+    )
+    assert out["session_id"].tolist() == [0, 0, 1, 0, 1]
+
+
+def test_tumbling_agg(ray_session):
+    from tesseract_recognize_ray.functions import streams as F_st
+
+    ts = pd.to_datetime(["2024-01-01 00:30:00", "2024-01-01 00:59:00", "2024-01-01 01:01:00"])
+    df = pd.DataFrame({"ts": ts, "k": ["a", "a", "a"], "v": [1.0, 2.0, 4.0]})
+    out = (
+        F_st.tumbling_agg(rd.from_pandas(df), "ts", 3600, ["k"], [("v", "sum", "s"), ("v", "count", "n")])
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert out["s"].tolist() == [3.0, 4.0]
+    assert out["n"].tolist() == [2, 1]
+    assert (out["window_start"] % 3600 == 0).all()  # epoch-aligned hours
