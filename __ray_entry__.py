@@ -326,6 +326,19 @@ def _q_flagship_extract(sf_dir: str):
     return extract_spans(paths["docs"], paths["media"], PipelineConfig())
 
 
+def _q_union_customers(sf_dir: str):
+    """Set op: UNION (dedup) of two filtered customer sets — high balance
+    union BUILDING segment."""
+    rich = F.load(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]).filter(
+        expr="c_acctbal > 7500"
+    )
+    seg = F.load(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    )
+    u = rich.select_columns(["c_custkey", "c_name"]).union(seg.select_columns(["c_custkey", "c_name"]))
+    return F.distinct_on(u, ["c_custkey", "c_name"])
+
+
 _SESSION_GAP_S = 3600
 
 
@@ -448,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "window_lag_events": _q_window_lag_events,
         "events_by_type": _q_events_by_type,
+        "union_customers": _q_union_customers,
         "sessionize_events": _q_sessionize_events,
         "tumbling_events": _q_tumbling_events,
         "token_count": _q_token_count,
@@ -511,6 +525,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
             FROM events
+        """,
+        "union_customers": """
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7500
+            UNION
+            SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
         """,
         "sessionize_events": f"""
             SELECT event_id, user_id,

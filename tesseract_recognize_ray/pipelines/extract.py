@@ -93,10 +93,18 @@ def attach_doc_order(rec: Dataset, media_map: Dataset, cfg: PipelineConfig, stra
             sz = 0
         strategy = "broadcast" if sz <= 256 * 1024 * 1024 else "hash"
     if strategy == "hash":
+        # cap partitions by cluster CPUs: the hash join runs one aggregator
+        # actor per partition, and partitions > CPUs starves the rest of the
+        # pipeline (same failure mode as an over-wide actor pool, §4)
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        n_parts = max(2, min(cfg.join_partitions, cpus - 2))
         return rec.join(
             media_map,
             join_type="inner",
-            num_partitions=cfg.join_partitions,
+            num_partitions=n_parts,
             on=("media_ref",),
         )
 
