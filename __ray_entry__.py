@@ -326,6 +326,12 @@ def _q_flagship_extract(sf_dir: str):
     return extract_spans(paths["docs"], paths["media"], PipelineConfig())
 
 
+def _q_json_extract_events(sf_dir: str):
+    """Scalar op: JSON field extraction from the events props column."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "props"])
+    return F_text.json_extract_int(ds, "props", "k", "k")
+
+
 def _q_union_customers(sf_dir: str):
     """Set op: UNION (dedup) of two filtered customer sets — high balance
     union BUILDING segment."""
@@ -461,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "window_lag_events": _q_window_lag_events,
         "events_by_type": _q_events_by_type,
+        "json_extract_events": _q_json_extract_events,
         "union_customers": _q_union_customers,
         "sessionize_events": _q_sessionize_events,
         "tumbling_events": _q_tumbling_events,
@@ -524,6 +531,10 @@ def oracle_sql() -> dict[str, str]:
         "window_lag_events": """
             SELECT event_id, user_id, value,
                    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+            FROM events
+        """,
+        "json_extract_events": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
         """,
         "union_customers": """

@@ -123,6 +123,33 @@ def lang_id(ds: Dataset, concurrency=(1, 4)) -> Dataset:
     return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency, num_cpus=1)
 
 
+def json_extract_int(ds: Dataset, json_col: str, key: str, out_col: str) -> Dataset:
+    """Vectorized JSON field extraction (int) from a string column — the
+    web-scale 'parse the props blob' staple. json.loads per row inside
+    map_batches (C-accelerated; a regex fast-path would be fragile against
+    re-ordered keys)."""
+    import json
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        def get(s):
+            if not s:
+                return None
+            try:
+                v = json.loads(s).get(key)
+                return int(v) if v is not None else None
+            except (ValueError, TypeError):
+                return None
+
+        vals = [get(s) for s in batch[json_col]]
+        if any(v is None for v in vals):
+            batch[out_col] = pd.array(vals, dtype="Int64")  # nullable path
+        else:
+            batch[out_col] = np.asarray(vals, dtype=np.int64)
+        return batch.drop(columns=[json_col])
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def fingerprint(ds: Dataset, text_col: str, out_col: str = "fingerprint", window: int = 8) -> Dataset:
     """Winnowed rolling-hash document fingerprint (Rabin-Karp over tokens,
     min-hash per window — the standard winnowing scheme). Hex string."""

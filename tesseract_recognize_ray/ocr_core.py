@@ -111,6 +111,23 @@ def recognize_line(ink_band: np.ndarray, s: int) -> tuple[str, float]:
     return _recognize_line_offgrid(ink_band, s)
 
 
+def recognize_line_glyphs(ink_band: np.ndarray, s: int) -> list[tuple[str, float, int, int]]:
+    """Per-glyph recognition for one grid-aligned line band: returns
+    (char, conf, x0_px, x1_px) per glyph in order — band-local pixel coords
+    (the reference's RIL_SYMBOL walk, tesseract-recognize.cc:758-788).
+    Off-grid bands return an empty list (glyph geometry undefined there)."""
+    h, w = ink_band.shape
+    if not (h == GLYPH_H * s and w % s == 0 and w > 0):
+        return []
+    grid = ink_band.reshape(GLYPH_H, s, w // s, s).any(axis=(1, 3))
+    runs = runs_1d(grid.any(axis=0).astype(np.int8), merge_gap=0)
+    out = []
+    for c0, c1 in runs:
+        ch, conf = match_glyph(np.ascontiguousarray(grid[:, c0:c1]))
+        out.append((ch, conf, c0 * s, c1 * s))
+    return out
+
+
 def _recognize_line_offgrid(ink_band: np.ndarray, s: int) -> tuple[str, float]:
     """Tolerant pixel-level path for bands that don't sit on the cell grid."""
     colprof = ink_band.sum(axis=0)

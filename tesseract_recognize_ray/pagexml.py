@@ -57,6 +57,7 @@ def elements_to_pagexml(
     elements: pd.DataFrame,
     page_dims: dict[tuple[str, int], tuple[int, int]] | None = None,
     created: str = "1970-01-01T00:00:00",
+    text_levels: tuple[str, ...] = (),
 ) -> str:
     """One document's recognized line/word rows (REC_SCHEMA + doc columns)
     -> one PAGE XML string. ``page_dims`` maps (media_ref, page) -> (w, h)
@@ -132,6 +133,13 @@ def elements_to_pagexml(
                         f"        <TextEquiv{conf}><Unicode>{escape(str(ln['text']))}</Unicode></TextEquiv>\n"
                     )
                 out.append("      </TextLine>\n")
+            if "region" in text_levels:
+                # M3 --text-levels region: region TextEquiv = newline-joined
+                # line texts (Tesseract's GetUTF8Text block semantics)
+                rtext = "\n".join(str(t) for t in lines["text"] if t is not None)
+                out.append(
+                    f"      <TextEquiv><Unicode>{escape(rtext)}</Unicode></TextEquiv>\n"
+                )
             out.append("    </TextRegion>\n")
         out.append("  </Page>\n")
     out.append("</PcGts>\n")
@@ -217,10 +225,12 @@ def extract_pagexml(docs_path: str, media_path: str, cfg=None):
     rec = attach_doc_order(rec, media_map, cfg, strategy="broadcast")
     bucketed = rec.map_batches(add_doc_bucket(cfg.assemble_buckets), batch_format="pyarrow")
 
+    text_levels = cfg.text_levels
+
     def xml_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__bucket")
         out = [
-            {"doc_id": d, "xml": elements_to_pagexml(d, sub)}
+            {"doc_id": d, "xml": elements_to_pagexml(d, sub, text_levels=text_levels)}
             for d, sub in g.groupby("doc_id", sort=True)
         ]
         return pd.DataFrame(out, columns=["doc_id", "xml"])

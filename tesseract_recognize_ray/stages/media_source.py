@@ -69,6 +69,7 @@ class MediaPathReader:
         page_set: list[int] | None = None,
         only_layout: bool = False,
         emit_words: bool = False,
+        emit_glyphs: bool = False,
         save_crops_dir: str | None = None,
         rows_per_chunk: int = 16,
     ):
@@ -78,6 +79,7 @@ class MediaPathReader:
         self.pset = set(page_set) if page_set is not None else None
         self.only_layout = only_layout
         self.emit_words = emit_words
+        self.emit_glyphs = emit_glyphs
         self.save_crops_dir = save_crops_dir
         self.rows_per_chunk = rows_per_chunk
         self._crop_n = 0
@@ -143,6 +145,14 @@ class MediaPathReader:
                                 emit(ref, p, n_pages, b.block, 0, b.line, w_idx, "word",
                                      wx0, b.y0, wx1, b.y1, b.y1, s, k_up, word, conf)
                             pos += len(word) + 1
+                    if self.emit_glyphs and not self.only_layout:
+                        # RIL_SYMBOL depth (reference :758-788): one row per
+                        # glyph, band-local coords translated to page space
+                        for g_idx, (ch, gconf, gx0, gx1) in enumerate(
+                            oc.recognize_line_glyphs(crop_ink, s)
+                        ):
+                            emit(ref, p, n_pages, b.block, 0, b.line, g_idx, "glyph",
+                                 b.x0 + gx0, b.y0, b.x0 + gx1, b.y1, b.y1, s, k_up, ch, gconf)
             if self.pset is not None and max(self.pset, default=-1) >= seen:
                 raise ValueError(
                     f"page selection {sorted(self.pset)} out of range for {ref} "
@@ -216,6 +226,7 @@ def recognized_lines_from_files(
             "page_set": parse_pages_set(cfg.page_set) if cfg.page_set else None,
             "only_layout": cfg.only_layout,
             "emit_words": cfg.layout_level in ("word", "glyph"),
+            "emit_glyphs": cfg.layout_level == "glyph",
             "save_crops_dir": cfg.crops_dir if cfg.save_crops else None,
             "rows_per_chunk": cfg.decode_batch_size,
         },

@@ -71,3 +71,28 @@ def test_pagexml_multipage_filenames(ray_session, tiny_corpus):
                 assert base in multi  # page-suffix syntax only for multipage (S2)
                 found_multi = True
     assert found_multi  # the 64-doc corpus contains at least one multipage media
+
+
+def test_region_text_level(ray_session, tiny_corpus):
+    """M3 --text-levels region: region TextEquiv = newline-joined line texts."""
+    import xml.etree.ElementTree as ET
+
+    from tesseract_recognize_ray.config import PipelineConfig
+    from tesseract_recognize_ray.pagexml import PAGE_NS
+
+    cfg = PipelineConfig(text_levels=("region",))
+    out = extract_pagexml(tiny_corpus["docs"], tiny_corpus["media"], cfg).to_pandas()
+    ns = {"p": PAGE_NS}
+    checked = 0
+    for _, row in out.head(5).iterrows():
+        root = ET.fromstring(row["xml"])
+        for reg in root.iter(f"{{{PAGE_NS}}}TextRegion"):
+            line_texts = [
+                ln.find("p:TextEquiv/p:Unicode", ns).text or ""
+                for ln in reg.findall("p:TextLine", ns)
+            ]
+            reg_te = reg.findall("p:TextEquiv", ns)
+            assert reg_te, "region TextEquiv missing"
+            assert reg_te[-1].find("p:Unicode", ns).text == "\n".join(line_texts)
+            checked += 1
+    assert checked > 0

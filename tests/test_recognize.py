@@ -110,3 +110,25 @@ def test_only_layout_mode():
     rec = Recognizer(only_layout=True)(lines)
     assert rec.column("text").null_count == rec.num_rows
     assert rec.num_rows == len(pg.lines)
+
+
+def test_glyph_level_emission(ray_session, tiny_corpus):
+    """M3 layout_level='glyph': one row per glyph (RIL_SYMBOL depth), glyphs
+    concatenate back to the line text, per-glyph coords nest inside the line."""
+    from tesseract_recognize_ray.config import PipelineConfig
+    from tesseract_recognize_ray.stages.media_source import recognized_lines_from_files
+
+    cfg = PipelineConfig(layout_level="glyph")
+    rec = recognized_lines_from_files([tiny_corpus["media"]], cfg).to_pandas()
+    assert set(rec["level"]) == {"line", "word", "glyph"}
+    lines = rec[rec["level"] == "line"]
+    glyphs = rec[rec["level"] == "glyph"]
+    for key, ln in lines.head(20).groupby(["media_ref", "page", "block", "line"]):
+        g = glyphs[
+            (glyphs["media_ref"] == key[0]) & (glyphs["page"] == key[1])
+            & (glyphs["block"] == key[2]) & (glyphs["line"] == key[3])
+        ].sort_values("word")
+        text = ln["text"].iloc[0]
+        assert "".join(g["text"]) == text.replace(" ", "")
+        assert (g["x0"] >= ln["x0"].iloc[0]).all() and (g["x1"] <= ln["x1"].iloc[0]).all()
+        assert (g["conf"] == 1.0).all()

@@ -38,11 +38,14 @@ def to_pandas(res) -> pd.DataFrame:
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        dt = df[c].dtype
+        if isinstance(dt, pd.api.extensions.ExtensionDtype):
+            df[c] = df[c].astype(object).astype(str)
+        elif dt == object:
             df[c] = df[c].astype(str)
-        elif np.issubdtype(df[c].dtype, np.floating):
+        elif np.issubdtype(dt, np.floating):
             df[c] = df[c].round(9)
-        elif str(df[c].dtype).startswith("datetime"):
+        elif str(dt).startswith("datetime"):
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
