@@ -40,6 +40,8 @@ class PipelineConfig:
     join_partitions: int = 16
     sort_by_cost: bool = False  # cost-homogeneous batching (skew, §4)
     assemble_buckets: int = 64  # reassembly-shuffle partitions (crc32(doc_id) % P)
+    quarantine: bool = False  # poison-row quarantine: bad media -> error row
+    # (deviation from the reference's abort-on-failure when True, SURVEY.md §4)
 
     def __post_init__(self) -> None:
         if self.layout_level not in LEVELS:

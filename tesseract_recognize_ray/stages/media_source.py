@@ -72,6 +72,7 @@ class MediaPathReader:
         emit_glyphs: bool = False,
         save_crops_dir: str | None = None,
         rows_per_chunk: int = 16,
+        quarantine: bool = False,
     ):
         # once-per-actor state: template bank tables (the warm engine, A1)
         self.bank_exact = oc._EXACT
@@ -82,6 +83,14 @@ class MediaPathReader:
         self.emit_glyphs = emit_glyphs
         self.save_crops_dir = save_crops_dir
         self.rows_per_chunk = rows_per_chunk
+        # poison-row quarantine (SURVEY.md §4): with quarantine=True a media
+        # row whose decode/segment/recognize raises becomes ONE error row
+        # (level="error", text=exception) instead of aborting the job — a
+        # deliberate deviation from the reference's abort-on-failure
+        # (tesseract-recognize.cc:412,461,517,545), which at 10^12-doc scale
+        # would let one corrupt blob kill a cluster-day of work. Default
+        # False = reference semantics (fail fast).
+        self.quarantine = quarantine
         self._crop_n = 0
 
     def _run_chunk(self, chunk: pa.Table) -> pa.Table:
@@ -117,51 +126,60 @@ class MediaPathReader:
         for i in range(chunk.num_rows):
             ref = col_ref[i].as_py()
             n_pages = col_np[i].as_py()
-            buf = memoryview(col_bytes[i].as_buffer())
-            seen = 0
-            for p, blob, w, h in _iter_page_blobs(buf):
-                seen += 1
-                if self.pset is not None and p not in self.pset:
-                    continue
-                img = np.frombuffer(blob, dtype=np.uint8, offset=8, count=w * h).reshape(h, w)
-                k_up, s, bands = oc.analyse_orientation_u8(img)
-                up = np.rot90(img, k_up) if k_up else img
-                for b in bands:
-                    crop_ink = up[b.y0 : b.y1, b.x0 : b.x1] < oc.BIN_THRESHOLD
-                    if self.save_crops_dir:
-                        self._save_crop(ref, p, b, crop_ink)
-                    if self.only_layout:
-                        text, conf = None, None
-                    else:
-                        text, conf = oc.recognize_line(crop_ink, s)
-                    emit(ref, p, n_pages, b.block, 0, b.line, -1, "line",
-                         b.x0, b.y0, b.x1, b.y1, b.y1, s, k_up, text, conf)
-                    if self.emit_words and text:
-                        pos = 0
-                        for w_idx, word in enumerate(text.split(" ")):
-                            if word:
-                                wx0 = b.x0 + pos * GLYPH_PITCH * s
-                                wx1 = wx0 + len(word) * GLYPH_PITCH * s - s
-                                emit(ref, p, n_pages, b.block, 0, b.line, w_idx, "word",
-                                     wx0, b.y0, wx1, b.y1, b.y1, s, k_up, word, conf)
-                            pos += len(word) + 1
-                    if self.emit_glyphs and not self.only_layout:
-                        # RIL_SYMBOL depth (reference :758-788): one row per
-                        # glyph, band-local coords translated to page space
-                        for g_idx, (ch, gconf, gx0, gx1) in enumerate(
-                            oc.recognize_line_glyphs(crop_ink, s)
-                        ):
-                            emit(ref, p, n_pages, b.block, 0, b.line, g_idx, "glyph",
-                                 b.x0 + gx0, b.y0, b.x0 + gx1, b.y1, b.y1, s, k_up, ch, gconf)
-            if self.pset is not None and max(self.pset, default=-1) >= seen:
-                raise ValueError(
-                    f"page selection {sorted(self.pset)} out of range for {ref} "
-                    f"({seen} pages); reference errors likewise "
-                    "(tesseract-recognize.cc:461-466)"
-                )
+            try:
+                buf = memoryview(col_bytes[i].as_buffer())
+                self._process_media(emit, ref, n_pages, buf)
+            except Exception as e:  # noqa: BLE001
+                if not self.quarantine:
+                    raise
+                emit(ref, -1, n_pages, -1, -1, -1, -1, "error",
+                     0, 0, 0, 0, 0, 0, 0, f"{type(e).__name__}: {e}", None)
         return pa.Table.from_pydict(
             {f.name: pa.array(out[f.name], f.type) for f in REC_SCHEMA}
         )
+
+    def _process_media(self, emit, ref: str, n_pages: int, buf: memoryview) -> None:
+        seen = 0
+        for p, blob, w, h in _iter_page_blobs(buf):
+            seen += 1
+            if self.pset is not None and p not in self.pset:
+                continue
+            img = np.frombuffer(blob, dtype=np.uint8, offset=8, count=w * h).reshape(h, w)
+            k_up, s, bands = oc.analyse_orientation_u8(img)
+            up = np.rot90(img, k_up) if k_up else img
+            for b in bands:
+                crop_ink = up[b.y0 : b.y1, b.x0 : b.x1] < oc.BIN_THRESHOLD
+                if self.save_crops_dir:
+                    self._save_crop(ref, p, b, crop_ink)
+                if self.only_layout:
+                    text, conf = None, None
+                else:
+                    text, conf = oc.recognize_line(crop_ink, s)
+                emit(ref, p, n_pages, b.block, 0, b.line, -1, "line",
+                     b.x0, b.y0, b.x1, b.y1, b.y1, s, k_up, text, conf)
+                if self.emit_words and text:
+                    pos = 0
+                    for w_idx, word in enumerate(text.split(" ")):
+                        if word:
+                            wx0 = b.x0 + pos * GLYPH_PITCH * s
+                            wx1 = wx0 + len(word) * GLYPH_PITCH * s - s
+                            emit(ref, p, n_pages, b.block, 0, b.line, w_idx, "word",
+                                 wx0, b.y0, wx1, b.y1, b.y1, s, k_up, word, conf)
+                        pos += len(word) + 1
+                if self.emit_glyphs and not self.only_layout:
+                    # RIL_SYMBOL depth (reference :758-788): one row per
+                    # glyph, band-local coords translated to page space
+                    for g_idx, (ch, gconf, gx0, gx1) in enumerate(
+                        oc.recognize_line_glyphs(crop_ink, s)
+                    ):
+                        emit(ref, p, n_pages, b.block, 0, b.line, g_idx, "glyph",
+                             b.x0 + gx0, b.y0, b.x0 + gx1, b.y1, b.y1, s, k_up, ch, gconf)
+        if self.pset is not None and max(self.pset, default=-1) >= seen:
+            raise ValueError(
+                f"page selection {sorted(self.pset)} out of range for {ref} "
+                f"({seen} pages); reference errors likewise "
+                "(tesseract-recognize.cc:461-466)"
+            )
 
     def _save_crop(self, ref: str, page: int, b, crop_ink: np.ndarray) -> None:
         """K3 --save-crops debug sink (tesseract-recognize.cc:48,551-555)."""
@@ -229,6 +247,7 @@ def recognized_lines_from_files(
             "emit_glyphs": cfg.layout_level == "glyph",
             "save_crops_dir": cfg.crops_dir if cfg.save_crops else None,
             "rows_per_chunk": cfg.decode_batch_size,
+            "quarantine": cfg.quarantine,
         },
         batch_size=1,
         batch_format="pyarrow",

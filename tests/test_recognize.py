@@ -132,3 +132,39 @@ def test_glyph_level_emission(ray_session, tiny_corpus):
         assert "".join(g["text"]) == text.replace(" ", "")
         assert (g["x0"] >= ln["x0"].iloc[0]).all() and (g["x1"] <= ln["x1"].iloc[0]).all()
         assert (g["conf"] == 1.0).all()
+
+
+def test_quarantine_bad_media(ray_session, tmp_path):
+    """Poison-row quarantine (SURVEY.md §4): a corrupt blob becomes one error
+    row when quarantine=True, aborts the job when False (reference default)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    import ray
+
+    from tesseract_recognize_ray.config import PipelineConfig
+    from tesseract_recognize_ray.fixtures import encode_raster
+    from tesseract_recognize_ray.stages.media_source import recognized_lines_from_files
+    import numpy as np
+
+    good = encode_raster(np.full((40, 60), 255, dtype=np.uint8))
+    bad = b"\xff\xff\xff\x7f\xff\xff\xff\x7f corrupt"  # absurd w/h header
+    t = pa.table(
+        {
+            "media_ref": pa.array(["m-good", "m-bad"], pa.string()),
+            "bytes": pa.array([good, bad], pa.large_binary()),
+            "kind": pa.array(["page", "page"], pa.string()),
+            "n_pages": pa.array([1, 1], pa.int32()),
+        }
+    )
+    path = str(tmp_path / "media.parquet")
+    pq.write_table(t, path)
+
+    out = recognized_lines_from_files([path], PipelineConfig(quarantine=True)).to_pandas()
+    errs = out[out["level"] == "error"]
+    assert len(errs) == 1 and errs["media_ref"].iloc[0] == "m-bad"
+    assert "Error" in errs["text"].iloc[0] or "error" in errs["text"].iloc[0].lower()
+    assert (out[out["level"] != "error"]["media_ref"] == "m-good").all() or len(out) == 1
+
+    with _pytest.raises(ray.exceptions.RayTaskError):
+        recognized_lines_from_files([path], PipelineConfig(quarantine=False)).to_pandas()
