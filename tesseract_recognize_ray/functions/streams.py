@@ -30,24 +30,46 @@ def sessionize(
     gap_seconds: float,
     out_col: str = "session_id",
     order_cols: list[str] | None = None,
+    num_buckets: int = 64,
 ) -> Dataset:
     """Assign per-key session ids: a new session starts when the gap to the
     previous event exceeds gap_seconds. session_id is 0-based per key in
-    time order — deterministic given (key, ts, tiebreak order)."""
+    time order — deterministic given (key, ts, tiebreak order).
+
+    Scale shape: the shuffle groups by hash(key) % num_buckets, NOT by key —
+    one map_groups call per bucket, with the per-key session arithmetic fully
+    vectorized inside (sort + shift + cumsum + transform('first'); no python
+    per key). At 10^6+ keys, per-key group dispatch would dominate."""
     order = [ts_col] + (order_cols or [])
 
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        k = batch[key]
+        if np.issubdtype(k.dtype, np.integer):
+            b = (k.to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            batch["__bucket"] = (b % num_buckets).astype(np.int32)
+        else:
+            batch["__bucket"] = np.array(
+                [zlib.crc32(str(v).encode()) % num_buckets for v in k], dtype=np.int32
+            )
+        return batch
+
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="mergesort")
+        g = g.drop(columns="__bucket").sort_values([key, *order], kind="mergesort")
         # normalize to ns regardless of the parquet/pandas unit (datetime64[us]
         # under pandas>=2 — a bare astype(int64) would silently be µs)
         ts = g[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
+        new_key = g[key].ne(g[key].shift()).to_numpy()
         gap = np.diff(ts, prepend=ts[0] if len(ts) else 0) > gap_seconds * 1e9
-        if len(gap):
-            gap[0] = False
-        g[out_col] = np.cumsum(gap).astype(np.int64)
-        return g
+        starts = new_key | gap
+        gs = np.cumsum(starts)
+        g["__gs"] = gs
+        g[out_col] = (gs - g.groupby(key, sort=False)["__gs"].transform("first").to_numpy()).astype(np.int64)
+        return g.drop(columns="__gs")
 
-    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(fn, batch_format="pandas")
 
 
 def tumbling_agg(
