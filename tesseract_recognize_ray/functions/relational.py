@@ -181,16 +181,35 @@ def window_lag(
     value_col: str,
     out_col: str = "lag_value",
     shift: int = 1,
+    num_buckets: int = 64,
 ) -> Dataset:
     """Per-key lag (shift>0) / lead (shift<0) over rows ordered by order_cols.
-    Requires co-partitioning by part_key — exactly what groupby provides."""
+
+    Scale shape: shuffle by hash(key) % num_buckets (co-location guarantee
+    unchanged — all rows of a key share a bucket), then ONE vectorized
+    pandas groupby(key).shift per bucket. Grouping Ray-side by the raw key
+    would dispatch a python call per key — ruinous at 10^6+ keys."""
+    import zlib
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch[part_key]
+        if np.issubdtype(k.dtype, np.integer):
+            b = (k.to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            batch["__bucket"] = (b % num_buckets).astype(np.int32)
+        else:
+            batch["__bucket"] = np.array(
+                [zlib.crc32(str(v).encode()) % num_buckets for v in k], dtype=np.int32
+            )
+        return batch
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="mergesort")
-        g[out_col] = g[value_col].shift(shift)
+        g = g.drop(columns="__bucket").sort_values([part_key, *order_cols], kind="mergesort")
+        g[out_col] = g.groupby(part_key, sort=False)[value_col].shift(shift)
         return g
 
-    return ds.groupby(part_key).map_groups(fn, batch_format="pandas")
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
 
 
 # ------------------------------------------------------------------- topk
