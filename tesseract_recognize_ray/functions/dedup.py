@@ -216,6 +216,47 @@ def verify_jaccard_pairs(
     return pairs.map_batches(fn, batch_format="pandas")
 
 
+def verify_jaccard_pairs_joined(
+    pairs: Dataset,
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.0,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Scale path of verify_jaccard_pairs: candidate pairs are hash-joined
+    against the docs table twice (id_a side, id_b side) so NO text set is
+    ever materialized on one node — the right shape when the doc corpus is
+    unbounded. Same output contract: (id_a, id_b, jaccard >= threshold)."""
+
+    def rename(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({f"__{side}_id": b.column(id_col), f"__{side}_text": b.column(text_col)})
+
+        return fn
+
+    a_side = ds.map_batches(rename("a"), batch_format="pyarrow")
+    b_side = ds.map_batches(rename("b"), batch_format="pyarrow")
+    j = pairs.join(a_side, join_type="inner", num_partitions=num_partitions, on=("id_a",), right_on=("__a_id",))
+    j = j.join(b_side, join_type="inner", num_partitions=num_partitions, on=("id_b",), right_on=("__b_id",))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        def jac(a, b):
+            sa = {a[i : i + shingle_k] for i in range(max(1, len(a) - shingle_k + 1))}
+            sb = {b[i : i + shingle_k] for i in range(max(1, len(b) - shingle_k + 1))}
+            u = len(sa | sb)
+            return len(sa & sb) / u if u else 1.0
+
+        batch = batch.copy()
+        batch["jaccard"] = [jac(x, y) for x, y in zip(batch["__a_text"], batch["__b_text"])]
+        batch = batch[batch["jaccard"] >= threshold]
+        return batch.drop(columns=[c for c in batch.columns if c.startswith("__")])
+
+    return j.map_batches(score, batch_format="pandas")
+
+
 def simhash64(ds: Dataset, id_col: str, text_col: str) -> Dataset:
     """64-bit simhash fingerprint per doc (token-level, blake2b token hashes).
     Returns (id_col, simhash: hex string) — hex keeps uint64 portable."""

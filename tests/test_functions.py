@@ -228,3 +228,31 @@ def test_tumbling_agg(ray_session):
     assert out["s"].tolist() == [3.0, 4.0]
     assert out["n"].tolist() == [2, 1]
     assert (out["window_start"] % 3600 == 0).all()  # epoch-aligned hours
+
+
+def test_verify_jaccard_joined_matches_broadcast(ray_session):
+    base = "the quick brown fox jumps over the lazy dog into green hills at dawn"
+    df = pd.DataFrame(
+        {
+            "id": np.arange(4, dtype=np.int64),
+            "text": [base, base.replace("green", "blue"), "unrelated words entirely here", base + " tail"],
+        }
+    )
+    pairs = F_dedup.minhash_lsh_pairs(rd.from_pandas(df), "id", "text", num_perm=64, bands=16).to_pandas()
+    a = (
+        F_dedup.verify_jaccard_pairs(rd.from_pandas(pairs), rd.from_pandas(df), "id", "text")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        F_dedup.verify_jaccard_pairs_joined(
+            rd.from_pandas(pairs), rd.from_pandas(df), "id", "text", num_partitions=2
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a[["id_a", "id_b", "jaccard"]], b[["id_a", "id_b", "jaccard"]]
+    )
