@@ -1,0 +1,89 @@
+"""CLI entry point — the typed equivalent of the reference's option surface
+(`/root/reference/tesseract-recognize.cc:94-152`, §2.12): interleaved docs +
+media parquet in, ordered span rows (or PAGE XML) out.
+
+    python -m tesseract_recognize_ray --docs D --media M -o OUT
+        [--format spans|pagexml] [--layout-level region|line|word|glyph]
+        [--text-levels region,line] [--only-layout] [--pages 0,2-4]
+        [--save-crops] [--quarantine] [--resume-sharded]
+        [--num-cpus N] [--concurrency N]
+
+Owns its Ray session (guarded init — never called from driver-managed code).
+Exit status follows the reference's convention: nonzero when nothing was
+written (tesseract-recognize.cc:866-877).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_config(args) -> "PipelineConfig":
+    from .config import PipelineConfig
+
+    return PipelineConfig(
+        layout_level=args.layout_level,
+        text_levels=tuple(s for s in args.text_levels.split(",") if s) if args.text_levels else (),
+        only_layout=args.only_layout,
+        page_set=args.pages,
+        save_crops=args.save_crops,
+        crops_dir=args.crops_dir,
+        quarantine=args.quarantine,
+        recognize_concurrency=(2, args.concurrency),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tesseract_recognize_ray")
+    ap.add_argument("--docs", required=True, help="interleaved docs parquet file or directory")
+    ap.add_argument("--media", required=True, help="media parquet file or directory")
+    ap.add_argument("-o", "--output", required=True, help="output directory (partitioned parquet)")
+    ap.add_argument("--format", choices=["spans", "pagexml"], default="spans")
+    ap.add_argument("--layout-level", choices=["region", "line", "word", "glyph"], default="line")
+    ap.add_argument("--text-levels", default="", help="comma list, e.g. region,line (M3)")
+    ap.add_argument("--only-layout", action="store_true")
+    ap.add_argument("--pages", default=None, help='page selection, e.g. "0,2-4" (S2)')
+    ap.add_argument("--save-crops", action="store_true")
+    ap.add_argument("--crops-dir", default="/tmp/trr_crops")
+    ap.add_argument("--quarantine", action="store_true", help="bad media -> error rows, not abort")
+    ap.add_argument("--resume-sharded", action="store_true",
+                    help="file-aligned resumable run (docs/media must be matching shard dirs)")
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    ap.add_argument("--concurrency", type=int, default=None, help="max recognizer actors")
+    args = ap.parse_args(argv)
+    if args.concurrency is None:
+        args.concurrency = max(2, min(args.num_cpus - 2, 16))
+
+    os.environ.setdefault("RAY_worker_niceness", "0")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False)
+    try:
+        cfg = build_config(args)
+        if args.resume_sharded:
+            from .pipelines.runner import run_partitioned_sharded
+
+            res = run_partitioned_sharded(args.docs, args.media, args.output, cfg)
+            print(f"ran={len(res['ran'])} skipped={len(res['skipped'])} -> {args.output}", file=sys.stderr)
+            return 0 if (res["ran"] or res["skipped"]) else 1
+        if args.format == "pagexml":
+            from .pagexml import extract_pagexml
+
+            ds = extract_pagexml(args.docs, args.media, cfg)
+        else:
+            from .pipelines.extract import extract_spans
+
+            ds = extract_spans(args.docs, args.media, cfg)
+        ds.write_parquet(args.output)
+        n = sum(1 for f in os.listdir(args.output) if f.endswith(".parquet"))
+        print(f"wrote {n} parquet file(s) -> {args.output}", file=sys.stderr)
+        return 0 if n > 0 else 1
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
