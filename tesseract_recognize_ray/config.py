@@ -38,7 +38,8 @@ class PipelineConfig:
     decode_batch_size: int = 32
     segment_batch_size: int = 16
     join_partitions: int = 16
-    sort_by_cost: bool = False  # cost-homogeneous batching (skew, §4)
+    # skew handling (§4) lives in the fused source's byte-balanced splits
+    # (stages/media_source.media_splits_by_cost) — est_cost proxy = bytes
     assemble_buckets: int = 64  # reassembly-shuffle partitions (crc32(doc_id) % P)
     quarantine: bool = False  # poison-row quarantine: bad media -> error row
     # (deviation from the reference's abort-on-failure when True, SURVEY.md §4)

@@ -17,8 +17,9 @@ Scale notes (SURVEY.md §4):
   * pixels never cross the reassembly shuffle (drop_pixels projects the
     binary column right after recognition);
   * skew from variable page sizes is handled by small pixel-capped batches on
-    the segment/recognize stages plus optional cost-sorted batching
-    (cfg.sort_by_cost), since est_cost=width*height is known pre-decode.
+    the segment/recognize stages and, on the fused file path, byte-balanced
+    splits (media_splits_by_cost — serialized bytes proxy est_cost=w*h,
+    known from parquet metadata before any payload read).
 """
 
 from __future__ import annotations

@@ -59,6 +59,31 @@ def media_splits(files: list[str], rows_per_split: int | None = None) -> list[di
     return out
 
 
+def media_splits_by_cost(files: list[str], n_splits: int) -> list[dict]:
+    """Cost-balanced work list (SURVEY.md §4 skew): split budgets are set by
+    serialized BYTES, the metadata-only proxy for pixel cost (est_cost =
+    w*h; compressed page bytes scale with it). A file of 2400x1600 pads gets
+    proportionally more, smaller splits than a file of thumbnails — without
+    reading a single payload byte. Uniform per-row cost is assumed WITHIN a
+    file (rows in one shard share a generator distribution); cross-file skew
+    is what actually hurts task balance."""
+    metas = []
+    total_bytes = 0
+    for f in sorted(files):
+        md = pq.read_metadata(f)
+        b = sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+        metas.append((f, md.num_rows, b))
+        total_bytes += b
+    target = max(1, total_bytes // max(1, n_splits))
+    out = []
+    for f, rows, b in metas:
+        n_f = max(1, round(b / target))
+        per = max(1, -(-rows // n_f))  # ceil
+        for s in range(0, rows, per):
+            out.append({"path": f, "row_start": s, "row_count": min(per, rows - s)})
+    return out
+
+
 class MediaPathReader:
     """read+decode+segment+recognize for one split, pixels never leaving the
     task. __init__ = once-per-actor state (A1); __call__ = generator over
@@ -234,9 +259,9 @@ def recognized_lines_from_files(
 
     splits = media_splits(files, rows_per_split)
     if rows_per_split is None and len(splits) < min_splits:
-        total_rows = sum(s["row_count"] for s in splits)
-        per = max(8, total_rows // min_splits)
-        splits = media_splits(files, per)
+        # few large files: re-split with byte-balanced budgets so one
+        # big-page shard doesn't become the straggler (§4 skew)
+        splits = media_splits_by_cost(files, min_splits)
     src = rd.from_items(splits)
     return src.map_batches(
         MediaPathReader,

@@ -74,3 +74,40 @@ def test_encode_decode_roundtrip():
 
     img = (np.arange(12, dtype=np.uint8) * 20).reshape(3, 4)
     assert np.array_equal(decode_page_pixels(encode_raster(img)), img)
+
+
+def test_media_splits_by_cost(tmp_path):
+    """Byte-balanced splits: a fat file gets proportionally more splits than
+    a thin one; every row is covered exactly once."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.fixtures import encode_raster
+    from tesseract_recognize_ray.stages.media_source import media_splits_by_cost
+
+    def write(path, n, hw):
+        rng = np.random.default_rng(0)
+        blobs = [encode_raster(rng.integers(0, 255, size=hw, dtype=np.uint8).astype(np.uint8)) for _ in range(n)]
+        t = pa.table(
+            {
+                "media_ref": pa.array([f"m{i}" for i in range(n)], pa.string()),
+                "bytes": pa.array(blobs, pa.large_binary()),
+                "kind": pa.array(["page"] * n, pa.string()),
+                "n_pages": pa.array([1] * n, pa.int32()),
+            }
+        )
+        pq.write_table(t, path)
+
+    fat = str(tmp_path / "fat.parquet")
+    thin = str(tmp_path / "thin.parquet")
+    write(fat, 20, (800, 800))   # ~640KB/row (random = incompressible)
+    write(thin, 20, (40, 40))    # ~1.6KB/row
+    splits = media_splits_by_cost([fat, thin], n_splits=10)
+    fat_splits = [s for s in splits if s["path"] == fat]
+    thin_splits = [s for s in splits if s["path"] == thin]
+    assert len(fat_splits) >= 8 and len(thin_splits) <= 2
+    for f, n in ((fat, 20), (thin, 20)):
+        ss = sorted((s["row_start"], s["row_count"]) for s in splits if s["path"] == f)
+        covered = [r for st, c in ss for r in range(st, st + c)]
+        assert covered == list(range(n))
