@@ -140,6 +140,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="fresh runs at num_cpus=4 and 16 + efficiency")
+    ap.add_argument("--rounds", type=int, default=2, help="scaling: interleaved (N, 4N) rounds; median efficiency")
     ap.add_argument("--flagship-only", action="store_true", help="internal: timed flagship runs, emit JSON")
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--repeats", type=int, default=1)
@@ -156,22 +157,37 @@ def main() -> None:
         n_docs = args.n_docs or _scaling_docs(SF_DIR)
         corpus_for(SF_DIR, n_docs)
         ray.shutdown()
-        results = {}
-        for cpus in (4, 16):
+
+        def one(cpus: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--flagship-only",
                  "--num-cpus", str(cpus), "--repeats", "2", "--n-docs", str(n_docs)],
                 capture_output=True, text=True, env=env, check=True,
             )
-            results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
-        thr_n, thr_4n = results[4]["docs_per_sec"], results[16]["docs_per_sec"]
-        eff = thr_4n / (4 * thr_n)
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+
+        # interleave the two levels in time: host load drifts between
+        # sessions (multi-tenant box), and levels measured minutes apart get
+        # incomparable conditions — per-round ratios + median cancels that
+        rounds = []
+        for _ in range(max(1, args.rounds)):
+            r4, r16 = one(4), one(16)
+            rounds.append({
+                "cpus4": r4["docs_per_sec"], "cpus16": r16["docs_per_sec"],
+                "efficiency": round(r16["docs_per_sec"] / (4 * r4["docs_per_sec"]), 4),
+                "detail": {"4": r4, "16": r16},
+            })
+        effs = sorted(r["efficiency"] for r in rounds)
+        med = effs[len(effs) // 2] if len(effs) % 2 else round((effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 4)
+        best4 = max(r["cpus4"] for r in rounds)
+        best16 = max(r["cpus16"] for r in rounds)
         print(json.dumps({
-            "metric": "flagship scaling efficiency (num_cpus N=4 -> 4N=16, fresh processes, same input)",
-            "value": round(eff, 4), "unit": "efficiency", "sf": _sf_name(SF_DIR),
-            "throughput_docs_per_sec": {"cpus4": thr_n, "cpus16": thr_4n},
-            "detail": results,
+            "metric": "flagship scaling efficiency (num_cpus N=4 -> 4N=16, fresh processes, same input; "
+                      "median of interleaved rounds)",
+            "value": med, "unit": "efficiency", "sf": _sf_name(SF_DIR),
+            "throughput_docs_per_sec": {"cpus4": best4, "cpus16": best16},
+            "rounds": rounds,
         }))
         return
 
