@@ -107,7 +107,7 @@ def recognize_line(ink_band: np.ndarray, s: int) -> tuple[str, float]:
             ch, conf = match_glyph(np.ascontiguousarray(grid[:, c0:c1]))
             parts.append(ch)
             confs.append(conf)
-        return "".join(parts), float(np.mean(confs)) if confs else 0.0
+        return "".join(parts), sum(confs) / len(confs) if confs else 0.0
     return _recognize_line_offgrid(ink_band, s)
 
 
@@ -158,7 +158,7 @@ def _recognize_line_offgrid(ink_band: np.ndarray, s: int) -> tuple[str, float]:
         ch, conf = match_glyph(pattern)
         parts.append(ch)
         confs.append(conf)
-    return "".join(parts), float(np.mean(confs)) if confs else 0.0
+    return "".join(parts), sum(confs) / len(confs) if confs else 0.0
 
 
 @dataclass
@@ -208,7 +208,7 @@ def _score_rotation(up_ink: np.ndarray) -> tuple[float, int, list[LineBand]]:
         recognize_line(np.ascontiguousarray(up_ink[b.y0 : b.y1, b.x0 : b.x1]), s)[1]
         for b in bands[:3]
     ]
-    return float(np.mean(confs)), s, bands
+    return sum(confs) / len(confs), s, bands
 
 
 def analyse_orientation(ink: np.ndarray) -> tuple[int, int, list[LineBand]]:
@@ -287,7 +287,7 @@ def _score_rotation_u8(up: np.ndarray) -> tuple[float, int, list[LineBand]]:
     confs = [
         recognize_line(up[b.y0 : b.y1, b.x0 : b.x1] < BIN_THRESHOLD, s)[1] for b in bands[:3]
     ]
-    return float(np.mean(confs)), s, bands
+    return sum(confs) / len(confs), s, bands
 
 
 def analyse_orientation_u8(img: np.ndarray) -> tuple[int, int, list[LineBand]]:
