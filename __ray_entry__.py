@@ -326,6 +326,40 @@ def _q_flagship_extract(sf_dir: str):
     return extract_spans(paths["docs"], paths["media"], PipelineConfig())
 
 
+def _q_parts_by_brand(sf_dir: str):
+    """G-family over the part table: count + exact-cents price sum + max size
+    per brand."""
+    ds = F.load(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "price_cents", pc.cast(pc.round(pc.multiply(b.column("p_retailprice"), 100.0)), pa.int64())
+        )
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    return F.grouped_agg(
+        ds,
+        ["p_brand"],
+        [
+            ("price_cents", "sum", "sum_price_cents"),
+            ("p_size", "max", "max_size"),
+            ("p_size", "count", "n_parts"),
+        ],
+    )
+
+
+def _q_bpeish_tokens(sf_dir: str):
+    """Text analysis: subword-ish token count (letter runs / digit runs /
+    single punctuation) per document."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    out = F_text.bpeish_token_count(ds, "text")
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "n_subtokens"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _q_json_extract_events(sf_dir: str):
     """Scalar op: JSON field extraction from the events props column."""
     ds = F.load(sf_dir, "events", columns=["event_id", "props"])
@@ -467,6 +501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "window_lag_events": _q_window_lag_events,
         "events_by_type": _q_events_by_type,
+        "parts_by_brand": _q_parts_by_brand,
+        "bpeish_tokens": _q_bpeish_tokens,
         "json_extract_events": _q_json_extract_events,
         "union_customers": _q_union_customers,
         "sessionize_events": _q_sessionize_events,
@@ -532,6 +568,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
             FROM events
+        """,
+        "parts_by_brand": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   MAX(p_size) AS max_size,
+                   COUNT(*) AS n_parts
+            FROM part GROUP BY p_brand
+        """,
+        "bpeish_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]')) AS BIGINT)
+                       AS n_subtokens
+            FROM documents
         """,
         "json_extract_events": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
