@@ -326,6 +326,28 @@ def _q_flagship_extract(sf_dir: str):
     return extract_spans(paths["docs"], paths["media"], PipelineConfig())
 
 
+def _q_suppliers_per_region(sf_dir: str):
+    """J+G over the remaining dimension tables: supplier ⋈ nation ⋈ region
+    (both dims broadcast) -> supplier count + exact acctbal cents per region."""
+    supp = F.load(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bal_cents", pc.cast(pc.round(pc.multiply(b.column("s_acctbal"), 100.0)), pa.int64())
+        )
+
+    supp = supp.map_batches(to_cents, batch_format="pyarrow")
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    joined = F.broadcast_lookup_join(supp, nation, "s_nationkey", "n_nationkey")
+    joined = F.broadcast_lookup_join(joined, region, "n_regionkey", "r_regionkey")
+    return F.grouped_agg(
+        joined,
+        ["r_name"],
+        [("bal_cents", "sum", "sum_bal_cents"), ("bal_cents", "count", "n_suppliers")],
+    )
+
+
 def _q_parts_by_brand(sf_dir: str):
     """G-family over the part table: count + exact-cents price sum + max size
     per brand."""
@@ -501,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "window_lag_events": _q_window_lag_events,
         "events_by_type": _q_events_by_type,
+        "suppliers_per_region": _q_suppliers_per_region,
         "parts_by_brand": _q_parts_by_brand,
         "bpeish_tokens": _q_bpeish_tokens,
         "json_extract_events": _q_json_extract_events,
@@ -568,6 +591,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
             FROM events
+        """,
+        "suppliers_per_region": """
+            SELECT r.r_name AS r_name,
+                   CAST(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
+                   COUNT(*) AS n_suppliers
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
         """,
         "parts_by_brand": """
             SELECT p_brand,
