@@ -217,7 +217,11 @@ def topk(ds: Dataset, col: str, k: int, descending: bool = True, tiebreak: list[
     """Global top-k: per-batch local prune to k rows, then a tiny global
     sort+limit — the shuffle never sees more than k rows per block."""
     sort_cols = [col] + (tiebreak or [])
-    asc = not descending
+    # per-column directions: the value column follows `descending`, tiebreak
+    # columns are ALWAYS ascending — one shared flag would prune ties in the
+    # opposite order from the global sort and keep the wrong rows when >= k
+    # rows tie at the cutoff value inside one batch
+    asc = [not descending] + [True] * len(tiebreak or [])
 
     def prune(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.sort_values(sort_cols, ascending=asc, kind="mergesort").head(k)

@@ -54,7 +54,10 @@ def brute_force_topk(
         rows = []
         kk = min(k, sims.shape[0])
         for qi in range(qm.shape[0]):
-            idx = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            # deterministic prune: exact-cosine ties break by vec_id ASC (the
+            # global sort's tiebreak) — bare argpartition keeps an arbitrary
+            # subset of tied rows and can drop the globally-kept one
+            idx = np.lexsort((ids, -sims[:, qi]))[:kk]
             rows.append(
                 pd.DataFrame({"query_idx": qi, "vec_id": ids[idx], "cosine": sims[idx, qi].astype(float)})
             )
@@ -114,7 +117,8 @@ def ivf_topk(
             if not in_cells.any():
                 continue
             s = sims[in_cells, qi]
-            idx = np.argpartition(-s, min(k, len(s)) - 1)[: min(k, len(s))]
+            # tie-break by vec_id ASC like the global sort (see brute force)
+            idx = np.lexsort((ids[in_cells], -s))[: min(k, len(s))]
             rows.append(
                 pd.DataFrame({"query_idx": qi, "vec_id": ids[in_cells][idx], "cosine": s[idx].astype(float)})
             )

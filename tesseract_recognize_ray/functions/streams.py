@@ -94,7 +94,12 @@ def tumbling_agg(
         # normalize the unit first: parquet yields timestamp[us], pandas
         # sources yield timestamp[ns] — a bare int64 cast would be off 1000x
         ts = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64())
-        start_s = pc.multiply(pc.divide(ts, w_us), window_seconds)
+        # FLOOR division (SQL `//` semantics): pc.divide truncates toward
+        # zero, binning pre-epoch timestamps one window too late — compute
+        # the euclidean remainder explicitly so negatives floor correctly
+        rem = pc.subtract(ts, pc.multiply(pc.divide(ts, w_us), w_us))
+        rem = pc.if_else(pc.less(rem, 0), pc.add(rem, w_us), rem)
+        start_s = pc.multiply(pc.divide(pc.subtract(ts, rem), w_us), window_seconds)
         return batch.append_column(window_col, start_s)
 
     with_w = ds.map_batches(add_window, batch_format="pyarrow")

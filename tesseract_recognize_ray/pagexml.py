@@ -58,10 +58,21 @@ def elements_to_pagexml(
     page_dims: dict[tuple[str, int], tuple[int, int]] | None = None,
     created: str = "1970-01-01T00:00:00",
     text_levels: tuple[str, ...] = (),
+    page_set: set[int] | None = None,
 ) -> str:
     """One document's recognized line/word rows (REC_SCHEMA + doc columns)
     -> one PAGE XML string. ``page_dims`` maps (media_ref, page) -> (w, h)
-    for the Page element attributes (0,0 when unknown)."""
+    for the Page element attributes (0,0 when unknown).
+
+    Pages are enumerated from the doc's media inventory (media_ref x
+    n_pages), NOT from non-empty line groups: a page with no detected lines
+    still gets its (empty) <Page> element and advances the global page
+    counter — the reference's pageno counts addPage calls regardless of
+    content (tesseract-recognize.cc:481,507,527,660). ``page_set`` mirrors
+    the S2 page selection: only selected pages are enumerated (unselected
+    pages are never added by the reference either). A media whose rows were
+    entirely filtered out upstream is not recoverable here (the inventory
+    derives from the rows)."""
     df = elements[elements["level"].isin(["line", "word"])].copy()
     df = df.sort_values(["order", "page", "block", "para", "line", "word"], kind="mergesort")
     out = [
@@ -70,78 +81,92 @@ def elements_to_pagexml(
         f"  <Metadata><Creator>{CREATOR}</Creator><Created>{created}</Created>"
         f"<LastChange>{created}</LastChange></Metadata>\n"
     ]
-    page_groups = list(df.groupby(["media_ref", "page"], sort=False))
-    total_pages = len(page_groups)
-    for gpage, ((media_ref, page), pg) in enumerate(page_groups):
-        w, h = (page_dims or {}).get((media_ref, int(page)), (0, 0))
-        n_pages = int(pg["n_pages"].iloc[0])
-        fname = media_ref if n_pages == 1 else f"{media_ref}[{int(page)}]"
-        out.append(
-            f"  <Page imageFilename={quoteattr(str(fname))} "
-            f'imageWidth="{w}" imageHeight="{h}">\n'
-        )
-        k = int(pg["orientation_k"].iloc[0])
-        if k:
-            # reference writes apply-image-orientation in {-90, 90, 180}
-            # (tesseract-recognize.cc:610-627); rot90 count k -> degrees
-            deg = {1: 90, 2: 180, 3: -90}[k]
+    media_inv = df[["media_ref", "n_pages", "order"]].drop_duplicates("media_ref")
+    media_inv = media_inv.sort_values("order", kind="mergesort")
+    page_rows = {key: g for key, g in df.groupby(["media_ref", "page"], sort=False)}
+
+    def pages_of(n: int) -> list[int]:
+        return [p for p in range(n) if page_set is None or p in page_set]
+
+    total_pages = int(sum(len(pages_of(int(n))) for n in media_inv["n_pages"]))
+    gpage = -1
+    for media_ref, n_pages in zip(media_inv["media_ref"], media_inv["n_pages"]):
+        n_pages = int(n_pages)
+        for page in pages_of(n_pages):
+            gpage += 1
+            pg = page_rows.get((media_ref, page))
+            w, h = (page_dims or {}).get((media_ref, int(page)), (0, 0))
+            fname = media_ref if n_pages == 1 else f"{media_ref}[{int(page)}]"
             out.append(
-                f'    <Property key="apply-image-orientation" value="{deg}"/>\n'
+                f"  <Page imageFilename={quoteattr(str(fname))} "
+                f'imageWidth="{w}" imageHeight="{h}">\n'
             )
-        for block, reg in pg.groupby("block", sort=False):
-            # id scheme M10 with the reference's GLOBAL page counter: one XML
-            # document spans all of the doc's media pages, and "pg{1+pageno}_"
-            # prefixes apply when the document has more than one page overall
-            # (tesseract-recognize.cc:660,669-670 — pageno counts addPage
-            # calls across ALL input images, not pages within one file)
-            rid = make_region_id(int(block), page=gpage, n_pages=total_pages)
-            lines = reg[reg["level"] == "line"]
-            rx0, ry0 = int(lines["x0"].min()), int(lines["y0"].min())
-            rx1, ry1 = int(lines["x1"].max()), int(lines["y1"].max())
-            rquad = quad_from_bbox(rx0, ry0, rx1, ry1, UP)
-            out.append(
-                f"    <TextRegion id={quoteattr(rid)} "
-                'readingDirection="left-to-right">\n'
-                f'      <Coords points="{_pts(rquad)}"/>\n'
-            )
-            for _, ln in lines.iterrows():
-                lid = make_line_id(rid, para=int(ln["para"]), line=int(ln["line"]))
-                quad = quad_from_bbox(ln["x0"], ln["y0"], ln["x1"], ln["y1"], UP)
-                base = clip_baseline(
-                    ((float(ln["x0"]), float(ln["baseline_y"])), (float(ln["x1"]), float(ln["baseline_y"]))),
-                    quad,
-                )
+            if pg is None:  # blank page: empty element, counter still advanced
+                out.append("  </Page>\n")
+                continue
+            k = int(pg["orientation_k"].iloc[0])
+            if k:
+                # reference writes apply-image-orientation in {-90, 90, 180}
+                # (tesseract-recognize.cc:610-627); rot90 count k -> degrees
+                deg = {1: 90, 2: 180, 3: -90}[k]
                 out.append(
-                    f"      <TextLine id={quoteattr(lid)}>\n"
-                    f'        <Coords points="{_pts(quad)}"/>\n'
-                    f'        <Baseline points="{_pts(base)}"/>\n'
+                    f'    <Property key="apply-image-orientation" value="{deg}"/>\n'
                 )
-                words = reg[(reg["level"] == "word") & (reg["line"] == ln["line"])]
-                for w_i, (_, wd) in enumerate(words.iterrows()):
-                    wid = f"{lid}_w{w_i + 1}"
-                    wquad = quad_from_bbox(wd["x0"], wd["y0"], wd["x1"], wd["y1"], UP)
-                    conf = "" if pd.isna(wd["conf"]) else f' conf="{wd["conf"]:g}"'
-                    out.append(
-                        f"        <Word id={quoteattr(wid)}>"
-                        f'<Coords points="{_pts(wquad)}"/>'
-                        f"<TextEquiv{conf}><Unicode>{escape(str(wd['text']))}</Unicode></TextEquiv>"
-                        "</Word>\n"
-                    )
-                if ln["text"] is not None and not (isinstance(ln["text"], float) and pd.isna(ln["text"])):
-                    conf = "" if pd.isna(ln["conf"]) else f' conf="{ln["conf"]:g}"'
-                    out.append(
-                        f"        <TextEquiv{conf}><Unicode>{escape(str(ln['text']))}</Unicode></TextEquiv>\n"
-                    )
-                out.append("      </TextLine>\n")
-            if "region" in text_levels:
-                # M3 --text-levels region: region TextEquiv = newline-joined
-                # line texts (Tesseract's GetUTF8Text block semantics)
-                rtext = "\n".join(str(t) for t in lines["text"] if t is not None)
+            for block, reg in pg.groupby("block", sort=False):
+                # id scheme M10 with the reference's GLOBAL page counter: one
+                # XML document spans all of the doc's media pages, and
+                # "pg{1+pageno}_" prefixes apply when the document has more
+                # than one page overall (tesseract-recognize.cc:660,669-670 —
+                # pageno counts addPage calls across ALL input images, not
+                # pages within one file)
+                rid = make_region_id(int(block), page=gpage, n_pages=total_pages)
+                lines = reg[reg["level"] == "line"]
+                rx0, ry0 = int(lines["x0"].min()), int(lines["y0"].min())
+                rx1, ry1 = int(lines["x1"].max()), int(lines["y1"].max())
+                rquad = quad_from_bbox(rx0, ry0, rx1, ry1, UP)
                 out.append(
-                    f"      <TextEquiv><Unicode>{escape(rtext)}</Unicode></TextEquiv>\n"
+                    f"    <TextRegion id={quoteattr(rid)} "
+                    'readingDirection="left-to-right">\n'
+                    f'      <Coords points="{_pts(rquad)}"/>\n'
                 )
-            out.append("    </TextRegion>\n")
-        out.append("  </Page>\n")
+                for ln in lines.itertuples():
+                    lid = make_line_id(rid, para=int(ln.para), line=int(ln.line))
+                    quad = quad_from_bbox(ln.x0, ln.y0, ln.x1, ln.y1, UP)
+                    base = clip_baseline(
+                        ((float(ln.x0), float(ln.baseline_y)), (float(ln.x1), float(ln.baseline_y))),
+                        quad,
+                    )
+                    out.append(
+                        f"      <TextLine id={quoteattr(lid)}>\n"
+                        f'        <Coords points="{_pts(quad)}"/>\n'
+                        f'        <Baseline points="{_pts(base)}"/>\n'
+                    )
+                    words = reg[(reg["level"] == "word") & (reg["line"] == ln.line)]
+                    for w_i, wd in enumerate(words.itertuples()):
+                        wid = f"{lid}_w{w_i + 1}"
+                        wquad = quad_from_bbox(wd.x0, wd.y0, wd.x1, wd.y1, UP)
+                        conf = "" if pd.isna(wd.conf) else f' conf="{wd.conf:g}"'
+                        out.append(
+                            f"        <Word id={quoteattr(wid)}>"
+                            f'<Coords points="{_pts(wquad)}"/>'
+                            f"<TextEquiv{conf}><Unicode>{escape(str(wd.text))}</Unicode></TextEquiv>"
+                            "</Word>\n"
+                        )
+                    if ln.text is not None and not (isinstance(ln.text, float) and pd.isna(ln.text)):
+                        conf = "" if pd.isna(ln.conf) else f' conf="{ln.conf:g}"'
+                        out.append(
+                            f"        <TextEquiv{conf}><Unicode>{escape(str(ln.text))}</Unicode></TextEquiv>\n"
+                        )
+                    out.append("      </TextLine>\n")
+                if "region" in text_levels:
+                    # M3 --text-levels region: region TextEquiv = newline-
+                    # joined line texts (GetUTF8Text block semantics)
+                    rtext = "\n".join(str(t) for t in lines["text"] if t is not None)
+                    out.append(
+                        f"      <TextEquiv><Unicode>{escape(rtext)}</Unicode></TextEquiv>\n"
+                    )
+                out.append("    </TextRegion>\n")
+            out.append("  </Page>\n")
     out.append("</PcGts>\n")
     return "".join(out)
 
@@ -226,11 +251,14 @@ def extract_pagexml(docs_path: str, media_path: str, cfg=None):
     bucketed = rec.map_batches(add_doc_bucket(cfg.assemble_buckets), batch_format="pyarrow")
 
     text_levels = cfg.text_levels
+    from .idscheme import parse_pages_set
+
+    pset = parse_pages_set(cfg.page_set) if cfg.page_set else None
 
     def xml_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__bucket")
         out = [
-            {"doc_id": d, "xml": elements_to_pagexml(d, sub, text_levels=text_levels)}
+            {"doc_id": d, "xml": elements_to_pagexml(d, sub, text_levels=text_levels, page_set=pset)}
             for d, sub in g.groupby("doc_id", sort=True)
         ]
         return pd.DataFrame(out, columns=["doc_id", "xml"])

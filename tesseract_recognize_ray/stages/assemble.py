@@ -26,8 +26,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 # schema shared by exploded text spans and joined recognized spans, so the
-# two streams union cleanly before the groupby shuffle
-UNION_COLS = ["doc_id", "order", "media_ref", "page", "n_pages", "block", "para", "line", "text", "conf"]
+# two streams union cleanly before the groupby shuffle. `kind` is 'text' for
+# every normal span and 'error' for quarantined media rows — quarantined
+# media must stay observable in the output, never silently vanish
+UNION_COLS = ["doc_id", "order", "media_ref", "page", "n_pages", "block", "para", "line", "text", "conf", "kind"]
 
 SPANS_OUT_SCHEMA = pa.schema(
     [
@@ -79,6 +81,7 @@ def explode_text_spans(batch: pa.Table) -> pa.Table:
             neg1,
             text,
             pa.array([None] * n, pa.float64()),
+            pa.array(np.full(n, "text", dtype=object), pa.string()),
         ],
         names=UNION_COLS,
     )
@@ -101,9 +104,14 @@ def explode_media_map(batch: pa.Table) -> pa.Table:
 
 
 def recognized_to_union(batch: pa.Table) -> pa.Table:
-    """Joined recognized rows -> UNION_COLS layout (line-level rows only)."""
+    """Joined recognized rows -> UNION_COLS layout: line rows plus any
+    level='error' quarantine rows (quarantined media flow through to the
+    span output as kind='error' — observable, never silently dropped)."""
     if "level" in batch.schema.names:
-        batch = batch.filter(pc.equal(batch["level"], "line"))
+        batch = batch.filter(pc.is_in(batch["level"], value_set=pa.array(["line", "error"])))
+        kind = pc.if_else(pc.equal(batch["level"], "error"), "error", "text")
+    else:
+        kind = pa.array(np.full(batch.num_rows, "text", dtype=object), pa.string())
     arrays = [
         batch["doc_id"],
         batch["order"].cast(pa.int32()),
@@ -115,6 +123,7 @@ def recognized_to_union(batch: pa.Table) -> pa.Table:
         batch["line"].cast(pa.int32()),
         batch["text"],
         batch["conf"].cast(pa.float64()),
+        kind,
     ]
     return pa.Table.from_arrays(arrays, names=UNION_COLS)
 
@@ -152,7 +161,11 @@ def _assemble_frame(df: pd.DataFrame) -> pd.DataFrame:
         {
             "doc_id": df["doc_id"].to_numpy(),
             "seq": seq,
-            "kind": np.full(n, "text", dtype=object),
+            "kind": (
+                df["kind"].to_numpy()
+                if "kind" in df.columns
+                else np.full(n, "text", dtype=object)
+            ),
             "text": df["text"].to_numpy(),
             "media_ref": df["media_ref"].to_numpy(),
             "order": df["order"].to_numpy().astype(np.int32),
