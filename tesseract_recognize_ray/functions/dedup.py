@@ -131,42 +131,69 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     max_bucket: int = 64,
     min_est: float = 0.0,
+    lsh_groups: int = 256,
     concurrency=(1, 8),
 ) -> Dataset:
-    """Candidate near-duplicate pairs (id_a < id_b, est_jaccard) via banded
-    MinHash-LSH. est_jaccard = fraction of agreeing signature components.
-    Buckets larger than max_bucket are truncated with a warning column —
-    never silently (hot-bucket skew guard). min_est drops candidates whose
-    signature agreement is below the LSH operating point BEFORE the pair
-    dedupe shuffle — on near-duplicate-rich corpora the raw candidate set is
+    """Candidate near-duplicate pairs (id_a < id_b, est_jaccard,
+    bucket_truncated) via banded MinHash-LSH. est_jaccard = fraction of
+    agreeing signature components. Buckets larger than max_bucket are
+    truncated and every surviving pair from such a bucket carries
+    bucket_truncated=True — never silently (hot-bucket skew guard; the
+    brief's no-silent-caps rule). min_est drops candidates whose signature
+    agreement is below the LSH operating point BEFORE the pair dedupe
+    shuffle — on near-duplicate-rich corpora the raw candidate set is
     ~bands x larger than the unique pairs, and weak candidates are false
-    positives by the banding scheme's own tuning."""
+    positives by the banding scheme's own tuning.
+
+    Scale shape: the shuffle key is hash(band, band_hash) % lsh_groups, NOT
+    the band id — grouping on the band alone puts 1/bands of ALL signatures
+    in one group (unbounded at corpus scale); with the composite key each of
+    the lsh_groups groups holds ~1/lsh_groups of the banded rows, and a
+    group never splits an LSH bucket (same (band, bh) -> same group)."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency)
+    _FNV = np.uint64(1099511628211)
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, bhs, sig_list = [], [], [], []
-        for _id, sig in zip(batch["__id"].tolist(), batch["__sig"].tolist()):
-            sig = np.asarray(sig, dtype=np.int64)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                ids.append(_id)
-                band_ids.append(b)
-                bhs.append(zlib.crc32(chunk.tobytes()))
-                sig_list.append(sig.tobytes())
-        return pd.DataFrame({"__id": ids, "band": band_ids, "bh": bhs, "__sig": sig_list})
+        """(id, sig) rows -> (id, band, bh, group, sig_bytes) — one row per
+        (id, band). Band hashes are a vectorized polynomial hash over the
+        band's components (equal chunks hash equal; a collision only adds a
+        false candidate, which the est_jaccard filter removes)."""
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame(
+                {"__id": [], "band": [], "bh": [], "__g": [], "__sig": []}
+            )
+        ids = batch["__id"].to_numpy()
+        sig = np.stack([np.asarray(s, dtype=np.int64) for s in batch["__sig"].tolist()]).view(np.uint64)
+        cube = sig.reshape(n, bands, rows_per_band)
+        bh = np.zeros((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(rows_per_band):
+                bh = bh * _FNV + cube[:, :, j]
+            band_ids = np.tile(np.arange(bands, dtype=np.uint64), n)
+            grp = (band_ids * np.uint64(0x9E3779B97F4A7C15) + bh.reshape(-1)) % np.uint64(lsh_groups)
+        sig_bytes = np.repeat(np.array([s.tobytes() for s in sig], dtype=object), bands)
+        return pd.DataFrame(
+            {
+                "__id": np.repeat(ids, bands),
+                "band": band_ids.astype(np.int32),
+                "bh": bh.reshape(-1).view(np.int64),
+                "__g": grp.astype(np.int32),
+                "__sig": sig_bytes,
+            }
+        )
 
     banded = sigs.map_batches(explode_bands, batch_format="pandas")
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """All buckets of one band: vectorized pairwise signature agreement
-        per bucket (numpy triu broadcast), pandas groupby only at band
-        granularity — per-bucket python loops would dominate on
-        near-duplicate-rich corpora where buckets are large and many."""
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One shuffle group = many whole LSH buckets: vectorized pairwise
+        signature agreement per bucket (numpy triu broadcast)."""
         frames = []
-        for _bh, grp in g.groupby("bh", sort=False):
+        for _key, grp in g.groupby(["band", "bh"], sort=False):
             if len(grp) < 2:
                 continue
+            truncated = len(grp) > max_bucket
             grp = grp.sort_values("__id", kind="mergesort").head(max_bucket)
             ids = grp["__id"].to_numpy()
             sigs_ = np.stack([np.frombuffer(s, dtype=np.int64) for s in grp["__sig"].tolist()])
@@ -175,16 +202,36 @@ def minhash_lsh_pairs(
             if min_est > 0.0:
                 keep = est >= min_est
                 ii, jj, est = ii[keep], jj[keep], est[keep]
-            frames.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "est_jaccard": est}))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[ii],
+                        "id_b": ids[jj],
+                        "est_jaccard": est,
+                        "bucket_truncated": np.full(len(est), truncated),
+                    }
+                )
+            )
         if not frames:
-            return pd.DataFrame({"id_a": pd.Series(dtype="object"), "id_b": pd.Series(dtype="object"), "est_jaccard": pd.Series(dtype="float64")})
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="object"),
+                    "id_b": pd.Series(dtype="object"),
+                    "est_jaccard": pd.Series(dtype="float64"),
+                    "bucket_truncated": pd.Series(dtype="bool"),
+                }
+            )
         return pd.concat(frames, ignore_index=True)
 
-    pairs = banded.groupby("band").map_groups(band_pairs, batch_format="pandas")
-    # a pair can surface from several bands -> dedupe, keep best estimate
+    pairs = banded.groupby("__g").map_groups(group_pairs, batch_format="pandas")
+    # a pair can surface from several bands -> dedupe, keep best estimate;
+    # the truncation flag survives if ANY contributing bucket was truncated
     from ray.data.aggregate import Max
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"),
+        Max("bucket_truncated", alias_name="bucket_truncated"),
+    )
 
 
 def verify_jaccard_pairs(
@@ -257,29 +304,70 @@ def verify_jaccard_pairs_joined(
     return j.map_batches(score, batch_format="pandas")
 
 
-def simhash64(ds: Dataset, id_col: str, text_col: str) -> Dataset:
+class _SimHash64:
+    """Stateful simhash stage: blake2b token hashes are computed ONCE per
+    unique token per actor (Zipfian corpora re-see the same vocabulary
+    constantly) and cached as ±1 bit-rows; per-batch work is a single
+    pd.factorize + one np.add.reduceat over the gathered rows. Output is
+    byte-identical to hashing every token occurrence individually."""
+
+    def __init__(self, id_col: str, text_col: str):
+        self.id_col = id_col
+        self.text_col = text_col
+        self._idx: dict[str, int] = {}
+        self._mat = np.empty((0, 64), dtype=np.int8)
+        self._shifts = np.arange(64, dtype=np.uint64)
+        self._pows = np.uint64(1) << self._shifts
+
+    def _rows_for(self, uniques: np.ndarray) -> np.ndarray:
+        new = [t for t in uniques if t not in self._idx]
+        if new:
+            rows = np.empty((len(new), 64), dtype=np.int8)
+            for i, tok in enumerate(new):
+                h = np.uint64(
+                    int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+                )
+                bits = ((h >> self._shifts) & np.uint64(1)).astype(bool)
+                rows[i] = np.where(bits, 1, -1)
+            start = len(self._mat)
+            self._mat = np.vstack([self._mat, rows])
+            for i, tok in enumerate(new):
+                self._idx[tok] = start + i
+        return np.fromiter((self._idx[t] for t in uniques), dtype=np.int64, count=len(uniques))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [t.split() for t in batch[self.text_col].tolist()]
+        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        out = np.full(len(tok_lists), "0" * 16, dtype=object)
+        total = int(counts.sum())
+        if total:
+            import itertools
+
+            all_toks = np.fromiter(
+                itertools.chain.from_iterable(tok_lists), dtype=object, count=total
+            )
+            codes, uniques = pd.factorize(all_toks)
+            # grow the cache BEFORE indexing (self._mat is reassigned inside)
+            ix = self._rows_for(uniques)
+            rows = self._mat[ix[codes]].astype(np.int32)
+            offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            nonempty = counts > 0
+            acc = np.add.reduceat(rows, offsets[nonempty], axis=0)
+            fps = ((acc > 0).astype(np.uint64) * self._pows).sum(axis=1)
+            out[nonempty] = [f"{v:016x}" for v in fps]
+        return pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(), "simhash": out})
+
+
+def simhash64(ds: Dataset, id_col: str, text_col: str, concurrency=(1, 4)) -> Dataset:
     """64-bit simhash fingerprint per doc (token-level, blake2b token hashes).
     Returns (id_col, simhash: hex string) — hex keeps uint64 portable."""
-
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in batch[text_col].tolist():
-            toks = text.split()
-            if not toks:
-                out.append("0" * 16)
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            fp = 0
-            for i in np.flatnonzero(acc > 0):
-                fp |= 1 << int(i)
-            out.append(f"{fp:016x}")
-        return pd.DataFrame({id_col: batch[id_col].to_numpy(), "simhash": out})
-
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(
+        _SimHash64,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 def embedding_near_dup_pairs(

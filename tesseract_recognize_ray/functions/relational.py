@@ -189,17 +189,10 @@ def window_lag(
     unchanged — all rows of a key share a bucket), then ONE vectorized
     pandas groupby(key).shift per bucket. Grouping Ray-side by the raw key
     would dispatch a python call per key — ruinous at 10^6+ keys."""
-    import zlib
+    from ..hashing import stable_bucket
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch[part_key]
-        if np.issubdtype(k.dtype, np.integer):
-            b = (k.to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-            batch["__bucket"] = (b % num_buckets).astype(np.int32)
-        else:
-            batch["__bucket"] = np.array(
-                [zlib.crc32(str(v).encode()) % num_buckets for v in k], dtype=np.int32
-            )
+        batch["__bucket"] = stable_bucket(batch[part_key], num_buckets)
         return batch
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:

@@ -43,16 +43,9 @@ def sessionize(
     order = [ts_col] + (order_cols or [])
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        import zlib
+        from ..hashing import stable_bucket
 
-        k = batch[key]
-        if np.issubdtype(k.dtype, np.integer):
-            b = (k.to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-            batch["__bucket"] = (b % num_buckets).astype(np.int32)
-        else:
-            batch["__bucket"] = np.array(
-                [zlib.crc32(str(v).encode()) % num_buckets for v in k], dtype=np.int32
-            )
+        batch["__bucket"] = stable_bucket(batch[key], num_buckets)
         return batch
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:

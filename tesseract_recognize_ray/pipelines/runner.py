@@ -1,7 +1,7 @@
 """Resumable partitioned execution of the flagship pipeline (SURVEY.md §4).
 
 The input doc space is split into ``n_parts`` deterministic partitions by a
-stable hash of ``doc_id`` (crc32 — never Python's salted hash). Each
+stable hash of ``doc_id`` (fixed-key vectorized hash — never Python's salted hash). Each
 partition runs the full streaming pipeline over its doc subset plus exactly
 the media rows those docs reference (broadcast ref-set semi-join — the
 media table is never scanned into memory), writes its output parquet
@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
-import zlib
+
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -33,13 +33,16 @@ from .extract import extract_spans_from
 
 
 def doc_partition(doc_id: str, n_parts: int) -> int:
-    return zlib.crc32(doc_id.encode()) % n_parts
+    from ..hashing import stable_bucket
+
+    return int(stable_bucket([doc_id], n_parts)[0])
 
 
 def _docs_part_filter(i: int, n_parts: int):
+    from ..hashing import stable_bucket
+
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        mask = [zlib.crc32(d.encode()) % n_parts == i for d in ids]
+        mask = stable_bucket(batch.column("doc_id"), n_parts) == i
         return batch.filter(pa.array(mask))
 
     return fn

@@ -192,13 +192,13 @@ def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def add_doc_bucket(num_buckets: int):
-    """UNION_COLS batch -> same + __bucket = crc32(doc_id) % num_buckets
-    (stable across processes; python hash() is salted and must not be used)."""
-    import zlib
+    """UNION_COLS batch -> same + __bucket = stable_hash(doc_id) % num_buckets
+    (vectorized fixed-key hash — process-stable, no per-row Python loop on
+    the pipeline's hottest shuffle input)."""
+    from ..hashing import stable_bucket
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        b = np.array([zlib.crc32(i.encode()) % num_buckets for i in ids], dtype=np.int32)
+        b = stable_bucket(batch.column("doc_id"), num_buckets)
         return batch.append_column("__bucket", pa.array(b))
 
     return fn

@@ -90,6 +90,29 @@ def test_quarantine_error_rows_reach_span_output(ray_session, tmp_path):
     assert "intro" in set(out["text"])  # the rest of the doc is intact
 
 
+def test_minhash_truncation_flagged(ray_session):
+    """A hot LSH bucket larger than max_bucket is truncated but never
+    silently: every surviving pair from it carries bucket_truncated=True."""
+    from tesseract_recognize_ray.functions import dedup as F_dedup
+
+    text = "identical content repeated across many documents " * 4
+    df = pd.DataFrame({"id": np.arange(30, dtype=np.int64), "text": [text] * 30})
+    out = F_dedup.minhash_lsh_pairs(
+        rd.from_pandas(df), "id", "text", num_perm=16, bands=4, max_bucket=8
+    ).to_pandas()
+    assert len(out) > 0 and out["bucket_truncated"].all()
+    # ids beyond the per-bucket cap never appear (truncation is real)
+    assert out[["id_a", "id_b"]].to_numpy().max() < 8
+
+    small = pd.DataFrame(
+        {"id": np.arange(4, dtype=np.int64), "text": [text, text, "other words entirely", "third thing here"]}
+    )
+    out2 = F_dedup.minhash_lsh_pairs(
+        rd.from_pandas(small), "id", "text", num_perm=16, bands=4, max_bucket=8
+    ).to_pandas()
+    assert not out2["bucket_truncated"].any()
+
+
 def test_pagexml_blank_page_emitted(ray_session):
     """A multipage media whose page 0 has no lines still emits an (empty)
     <Page> element, and the next page's region ids keep the pg{N}_ prefix
