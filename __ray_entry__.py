@@ -474,6 +474,21 @@ def _q_rerecognize_xml(sf_dir: str):
     return rerecognize_pagexml(rd.from_pandas(xml.to_pandas()), paths["media"])
 
 
+def _q_rerecognize_inplace(sf_dir: str):
+    """H2 write-back (--inplace): PAGE XML in -> updated PAGE XML out, with
+    re-recognition results attached below each selected TextRegion and all
+    untouched elements preserved. Rows-only; the parse-equality round trip
+    is enforced in tests/test_rerecognize.py."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.pagexml import extract_pagexml
+    from tesseract_recognize_ray.pipelines.rerecognize import rerecognize_inplace
+
+    paths = _corpus()
+    xml = extract_pagexml(paths["docs"], paths["media"])
+    return rerecognize_inplace(rd.from_pandas(xml.to_pandas()), paths["media"])
+
+
 def _q_image_features(sf_dir: str):
     """Multimodal: per-image feature vectors (histogram + ink-profile
     moments) over the synthetic media table, actor-pool stage. Rows-only."""
@@ -543,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_extract": _q_flagship_extract,
         "pagexml_extract": _q_pagexml_extract,
         "rerecognize_xml": _q_rerecognize_xml,
+        "rerecognize_inplace": _q_rerecognize_inplace,
         "image_features": _q_image_features,
         "frame_sample_resize": _q_frame_sample_resize,
     }

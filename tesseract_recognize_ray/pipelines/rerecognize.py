@@ -1,148 +1,369 @@
 """Page-XML-input re-recognition — the reference's second entry point
 (§3.2, `/root/reference/tesseract-recognize.cc:402-452,557-589`): load a
 PAGE XML, select elements (the reference's default XPath is
-`//_:TextRegion`, `:32,43`), crop each selected element's bbox out of the
-page raster (S5 `page.crop`, `:438-441`), re-run segmentation+recognition on
-the crops, and attach results AT/BELOW the selected node (H2) with the
-crop-id prefix on new element ids (M10, `:663-666`).
+`//_:TextRegion`, `:32,43`; TextLine/Word selection with node-level PSM
+rules, `:560-588`), crop each selected element's bbox out of the page
+raster (S5 `page.crop`, `:438-441`), re-run segmentation+recognition on
+the crops, and attach results AT/BELOW the selected node (H2, `:663-666,
+720-755`) — ``rerecognize_inplace`` writes the updated XML document back
+(the reference's ``--inplace``, `:865`).
 
-Ray-native shape: the XML column parses in a vectorized ``map_batches``
-(S4); element rows carry (media_ref, page, bbox); page rasters come from
-the media table via broadcast lookup (J1 pattern — rasters are read inside
-the actor task, pixels never shuffle); crops are numpy views translated
-back to page coordinates via the (x, y) offsets the reference carries on
-NamedImage (`:445-448,677`)."""
+Ray-native shape, built for the 100 TB case:
+
+  * the XML column parses in a vectorized ``map_batches`` (S4); element
+    rows carry (media_ref, page, bbox) — crop REQUESTS are tiny;
+  * the media table is never materialized on the driver and pixels never
+    cross an operator boundary: a location index (media_ref -> parquet
+    file + row group) is built by reading ONLY the media_ref column, crop
+    requests are attached to their location (broadcast map or hash join —
+    strings only either way), and a ``groupby(location)`` routes every
+    request for a row group to ONE task, which reads that row group
+    single-threaded, decodes each referenced page ONCE, and serves all its
+    crops in place (same lifecycle as the reference's one-raster-at-a-time
+    loop, `:540-548,790`);
+  * crops are numpy views translated back to page coordinates via the
+    (x, y) offsets the reference carries on NamedImage (`:445-448,677`).
+"""
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
+import ray.data as rd
 from ray.data import Dataset
 
 from .. import ocr_core as oc
 from ..config import PipelineConfig
 from ..pagexml import parse_pagexml
 
-
-def _xml_to_crop_requests(batch: pd.DataFrame) -> pd.DataFrame:
-    """(doc_id, xml) rows -> one row per selected TextRegion with its page
-    reference and bbox (the reference's crop worklist, `:438-441`)."""
-    out = []
-    for _, row in batch.iterrows():
-        els = parse_pagexml(row["xml"])
-        # region bbox = union of its line quads; lines re-emerge from the
-        # crop's own segmentation (the reference re-segments inside the crop)
-        # key on (imageFilename, region_id): region ids restart at b1 on
-        # every page image, only the pair is unique within a document
-        for (fname, rid), grp in els[els["level"] == "line"].groupby(
-            ["image_filename", "region_id"], sort=False
-        ):
-            media_ref = fname.split("[")[0]
-            page = int(fname.split("[")[1].rstrip("]")) if "[" in fname else 0
-            xs = [p[0] for c in grp["coords"] for p in c]
-            ys = [p[1] for c in grp["coords"] for p in c]
-            out.append(
-                {
-                    "doc_id": row["doc_id"],
-                    "crop_id": rid,
-                    "media_ref": media_ref,
-                    "page": page,
-                    # XML coords live in upright space; the Property records
-                    # how the stored raster must rotate first (reference
-                    # applies it to the image, :793-799)
-                    "orientation_deg": int(grp["orientation_deg"].iloc[0]),
-                    "x0": min(xs),
-                    "y0": min(ys),
-                    "x1": max(xs),
-                    "y1": max(ys),
-                }
-            )
-    return pd.DataFrame(
-        out,
-        columns=["doc_id", "crop_id", "media_ref", "page", "orientation_deg", "x0", "y0", "x1", "y1"],
-    )
+RESULT_COLS = [
+    "doc_id", "crop_id", "region_id", "line_id", "media_ref", "page",
+    "x0", "y0", "x1", "y1", "text", "conf",
+]
 
 
-class CropRecognizer:
-    """S5+A1 fused: fetch the page raster, slice the crop (zero-copy view),
-    segment+recognize, translate coords back by the crop offset. Page blobs
-    are broadcast once via ray.put({media_ref: bytes}) and decoded lazily
-    per actor (one raster in memory at a time, reference `:540-548,790`)."""
+def _xml_to_crop_requests(level: str = "region", image_override: str | None = None):
+    """(doc_id, xml) rows -> one request row per selected element with its
+    page reference and bbox (the reference's crop worklist, `:438-441`).
 
-    def __init__(self, media_blobs_ref, only_layout: bool = False):
-        self.media_blobs_ref = media_blobs_ref
-        self._blobs = None
-        self.only_layout = only_layout
+    level='region' selects TextRegions (bbox = union of the region's line
+    quads — lines re-emerge from the crop's own segmentation, exactly the
+    reference re-segmenting inside the crop); 'line'/'word' select the
+    individual elements with their own coords. ``image_override`` replaces
+    the XML's imageFilename as the raster source (reference --image,
+    `:414-420`)."""
 
-    def _page_img(self, media_ref: str, page: int, orientation_deg: int = 0) -> np.ndarray:
-        if self._blobs is None:
-            self._blobs = ray.get(self.media_blobs_ref)
-        from ..fixtures import decode_raster, split_pages
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in batch.itertuples():
+            els = parse_pagexml(row.xml)
+            if len(els) == 0:
+                continue
 
-        pages = split_pages(self._blobs[media_ref])
-        img = decode_raster(pages[page])
-        if orientation_deg:
-            img = np.ascontiguousarray(np.rot90(img, {90: 1, 180: 2, -90: 3}[orientation_deg]))
-        return img
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in batch.iterrows():
-            img = self._page_img(r["media_ref"], int(r["page"]), int(r["orientation_deg"]))
-            crop = img[int(r["y0"]) : int(r["y1"]), int(r["x0"]) : int(r["x1"])]
-            k_up, s, bands = oc.analyse_orientation_u8(np.ascontiguousarray(crop))
-            up = np.rot90(crop, k_up) if k_up else crop
-            for b in bands:
-                ink = up[b.y0 : b.y1, b.x0 : b.x1] < oc.BIN_THRESHOLD
-                text, conf = (None, None) if self.only_layout else oc.recognize_line(ink, s)
-                rows.append(
+            def emit(fname, crop_id, odeg, coords, doc_id=row.doc_id):
+                media_ref = fname.split("[")[0]
+                page = int(fname.split("[")[1].rstrip("]")) if "[" in fname else 0
+                if image_override is not None:
+                    media_ref = image_override
+                xs = [p[0] for p in coords]
+                ys = [p[1] for p in coords]
+                out.append(
                     {
-                        "doc_id": r["doc_id"],
-                        "crop_id": r["crop_id"],
-                        # crop-prefixed id scheme for region-input recognition
-                        # (reference M10, tesseract-recognize.cc:663-666)
-                        "region_id": f"{r['crop_id']}_b{b.block + 1}",
-                        "line_id": f"{r['crop_id']}_b{b.block + 1}_p1_l{b.line + 1}",
-                        "media_ref": r["media_ref"],
-                        "page": int(r["page"]),
-                        # coords translated back to page space (offsets x,y —
-                        # NamedImage semantics, reference :445-448,677)
-                        "x0": int(b.x0 + r["x0"]),
-                        "y0": int(b.y0 + r["y0"]),
-                        "x1": int(b.x1 + r["x0"]),
-                        "y1": int(b.y1 + r["y0"]),
-                        "text": text,
-                        "conf": conf,
+                        "doc_id": doc_id,
+                        "crop_id": crop_id,
+                        "media_ref": media_ref,
+                        "page": page,
+                        # XML coords live in upright space; the Property
+                        # records how the stored raster must rotate first
+                        # (reference applies it to the image, :793-799)
+                        "orientation_deg": int(odeg),
+                        "x0": min(xs),
+                        "y0": min(ys),
+                        "x1": max(xs),
+                        "y1": max(ys),
                     }
                 )
-        cols = ["doc_id", "crop_id", "region_id", "line_id", "media_ref", "page", "x0", "y0", "x1", "y1", "text", "conf"]
-        return pd.DataFrame(rows, columns=cols)
+
+            if level == "region":
+                # key on (imageFilename, region_id): region ids restart at
+                # b1 on every page image; only the pair is unique in a doc
+                for (fname, rid), grp in els[els["level"] == "line"].groupby(
+                    ["image_filename", "region_id"], sort=False
+                ):
+                    coords = [p for c in grp["coords"] for p in c]
+                    emit(fname, rid, grp["orientation_deg"].iloc[0], coords)
+            else:
+                sel = els[(els["level"] == level) & els["coords"].notna()]
+                for r in sel.itertuples():
+                    emit(r.image_filename, r.line_id, r.orientation_deg, r.coords)
+        return pd.DataFrame(
+            out,
+            columns=["doc_id", "crop_id", "media_ref", "page", "orientation_deg", "x0", "y0", "x1", "y1"],
+        )
+
+    return fn
+
+
+# ----------------------------------------------------- media location index
+def media_locations(files: list[str]) -> Dataset:
+    """(media_ref, __path, __rg) — which parquet row group holds each media
+    row. Built distributed, reading ONLY the media_ref column (strings; the
+    pixel column never loads)."""
+    splits = [
+        {"path": f, "rg": i}
+        for f in sorted(files)
+        for i in range(pq.read_metadata(f).num_row_groups)
+    ]
+
+    def read_refs(batch: pa.Table) -> pa.Table:
+        refs, paths, rgs = [], [], []
+        for path, rg in zip(batch.column("path").to_pylist(), batch.column("rg").to_pylist()):
+            t = pq.ParquetFile(path).read_row_group(rg, columns=["media_ref"], use_threads=False)
+            col = t.column("media_ref").to_pylist()
+            refs.extend(col)
+            paths.extend([path] * len(col))
+            rgs.extend([rg] * len(col))
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "__path": pa.array(paths, pa.string()),
+                "__rg": pa.array(rgs, pa.int32()),
+            }
+        )
+
+    return rd.from_items(splits).map_batches(read_refs, batch_format="pyarrow")
+
+
+def _attach_locations(reqs: Dataset, locs: Dataset, strategy: str, num_partitions: int) -> Dataset:
+    """Give each crop request its (__path, __rg). 'broadcast' ships the
+    string-only location map once via ray.put (bounded per shard — the J1
+    assumption); 'hash' is the unbounded-corpus path (Dataset.join moves
+    only request rows + location strings, never pixels)."""
+    if strategy == "hash":
+        return reqs.join(locs, join_type="inner", num_partitions=num_partitions, on=("media_ref",))
+    mapping: dict[str, tuple[str, int]] = {}
+    for b in locs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        mapping.update(
+            zip(
+                b.column("media_ref").to_pylist(),
+                zip(b.column("__path").to_pylist(), b.column("__rg").to_pylist()),
+            )
+        )
+    ref = ray.put(mapping)
+
+    def lookup(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        loc = [m.get(r) for r in batch["media_ref"]]
+        keep = [i for i, v in enumerate(loc) if v is not None]
+        batch = batch.iloc[keep].copy()
+        batch["__path"] = [loc[i][0] for i in keep]
+        batch["__rg"] = np.array([loc[i][1] for i in keep], dtype=np.int32)
+        return batch
+
+    return reqs.map_batches(lookup, batch_format="pandas")
+
+
+def _make_loc_recognizer(only_layout: bool):
+    """One task per (file, row group): read it single-threaded, decode each
+    referenced page once, serve every crop request against it. Pixels live
+    and die inside the task."""
+    from ..fixtures import decode_raster, split_pages
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        path, rg = g["__path"].iloc[0], int(g["__rg"].iloc[0])
+        tbl = pq.ParquetFile(path).read_row_group(rg, columns=["media_ref", "bytes"], use_threads=False)
+        need = pa.array(list(set(g["media_ref"])), pa.string())
+        tbl = tbl.filter(pc.is_in(tbl.column("media_ref"), value_set=need))
+        blobs = {
+            tbl.column("media_ref")[i].as_py(): tbl.column("bytes")[i].as_buffer()
+            for i in range(tbl.num_rows)
+        }
+        rows = []
+        for media_ref, sub in g.groupby("media_ref", sort=False):
+            pages = split_pages(memoryview(blobs[media_ref]))
+            for (page, odeg), sub2 in sub.groupby(["page", "orientation_deg"], sort=False):
+                img = decode_raster(pages[int(page)])
+                if odeg:
+                    img = np.ascontiguousarray(np.rot90(img, {90: 1, 180: 2, -90: 3}[int(odeg)]))
+                for r in sub2.itertuples():
+                    crop = img[int(r.y0) : int(r.y1), int(r.x0) : int(r.x1)]
+                    k_up, s, bands = oc.analyse_orientation_u8(np.ascontiguousarray(crop))
+                    up = np.rot90(crop, k_up) if k_up else crop
+                    for b in bands:
+                        ink = up[b.y0 : b.y1, b.x0 : b.x1] < oc.BIN_THRESHOLD
+                        text, conf = (None, None) if only_layout else oc.recognize_line(ink, s)
+                        rows.append(
+                            {
+                                "doc_id": r.doc_id,
+                                "crop_id": r.crop_id,
+                                # crop-prefixed id scheme for region-input
+                                # recognition (M10, reference :663-666)
+                                "region_id": f"{r.crop_id}_b{b.block + 1}",
+                                "line_id": f"{r.crop_id}_b{b.block + 1}_p1_l{b.line + 1}",
+                                "media_ref": r.media_ref,
+                                "page": int(r.page),
+                                # coords translated back to page space
+                                # (NamedImage offsets, reference :445-448,677)
+                                "x0": int(b.x0 + r.x0),
+                                "y0": int(b.y0 + r.y0),
+                                "x1": int(b.x1 + r.x0),
+                                "y1": int(b.y1 + r.y0),
+                                "text": text,
+                                "conf": conf,
+                            }
+                        )
+        return pd.DataFrame(rows, columns=RESULT_COLS)
+
+    return fn
 
 
 def rerecognize_pagexml(
     xml_ds: Dataset,
     media_path: str,
     cfg: PipelineConfig | None = None,
+    level: str = "region",
+    image_override: str | None = None,
+    location_strategy: str = "broadcast",
 ) -> Dataset:
     """(doc_id, xml) dataset + media table -> re-recognized line rows for
-    every TextRegion in the XMLs (crop-prefixed ids, page-space coords).
+    every selected element in the XMLs (crop-prefixed ids, page-space
+    coords). Enforces the reference's node-level constraints before any Ray
+    work: selection deeper than the layout level is an error (`:585-588`)
+    and line/word/glyph selection restricts the legal PSM (`:560-584`)."""
+    from .extract import _parquet_files
 
-    The media blob map is broadcast once (valid where the per-shard media
-    set is bounded — the same assumption as J1's broadcast path; swap in a
-    hash join against the media table at full scale)."""
     cfg = cfg or PipelineConfig()
-    media = pq.read_table(media_path, columns=["media_ref", "bytes"])
-    blobs = dict(zip(media.column("media_ref").to_pylist(), media.column("bytes").to_pylist()))
-    ref = ray.put(blobs)
+    cfg.check_selection_level(level)
+    PipelineConfig.check_node_psm(level, cfg.psm)
 
-    reqs = xml_ds.map_batches(_xml_to_crop_requests, batch_format="pandas")
-    return reqs.map_batches(
-        CropRecognizer,
-        fn_constructor_kwargs={"media_blobs_ref": ref, "only_layout": cfg.only_layout},
-        batch_format="pandas",
-        batch_size=cfg.recognize_batch_size,
-        concurrency=cfg.recognize_concurrency,
-        num_cpus=1,
+    files = _parquet_files(media_path)
+    reqs = xml_ds.map_batches(_xml_to_crop_requests(level, image_override), batch_format="pandas")
+    reqs = _attach_locations(reqs, media_locations(files), location_strategy, cfg.join_partitions)
+    return reqs.groupby(["__path", "__rg"]).map_groups(
+        _make_loc_recognizer(cfg.only_layout), batch_format="pandas"
     )
+
+
+# ------------------------------------------------------- H2 XML write-back
+def _patch_xml(level: str):
+    """Attach packed re-recognition results into the parsed input document
+    at/below each selected node, preserving every untouched element — the
+    reference's update-the-input-DOM contract (`:557-589,720-755,865`)."""
+    import xml.etree.ElementTree as ET
+
+    from ..pagexml import PAGE_NS
+
+    ET.register_namespace("", PAGE_NS)
+    q = lambda tag: f"{{{PAGE_NS}}}{tag}"  # noqa: E731
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in batch.itertuples():
+            payload = row.results_json
+            if payload is None or (isinstance(payload, float) and pd.isna(payload)):
+                out.append({"doc_id": row.doc_id, "xml": row.xml})
+                continue
+            results = json.loads(payload)
+            root = ET.fromstring(row.xml)
+            # selected elements indexed by id, with their parent page's
+            # imageFilename so duplicate region ids across pages resolve
+            tag = {"region": "TextRegion", "line": "TextLine", "word": "Word"}[level]
+            index: dict[tuple[str, str], ET.Element] = {}
+            for page_el in root.iter(q("Page")):
+                fname = page_el.get("imageFilename") or ""
+                mref = fname.split("[")[0]
+                pageno = int(fname.split("[")[1].rstrip("]")) if "[" in fname else 0
+                for el in page_el.iter(q(tag)):
+                    index[(mref, str(pageno), el.get("id"))] = el
+            for key, items in results.items():
+                mref, pageno, crop_id = key.split("\x1f")
+                el = index.get((mref, pageno, crop_id))
+                if el is None:
+                    continue
+                if level == "region":
+                    # results REPLACE the region's line children (`:720-727`)
+                    for old in el.findall(q("TextLine")):
+                        el.remove(old)
+                    for it in items:
+                        ln = ET.SubElement(el, q("TextLine"), {"id": it["line_id"]})
+                        pts = f'{it["x0"]},{it["y0"]} {it["x1"]},{it["y0"]} {it["x1"]},{it["y1"]} {it["x0"]},{it["y1"]}'
+                        ET.SubElement(ln, q("Coords"), {"points": pts})
+                        ET.SubElement(ln, q("Baseline"), {"points": f'{it["x0"]},{it["y1"]} {it["x1"]},{it["y1"]}'})
+                        if it["text"] is not None:
+                            te = ET.SubElement(ln, q("TextEquiv"), {"conf": f"{it['conf']:g}"})
+                            ET.SubElement(te, q("Unicode")).text = it["text"]
+                else:
+                    # line/word selection: recognized text replaces the
+                    # node's own TextEquiv (`:730-735,749-755`)
+                    texts = [it["text"] for it in items if it["text"] is not None]
+                    confs = [it["conf"] for it in items if it["conf"] is not None]
+                    for old in el.findall(q("TextEquiv")):
+                        el.remove(old)
+                    if texts:
+                        attrs = {"conf": f"{min(confs):g}"} if confs else {}
+                        te = ET.SubElement(el, q("TextEquiv"), attrs)
+                        ET.SubElement(te, q("Unicode")).text = "\n".join(texts)
+            xml = '<?xml version="1.0" encoding="utf-8"?>\n' + ET.tostring(root, encoding="unicode")
+            out.append({"doc_id": row.doc_id, "xml": xml})
+        return pd.DataFrame(out, columns=["doc_id", "xml"])
+
+    return fn
+
+
+def rerecognize_inplace(
+    xml_ds: Dataset,
+    media_path: str,
+    cfg: PipelineConfig | None = None,
+    level: str = "region",
+    image_override: str | None = None,
+    location_strategy: str = "broadcast",
+) -> Dataset:
+    """Full H2 round trip: (doc_id, xml) in -> (doc_id, updated xml) out.
+    Untouched elements are preserved; selected nodes carry the re-recognition
+    results (reference ``--inplace``, `:371-374,865`).
+
+    Shape: flat results are packed one-row-per-doc (bucketed groupby — tiny
+    rows), 1:1 LEFT join back onto the XML table (docs with nothing selected
+    pass through unchanged), then a vectorized per-batch DOM patch."""
+    from ..hashing import stable_bucket
+
+    cfg = cfg or PipelineConfig()
+    res = rerecognize_pagexml(xml_ds, media_path, cfg, level, image_override, location_strategy)
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = stable_bucket(batch["doc_id"], cfg.assemble_buckets)
+        return batch
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["crop_id", "y0", "x0"], kind="mergesort")
+        out = []
+        for doc_id, sub in g.groupby("doc_id", sort=True):
+            groups: dict[str, list[dict]] = {}
+            for r in sub.itertuples():
+                key = f"{r.media_ref}\x1f{r.page}\x1f{r.crop_id}"
+                groups.setdefault(key, []).append(
+                    {
+                        "line_id": r.line_id,
+                        "x0": int(r.x0), "y0": int(r.y0), "x1": int(r.x1), "y1": int(r.y1),
+                        "text": r.text,
+                        "conf": None if r.conf is None or pd.isna(r.conf) else float(r.conf),
+                    }
+                )
+            out.append({"doc_id": doc_id, "results_json": json.dumps(groups)})
+        return pd.DataFrame(out, columns=["doc_id", "results_json"])
+
+    packed = (
+        res.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(pack, batch_format="pandas")
+    )
+    joined = xml_ds.join(
+        packed, join_type="left_outer", num_partitions=cfg.join_partitions, on=("doc_id",)
+    )
+    return joined.map_batches(_patch_xml(level), batch_format="pandas")

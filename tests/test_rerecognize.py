@@ -31,3 +31,92 @@ def test_rerecognize_matches_golden(ray_session, tiny_corpus):
     # coords are translated back to page space: all non-negative, x1>x0
     assert (out["x1"] > out["x0"]).all() and (out["y1"] > out["y0"]).all()
     assert (out["conf"] == 1.0).all()
+
+
+def test_rerecognize_inplace_roundtrip(ray_session, tiny_corpus):
+    """H2 write-back (--inplace): output XML = input document with results
+    attached below each selected TextRegion; untouched structure (pages,
+    region ids, properties) preserved; docs with nothing selected pass
+    through byte-identical (reference :557-589,865)."""
+    from tesseract_recognize_ray.pagexml import parse_pagexml
+    from tesseract_recognize_ray.pipelines.rerecognize import rerecognize_inplace
+
+    xml = extract_pagexml(tiny_corpus["docs"], tiny_corpus["media"]).to_pandas()
+    passthrough = (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">'
+        "<Metadata><Creator>x</Creator></Metadata>"
+        '<Page imageFilename="m-none" imageWidth="0" imageHeight="0"/></PcGts>'
+    )
+    xml = pd.concat(
+        [xml, pd.DataFrame([{"doc_id": "doc-empty", "xml": passthrough}])], ignore_index=True
+    )
+    out = (
+        rerecognize_inplace(rd.from_pandas(xml), tiny_corpus["media"])
+        .to_pandas()
+        .set_index("doc_id")["xml"]
+    )
+    assert len(out) == len(xml)
+    # no-selection doc passes through unchanged
+    assert out["doc-empty"] == passthrough
+
+    for _, row in xml[xml["doc_id"] != "doc-empty"].head(8).iterrows():
+        orig = parse_pagexml(row["xml"])
+        got = parse_pagexml(out[row["doc_id"]])
+        o_lines = orig[orig["level"] == "line"]
+        g_lines = got[got["level"] == "line"]
+        # untouched structure: same pages/filenames and same region ids
+        assert sorted(got["image_filename"].unique()) == sorted(orig["image_filename"].unique())
+        assert sorted(g_lines["region_id"].unique()) == sorted(o_lines["region_id"].unique())
+        # recognized text equals the original (closed-alphabet corpus)
+        assert sorted(g_lines["text"]) == sorted(o_lines["text"])
+        # new line ids carry the crop prefix (attach-below-node, M10)
+        assert g_lines["line_id"].str.contains("_b1_p1_l").all()
+
+
+def test_rerecognize_line_selection_and_psm(ray_session, tiny_corpus):
+    """TextLine selection (node-level PSM rules): psm must be 7/13 for line
+    selection (reference :566-569); per-line crops re-recognize to the same
+    text."""
+    import pytest
+
+    from tesseract_recognize_ray.config import PipelineConfig
+
+    xml = extract_pagexml(tiny_corpus["docs"], tiny_corpus["media"]).to_pandas().head(6)
+    out = rerecognize_pagexml(
+        rd.from_pandas(xml), tiny_corpus["media"], PipelineConfig(psm=7), level="line"
+    ).to_pandas()
+    gold = pq.read_table(tiny_corpus["golden_spans"]).to_pandas()
+    sub = gold[gold["doc_id"].isin(xml["doc_id"]) & gold["media_ref"].notna()]
+    got = out.groupby("doc_id")["text"].apply(lambda s: sorted(s)).to_dict()
+    want = sub.groupby("doc_id")["text"].apply(lambda s: sorted(s)).to_dict()
+    assert got == want
+    # crop_id is the selected line's id, not a region id
+    assert out["crop_id"].str.contains("_p1_l").all()
+
+    with pytest.raises(ValueError, match="illegal for node level"):
+        rerecognize_pagexml(rd.from_pandas(xml), tiny_corpus["media"], PipelineConfig(psm=3), level="line")
+    with pytest.raises(ValueError, match="shallower than selection"):
+        rerecognize_pagexml(
+            rd.from_pandas(xml), tiny_corpus["media"], PipelineConfig(psm=8, layout_level="line"), level="word"
+        )
+
+
+def test_image_override_requests():
+    """--image equivalent (reference :414-420): the override replaces the
+    XML's imageFilename as the raster source for every crop request."""
+    from tesseract_recognize_ray.pipelines.rerecognize import _xml_to_crop_requests
+
+    xml = (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">'
+        '<Page imageFilename="m-orig" imageWidth="100" imageHeight="100">'
+        '<TextRegion id="b1"><Coords points="0,0 99,0 99,99 0,99"/>'
+        '<TextLine id="b1_p1_l1"><Coords points="5,5 90,5 90,20 5,20"/></TextLine>'
+        "</TextRegion></Page></PcGts>"
+    )
+    batch = pd.DataFrame([{"doc_id": "d0", "xml": xml}])
+    reqs = _xml_to_crop_requests("region", image_override="m-other")(batch)
+    assert len(reqs) == 1 and (reqs["media_ref"] == "m-other").all()
+    reqs2 = _xml_to_crop_requests("region")(batch)
+    assert (reqs2["media_ref"] == "m-orig").all()
