@@ -474,6 +474,18 @@ def _q_rerecognize_xml(sf_dir: str):
     return rerecognize_pagexml(rd.from_pandas(xml.to_pandas()), paths["media"])
 
 
+def _q_pagexml_orientation_pass(sf_dir: str):
+    """G1 global pass over the extracted PAGE XML: drop the applied
+    apply-image-orientation Properties and re-rotate any page whose dominant
+    baseline angle buckets to {-90, 90, 180} (reference
+    tesseract-recognize.cc:793-814). Rows-only; formula-level assertions in
+    tests/test_pagexml.py."""
+    from tesseract_recognize_ray.pagexml import extract_pagexml, xml_orientation_pass
+
+    paths = _corpus()
+    return xml_orientation_pass(extract_pagexml(paths["docs"], paths["media"]))
+
+
 def _q_rerecognize_inplace(sf_dir: str):
     """H2 write-back (--inplace): PAGE XML in -> updated PAGE XML out, with
     re-recognition results attached below each selected TextRegion and all
@@ -559,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagexml_extract": _q_pagexml_extract,
         "rerecognize_xml": _q_rerecognize_xml,
         "rerecognize_inplace": _q_rerecognize_inplace,
+        "pagexml_orientation_pass": _q_pagexml_orientation_pass,
         "image_features": _q_image_features,
         "frame_sample_resize": _q_frame_sample_resize,
     }

@@ -109,6 +109,76 @@ def polystripe(baseline: tuple[Point, Point], quad: list[Point]) -> tuple[float,
     return (height, offset)
 
 
+# detected rot90 count k (CCW turns making the stored raster upright) ->
+# Tesseract orientation enum of the ORIGINAL raster: one CCW turn fixes a
+# page whose text-up points right (ORIENTATION_PAGE_RIGHT), three fix LEFT.
+# Consistent with the reference's enum->degrees table for the
+# apply-image-orientation Property (tesseract-recognize.cc:614-617:
+# RIGHT->-90, LEFT->90, DOWN->180), i.e. degrees {1: -90, 2: 180, 3: 90}.
+ORIENT_FROM_K = {0: UP, 1: RIGHT, 2: DOWN, 3: LEFT}
+
+
+def invert_rot90_point(x: float, y: float, k: int, up_w: float, up_h: float) -> Point:
+    """Map a point from UPRIGHT page space (dims up_w x up_h) back to the
+    stored raster's ORIGINAL space, inverting k CCW rot90 turns (continuous
+    box-corner coords, no pixel-center -1). Used when emitting the
+    reference's PRE-orientation-pass DOM (coords in original space, vertex
+    order carrying the orientation, M7)."""
+    k = k % 4
+    if k == 0:
+        return (x, y)
+    if k == 1:  # original = rotate upright CW once
+        return (up_h - y, x)
+    if k == 2:
+        return (up_w - x, up_h - y)
+    return (y, up_w - x)  # k == 3
+
+
+def invert_rot90_bbox(
+    x0: float, y0: float, x1: float, y1: float, k: int, up_w: float, up_h: float
+) -> tuple[float, float, float, float]:
+    """Axis-aligned bbox mapped from upright space back to original raster
+    space (min/max of the transformed corners)."""
+    pts = [
+        invert_rot90_point(x0, y0, k, up_w, up_h),
+        invert_rot90_point(x1, y1, k, up_w, up_h),
+    ]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def polystripe_coords(baseline: tuple[Point, Point], quad: list[Point]) -> list[Point]:
+    """The polystripe polygon the reference stores as a TextLine's Coords
+    (setLineCoords -> setPolystripe, tesseract-recognize.cc:196-202): a
+    stripe of the computed (height, offset) around the clipped baseline.
+    height*(1-offset) extends toward the reading-order top edge (quad p0-p1),
+    height*offset toward the bottom. For an axis-aligned line whose baseline
+    lies on the quad's bottom edge this reproduces the bbox quad exactly."""
+    h, o = polystripe(baseline, quad)
+    if h <= 0:
+        return list(quad)
+    b0, b1 = baseline
+    dx, dy = b1[0] - b0[0], b1[1] - b0[1]
+    norm = math.hypot(dx, dy) or 1.0
+    dxu, dyu = dx / norm, dy / norm
+    # unit normal pointing from the baseline toward the quad's top-left (p0)
+    vx, vy = quad[0][0] - b0[0], quad[0][1] - b0[1]
+    dot = vx * dxu + vy * dyu
+    nx, ny = vx - dot * dxu, vy - dot * dyu
+    nn = math.hypot(nx, ny)
+    if nn == 0:  # degenerate quad: fall back to the raw quad
+        return list(quad)
+    nx, ny = nx / nn, ny / nn
+    up, down = h * (1.0 - o), h * o
+    return [
+        (b0[0] + nx * up, b0[1] + ny * up),
+        (b1[0] + nx * up, b1[1] + ny * up),
+        (b1[0] - nx * down, b1[1] - ny * down),
+        (b0[0] - nx * down, b0[1] - ny * down),
+    ]
+
+
 def bucket_angle(theta: float) -> int:
     """Dominant-baseline-angle correction bucket in degrees:
     [pi/4, 3pi/4) -> -90 ; (-3pi/4, -pi/4] -> +90 ; |theta| >= 3pi/4 -> 180 ;

@@ -40,7 +40,15 @@ from xml.sax.saxutils import escape, quoteattr
 
 import pandas as pd
 
-from .geometry import UP, clip_baseline, quad_from_bbox
+from .geometry import (
+    ORIENT_FROM_K,
+    UP,
+    clip_baseline,
+    invert_rot90_bbox,
+    invert_rot90_point,
+    polystripe_coords,
+    quad_from_bbox,
+)
 from .idscheme import line_id as make_line_id
 from .idscheme import region_id as make_region_id
 
@@ -59,10 +67,34 @@ def elements_to_pagexml(
     created: str = "1970-01-01T00:00:00",
     text_levels: tuple[str, ...] = (),
     page_set: set[int] | None = None,
+    psm: int = 3,
+    coords_space: str = "upright",
 ) -> str:
     """One document's recognized line/word rows (REC_SCHEMA + doc columns)
-    -> one PAGE XML string. ``page_dims`` maps (media_ref, page) -> (w, h)
-    for the Page element attributes (0,0 when unknown).
+    -> one PAGE XML string. Page dims come from the rows' page_w/page_h
+    columns when carried (upright raster dims), else from the ``page_dims``
+    map ((media_ref, page) -> (w, h); 0,0 when unknown).
+
+    Fidelity semantics mirrored from the reference:
+      * TextLine Coords are the POLYSTRIPE polygon around the clipped
+        baseline (setLineCoords -> setPolystripe, tesseract-recognize.cc:
+        177-202, M8) — identical to the bbox quad for axis-aligned lines;
+      * a bbox covering the whole page collapses to the "0,0 0,0" sentinel
+        (`:158-161`), and sentinel-coordinate Words are filled from their
+        neighbors with a coords-unk-filler Property (G4, `:816-858`);
+      * ``psm=1`` (PSM_AUTO_OSD) adds the page-level readingDirection /
+        textLineOrder Properties (`:618-627`; this engine's detector is
+        LTR / top-to-bottom by construction — closed horizontal alphabet);
+      * a nonzero per-page ``deskew_angle`` column value emits the
+        deskewAngle Property (`:610-612,686-687`; this engine's projection
+        segmenter fully deskews by rot90, so the residual is 0.0 on its own
+        output and the Property is correctly absent);
+      * ``coords_space="original"`` emits the reference's PRE-orientation-
+        pass DOM: coords mapped back into the stored raster's space with
+        vertex order carrying the detected orientation (M7, `:163-172`);
+        the default "upright" space equals the reference AFTER its global
+        rotate pass (`:793-799`), with the apply-image-orientation Property
+        retained for raster provenance (xml_orientation_pass drops it).
 
     Pages are enumerated from the doc's media inventory (media_ref x
     n_pages), NOT from non-empty line groups: a page with no detected lines
@@ -95,7 +127,19 @@ def elements_to_pagexml(
         for page in pages_of(n_pages):
             gpage += 1
             pg = page_rows.get((media_ref, page))
-            w, h = (page_dims or {}).get((media_ref, int(page)), (0, 0))
+            uw, uh = (page_dims or {}).get((media_ref, int(page)), (0, 0))
+            k = int(pg["orientation_k"].iloc[0]) if pg is not None else 0
+            if pg is not None and "page_w" in pg.columns and int(pg["page_w"].iloc[0]) > 0:
+                uw, uh = int(pg["page_w"].iloc[0]), int(pg["page_h"].iloc[0])
+            original = coords_space == "original" and k != 0
+            w, h = (uh, uw) if (original and k % 2) else (uw, uh)
+            orient = ORIENT_FROM_K[k] if original else UP
+
+            def tx_bbox(x0, y0, x1, y1, _o=original, _k=k, _uw=uw, _uh=uh):
+                if _o:
+                    return invert_rot90_bbox(x0, y0, x1, y1, _k, _uw, _uh)
+                return (x0, y0, x1, y1)
+
             fname = media_ref if n_pages == 1 else f"{media_ref}[{int(page)}]"
             out.append(
                 f"  <Page imageFilename={quoteattr(str(fname))} "
@@ -104,14 +148,24 @@ def elements_to_pagexml(
             if pg is None:  # blank page: empty element, counter still advanced
                 out.append("  </Page>\n")
                 continue
-            k = int(pg["orientation_k"].iloc[0])
             if k:
                 # reference writes apply-image-orientation in {-90, 90, 180}
-                # (tesseract-recognize.cc:610-627); rot90 count k -> degrees
-                deg = {1: 90, 2: 180, 3: -90}[k]
+                # (tesseract-recognize.cc:614-617): RIGHT->-90 (one CCW
+                # rot90 fixes it, k=1), LEFT->90 (k=3), DOWN->180 (k=2)
+                deg = {1: -90, 2: 180, 3: 90}[k]
                 out.append(
                     f'    <Property key="apply-image-orientation" value="{deg}"/>\n'
                 )
+            deskew = (
+                float(pg["deskew_angle"].iloc[0]) if "deskew_angle" in pg.columns else 0.0
+            )
+            if deskew != 0.0:  # emitted only when nonzero (reference :610-612)
+                out.append(f'    <Property key="deskewAngle" value="{deskew:g}"/>\n')
+            if psm == 1:
+                # PSM_AUTO_OSD branch (reference :618-627): page-level OSD
+                # properties; this engine's detector is LTR / top-to-bottom
+                out.append('    <Property key="readingDirection" value="left-to-right"/>\n')
+                out.append('    <Property key="textLineOrder" value="top-to-bottom"/>\n')
             for block, reg in pg.groupby("block", sort=False):
                 # id scheme M10 with the reference's GLOBAL page counter: one
                 # XML document spans all of the doc's media pages, and
@@ -123,7 +177,9 @@ def elements_to_pagexml(
                 lines = reg[reg["level"] == "line"]
                 rx0, ry0 = int(lines["x0"].min()), int(lines["y0"].min())
                 rx1, ry1 = int(lines["x1"].max()), int(lines["y1"].max())
-                rquad = quad_from_bbox(rx0, ry0, rx1, ry1, UP)
+                rquad = quad_from_bbox(
+                    *tx_bbox(rx0, ry0, rx1, ry1), orient, page_w=w or None, page_h=h or None
+                )
                 out.append(
                     f"    <TextRegion id={quoteattr(rid)} "
                     'readingDirection="left-to-right">\n'
@@ -131,23 +187,54 @@ def elements_to_pagexml(
                 )
                 for ln in lines.itertuples():
                     lid = make_line_id(rid, para=int(ln.para), line=int(ln.line))
-                    quad = quad_from_bbox(ln.x0, ln.y0, ln.x1, ln.y1, UP)
-                    base = clip_baseline(
-                        ((float(ln.x0), float(ln.baseline_y)), (float(ln.x1), float(ln.baseline_y))),
-                        quad,
+                    quad = quad_from_bbox(
+                        *tx_bbox(ln.x0, ln.y0, ln.x1, ln.y1), orient, page_w=w or None, page_h=h or None
                     )
+                    if original:
+                        b_raw = (
+                            invert_rot90_point(float(ln.x0), float(ln.baseline_y), k, uw, uh),
+                            invert_rot90_point(float(ln.x1), float(ln.baseline_y), k, uw, uh),
+                        )
+                    else:
+                        b_raw = (
+                            (float(ln.x0), float(ln.baseline_y)),
+                            (float(ln.x1), float(ln.baseline_y)),
+                        )
+                    base = clip_baseline(b_raw, quad)
+                    # M8: the TextLine's Coords are the polystripe around the
+                    # clipped baseline (== bbox quad for axis-aligned lines)
+                    lquad = polystripe_coords(base, quad) if len(quad) >= 4 else quad
                     out.append(
                         f"      <TextLine id={quoteattr(lid)}>\n"
-                        f'        <Coords points="{_pts(quad)}"/>\n'
+                        f'        <Coords points="{_pts(lquad)}"/>\n'
                         f'        <Baseline points="{_pts(base)}"/>\n'
                     )
                     words = reg[(reg["level"] == "word") & (reg["line"] == ln.line)]
+                    if len(words) and (
+                        (words[["x0", "y0", "x1", "y1"]] == 0).all(axis=1)
+                    ).any():
+                        # G4 sentinel filler (reference global pass 2,
+                        # :816-858): interpolate from neighbors / copy the
+                        # parent line bbox, tagging coords-unk-filler
+                        from .stages.assemble import fill_sentinel_words
+
+                        words = fill_sentinel_words(
+                            words.reset_index(drop=True),
+                            (int(ln.x0), int(ln.y0), int(ln.x1), int(ln.y1)),
+                        )
+                    else:
+                        words = words.assign(coords_filled=False)
                     for w_i, wd in enumerate(words.itertuples()):
                         wid = f"{lid}_w{w_i + 1}"
-                        wquad = quad_from_bbox(wd.x0, wd.y0, wd.x1, wd.y1, UP)
+                        wquad = quad_from_bbox(
+                            *tx_bbox(wd.x0, wd.y0, wd.x1, wd.y1), orient, page_w=w or None, page_h=h or None
+                        )
                         conf = "" if pd.isna(wd.conf) else f' conf="{wd.conf:g}"'
+                        filler = (
+                            '<Property key="coords-unk-filler"/>' if wd.coords_filled else ""
+                        )
                         out.append(
-                            f"        <Word id={quoteattr(wid)}>"
+                            f"        <Word id={quoteattr(wid)}>{filler}"
                             f'<Coords points="{_pts(wquad)}"/>'
                             f"<TextEquiv{conf}><Unicode>{escape(str(wd.text))}</Unicode></TextEquiv>"
                             "</Word>\n"
@@ -229,6 +316,108 @@ def parse_pagexml(xml_str: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _rotate_page_points(points: list[tuple[float, float]], angle: int, w: int, h: int):
+    """Rotate page coordinates by angle degrees (the G1 correction buckets
+    {-90, 90, 180}): -90 = clockwise page rotation (x,y)->(h-y, x), 90 =
+    counter-clockwise (x,y)->(y, w-x), 180 -> (w-x, h-y)."""
+    if angle == -90:
+        return [(h - y, x) for x, y in points]
+    if angle == 90:
+        return [(y, w - x) for x, y in points]
+    if angle == 180:
+        return [(w - x, h - y) for x, y in points]
+    return points
+
+
+def xml_orientation_pass(xml_ds):
+    """Reference global pass 1 (G1, tesseract-recognize.cc:793-814) over a
+    (doc_id, xml) dataset — vectorized map_batches, no shuffle. Per Page:
+
+      (a) drop the apply-image-orientation Property and, when the coords are
+          in the original raster space (coords_space="original" emission),
+          rotate them upright by -angle; upright-space coords (the default
+          emission) are already rotated, so only the Property is removed —
+          either way the output matches the reference post-pass state
+          (`:795-799` rotatePage(-angle) + rmElems);
+      (b) compute the dominant baseline angle over the page's TextLines
+          (length-weighted circular mean, getDominantBaselinesOrientation),
+          bucket it to {-90, 90, 180} (`:802-811`) and rotate the page when
+          nonzero — catching pages whose LINES skew consistently without
+          whole-page rotation (`:812-813`)."""
+    import math
+    import xml.etree.ElementTree as ET
+
+    from .geometry import bucket_angle, dominant_angle
+
+    q = lambda tag: f"{{{PAGE_NS}}}{tag}"  # noqa: E731
+
+    def parse_pts(s: str):
+        return [tuple(float(v) for v in p.split(",")) for p in s.split()]
+
+    def fmt_pts(pts):
+        return " ".join(f"{int(round(x))},{int(round(y))}" for x, y in pts)
+
+    def rotate_page(page_el, angle: int, w: int, h: int) -> tuple[int, int]:
+        for el in page_el.iter():
+            if el.tag in (q("Coords"), q("Baseline")) and el.get("points"):
+                el.set("points", fmt_pts(_rotate_page_points(parse_pts(el.get("points")), angle, w, h)))
+        if angle in (90, -90):
+            w, h = h, w
+        page_el.set("imageWidth", str(w))
+        page_el.set("imageHeight", str(h))
+        return w, h
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ET.register_namespace("", PAGE_NS)  # inside the worker, not the driver
+        out = []
+        for row in batch.itertuples():
+            root = ET.fromstring(row.xml)
+            for page_el in root.iter(q("Page")):
+                w = int(page_el.get("imageWidth") or 0)
+                h = int(page_el.get("imageHeight") or 0)
+                # (a) apply + remove the orientation Property (:795-799)
+                for prop in list(page_el.findall(q("Property"))):
+                    if prop.get("key") == "apply-image-orientation":
+                        angle = int(prop.get("value") or 0)
+                        coords = page_el.find(f"{q('TextRegion')}/{q('Coords')}")
+                        page_el.remove(prop)
+                        # upright-emission coords are already rotated; only
+                        # original-space coords (M7 vertex order) need the
+                        # -angle rotation. Detect via a vertex-order probe:
+                        # upright quads start at the min-x/min-y corner.
+                        if coords is not None and w and h:
+                            pts = parse_pts(coords.get("points"))
+                            if len(pts) >= 4 and pts[0] != (
+                                min(p[0] for p in pts),
+                                min(p[1] for p in pts),
+                            ):
+                                # rotatePage(-angle), literally (:797)
+                                w, h = rotate_page(page_el, -angle, w, h)
+                # (b) dominant baseline re-orientation (:800-813)
+                angles, weights = [], []
+                for bl in page_el.iter(q("Baseline")):
+                    pts = parse_pts(bl.get("points") or "")
+                    if len(pts) >= 2:
+                        dx, dy = pts[-1][0] - pts[0][0], pts[-1][1] - pts[0][1]
+                        # image y grows downward; math angle flips the sign
+                        angles.append(math.atan2(-dy, dx))
+                        weights.append(math.hypot(dx, dy))
+                if angles and w and h:
+                    corr = bucket_angle(dominant_angle(angles, weights))
+                    if corr:
+                        w, h = rotate_page(page_el, corr, w, h)
+            out.append(
+                {
+                    "doc_id": row.doc_id,
+                    "xml": '<?xml version="1.0" encoding="utf-8"?>\n'
+                    + ET.tostring(root, encoding="unicode"),
+                }
+            )
+        return pd.DataFrame(out, columns=["doc_id", "xml"])
+
+    return xml_ds.map_batches(fn, batch_format="pandas")
+
+
 def extract_pagexml(docs_path: str, media_path: str, cfg=None):
     """Flagship variant emitting (doc_id, xml) — the K1 fidelity sink: one
     PAGE XML document per doc covering its media pages in reading order.
@@ -255,10 +444,17 @@ def extract_pagexml(docs_path: str, media_path: str, cfg=None):
 
     pset = parse_pages_set(cfg.page_set) if cfg.page_set else None
 
+    psm = cfg.psm
+
     def xml_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__bucket")
         out = [
-            {"doc_id": d, "xml": elements_to_pagexml(d, sub, text_levels=text_levels, page_set=pset)}
+            {
+                "doc_id": d,
+                "xml": elements_to_pagexml(
+                    d, sub, text_levels=text_levels, page_set=pset, psm=psm
+                ),
+            }
             for d, sub in g.groupby("doc_id", sort=True)
         ]
         return pd.DataFrame(out, columns=["doc_id", "xml"])

@@ -190,7 +190,7 @@ def _make_loc_recognizer(only_layout: bool):
             for (page, odeg), sub2 in sub.groupby(["page", "orientation_deg"], sort=False):
                 img = decode_raster(pages[int(page)])
                 if odeg:
-                    img = np.ascontiguousarray(np.rot90(img, {90: 1, 180: 2, -90: 3}[int(odeg)]))
+                    img = np.ascontiguousarray(np.rot90(img, {-90: 1, 180: 2, 90: 3}[int(odeg)]))
                 for r in sub2.itertuples():
                     crop = img[int(r.y0) : int(r.y1), int(r.x0) : int(r.x1)]
                     k_up, s, bands = oc.analyse_orientation_u8(np.ascontiguousarray(crop))
@@ -259,10 +259,10 @@ def _patch_xml(level: str):
 
     from ..pagexml import PAGE_NS
 
-    ET.register_namespace("", PAGE_NS)
     q = lambda tag: f"{{{PAGE_NS}}}{tag}"  # noqa: E731
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ET.register_namespace("", PAGE_NS)  # inside the worker, not the driver
         out = []
         for row in batch.itertuples():
             payload = row.results_json

@@ -129,7 +129,7 @@ class MediaPathReader:
         col_np = chunk.column("n_pages")
         out: dict[str, list] = {k: [] for k in REC_COLUMNS}
 
-        def emit(ref, page, n_pages, block, para, line, word, level, x0, y0, x1, y1, by, s, k_up, text, conf):
+        def emit(ref, page, n_pages, block, para, line, word, level, x0, y0, x1, y1, by, s, k_up, pw, ph, text, conf):
             out["media_ref"].append(ref)
             out["page"].append(page)
             out["n_pages"].append(n_pages)
@@ -145,6 +145,8 @@ class MediaPathReader:
             out["baseline_y"].append(by)
             out["scale"].append(s)
             out["orientation_k"].append(k_up)
+            out["page_w"].append(pw)
+            out["page_h"].append(ph)
             out["text"].append(text)
             out["conf"].append(conf)
 
@@ -158,7 +160,7 @@ class MediaPathReader:
                 if not self.quarantine:
                     raise
                 emit(ref, -1, n_pages, -1, -1, -1, -1, "error",
-                     0, 0, 0, 0, 0, 0, 0, f"{type(e).__name__}: {e}", None)
+                     0, 0, 0, 0, 0, 0, 0, 0, 0, f"{type(e).__name__}: {e}", None)
         return pa.Table.from_pydict(
             {f.name: pa.array(out[f.name], f.type) for f in REC_SCHEMA}
         )
@@ -181,7 +183,7 @@ class MediaPathReader:
                 else:
                     text, conf = oc.recognize_line(crop_ink, s)
                 emit(ref, p, n_pages, b.block, 0, b.line, -1, "line",
-                     b.x0, b.y0, b.x1, b.y1, b.y1, s, k_up, text, conf)
+                     b.x0, b.y0, b.x1, b.y1, b.y1, s, k_up, up.shape[1], up.shape[0], text, conf)
                 if self.emit_words and text:
                     pos = 0
                     for w_idx, word in enumerate(text.split(" ")):
@@ -189,7 +191,7 @@ class MediaPathReader:
                             wx0 = b.x0 + pos * GLYPH_PITCH * s
                             wx1 = wx0 + len(word) * GLYPH_PITCH * s - s
                             emit(ref, p, n_pages, b.block, 0, b.line, w_idx, "word",
-                                 wx0, b.y0, wx1, b.y1, b.y1, s, k_up, word, conf)
+                                 wx0, b.y0, wx1, b.y1, b.y1, s, k_up, up.shape[1], up.shape[0], word, conf)
                         pos += len(word) + 1
                 if self.emit_glyphs and not self.only_layout:
                     # RIL_SYMBOL depth (reference :758-788): one row per
@@ -198,7 +200,7 @@ class MediaPathReader:
                         oc.recognize_line_glyphs(crop_ink, s)
                     ):
                         emit(ref, p, n_pages, b.block, 0, b.line, g_idx, "glyph",
-                             b.x0 + gx0, b.y0, b.x0 + gx1, b.y1, b.y1, s, k_up, ch, gconf)
+                             b.x0 + gx0, b.y0, b.x0 + gx1, b.y1, b.y1, s, k_up, up.shape[1], up.shape[0], ch, gconf)
         if self.pset is not None and max(self.pset, default=-1) >= seen:
             raise ValueError(
                 f"page selection {sorted(self.pset)} out of range for {ref} "

@@ -39,6 +39,8 @@ REC_COLUMNS = [
     "baseline_y",
     "scale",
     "orientation_k",
+    "page_w",
+    "page_h",
     "text",
     "conf",
 ]
@@ -60,6 +62,8 @@ REC_SCHEMA = pa.schema(
         ("baseline_y", pa.int32()),
         ("scale", pa.int32()),
         ("orientation_k", pa.int32()),
+        ("page_w", pa.int32()),
+        ("page_h", pa.int32()),
         ("text", pa.string()),
         ("conf", pa.float64()),
     ]
@@ -108,6 +112,8 @@ class Recognizer:
             out["baseline_y"].append(cols["baseline_y"][row_i])
             out["scale"].append(cols["scale"][row_i])
             out["orientation_k"].append(cols["orientation_k"][row_i])
+            out["page_w"].append(cols["page_w"][row_i])
+            out["page_h"].append(cols["page_h"][row_i])
             out["text"].append(text)
             out["conf"].append(conf)
 

@@ -42,6 +42,8 @@ LINE_SCHEMA = pa.schema(
         ("baseline_y", pa.int32()),
         ("scale", pa.int32()),
         ("orientation_k", pa.int32()),
+        ("page_w", pa.int32()),
+        ("page_h", pa.int32()),
         ("block_type", pa.int32()),
         ("line_pixels", pa.large_binary()),
     ]
@@ -80,6 +82,10 @@ def segment_page(img: np.ndarray) -> tuple[int, int, list[dict]]:
                 "baseline_y": b.y1,  # bottom ink row + 1 == glyph baseline
                 "scale": s,
                 "orientation_k": k_up,
+                # upright page dims (post-rotation) — the Page element's
+                # imageWidth/imageHeight and the full-page sentinel check
+                "page_w": up.shape[1],
+                "page_h": up.shape[0],
                 "block_type": 0,  # PT_FLOWING_TEXT; non-text never produced here
                 "line_pixels": _encode_crop(crop),
             }
