@@ -27,9 +27,8 @@ import pyarrow.parquet as pq
 import ray
 
 from ..config import PipelineConfig
-from ..sources.io import read_docs, read_media
+from ..sources.io import read_docs
 from ..state import manifest as mf
-from .extract import extract_spans_from
 
 
 def doc_partition(doc_id: str, n_parts: int) -> int:
@@ -48,13 +47,21 @@ def _docs_part_filter(i: int, n_parts: int):
     return fn
 
 
-def _media_ref_filter(ref_handle):
-    def fn(batch: pa.Table) -> pa.Table:
-        refs = ray.get(ref_handle)
-        mask = pc.is_in(batch.column("media_ref"), value_set=pa.array(list(refs), pa.string()))
-        return batch.filter(mask)
+def _media_rg_index(files: list[str]) -> dict:
+    """media_ref -> (path, row_group) map, read from the media_ref column
+    only (strings; no payload bytes). Built once per run, reused by every
+    partition to prune its read to exactly the row groups it needs."""
+    from .rerecognize import media_locations
 
-    return fn
+    out: dict[str, tuple[str, int]] = {}
+    for b in media_locations(files).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        out.update(
+            zip(
+                b.column("media_ref").to_pylist(),
+                zip(b.column("__path").to_pylist(), b.column("__rg").to_pylist()),
+            )
+        )
+    return out
 
 
 def run_partitioned_sharded(
@@ -134,10 +141,15 @@ def run_partitioned(
     Returns {"ran": [...], "skipped": [...], "out_dir": out_dir}. ``parts``
     restricts which partitions are attempted (used by tests to simulate a
     partial run / crash)."""
+    from .extract import _assemble_tail, _parquet_files
+    from ..stages.media_source import media_splits_for_rgs, recognized_lines_from_files
+
     cfg = cfg or PipelineConfig()
     os.makedirs(out_dir, exist_ok=True)
     fingerprint = mf.input_fingerprint([docs_path, media_path])
     lineage = mf.lineage_hash(cfg)
+    files = _parquet_files(media_path)
+    rg_index = _media_rg_index(files)
     ran: list[int] = []
     skipped: list[int] = []
     for i in parts if parts is not None else range(n_parts):
@@ -159,10 +171,14 @@ def run_partitioned(
             flat = pc.list_flatten(spans)
             m = flat.field("media_ref").drop_null().to_pylist()
             refs.update(m)
-        media_i = read_media(media_path).map_batches(
-            _media_ref_filter(ray.put(refs)), batch_format="pyarrow"
-        )
-        out = extract_spans_from(docs_i, media_i, cfg)
+        # fused media path, pruned to exactly the row groups holding this
+        # partition's media (no full-table scan per partition, no pixel
+        # rows crossing an operator boundary — same shape as the sharded
+        # runner, VERDICT round-1 item 6)
+        wanted = {rg_index[r] for r in refs if r in rg_index}
+        splits = media_splits_for_rgs(files, wanted)
+        rec = recognized_lines_from_files(files, cfg, splits=splits, ref_filter=ray.put(refs))
+        out = _assemble_tail(docs_i, rec, cfg, "broadcast")
 
         part_dir = os.path.join(out_dir, mf.part_name(i))
         tmp_dir = part_dir + ".tmp"

@@ -59,6 +59,23 @@ def media_splits(files: list[str], rows_per_split: int | None = None) -> list[di
     return out
 
 
+def media_splits_for_rgs(files: list[str], wanted: set[tuple[str, int]]) -> list[dict]:
+    """Splits restricted to selected (path, row_group_idx) pairs — the
+    partitioned runner prunes each partition's read to exactly the row
+    groups holding its docs' media (metadata-only; zero payload bytes
+    touched for excluded groups)."""
+    out = []
+    for f in sorted(files):
+        md = pq.read_metadata(f)
+        start = 0
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            if (f, rg) in wanted:
+                out.append({"path": f, "row_start": start, "row_count": n})
+            start += n
+    return out
+
+
 def media_splits_by_cost(files: list[str], n_splits: int) -> list[dict]:
     """Cost-balanced work list (SURVEY.md §4 skew): split budgets are set by
     serialized BYTES, the metadata-only proxy for pixel cost (est_cost =
@@ -98,6 +115,7 @@ class MediaPathReader:
         save_crops_dir: str | None = None,
         rows_per_chunk: int = 16,
         quarantine: bool = False,
+        ref_filter=None,
     ):
         # once-per-actor state: template bank tables (the warm engine, A1)
         self.bank_exact = oc._EXACT
@@ -116,6 +134,16 @@ class MediaPathReader:
         # would let one corrupt blob kill a cluster-day of work. Default
         # False = reference semantics (fail fast).
         self.quarantine = quarantine
+        # optional media_ref subset (ObjectRef of a set, ray.get ONCE per
+        # actor): the partitioned runner restricts each partition to its own
+        # docs' media without a separate filter stage shipping pixel rows
+        if ref_filter is not None:
+            import ray
+
+            refs = ray.get(ref_filter) if not isinstance(ref_filter, (set, frozenset)) else ref_filter
+            self.refs = pa.array(sorted(refs), pa.string())
+        else:
+            self.refs = None
         self._crop_n = 0
 
     def _run_chunk(self, chunk: pa.Table) -> pa.Table:
@@ -239,7 +267,16 @@ class MediaPathReader:
                     break
                 s, e = max(lo, start), min(hi, start + count)
                 if s < e:
-                    yield self._run_chunk(pa.Table.from_batches([rb]).slice(s - lo, e - s))
+                    chunk = pa.Table.from_batches([rb]).slice(s - lo, e - s)
+                    if self.refs is not None:
+                        import pyarrow.compute as pc
+
+                        chunk = chunk.filter(
+                            pc.is_in(chunk.column("media_ref"), value_set=self.refs)
+                        )
+                        if chunk.num_rows == 0:
+                            continue
+                    yield self._run_chunk(chunk)
 
 
 def recognized_lines_from_files(
@@ -247,6 +284,8 @@ def recognized_lines_from_files(
     cfg,
     rows_per_split: int | None = None,
     min_splits: int = 64,
+    splits: list[dict] | None = None,
+    ref_filter=None,
 ):
     """Dataset of recognized line rows from media parquet files, via the
     fused source. cfg is a PipelineConfig.
@@ -259,11 +298,16 @@ def recognized_lines_from_files(
 
     from ..idscheme import parse_pages_set
 
-    splits = media_splits(files, rows_per_split)
-    if rows_per_split is None and len(splits) < min_splits:
-        # few large files: re-split with byte-balanced budgets so one
-        # big-page shard doesn't become the straggler (§4 skew)
-        splits = media_splits_by_cost(files, min_splits)
+    if splits is None:
+        splits = media_splits(files, rows_per_split)
+        if rows_per_split is None and len(splits) < min_splits:
+            # few large files: re-split with byte-balanced budgets so one
+            # big-page shard doesn't become the straggler (§4 skew)
+            splits = media_splits_by_cost(files, min_splits)
+    if not splits:
+        return rd.from_arrow(
+            pa.Table.from_pydict({f.name: pa.array([], f.type) for f in REC_SCHEMA})
+        )
     src = rd.from_items(splits)
     return src.map_batches(
         MediaPathReader,
@@ -275,6 +319,7 @@ def recognized_lines_from_files(
             "save_crops_dir": cfg.crops_dir if cfg.save_crops else None,
             "rows_per_chunk": cfg.decode_batch_size,
             "quarantine": cfg.quarantine,
+            "ref_filter": ref_filter,
         },
         batch_size=1,
         batch_format="pyarrow",
