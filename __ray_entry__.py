@@ -261,6 +261,27 @@ def _q_ann_ivf(sf_dir: str):
     return res[["query_idx", "vec_id", "rank"]].astype({"query_idx": "int64", "vec_id": "int64", "rank": "int64"})
 
 
+def _q_ann_ivf_indexed(sf_dir: str):
+    """Similarity search against the PERSISTED IVF index: cell assignments
+    are computed once per corpus and written as parquet partitioned by cell
+    (+ saved centroids); a query reads only its probed cells' partitions.
+    No SQL oracle — approximate by design; rows-only check."""
+    import os
+
+    from tesseract_recognize_ray.functions.similarity import build_ivf_index, ivf_topk_indexed
+
+    idx_dir = f"/tmp/trr_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}"
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if not os.path.exists(os.path.join(idx_dir, "centroids.npy")):
+        build_ivf_index(ds, "vec_id", "embedding", idx_dir, n_centroids=32)
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    res = ivf_topk_indexed(idx_dir, "vec_id", queries, k=_ANN_K, nprobe=8)
+    res["rank"] = res.groupby("query_idx").cumcount() + 1
+    return res[["query_idx", "vec_id", "rank"]].astype({"query_idx": "int64", "vec_id": "int64", "rank": "int64"})
+
+
 def _q_minhash_pairs(sf_dir: str):
     """Dedup: MinHash-LSH candidate near-duplicate pairs (signatures shuffle,
     never the text). Non-SQL: probabilistic sketch; rows-only check."""
@@ -562,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "ann_brute_force": _q_ann_brute_force,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_indexed": _q_ann_ivf_indexed,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,

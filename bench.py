@@ -137,6 +137,24 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def ivf_recall_for(sf_dir: str) -> float:
+    """Recall of the IVF path vs exact brute force on the bench queries
+    (n_centroids=32, nprobe=8 — the ann_ivf query's operating point)."""
+    import numpy as np
+    import pandas as pd
+
+    from tesseract_recognize_ray.functions import relational as F
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb[emb["vec_id"] < 5].sort_values("vec_id")
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = F_sim.brute_force_topk(ds, "vec_id", "embedding", q, k=10)
+    approx = F_sim.ivf_topk(ds, "vec_id", "embedding", q, k=10, n_centroids=32, nprobe=8)
+    return round(F_sim.ivf_recall(approx, exact, 10), 4)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="fresh runs at num_cpus=4 and 16 + efficiency")
@@ -203,10 +221,12 @@ def main() -> None:
 
     flagship = run_flagship(SF_DIR, args.num_cpus, repeats=2)  # best-of-2: host has tenancy noise
     queries = run_queries(SF_DIR)
+    recall = ivf_recall_for(SF_DIR)
     print(json.dumps({
         "metric": "documents/sec end-to-end (decode->segment->recognize->span-assemble), span-sequence-exact",
         "value": flagship["sec"], "unit": "sec",
         "queries": queries, "sf": _sf_name(SF_DIR), "num_cpus": args.num_cpus,
+        "ann_ivf_recall": recall,
         "flagship": flagship,
     }))
     ray.shutdown()

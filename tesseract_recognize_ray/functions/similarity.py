@@ -77,6 +77,113 @@ def build_ivf_centroids(ds: Dataset, vec_col: str, n_centroids: int = 64, seed: 
     return vecs[:n_centroids]
 
 
+def build_ivf_index(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    n_centroids: int = 64,
+    seed: int = 42,
+) -> np.ndarray:
+    """Persist the IVF index: assign every vector to its nearest centroid
+    ONCE and write (id, cell, normalized vector) as parquet PARTITIONED BY
+    CELL, plus the centroid matrix. Queries then read only their probed
+    cells' partitions — the index is computed once per corpus, not per query
+    run, and the read prunes at the directory level."""
+    import os
+
+    centroids = build_ivf_centroids(ds, vec_col, n_centroids, seed)
+    cref = ray.put(centroids)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cref)
+        v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                # cell twice: partition col (moved into the dir name by the
+                # writer) + data col (survives a direct leaf-dir read)
+                "cell": (c := np.argmax(v @ cents.T, axis=1).astype(np.int32)),
+                "cell_id": c,
+                "nvec": list(v),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    return centroids
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    id_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+) -> pd.DataFrame:
+    """Approximate cosine top-k against a persisted IVF index: only the
+    nprobe probed cells' parquet partitions are read (directory-level
+    pruning); within them, per-batch matmul + deterministic local prune."""
+    import os
+
+    import ray.data as rd
+
+    import glob
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probed = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_set = sorted(set(probed.ravel().tolist()))
+    paths = [
+        f
+        for c in probe_set
+        for f in sorted(glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+    ]
+    if not paths:
+        return pd.DataFrame({"query_idx": [], "vec_id": [], "cosine": []})
+    ds = rd.read_parquet(paths)
+    qref = ray.put((q, probed))
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, probed_cells = ray.get(qref)
+        ids = batch[id_col].to_numpy()
+        cell = batch["cell_id"].to_numpy().astype(np.int64)
+        v = np.stack(batch["nvec"].to_numpy())
+        sims = v @ qm.T
+        rows = []
+        for qi in range(qm.shape[0]):
+            in_cells = np.isin(cell, probed_cells[qi])
+            if not in_cells.any():
+                continue
+            s = sims[in_cells, qi]
+            idx = np.lexsort((ids[in_cells], -s))[: min(k, len(s))]
+            rows.append(
+                pd.DataFrame({"query_idx": qi, "vec_id": ids[in_cells][idx], "cosine": s[idx].astype(float)})
+            )
+        if not rows:
+            return pd.DataFrame({"query_idx": [], "vec_id": [], "cosine": []})
+        return pd.concat(rows, ignore_index=True)
+
+    cand = ds.map_batches(prune, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["query_idx", "cosine", "vec_id"], ascending=[True, False, True], kind="mergesort")
+    return cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+
+
+def ivf_recall(approx: pd.DataFrame, exact: pd.DataFrame, k: int) -> float:
+    """Fraction of exact top-k neighbors the approximate result recovered
+    (macro-averaged over queries)."""
+    got = approx.groupby("query_idx")["vec_id"].apply(set).to_dict()
+    want = exact.groupby("query_idx")["vec_id"].apply(set).to_dict()
+    if not want:
+        return 1.0
+    return float(
+        np.mean([len(got.get(qi, set()) & w) / max(1, len(w)) for qi, w in want.items()])
+    )
+
+
 def ivf_topk(
     ds: Dataset,
     id_col: str,

@@ -43,12 +43,6 @@ from ..stages.decode import make_decode_pages
 from ..stages.recognize import Recognizer, drop_pixels
 from ..stages.segment import make_segment_batch
 
-# media->doc maps smaller than this are broadcast via ray.put; larger ones go
-# through the hash-partitioned Dataset.join (per-shard runs at 10^12-doc scale
-# keep the map bounded — see state/manifest.py)
-BROADCAST_MAX_ROWS = 2_000_000
-
-
 def recognized_lines(media: Dataset | str, cfg: PipelineConfig) -> Dataset:
     """media table -> recognized line rows (no doc context yet)."""
     page_set = parse_pages_set(cfg.page_set) if cfg.page_set else None
@@ -112,26 +106,27 @@ def attach_doc_order(rec: Dataset, media_map: Dataset, cfg: PipelineConfig, stra
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    mapping: dict[str, tuple[str, int]] = {}
-    for b in media_map.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for ref, doc, order in zip(
-            b.column("media_ref").to_pylist(),
-            b.column("doc_id").to_pylist(),
-            b.column("order").to_pylist(),
-        ):
-            mapping[ref] = (doc, order)
-    ref_handle = ray.put(mapping)
+    # broadcast map as ALIGNED ARROW ARRAYS: vectorized concat driver-side,
+    # vectorized pc.index_in/pc.take lookup inside every task — no per-row
+    # python dict build or list-comprehension probe anywhere on the path
+    m = pa.concat_tables(media_map.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    ref_handle = ray.put(
+        (
+            m.column("media_ref").combine_chunks(),
+            m.column("doc_id").combine_chunks(),
+            m.column("order").cast(pa.int32()).combine_chunks(),
+        )
+    )
 
     def lookup(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref_handle)
-        refs = batch.column("media_ref").to_pylist()
-        pairs = [m.get(r) for r in refs]
-        keep = [i for i, p in enumerate(pairs) if p is not None]
-        if len(keep) != len(pairs):  # inner-join semantics: unmapped media dropped
-            batch = batch.take(keep)
-            pairs = [pairs[i] for i in keep]
-        return batch.append_column("doc_id", pa.array([p[0] for p in pairs], pa.string())).append_column(
-            "order", pa.array([p[1] for p in pairs], pa.int32())
+        keys, docs, orders = ray.get(ref_handle)
+        idx = pc.index_in(batch.column("media_ref"), value_set=keys)
+        valid = pc.is_valid(idx)
+        if not pc.all(valid).as_py():  # inner-join semantics: unmapped dropped
+            batch = batch.filter(valid)
+            idx = idx.filter(valid)
+        return batch.append_column("doc_id", pc.take(docs, idx)).append_column(
+            "order", pc.take(orders, idx)
         )
 
     return rec.map_batches(lookup, batch_format="pyarrow")

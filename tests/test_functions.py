@@ -165,6 +165,31 @@ def test_ivf_topk_recall(ray_session):
         assert len(e & a) / len(e) >= 0.5  # documented: recall < 1 by design
 
 
+def test_ivf_index_persisted_matches_inline(ray_session, tmp_path):
+    """The persisted IVF index (parquet partitioned by cell + saved
+    centroids) returns the SAME rows as the inline ivf_topk under identical
+    centroids/nprobe, and reads only the probed cells' partitions."""
+    import os
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = vecs[:3]
+    ds = rd.from_pandas(emb.rename(columns={"embedding": "v"})[["vec_id", "v"]])
+    idx_dir = str(tmp_path / "ivf")
+    cents = F_sim.build_ivf_index(ds, "vec_id", "v", idx_dir, n_centroids=16)
+    assert os.path.exists(os.path.join(idx_dir, "centroids.npy"))
+    assert any(d.startswith("cell=") for d in os.listdir(idx_dir))
+
+    inline = F_sim.ivf_topk(ds, "vec_id", "v", q, k=10, centroids=cents, nprobe=8)
+    indexed = F_sim.ivf_topk_indexed(idx_dir, "vec_id", q, k=10, nprobe=8)
+    pd.testing.assert_frame_equal(
+        inline[["query_idx", "vec_id"]].reset_index(drop=True).astype("int64"),
+        indexed[["query_idx", "vec_id"]].reset_index(drop=True).astype("int64"),
+    )
+    exact = F_sim.brute_force_topk(ds, "vec_id", "v", q, k=10)
+    assert F_sim.ivf_recall(indexed, exact, 10) >= 0.5
+
+
 def test_textstats(ray_session):
     df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["Hello, World! 42", "", "a b  c"]})
     ds = rd.from_pandas(df)
