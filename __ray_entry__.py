@@ -422,6 +422,105 @@ def _q_union_customers(sf_dir: str):
     return F.distinct_on(u, ["c_custkey", "c_name"])
 
 
+def _q_asof_click_value(sf_dir: str):
+    """Custom operator: AS-OF join — each event picks the user's most recent
+    (ts'<=ts, inclusive) click's exact-cents value; -1 when no prior click.
+    Hash-bucketed by user, one vectorized merge_asof per bucket."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def clicks(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "click"))
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    right = ds.map_batches(clicks, batch_format="pyarrow")
+    left = ds.select_columns(["event_id", "user_id", "ts"])
+    out = F.asof_join(
+        left,
+        right,
+        "user_id",
+        "ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["user_id", "ts", "value_cents"],
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "last_click_cents": pd.to_numeric(b["value_cents"]).fillna(-1).astype("int64"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+_ROLL_W = 3
+
+
+def _q_rolling_sum_events(sf_dir: str):
+    """Windowed aggregate: per-user rolling sum of the last 3 event values
+    (exact cents), ordered by (ts, event_id) — grouped cumsum minus its
+    shifted self, fully vectorized per bucket."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    out = F.window_rolling_sum(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        "value_cents",
+        _ROLL_W,
+        out_col="roll_cents",
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["event_id", "user_id", "roll_cents"]].astype("int64")
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_top_terms(sf_dir: str):
+    """Wordcount at scale: global term frequency with a per-batch combiner,
+    top 50 by (count desc, token asc)."""
+    ds = F.load(sf_dir, "documents", columns=["text"])
+    counts = F_text.term_counts(ds, "text")
+    return F.topk(counts, "n", 50, descending=True, tiebreak=["token"]).select_columns(["token", "n"])
+
+
+def _q_median_value_by_type(sf_dir: str):
+    """Exact per-group median (bounded key domain — the documented
+    partitioning assumption) over exact-cents values."""
+    ds = F.load(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    return F.grouped_median(
+        ds.map_batches(to_cents, batch_format="pyarrow"), "event_type", "value_cents", out_col="median_cents"
+    )
+
+
 _SESSION_GAP_S = 3600
 
 
@@ -576,6 +675,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpeish_tokens": _q_bpeish_tokens,
         "json_extract_events": _q_json_extract_events,
         "union_customers": _q_union_customers,
+        "asof_click_value": _q_asof_click_value,
+        "rolling_sum_events": _q_rolling_sum_events,
+        "top_terms": _q_top_terms,
+        "median_value_by_type": _q_median_value_by_type,
         "sessionize_events": _q_sessionize_events,
         "tumbling_events": _q_tumbling_events,
         "token_count": _q_token_count,
@@ -673,6 +776,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7500
             UNION
             SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "asof_click_value": """
+            SELECT e.event_id, e.user_id,
+                   CAST(COALESCE(c.value_cents, -1) AS BIGINT) AS last_click_cents
+            FROM events e ASOF LEFT JOIN (
+                SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+                FROM events WHERE event_type = 'click'
+            ) c ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "rolling_sum_events": f"""
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS roll_cents
+            FROM events
+        """,
+        "top_terms": """
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "median_value_by_type": """
+            SELECT event_type,
+                   CAST(median(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS median_cents
+            FROM events GROUP BY event_type
         """,
         "sessionize_events": f"""
             SELECT event_id, user_id,

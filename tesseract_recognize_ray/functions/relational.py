@@ -226,6 +226,106 @@ def topk(ds: Dataset, col: str, k: int, descending: bool = True, tiebreak: list[
     return pruned.sort([c for c, _ in keys], descending=[d == "descending" for _, d in keys]).limit(k)
 
 
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    ts_col: str,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    num_buckets: int = 64,
+) -> Dataset:
+    """AS-OF join (left): each left row picks the most recent right row with
+    right.ts <= left.ts for the same key (inclusive — SQL ASOF `>=`
+    semantics). A custom operator Ray Data lacks, composed per the brief:
+    hash-bucket BOTH sides by key (one shuffle, co-location guaranteed: all
+    rows of a key land in one bucket), then ONE vectorized pd.merge_asof per
+    bucket. Right-side columns other than (key, ts) are attached; on exact
+    duplicate (key, ts) right rows the later one in (ts, stable input order)
+    wins — pre-dedupe the right side if that matters. Pass left_cols /
+    right_cols explicitly to avoid a schema probe on lazy inputs."""
+    from ..hashing import stable_bucket
+
+    left_cols = left_cols or list(left.schema().names)
+    right_cols = right_cols or list(right.schema().names)
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+    attach = [c for c in right_cols if c not in (key, ts_col)]
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["__bucket"] = stable_bucket(batch[key], num_buckets)
+            batch["__side"] = side
+            for c in all_cols:  # align schemas so the two sides union
+                if c not in batch.columns:
+                    batch[c] = pd.NA
+            return batch[all_cols + ["__bucket", "__side"]]
+
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas")
+    )
+
+    def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == "l"][left_cols].sort_values(ts_col, kind="mergesort")
+        rf = g[g["__side"] == "r"][right_cols].sort_values(ts_col, kind="mergesort")
+        if len(rf) == 0:
+            out = lf.copy()
+            for c in attach:
+                out[c] = pd.NA
+            return out
+        return pd.merge_asof(
+            lf, rf, on=ts_col, by=key, direction="backward", allow_exact_matches=True
+        )
+
+    return both.groupby("__bucket").map_groups(bucket_asof, batch_format="pandas")
+
+
+def window_rolling_sum(
+    ds: Dataset,
+    part_key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "rolling_sum",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-key rolling sum over the last `window` rows (SQL ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW). Fully vectorized per bucket:
+    grouped cumsum minus its window-shifted self — no per-key dispatch."""
+    from ..hashing import stable_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = stable_bucket(batch[part_key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values([part_key, *order_cols], kind="mergesort")
+        grp = g.groupby(part_key, sort=False)[value_col]
+        cs = grp.cumsum()
+        lag = cs.groupby(g[part_key], sort=False).shift(window)
+        g[out_col] = (cs - lag.fillna(0)).astype(g[value_col].dtype)
+        return g
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
+def grouped_median(ds: Dataset, key: str, value_col: str, out_col: str = "median") -> Dataset:
+    """Exact per-group median. Partitioning assumption (documented per the
+    brief's custom-operator rule): groupby(key) co-locates each group whole,
+    so this is safe when per-group cardinality fits a worker (bounded key
+    domains like enums/dates); for unbounded groups use a sort-based
+    quantile instead."""
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: [g[key].iloc[0]], out_col: [float(np.median(g[value_col]))]})
+
+    return ds.groupby(key).map_groups(med, batch_format="pandas")
+
+
 def distinct_on(ds: Dataset, cols: list[str]) -> Dataset:
     """Multi-column distinct (groupby + project)."""
     out = ds.groupby(cols).aggregate(Count(alias_name="__n"))

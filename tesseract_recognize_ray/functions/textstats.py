@@ -87,6 +87,22 @@ def quality_counts(ds: Dataset, id_col: str, text_col: str) -> Dataset:
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def term_counts(ds: Dataset, text_col: str) -> Dataset:
+    """Global term frequency (the web-scale wordcount): per-batch partial
+    counts (vectorized str.split().explode().value_counts() — the map-side
+    combiner), then ONE groupby(token) sum so the shuffle moves one row per
+    distinct token per block, never one row per occurrence."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[text_col].fillna("").str.split().explode().dropna().value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object), "n": vc.to_numpy()})
+
+    return ds.map_batches(partial, batch_format="pandas").groupby("token").aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
 class LangId:
     """Stopword + character-profile language scorer (n-gram heuristic).
     Profiles compiled once per actor (__init__), applied per batch."""

@@ -281,3 +281,59 @@ def test_verify_jaccard_joined_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(
         a[["id_a", "id_b", "jaccard"]], b[["id_a", "id_b", "jaccard"]]
     )
+
+
+def test_asof_join_matches_pandas(ray_session):
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "id": np.arange(200, dtype=np.int64),
+        "k": rng.integers(0, 5, 200),
+        "t": rng.integers(0, 1000, 200).astype("int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 60),
+        "t": rng.integers(0, 1000, 60).astype("int64"),
+        "v": np.arange(60, dtype=np.int64),
+    }).drop_duplicates(["k", "t"])
+    out = F.asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "t",
+        left_cols=["id", "k", "t"], right_cols=["k", "t", "v"],
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    gold = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort"),
+        on="t", by="k", direction="backward",
+    ).sort_values("id").reset_index(drop=True)
+    got = pd.to_numeric(out["v"]).to_numpy()
+    want = gold["v"].to_numpy()
+    assert ((np.isnan(got) & np.isnan(want)) | (got == want)).all()
+
+
+def test_window_rolling_sum_matches_pandas(ray_session):
+    ds = F.load(SF, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(b):
+        b = b.copy()
+        b["vc"] = (b["value"] * 100).round().astype("int64")
+        return b.drop(columns=["value"])
+
+    out = F.window_rolling_sum(
+        ds.map_batches(cents, batch_format="pandas"), "user_id", ["ts", "event_id"], "vc", 3, "roll"
+    ).to_pandas()
+    gold = pd.read_parquet(f"{SF}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    gold["vc"] = (gold["value"] * 100).round().astype("int64")
+    gold["roll"] = gold.groupby("user_id")["vc"].transform(
+        lambda s: s.rolling(3, min_periods=1).sum()
+    ).astype("int64")
+    m = out.set_index("event_id")["roll"].to_dict()
+    assert all(m[eid] == want for eid, want in gold.set_index("event_id")["roll"].items())
+
+
+def test_term_counts_and_median(ray_session):
+    df = pd.DataFrame({"text": ["a b a", "b c", None, "a"]})
+    tc = F_text.term_counts(rd.from_pandas(df), "text").to_pandas()
+    assert dict(zip(tc["token"], tc["n"])) == {"a": 3, "b": 2, "c": 1}
+
+    ev = pd.DataFrame({"k": ["x"] * 4 + ["y"] * 3, "v": [1, 2, 3, 4, 10, 30, 20]})
+    med = F.grouped_median(rd.from_pandas(ev), "k", "v", "m").to_pandas()
+    assert dict(zip(med["k"], med["m"])) == {"x": 2.5, "y": 20.0}
