@@ -8,6 +8,11 @@ media parquet in, ordered span rows (or PAGE XML) out.
         [--save-crops] [--quarantine] [--resume-sharded]
         [--num-cpus N] [--concurrency N]
 
+    # §3.2 re-recognition (reference's PAGE-XML input entry point):
+    python -m tesseract_recognize_ray --xml X.parquet --media M -o OUT
+        [--inplace] [--selection-level region|line|word] [--psm N]
+        [--image MEDIA_REF]
+
 Owns its Ray session (guarded init — never called from driver-managed code).
 Exit status follows the reference's convention: nonzero when nothing was
 written (tesseract-recognize.cc:866-877).
@@ -24,6 +29,7 @@ def build_config(args) -> "PipelineConfig":
     from .config import PipelineConfig
 
     return PipelineConfig(
+        psm=args.psm,
         layout_level=args.layout_level,
         text_levels=tuple(s for s in args.text_levels.split(",") if s) if args.text_levels else (),
         only_layout=args.only_layout,
@@ -37,8 +43,16 @@ def build_config(args) -> "PipelineConfig":
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="tesseract_recognize_ray")
-    ap.add_argument("--docs", required=True, help="interleaved docs parquet file or directory")
+    ap.add_argument("--docs", help="interleaved docs parquet file or directory")
     ap.add_argument("--media", required=True, help="media parquet file or directory")
+    ap.add_argument("--xml", help="PAGE XML parquet (doc_id, xml): the re-recognition entry point (§3.2)")
+    ap.add_argument("--inplace", action="store_true",
+                    help="with --xml: write the UPDATED XML documents (H2 write-back) instead of flat rows")
+    ap.add_argument("--selection-level", choices=["region", "line", "word"], default="region",
+                    help="with --xml: element type to re-recognize (node-level PSM rules apply)")
+    ap.add_argument("--psm", type=int, default=3)
+    ap.add_argument("--image", default=None,
+                    help="with --xml: media_ref override replacing the XML imageFilename (reference --image)")
     ap.add_argument("-o", "--output", required=True, help="output directory (partitioned parquet)")
     ap.add_argument("--format", choices=["spans", "pagexml"], default="spans")
     ap.add_argument("--layout-level", choices=["region", "line", "word", "glyph"], default="line")
@@ -53,6 +67,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     ap.add_argument("--concurrency", type=int, default=None, help="max recognizer actors")
     args = ap.parse_args(argv)
+    if args.docs is None and args.xml is None:
+        ap.error("one of --docs or --xml is required")
     if args.concurrency is None:
         args.concurrency = max(2, min(args.num_cpus - 2, 16))
 
@@ -69,6 +85,18 @@ def main(argv: list[str] | None = None) -> int:
             res = run_partitioned_sharded(args.docs, args.media, args.output, cfg)
             print(f"ran={len(res['ran'])} skipped={len(res['skipped'])} -> {args.output}", file=sys.stderr)
             return 0 if (res["ran"] or res["skipped"]) else 1
+        if args.xml:
+            import ray.data as rd
+
+            from .pipelines.rerecognize import rerecognize_inplace, rerecognize_pagexml
+
+            xml_ds = rd.read_parquet(args.xml, columns=["doc_id", "xml"])
+            fn = rerecognize_inplace if args.inplace else rerecognize_pagexml
+            ds = fn(xml_ds, args.media, cfg, level=args.selection_level, image_override=args.image)
+            ds.write_parquet(args.output)
+            n = sum(1 for f in os.listdir(args.output) if f.endswith(".parquet"))
+            print(f"wrote {n} parquet file(s) -> {args.output}", file=sys.stderr)
+            return 0 if n > 0 else 1
         if args.format == "pagexml":
             from .pagexml import extract_pagexml
 
