@@ -105,19 +105,27 @@ class _MinHasher:
 
 
 def minhash_signatures(
-    ds: Dataset, id_col: str, text_col: str, *, num_perm: int = 64, shingle_k: int = 5, concurrency=(1, 8)
+    ds: Dataset, id_col: str, text_col: str, *, num_perm: int = 64, shingle_k: int = 5, concurrency=None
 ) -> Dataset:
-    """(id, minhash signature) per doc; hashing state built once per actor."""
+    """(id, minhash signature) per doc. The permutation coefficients are
+    tiny and seed-deterministic, so by default the hasher instance ships in
+    the task closure (stateless task map — no actor-pool spawn latency);
+    pass concurrency=(min,max) to host it on an actor pool instead when a
+    long-running corpus-scale job amortizes the spawn."""
     renamed = ds.map_batches(
         lambda b: pa.table({"__id": b.column(id_col), "__text": b.column(text_col)}),
         batch_format="pyarrow",
     )
+    if concurrency is not None:
+        return renamed.map_batches(
+            _MinHasher,
+            fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+            batch_format="pandas",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return renamed.map_batches(
-        _MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pandas",
-        concurrency=concurrency,
-        num_cpus=1,
+        _MinHasher(num_perm=num_perm, shingle_k=shingle_k), batch_format="pandas"
     )
 
 
@@ -132,7 +140,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 64,
     min_est: float = 0.0,
     lsh_groups: int = 256,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> Dataset:
     """Candidate near-duplicate pairs (id_a < id_b, est_jaccard,
     bucket_truncated) via banded MinHash-LSH. est_jaccard = fraction of
@@ -304,39 +312,21 @@ def verify_jaccard_pairs_joined(
     return j.map_batches(score, batch_format="pandas")
 
 
-class _SimHash64:
-    """Stateful simhash stage: blake2b token hashes are computed ONCE per
-    unique token per actor (Zipfian corpora re-see the same vocabulary
-    constantly) and cached as ±1 bit-rows; per-batch work is a single
-    pd.factorize + one np.add.reduceat over the gathered rows. Output is
-    byte-identical to hashing every token occurrence individually."""
+def simhash64(ds: Dataset, id_col: str, text_col: str) -> Dataset:
+    """64-bit simhash fingerprint per doc (token-level, blake2b token hashes).
+    Returns (id_col, simhash: hex string) — hex keeps uint64 portable.
 
-    def __init__(self, id_col: str, text_col: str):
-        self.id_col = id_col
-        self.text_col = text_col
-        self._idx: dict[str, int] = {}
-        self._mat = np.empty((0, 64), dtype=np.int8)
-        self._shifts = np.arange(64, dtype=np.uint64)
-        self._pows = np.uint64(1) << self._shifts
+    Vectorized: ONE pd.factorize over the batch's tokens, blake2b only for
+    the batch-unique vocabulary (Zipf: a small fraction of occurrences), ±1
+    bit-rows gathered and summed per doc with np.add.reduceat. Stateless
+    task map (no actor pool): the per-batch vocabulary dedupe captures
+    nearly all the cache win without paying actor spawn latency on small
+    inputs. Output byte-identical to hashing every occurrence."""
+    shifts = np.arange(64, dtype=np.uint64)
+    pows = np.uint64(1) << shifts
 
-    def _rows_for(self, uniques: np.ndarray) -> np.ndarray:
-        new = [t for t in uniques if t not in self._idx]
-        if new:
-            rows = np.empty((len(new), 64), dtype=np.int8)
-            for i, tok in enumerate(new):
-                h = np.uint64(
-                    int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
-                )
-                bits = ((h >> self._shifts) & np.uint64(1)).astype(bool)
-                rows[i] = np.where(bits, 1, -1)
-            start = len(self._mat)
-            self._mat = np.vstack([self._mat, rows])
-            for i, tok in enumerate(new):
-                self._idx[tok] = start + i
-        return np.fromiter((self._idx[t] for t in uniques), dtype=np.int64, count=len(uniques))
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        tok_lists = [t.split() for t in batch[self.text_col].tolist()]
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [t.split() for t in batch[text_col].tolist()]
         counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
         out = np.full(len(tok_lists), "0" * 16, dtype=object)
         total = int(counts.sum())
@@ -347,27 +337,21 @@ class _SimHash64:
                 itertools.chain.from_iterable(tok_lists), dtype=object, count=total
             )
             codes, uniques = pd.factorize(all_toks)
-            # grow the cache BEFORE indexing (self._mat is reassigned inside)
-            ix = self._rows_for(uniques)
-            rows = self._mat[ix[codes]].astype(np.int32)
+            mat = np.empty((len(uniques), 64), dtype=np.int8)
+            for i, tok in enumerate(uniques):
+                h = np.uint64(
+                    int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+                )
+                mat[i] = np.where(((h >> shifts) & np.uint64(1)).astype(bool), 1, -1)
+            rows = mat[codes].astype(np.int32)
             offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
             nonempty = counts > 0
             acc = np.add.reduceat(rows, offsets[nonempty], axis=0)
-            fps = ((acc > 0).astype(np.uint64) * self._pows).sum(axis=1)
+            fps = ((acc > 0).astype(np.uint64) * pows).sum(axis=1)
             out[nonempty] = [f"{v:016x}" for v in fps]
-        return pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(), "simhash": out})
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(), "simhash": out})
 
-
-def simhash64(ds: Dataset, id_col: str, text_col: str, concurrency=(1, 4)) -> Dataset:
-    """64-bit simhash fingerprint per doc (token-level, blake2b token hashes).
-    Returns (id_col, simhash: hex string) — hex keeps uint64 portable."""
-    return ds.map_batches(
-        _SimHash64,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
-        batch_format="pandas",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 def embedding_near_dup_pairs(

@@ -191,40 +191,19 @@ def json_extract_int(ds: Dataset, json_col: str, key: str, out_col: str) -> Data
     return ds.map_batches(fn, batch_format="pandas")
 
 
-class _Winnower:
-    """Stateful winnowing stage: blake2b token hashes cached once per unique
-    token per actor (one pd.factorize per batch, hash only NEW vocabulary);
-    window minima via a vectorized sliding window. Output byte-identical to
-    hashing every token occurrence individually."""
+def fingerprint(ds: Dataset, text_col: str, out_col: str = "fingerprint", window: int = 8) -> Dataset:
+    """Winnowed rolling-hash document fingerprint (Rabin-Karp over tokens,
+    min-hash per window — the standard winnowing scheme). Hex string.
 
-    def __init__(self, text_col: str, out_col: str, window: int):
-        self.text_col = text_col
-        self.out_col = out_col
-        self.window = window
-        self._idx: dict[str, int] = {}
-        self._hashes = np.empty(0, dtype=np.uint64)
+    Vectorized: ONE pd.factorize over the batch's tokens, blake2b only for
+    the batch-unique vocabulary, window minima via a vectorized sliding
+    window. Stateless task map (no actor-pool spawn latency); output
+    byte-identical to hashing every token occurrence."""
 
-    def _hash_for(self, uniques: np.ndarray) -> np.ndarray:
-        new = [t for t in uniques if t not in self._idx]
-        if new:
-            h = np.fromiter(
-                (
-                    int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-                    for t in new
-                ),
-                dtype=np.uint64,
-                count=len(new),
-            )
-            start = len(self._hashes)
-            self._hashes = np.concatenate([self._hashes, h])
-            for i, tok in enumerate(new):
-                self._idx[tok] = start + i
-        return np.fromiter((self._idx[t] for t in uniques), dtype=np.int64, count=len(uniques))
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
         from numpy.lib.stride_tricks import sliding_window_view
 
-        tok_lists = [t.split() for t in batch[self.text_col].fillna("").tolist()]
+        tok_lists = [t.split() for t in batch[text_col].fillna("").tolist()]
         counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
         total = int(counts.sum())
         out = ["0" * 16] * len(tok_lists)
@@ -235,32 +214,26 @@ class _Winnower:
                 itertools.chain.from_iterable(tok_lists), dtype=object, count=total
             )
             codes, uniques = pd.factorize(all_toks)
-            # grow the cache BEFORE indexing (self._hashes is reassigned inside)
-            ix = self._hash_for(uniques)
-            hs_all = self._hashes[ix[codes]]
+            huniq = np.fromiter(
+                (
+                    int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+                    for t in uniques
+                ),
+                dtype=np.uint64,
+                count=len(uniques),
+            )
+            hs_all = huniq[codes]
             offsets = np.concatenate(([0], np.cumsum(counts)))
             for i, n in enumerate(counts):
                 if not n:
                     continue
                 hs = hs_all[offsets[i] : offsets[i + 1]]
-                if n >= self.window:
-                    mins = np.ascontiguousarray(sliding_window_view(hs, self.window).min(axis=1))
+                if n >= window:
+                    mins = np.ascontiguousarray(sliding_window_view(hs, window).min(axis=1))
                 else:
                     mins = hs
                 out[i] = hashlib.blake2b(mins.tobytes(), digest_size=8).hexdigest()
-        batch[self.out_col] = out
+        batch[out_col] = out
         return batch
 
-
-def fingerprint(
-    ds: Dataset, text_col: str, out_col: str = "fingerprint", window: int = 8, concurrency=(1, 4)
-) -> Dataset:
-    """Winnowed rolling-hash document fingerprint (Rabin-Karp over tokens,
-    min-hash per window — the standard winnowing scheme). Hex string."""
-    return ds.map_batches(
-        _Winnower,
-        fn_constructor_kwargs={"text_col": text_col, "out_col": out_col, "window": window},
-        batch_format="pandas",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    return ds.map_batches(fn, batch_format="pandas")
