@@ -89,10 +89,14 @@ def corpus_for(sf_dir: str, n_docs: int | None = None) -> tuple[dict[str, str], 
 
 
 def _scaling_docs(sf_dir: str) -> int:
-    """Scaling runs use a 2x corpus: per-run fixed latency (~6s actor spawn
-    + shuffle barriers) must stay small vs compute at the 4N level, or the
-    sandbox proxy measures launch latency instead of throughput."""
-    return 2 * _N_DOCS.get(_sf_name(sf_dir), 1000)
+    """Scaling runs use a 4x corpus: per-run fixed latency (~5-6s actor
+    spawn + shuffle barriers, identical at both levels) must stay small vs
+    compute at the 4N level, or the sandbox proxy measures launch latency
+    instead of throughput. Round 2's vectorization roughly doubled engine
+    throughput, so the round-1 2x corpus left the 16-CPU level ~35% fixed
+    latency (12k docs / ~906 docs/s = 13s wall, ~5s fixed) — 24k docs
+    restores a compute-dominated measurement."""
+    return 4 * _N_DOCS.get(_sf_name(sf_dir), 1000)
 
 
 def _cfg(cpus: int):

@@ -105,7 +105,7 @@ def elements_to_pagexml(
     pages are never added by the reference either). A media whose rows were
     entirely filtered out upstream is not recoverable here (the inventory
     derives from the rows)."""
-    df = elements[elements["level"].isin(["line", "word"])].copy()
+    df = elements[elements["level"].isin(["line", "word", "glyph"])].copy()
     df = df.sort_values(["order", "page", "block", "para", "line", "word"], kind="mergesort")
     out = [
         '<?xml version="1.0" encoding="utf-8"?>\n'
@@ -233,10 +233,33 @@ def elements_to_pagexml(
                         filler = (
                             '<Property key="coords-unk-filler"/>' if wd.coords_filled else ""
                         )
+                        # RIL_SYMBOL depth (H1, reference :758-766): Glyph
+                        # elements nest under their word by x-containment
+                        # (word and glyph boxes derive from the same grid)
+                        glyphs = reg[
+                            (reg["level"] == "glyph")
+                            & (reg["line"] == ln.line)
+                            & (reg["x0"] >= wd.x0)
+                            & (reg["x1"] <= wd.x1)
+                        ].sort_values("x0", kind="mergesort")
+                        gparts = []
+                        for g_i, gl in enumerate(glyphs.itertuples()):
+                            gid = f"{wid}_g{g_i + 1}"
+                            gquad = quad_from_bbox(
+                                *tx_bbox(gl.x0, gl.y0, gl.x1, gl.y1), orient, page_w=w or None, page_h=h or None
+                            )
+                            gconf = "" if pd.isna(gl.conf) else f' conf="{gl.conf:g}"'
+                            gparts.append(
+                                f"<Glyph id={quoteattr(gid)}>"
+                                f'<Coords points="{_pts(gquad)}"/>'
+                                f"<TextEquiv{gconf}><Unicode>{escape(str(gl.text))}</Unicode></TextEquiv>"
+                                "</Glyph>"
+                            )
                         out.append(
                             f"        <Word id={quoteattr(wid)}>{filler}"
                             f'<Coords points="{_pts(wquad)}"/>'
-                            f"<TextEquiv{conf}><Unicode>{escape(str(wd.text))}</Unicode></TextEquiv>"
+                            + "".join(gparts)
+                            + f"<TextEquiv{conf}><Unicode>{escape(str(wd.text))}</Unicode></TextEquiv>"
                             "</Word>\n"
                         )
                     if ln.text is not None and not (isinstance(ln.text, float) and pd.isna(ln.text)):
@@ -313,6 +336,23 @@ def parse_pagexml(xml_str: str) -> pd.DataFrame:
                             "conf": float(wte.get("conf")) if wte is not None and wte.get("conf") else None,
                         }
                     )
+                    for gl in wd.findall("p:Glyph", ns):
+                        gte = gl.find("p:TextEquiv", ns)
+                        guni = gte.find("p:Unicode", ns) if gte is not None else None
+                        rows.append(
+                            {
+                                "image_filename": fname,
+                                "page_idx": p_idx,
+                                "orientation_deg": orientation_deg,
+                                "region_id": rid,
+                                "line_id": gl.get("id"),
+                                "level": "glyph",
+                                "coords": pts(gl.find("p:Coords", ns)),
+                                "baseline": None,
+                                "text": guni.text if guni is not None else None,
+                                "conf": float(gte.get("conf")) if gte is not None and gte.get("conf") else None,
+                            }
+                        )
     return pd.DataFrame(rows)
 
 

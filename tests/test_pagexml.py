@@ -233,3 +233,28 @@ def test_orientation_pass_dominant_baselines(ray_session):
     assert bl[0][1] == bl[1][1]  # baseline is horizontal after the pass
     assert bl[1][0] > bl[0][0]  # and reads left-to-right
     assert 'imageWidth="200" imageHeight="100"' in out
+
+
+def test_glyph_level_emission_roundtrip(ray_session, tiny_corpus):
+    """H1 RIL_SYMBOL depth in the XML: layout_level='glyph' nests Glyph
+    elements under their Word (x-containment), glyph texts join back to the
+    word text, and parse_pagexml reads them back."""
+    from tesseract_recognize_ray.config import PipelineConfig
+
+    cfg = PipelineConfig(layout_level="glyph")
+    out = extract_pagexml(tiny_corpus["docs"], tiny_corpus["media"], cfg).to_pandas()
+    checked = 0
+    for _, row in out.head(4).iterrows():
+        df = parse_pagexml(row["xml"])
+        words = df[df["level"] == "word"]
+        glyphs = df[df["level"] == "glyph"]
+        assert len(glyphs) > 0
+        gl_by_word = {}
+        for _, g in glyphs.iterrows():
+            wid = g["line_id"].rsplit("_g", 1)[0]
+            gl_by_word.setdefault(wid, []).append(g["text"])
+        for _, wd in words.iterrows():
+            if wd["line_id"] in gl_by_word:
+                assert "".join(gl_by_word[wd["line_id"]]) == wd["text"]
+                checked += 1
+    assert checked > 0

@@ -120,3 +120,23 @@ def test_image_override_requests():
     assert len(reqs) == 1 and (reqs["media_ref"] == "m-other").all()
     reqs2 = _xml_to_crop_requests("region")(batch)
     assert (reqs2["media_ref"] == "m-orig").all()
+
+
+def test_rerecognize_glyph_selection(ray_session, tiny_corpus):
+    """Glyph selection: PSM must be 10 (reference :578-582); each selected
+    Glyph crop re-recognizes to its own character."""
+    import pytest
+
+    from tesseract_recognize_ray.config import PipelineConfig
+
+    cfg_x = PipelineConfig(layout_level="glyph")
+    xml = extract_pagexml(tiny_corpus["docs"], tiny_corpus["media"], cfg_x).to_pandas().head(3)
+    cfg = PipelineConfig(psm=10, layout_level="glyph")
+    out = rerecognize_pagexml(rd.from_pandas(xml), tiny_corpus["media"], cfg, level="glyph").to_pandas()
+    assert len(out) > 0
+    assert out["crop_id"].str.contains("_g").all()
+    assert (out["text"].str.len() == 1).all()  # one glyph -> one character
+
+    with pytest.raises(ValueError, match="illegal for node level"):
+        rerecognize_pagexml(rd.from_pandas(xml), tiny_corpus["media"],
+                            PipelineConfig(psm=3, layout_level="glyph"), level="glyph")
