@@ -207,7 +207,7 @@ def _q_events_by_type(sf_dir: str):
 
 def _q_token_count(sf_dir: str):
     """Text analysis: whitespace token count per document."""
-    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
     out = F_text.token_count(ds, "text")
 
     def project(b: pa.Table) -> pa.Table:
@@ -218,14 +218,14 @@ def _q_token_count(sf_dir: str):
 
 def _q_quality_counts(sf_dir: str):
     """Text analysis: exact integer quality signals per document."""
-    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
     return F_text.quality_counts(ds, "doc_id", "text")
 
 
 def _q_exact_dedup(sf_dir: str):
     """Dedup: exact content-hash dedup — smallest doc_id per distinct text;
     only (hash, id) pairs cross the shuffle."""
-    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
     return F_dedup.exact_dedup(ds, "doc_id", "text")
 
 
@@ -241,7 +241,7 @@ def _q_ann_brute_force(sf_dir: str):
     qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     qids = qdf["vec_id"].to_numpy()
-    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
     res = F_sim.brute_force_topk(ds, "vec_id", "embedding", queries, k=_ANN_K)
     res["query_id"] = qids[res["query_idx"].to_numpy()]
     res["rank"] = res.groupby("query_idx").cumcount() + 1
@@ -255,7 +255,7 @@ def _q_ann_ivf(sf_dir: str):
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
-    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
     res = F_sim.ivf_topk(ds, "vec_id", "embedding", queries, k=_ANN_K, n_centroids=32, nprobe=8)
     res["rank"] = res.groupby("query_idx").cumcount() + 1
     return res[["query_idx", "vec_id", "rank"]].astype({"query_idx": "int64", "vec_id": "int64", "rank": "int64"})
@@ -271,7 +271,7 @@ def _q_ann_ivf_indexed(sf_dir: str):
     from tesseract_recognize_ray.functions.similarity import build_ivf_index, ivf_topk_indexed
 
     idx_dir = f"/tmp/trr_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}"
-    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
     if not os.path.exists(os.path.join(idx_dir, "centroids.npy")):
         build_ivf_index(ds, "vec_id", "embedding", idx_dir, n_centroids=32)
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -285,7 +285,7 @@ def _q_ann_ivf_indexed(sf_dir: str):
 def _q_minhash_pairs(sf_dir: str):
     """Dedup: MinHash-LSH candidate near-duplicate pairs (signatures shuffle,
     never the text). Non-SQL: probabilistic sketch; rows-only check."""
-    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
     pairs = F_dedup.minhash_lsh_pairs(
         ds, "doc_id", "text", num_perm=64, bands=16, shingle_k=5, min_est=0.5
     )
@@ -295,14 +295,14 @@ def _q_minhash_pairs(sf_dir: str):
 def _q_simhash(sf_dir: str):
     """Dedup: 64-bit simhash fingerprint per document (hex). Deterministic
     but not SQL-expressible; rows-only check."""
-    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
     return F_dedup.simhash64(ds, "doc_id", "text")
 
 
 def _q_fingerprint(sf_dir: str):
     """Text analysis: winnowed rolling-hash document fingerprint (hex).
     Rows-only check."""
-    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
     out = F_text.fingerprint(ds, "text")
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
@@ -314,7 +314,7 @@ def _q_fingerprint(sf_dir: str):
 def _q_lang_id(sf_dir: str):
     """Text analysis: stopword/char-profile language ID (stateful actor pool,
     profiles compiled once per actor). Rows-only check."""
-    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
     out = F_text.lang_id(ds)
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
@@ -326,7 +326,7 @@ def _q_lang_id(sf_dir: str):
 def _q_embedding_near_dup(sf_dir: str):
     """Dedup: embedding-cosine near-duplicate pairs via random-hyperplane LSH
     buckets. Approximate by design; rows-only check."""
-    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
     dim = len(pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).iloc[0, 0])
     out = F_dedup.embedding_near_dup_pairs(ds, "vec_id", "embedding", dim=dim, n_planes=6, threshold=0.35)
     df = out.to_pandas()
@@ -394,7 +394,7 @@ def _q_parts_by_brand(sf_dir: str):
 def _q_bpeish_tokens(sf_dir: str):
     """Text analysis: subword-ish token count (letter runs / digit runs /
     single punctuation) per document."""
-    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
     out = F_text.bpeish_token_count(ds, "text")
 
     def project(b: pa.Table) -> pa.Table:
@@ -498,7 +498,7 @@ def _q_rolling_sum_events(sf_dir: str):
 def _q_top_terms(sf_dir: str):
     """Wordcount at scale: global term frequency with a per-batch combiner,
     top 50 by (count desc, token asc)."""
-    ds = F.load(sf_dir, "documents", columns=["text"])
+    ds = F.load(sf_dir, "documents", columns=["text"], num_blocks=16)
     counts = F_text.term_counts(ds, "text")
     return F.topk(counts, "n", 50, descending=True, tiebreak=["token"]).select_columns(["token", "n"])
 

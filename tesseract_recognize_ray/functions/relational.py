@@ -31,9 +31,17 @@ TABLES = (
 ).split()
 
 
-def load(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
-    """Column-pruned parquet read of one testdata table."""
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def load(
+    sf_dir: str, table: str, columns: list[str] | None = None, num_blocks: int | None = None
+) -> Dataset:
+    """Column-pruned parquet read of one testdata table. ``num_blocks``
+    splits the READ itself (override_num_blocks — no shuffle): a
+    single-file table otherwise yields ~1 block, serializing every
+    downstream map_batches; production corpora with many input files
+    don't need it."""
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=num_blocks
+    )
 
 
 # ---------------------------------------------------------------- grouped agg
