@@ -68,13 +68,26 @@ def brute_force_topk(
     return cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
 
 
-def build_ivf_centroids(ds: Dataset, vec_col: str, n_centroids: int = 64, seed: int = 42) -> np.ndarray:
-    """Seeded reservoir-free centroid pick: sample ~4x candidates, keep the
-    first n unique. Cheap, deterministic, good enough for cell routing."""
-    frac = min(1.0, (n_centroids * 4) / max(1, ds.count()))
+def build_ivf_centroids(
+    ds: Dataset, vec_col: str, n_centroids: int = 64, seed: int = 42, lloyd_iters: int = 10
+) -> np.ndarray:
+    """Seeded spherical k-means on a bounded sample: sample ~16x n
+    candidates (driver-held — thousands of vectors, not the corpus), init
+    from the first n, then a few vectorized Lloyd iterations maximizing
+    cosine. Deterministic; the sample bound keeps this O(sample x n x d)
+    regardless of corpus size."""
+    frac = min(1.0, (n_centroids * 16) / max(1, ds.count()))
     sample = ds.random_sample(frac, seed=seed).take_all()
     vecs = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample]))
-    return vecs[:n_centroids]
+    cents = vecs[:n_centroids].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(vecs @ cents.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cents[c] = vecs[m].mean(axis=0)
+        cents = _normalize(cents)
+    return cents
 
 
 def build_ivf_index(
