@@ -422,6 +422,44 @@ def _q_union_customers(sf_dir: str):
     return F.distinct_on(u, ["c_custkey", "c_name"])
 
 
+def _q_customer_order_counts(sf_dir: str):
+    """J-family, LEFT OUTER shape: every customer with their order count and
+    exact-cents total — customers with no orders kept at 0. Scale shape:
+    pre-aggregate orders per custkey (combiner groupby — one row per key
+    reaches the join), then a hash LEFT join against the customer table."""
+    cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = F.load(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "price_cents": pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64()),
+            }
+        )
+
+    per_cust = F.grouped_agg(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("price_cents", "sum", "total_cents"), ("price_cents", "count", "n_orders")],
+    )
+    joined = cust.join(
+        per_cust, join_type="left_outer", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype("int64"),
+                "c_name": b["c_name"],
+                "n_orders": pd.to_numeric(b["n_orders"]).fillna(0).astype("int64"),
+                "total_cents": pd.to_numeric(b["total_cents"]).fillna(0).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
 def _q_asof_click_value(sf_dir: str):
     """Custom operator: AS-OF join — each event picks the user's most recent
     (ts'<=ts, inclusive) click's exact-cents value; -1 when no prior click.
@@ -675,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpeish_tokens": _q_bpeish_tokens,
         "json_extract_events": _q_json_extract_events,
         "union_customers": _q_union_customers,
+        "customer_order_counts": _q_customer_order_counts,
         "asof_click_value": _q_asof_click_value,
         "rolling_sum_events": _q_rolling_sum_events,
         "top_terms": _q_top_terms,
@@ -776,6 +815,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7500
             UNION
             SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "customer_order_counts": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(o.total_cents, 0) AS BIGINT) AS total_cents
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+            ) o ON c.c_custkey = o.o_custkey
         """,
         "asof_click_value": """
             SELECT e.event_id, e.user_id,
