@@ -270,7 +270,13 @@ def _q_ann_ivf_indexed(sf_dir: str):
 
     from tesseract_recognize_ray.functions.similarity import build_ivf_index, ivf_topk_indexed
 
-    idx_dir = f"/tmp/trr_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}"
+    # cache key includes the source file's size+mtime: a regenerated corpus
+    # under the same path must NOT silently reuse the old cell assignments
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    idx_dir = (
+        f"/tmp/trr_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_size}_{int(st.st_mtime)}"
+    )
     ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
     if not os.path.exists(os.path.join(idx_dir, "centroids.npy")):
         build_ivf_index(ds, "vec_id", "embedding", idx_dir, n_centroids=32)

@@ -23,4 +23,8 @@ Layout:
   functions/  — relational / dedup / similarity / text-analysis operators
 """
 
-__version__ = "0.1.0"
+# 0.2.0: doc_partition switched crc32 -> fixed-key vectorized hash; the
+# version feeds lineage_hash, so manifests written under the old bucket
+# assignment fail the resume check and re-run instead of silently mixing
+# partition schemes (docs lost/duplicated across old and new buckets).
+__version__ = "0.2.0"

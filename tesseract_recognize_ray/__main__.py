@@ -25,6 +25,21 @@ import os
 import sys
 
 
+def _write_and_count(ds, output: str) -> int:
+    """Write the dataset and return the ROW count of files created by THIS
+    run (pre-existing parquet in the directory doesn't count) — the exit
+    convention follows the reference's bytes-written check
+    (tesseract-recognize.cc:866-877)."""
+    import pyarrow.parquet as pq
+
+    before = set(os.listdir(output)) if os.path.isdir(output) else set()
+    ds.write_parquet(output)
+    new = [f for f in os.listdir(output) if f.endswith(".parquet") and f not in before]
+    rows = sum(pq.read_metadata(os.path.join(output, f)).num_rows for f in new)
+    print(f"wrote {rows} row(s) in {len(new)} parquet file(s) -> {output}", file=sys.stderr)
+    return rows
+
+
 def build_config(args) -> "PipelineConfig":
     from .config import PipelineConfig
 
@@ -93,10 +108,7 @@ def main(argv: list[str] | None = None) -> int:
             xml_ds = rd.read_parquet(args.xml, columns=["doc_id", "xml"])
             fn = rerecognize_inplace if args.inplace else rerecognize_pagexml
             ds = fn(xml_ds, args.media, cfg, level=args.selection_level, image_override=args.image)
-            ds.write_parquet(args.output)
-            n = sum(1 for f in os.listdir(args.output) if f.endswith(".parquet"))
-            print(f"wrote {n} parquet file(s) -> {args.output}", file=sys.stderr)
-            return 0 if n > 0 else 1
+            return 0 if _write_and_count(ds, args.output) > 0 else 1
         if args.format == "pagexml":
             from .pagexml import extract_pagexml
 
@@ -105,10 +117,7 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.extract import extract_spans
 
             ds = extract_spans(args.docs, args.media, cfg)
-        ds.write_parquet(args.output)
-        n = sum(1 for f in os.listdir(args.output) if f.endswith(".parquet"))
-        print(f"wrote {n} parquet file(s) -> {args.output}", file=sys.stderr)
-        return 0 if n > 0 else 1
+        return 0 if _write_and_count(ds, args.output) > 0 else 1
     finally:
         ray.shutdown()
 

@@ -158,6 +158,11 @@ def minhash_lsh_pairs(
     in one group (unbounded at corpus scale); with the composite key each of
     the lsh_groups groups holds ~1/lsh_groups of the banded rows, and a
     group never splits an LSH bucket (same (band, bh) -> same group)."""
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); the "
+            "banding scheme uses every signature component exactly once"
+        )
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency)
     _FNV = np.uint64(1099511628211)
@@ -170,7 +175,13 @@ def minhash_lsh_pairs(
         n = len(batch)
         if n == 0:
             return pd.DataFrame(
-                {"__id": [], "band": [], "bh": [], "__g": [], "__sig": []}
+                {
+                    "__id": pd.Series(dtype="object"),
+                    "band": pd.Series(dtype="int32"),
+                    "bh": pd.Series(dtype="int64"),
+                    "__g": pd.Series(dtype="int32"),
+                    "__sig": pd.Series(dtype="object"),
+                }
             )
         ids = batch["__id"].to_numpy()
         sig = np.stack([np.asarray(s, dtype=np.int64) for s in batch["__sig"].tolist()]).view(np.uint64)

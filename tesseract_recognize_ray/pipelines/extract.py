@@ -109,7 +109,15 @@ def attach_doc_order(rec: Dataset, media_map: Dataset, cfg: PipelineConfig, stra
     # broadcast map as ALIGNED ARROW ARRAYS: vectorized concat driver-side,
     # vectorized pc.index_in/pc.take lookup inside every task — no per-row
     # python dict build or list-comprehension probe anywhere on the path
-    m = pa.concat_tables(media_map.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    batches = list(media_map.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    if not batches:  # empty partition: no media to attach (valid — all-text docs)
+        batches = [
+            pa.table(
+                {"media_ref": pa.array([], pa.string()), "doc_id": pa.array([], pa.string()),
+                 "order": pa.array([], pa.int32())}
+            )
+        ]
+    m = pa.concat_tables(batches)
     ref_handle = ray.put(
         (
             m.column("media_ref").combine_chunks(),

@@ -69,15 +69,18 @@ def _xml_to_crop_requests(level: str = "region", image_override: str | None = No
             def emit(fname, crop_id, odeg, coords, doc_id=row.doc_id):
                 media_ref = fname.split("[")[0]
                 page = int(fname.split("[")[1].rstrip("]")) if "[" in fname else 0
-                if image_override is not None:
-                    media_ref = image_override
                 xs = [p[0] for p in coords]
                 ys = [p[1] for p in coords]
                 out.append(
                     {
                         "doc_id": doc_id,
                         "crop_id": crop_id,
+                        # media_ref stays the XML's identity (imageFilename)
+                        # so write-back can find the node; src_ref is the
+                        # raster actually read (--image swaps only the
+                        # source, reference :414-420)
                         "media_ref": media_ref,
+                        "src_ref": image_override if image_override is not None else media_ref,
                         "page": page,
                         # XML coords live in upright space; the Property
                         # records how the stored raster must rotate first
@@ -104,7 +107,7 @@ def _xml_to_crop_requests(level: str = "region", image_override: str | None = No
                     emit(r.image_filename, r.line_id, r.orientation_deg, r.coords)
         return pd.DataFrame(
             out,
-            columns=["doc_id", "crop_id", "media_ref", "page", "orientation_deg", "x0", "y0", "x1", "y1"],
+            columns=["doc_id", "crop_id", "media_ref", "src_ref", "page", "orientation_deg", "x0", "y0", "x1", "y1"],
         )
 
     return fn
@@ -112,28 +115,42 @@ def _xml_to_crop_requests(level: str = "region", image_override: str | None = No
 
 # ----------------------------------------------------- media location index
 def media_locations(files: list[str]) -> Dataset:
-    """(media_ref, __path, __rg) — which parquet row group holds each media
-    row. Built distributed, reading ONLY the media_ref column (strings; the
-    pixel column never loads)."""
-    splits = [
-        {"path": f, "rg": i}
-        for f in sorted(files)
-        for i in range(pq.read_metadata(f).num_row_groups)
-    ]
+    """(media_ref, __path, __rg, __row_start, __row_count) — which parquet
+    row group holds each media row, plus the group's row range (so callers
+    like the partitioned runner can build read splits WITHOUT re-reading any
+    footer). Built distributed, reading ONLY the media_ref column (strings;
+    the pixel column never loads)."""
+    splits = []
+    for f in sorted(files):
+        md = pq.read_metadata(f)
+        start = 0
+        for i in range(md.num_row_groups):
+            n = md.row_group(i).num_rows
+            splits.append({"path": f, "rg": i, "row_start": start, "row_count": n})
+            start += n
 
     def read_refs(batch: pa.Table) -> pa.Table:
-        refs, paths, rgs = [], [], []
-        for path, rg in zip(batch.column("path").to_pylist(), batch.column("rg").to_pylist()):
+        refs, paths, rgs, starts, counts = [], [], [], [], []
+        for path, rg, rs, rc in zip(
+            batch.column("path").to_pylist(),
+            batch.column("rg").to_pylist(),
+            batch.column("row_start").to_pylist(),
+            batch.column("row_count").to_pylist(),
+        ):
             t = pq.ParquetFile(path).read_row_group(rg, columns=["media_ref"], use_threads=False)
             col = t.column("media_ref").to_pylist()
             refs.extend(col)
             paths.extend([path] * len(col))
             rgs.extend([rg] * len(col))
+            starts.extend([rs] * len(col))
+            counts.extend([rc] * len(col))
         return pa.table(
             {
                 "media_ref": pa.array(refs, pa.string()),
                 "__path": pa.array(paths, pa.string()),
                 "__rg": pa.array(rgs, pa.int32()),
+                "__row_start": pa.array(starts, pa.int64()),
+                "__row_count": pa.array(counts, pa.int64()),
             }
         )
 
@@ -146,7 +163,9 @@ def _attach_locations(reqs: Dataset, locs: Dataset, strategy: str, num_partition
     assumption); 'hash' is the unbounded-corpus path (Dataset.join moves
     only request rows + location strings, never pixels)."""
     if strategy == "hash":
-        return reqs.join(locs, join_type="inner", num_partitions=num_partitions, on=("media_ref",))
+        return reqs.join(
+            locs, join_type="inner", num_partitions=num_partitions, on=("src_ref",), right_on=("media_ref",)
+        )
     mapping: dict[str, tuple[str, int]] = {}
     for b in locs.iter_batches(batch_size=65536, batch_format="pyarrow"):
         mapping.update(
@@ -159,7 +178,7 @@ def _attach_locations(reqs: Dataset, locs: Dataset, strategy: str, num_partition
 
     def lookup(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(ref)
-        loc = [m.get(r) for r in batch["media_ref"]]
+        loc = [m.get(r) for r in batch["src_ref"]]
         keep = [i for i, v in enumerate(loc) if v is not None]
         batch = batch.iloc[keep].copy()
         batch["__path"] = [loc[i][0] for i in keep]
@@ -178,15 +197,15 @@ def _make_loc_recognizer(only_layout: bool):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         path, rg = g["__path"].iloc[0], int(g["__rg"].iloc[0])
         tbl = pq.ParquetFile(path).read_row_group(rg, columns=["media_ref", "bytes"], use_threads=False)
-        need = pa.array(list(set(g["media_ref"])), pa.string())
+        need = pa.array(list(set(g["src_ref"])), pa.string())
         tbl = tbl.filter(pc.is_in(tbl.column("media_ref"), value_set=need))
         blobs = {
             tbl.column("media_ref")[i].as_py(): tbl.column("bytes")[i].as_buffer()
             for i in range(tbl.num_rows)
         }
         rows = []
-        for media_ref, sub in g.groupby("media_ref", sort=False):
-            pages = split_pages(memoryview(blobs[media_ref]))
+        for src_ref, sub in g.groupby("src_ref", sort=False):
+            pages = split_pages(memoryview(blobs[src_ref]))
             for (page, odeg), sub2 in sub.groupby(["page", "orientation_deg"], sort=False):
                 img = decode_raster(pages[int(page)])
                 if odeg:
@@ -273,7 +292,7 @@ def _patch_xml(level: str):
             root = ET.fromstring(row.xml)
             # selected elements indexed by id, with their parent page's
             # imageFilename so duplicate region ids across pages resolve
-            tag = {"region": "TextRegion", "line": "TextLine", "word": "Word"}[level]
+            tag = {"region": "TextRegion", "line": "TextLine", "word": "Word", "glyph": "Glyph"}[level]
             index: dict[tuple[str, str], ET.Element] = {}
             for page_el in root.iter(q("Page")):
                 fname = page_el.get("imageFilename") or ""

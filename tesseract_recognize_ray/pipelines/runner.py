@@ -48,17 +48,22 @@ def _docs_part_filter(i: int, n_parts: int):
 
 
 def _media_rg_index(files: list[str]) -> dict:
-    """media_ref -> (path, row_group) map, read from the media_ref column
-    only (strings; no payload bytes). Built once per run, reused by every
-    partition to prune its read to exactly the row groups it needs."""
+    """media_ref -> (path, row_start, row_count) of its row group, read from
+    the media_ref column only (strings; no payload bytes). Built once per
+    run; each partition derives its read splits straight from this map — no
+    per-partition footer re-reads."""
     from .rerecognize import media_locations
 
-    out: dict[str, tuple[str, int]] = {}
+    out: dict[str, tuple[str, int, int]] = {}
     for b in media_locations(files).iter_batches(batch_size=65536, batch_format="pyarrow"):
         out.update(
             zip(
                 b.column("media_ref").to_pylist(),
-                zip(b.column("__path").to_pylist(), b.column("__rg").to_pylist()),
+                zip(
+                    b.column("__path").to_pylist(),
+                    b.column("__row_start").to_pylist(),
+                    b.column("__row_count").to_pylist(),
+                ),
             )
         )
     return out
@@ -142,7 +147,7 @@ def run_partitioned(
     restricts which partitions are attempted (used by tests to simulate a
     partial run / crash)."""
     from .extract import _assemble_tail, _parquet_files
-    from ..stages.media_source import media_splits_for_rgs, recognized_lines_from_files
+    from ..stages.media_source import recognized_lines_from_files
 
     cfg = cfg or PipelineConfig()
     os.makedirs(out_dir, exist_ok=True)
@@ -176,7 +181,9 @@ def run_partitioned(
         # rows crossing an operator boundary — same shape as the sharded
         # runner, VERDICT round-1 item 6)
         wanted = {rg_index[r] for r in refs if r in rg_index}
-        splits = media_splits_for_rgs(files, wanted)
+        splits = [
+            {"path": p_, "row_start": rs, "row_count": rc} for (p_, rs, rc) in sorted(wanted)
+        ]
         rec = recognized_lines_from_files(files, cfg, splits=splits, ref_filter=ray.put(refs))
         out = _assemble_tail(docs_i, rec, cfg, "broadcast")
 

@@ -59,23 +59,6 @@ def media_splits(files: list[str], rows_per_split: int | None = None) -> list[di
     return out
 
 
-def media_splits_for_rgs(files: list[str], wanted: set[tuple[str, int]]) -> list[dict]:
-    """Splits restricted to selected (path, row_group_idx) pairs — the
-    partitioned runner prunes each partition's read to exactly the row
-    groups holding its docs' media (metadata-only; zero payload bytes
-    touched for excluded groups)."""
-    out = []
-    for f in sorted(files):
-        md = pq.read_metadata(f)
-        start = 0
-        for rg in range(md.num_row_groups):
-            n = md.row_group(rg).num_rows
-            if (f, rg) in wanted:
-                out.append({"path": f, "row_start": start, "row_count": n})
-            start += n
-    return out
-
-
 def media_splits_by_cost(files: list[str], n_splits: int) -> list[dict]:
     """Cost-balanced work list (SURVEY.md §4 skew): split budgets are set by
     serialized BYTES, the metadata-only proxy for pixel cost (est_cost =

@@ -117,9 +117,12 @@ def test_image_override_requests():
     )
     batch = pd.DataFrame([{"doc_id": "d0", "xml": xml}])
     reqs = _xml_to_crop_requests("region", image_override="m-other")(batch)
-    assert len(reqs) == 1 and (reqs["media_ref"] == "m-other").all()
+    # the override swaps only the raster SOURCE; media_ref keeps the XML's
+    # identity so in-place write-back can still find the node
+    assert len(reqs) == 1 and (reqs["src_ref"] == "m-other").all()
+    assert (reqs["media_ref"] == "m-orig").all()
     reqs2 = _xml_to_crop_requests("region")(batch)
-    assert (reqs2["media_ref"] == "m-orig").all()
+    assert (reqs2["src_ref"] == "m-orig").all() and (reqs2["media_ref"] == "m-orig").all()
 
 
 def test_rerecognize_glyph_selection(ray_session, tiny_corpus):
@@ -140,3 +143,33 @@ def test_rerecognize_glyph_selection(ray_session, tiny_corpus):
     with pytest.raises(ValueError, match="illegal for node level"):
         rerecognize_pagexml(rd.from_pandas(xml), tiny_corpus["media"],
                             PipelineConfig(psm=3, layout_level="glyph"), level="glyph")
+
+
+def test_inplace_with_image_override_patches(ray_session, tiny_corpus):
+    """--image + --inplace: results are keyed by the XML's imageFilename
+    (node identity) while the raster comes from the override — the patched
+    document must carry the override-derived recognition, not silently pass
+    through unpatched."""
+    from tesseract_recognize_ray.pagexml import parse_pagexml
+    from tesseract_recognize_ray.pipelines.rerecognize import rerecognize_inplace
+
+    xml = extract_pagexml(tiny_corpus["docs"], tiny_corpus["media"]).to_pandas()
+    # pick a single-page doc and override its raster with ITS OWN media_ref
+    # (identity override: output must equal the no-override patch result)
+    row = None
+    for _, r in xml.iterrows():
+        els = parse_pagexml(r["xml"])
+        fnames = els["image_filename"].unique()
+        if len(fnames) == 1 and "[" not in fnames[0]:
+            row = r
+            override = fnames[0]
+            break
+    assert row is not None
+    ds = rd.from_pandas(pd.DataFrame([row]))
+    plain = rerecognize_inplace(ds, tiny_corpus["media"]).to_pandas()["xml"].iloc[0]
+    overridden = rerecognize_inplace(
+        rd.from_pandas(pd.DataFrame([row])), tiny_corpus["media"], image_override=override
+    ).to_pandas()["xml"].iloc[0]
+    assert overridden != row["xml"]  # NOT a silent passthrough
+    a, b = parse_pagexml(plain), parse_pagexml(overridden)
+    assert sorted(a[a.level == "line"]["text"]) == sorted(b[b.level == "line"]["text"])
