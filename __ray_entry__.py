@@ -428,6 +428,52 @@ def _q_union_customers(sf_dir: str):
     return F.distinct_on(u, ["c_custkey", "c_name"])
 
 
+def _q_events_time_parts(sf_dir: str):
+    """Temporal scalar family: vectorized year/month/day/hour extraction
+    (pyarrow temporal kernels) from the event timestamps."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "ts"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "y": pc.cast(pc.year(ts), pa.int64()),
+                "m": pc.cast(pc.month(ts), pa.int64()),
+                "d": pc.cast(pc.day(ts), pa.int64()),
+                "h": pc.cast(pc.hour(ts), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_user_event_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: per-user event counts spread across
+    one column per event type (SUM(CASE WHEN ...)). Combiner-friendly: each
+    batch pre-pivots with pandas crosstab, then ONE groupby(user) sums the
+    partial counts — the shuffle moves one row per user per block."""
+    ds = F.load(sf_dir, "events", columns=["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(b["user_id"], b["event_type"])
+        for t in types:
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[types].reset_index()
+        ct.columns = ["user_id"] + [f"n_{t}" for t in types]
+        return ct
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return F.grouped_agg(
+        partials,
+        ["user_id"],
+        [(f"n_{t}", "sum", f"n_{t}") for t in types],
+        combine=False,
+    )
+
+
 def _q_customer_order_counts(sf_dir: str):
     """J-family, LEFT OUTER shape: every customer with their order count and
     exact-cents total — customers with no orders kept at 0. Scale shape:
@@ -719,6 +765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpeish_tokens": _q_bpeish_tokens,
         "json_extract_events": _q_json_extract_events,
         "union_customers": _q_union_customers,
+        "events_time_parts": _q_events_time_parts,
+        "user_event_pivot": _q_user_event_pivot,
         "customer_order_counts": _q_customer_order_counts,
         "asof_click_value": _q_asof_click_value,
         "rolling_sum_events": _q_rolling_sum_events,
@@ -821,6 +869,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7500
             UNION
             SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "events_time_parts": """
+            SELECT event_id,
+                   CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+                   CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
+                   CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h
+            FROM events
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
         """,
         "customer_order_counts": """
             SELECT c.c_custkey, c.c_name,
