@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) over the pure-function core — no Ray
+session needed. These guard the invariants the distributed pipelines rely
+on: stable hashing co-location, page-set parsing, geometry round trips,
+sentinel filling, and the windowing arithmetic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tesseract_recognize_ray.geometry import (
+    ORIENT_FROM_K,
+    UP,
+    clip_baseline,
+    invert_rot90_bbox,
+    invert_rot90_point,
+    polystripe,
+    polystripe_coords,
+    quad_from_bbox,
+)
+from tesseract_recognize_ray.hashing import stable_bucket
+from tesseract_recognize_ray.idscheme import parse_pages_set
+
+ids = st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=24)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(ids, min_size=1, max_size=50), st.integers(min_value=1, max_value=128))
+def test_stable_bucket_deterministic_and_colocating(keys, p):
+    """Same key -> same bucket, always in range, independent of the batch it
+    arrives in (the co-location contract every bucketed shuffle relies on)."""
+    a = stable_bucket(pd.Series(keys), p)
+    assert ((a >= 0) & (a < p)).all()
+    # single-element batches give identical assignments
+    for k, b in zip(keys, a):
+        assert stable_bucket(pd.Series([k]), p)[0] == b
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=12, unique=True))
+def test_parse_pages_set_roundtrip(pages):
+    """Any page set survives spec rendering: singletons + maximal runs."""
+    pages = sorted(pages)
+    parts, i = [], 0
+    while i < len(pages):
+        j = i
+        while j + 1 < len(pages) and pages[j + 1] == pages[j] + 1:
+            j += 1
+        parts.append(str(pages[i]) if i == j else f"{pages[i]}-{pages[j]}")
+        i = j + 1
+    assert parse_pages_set(",".join(parts)) == pages  # sorted, deduped list
+
+
+_boxes = st.tuples(
+    st.integers(0, 500), st.integers(0, 500), st.integers(1, 500), st.integers(1, 500)
+).map(lambda t: (min(t[0], t[0] + t[2]), min(t[1], t[1] + t[3]), t[0] + t[2], t[1] + t[3]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_boxes, st.integers(0, 3))
+def test_quad_orientation_same_point_set(box, orient):
+    """Vertex order rotation (M7) permutes the SAME four corners."""
+    x0, y0, x1, y1 = box
+    q_up = quad_from_bbox(x0, y0, x1, y1, UP)
+    q_o = quad_from_bbox(x0, y0, x1, y1, orient)
+    assert sorted(q_up) == sorted(q_o)
+    # and the order is a rotation of the UP order
+    k = q_o.index(q_up[0])
+    assert [q_o[(k + i) % 4] for i in range(4)] == q_up
+
+
+@settings(max_examples=200, deadline=None)
+@given(_boxes, st.integers(0, 3), st.integers(1, 4000), st.integers(1, 4000))
+def test_invert_rot90_roundtrip(box, k, w_h, h_h):
+    """invert(forward) identity: original-space bbox mapped back to upright
+    equals the input (checked via the inverse-of-inverse)."""
+    x0, y0, x1, y1 = box
+    up_w, up_h = max(x1, w_h), max(y1, h_h)
+    ox0, oy0, ox1, oy1 = invert_rot90_bbox(x0, y0, x1, y1, k, up_w, up_h)
+    # invert again with the complementary rotation and swapped dims
+    k_inv = (4 - k) % 4
+    ow, oh = (up_h, up_w) if k % 2 else (up_w, up_h)
+    rx0, ry0, rx1, ry1 = invert_rot90_bbox(ox0, oy0, ox1, oy1, k_inv, ow, oh)
+    assert (rx0, ry0, rx1, ry1) == (x0, y0, x1, y1)
+    # point version agrees with the bbox corners
+    pts = {invert_rot90_point(x0, y0, k, up_w, up_h), invert_rot90_point(x1, y1, k, up_w, up_h)}
+    assert {(ox0, oy0), (ox1, oy1)} == {
+        (min(p[0] for p in pts), min(p[1] for p in pts)),
+        (max(p[0] for p in pts), max(p[1] for p in pts)),
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(_boxes, st.integers(0, 100))
+def test_polystripe_reproduces_axis_aligned_quad(box, dy):
+    """For an axis-aligned line with a horizontal baseline inside the box,
+    the polystripe polygon equals the bbox quad (M8 emission invariant)."""
+    x0, y0, x1, y1 = box
+    by = min(y1, y0 + dy)
+    quad = quad_from_bbox(x0, y0, x1, y1, UP)
+    base = clip_baseline(((float(x0), float(by)), (float(x1), float(by))), quad)
+    h, o = polystripe(base, quad)
+    assert abs(h - (y1 - y0)) < 1e-9
+    pts = polystripe_coords(base, quad)
+    got = [(round(x), round(y)) for x, y in pts]
+    assert got == [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.booleans(), min_size=1, max_size=8),
+    st.integers(0, 200),
+)
+def test_fill_sentinel_words_no_sentinels_remain(sentinel_mask, seed):
+    """After the G4 filler, no word keeps the all-zero sentinel, real words
+    are untouched, and filled flags mark exactly the sentinel inputs."""
+    from tesseract_recognize_ray.stages.assemble import fill_sentinel_words
+
+    rng = np.random.default_rng(seed)
+    n = len(sentinel_mask)
+    x0 = np.sort(rng.integers(1, 500, n))
+    w = pd.DataFrame(
+        {
+            "x0": x0,
+            "y0": np.full(n, 10),
+            "x1": x0 + rng.integers(1, 30, n),
+            "y1": np.full(n, 30),
+        }
+    )
+    for i, s in enumerate(sentinel_mask):
+        if s:
+            w.loc[i, ["x0", "y0", "x1", "y1"]] = 0
+    out = fill_sentinel_words(w, (0, 10, 600, 30))
+    assert list(out["coords_filled"]) == sentinel_mask
+    assert not ((out[["x0", "y0", "x1", "y1"]] == 0).all(axis=1)).any()
+    for i, s in enumerate(sentinel_mask):
+        if not s:
+            assert tuple(out.loc[i, ["x0", "y0", "x1", "y1"]]) == tuple(w.loc[i, ["x0", "y0", "x1", "y1"]])
