@@ -629,6 +629,28 @@ def _q_sessionize_events(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_session_stats(sf_dir: str):
+    """Composed streaming op: sessionize then aggregate per (user, session)
+    — event count and exact-cents value sum per session. One bucketed
+    window shuffle + one combiner groupby."""
+    from tesseract_recognize_ray.functions import streams as F_st
+
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "value_cents", pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())
+        ).drop_columns(["value"])
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    sess = F_st.sessionize(ds, "user_id", "ts", _SESSION_GAP_S, order_cols=["event_id"])
+    return F.grouped_agg(
+        sess,
+        ["user_id", "session_id"],
+        [("value_cents", "sum", "sum_value_cents"), ("value_cents", "count", "n_events")],
+    )
+
+
 _WINDOW_S = 86400
 
 
@@ -773,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "median_value_by_type": _q_median_value_by_type,
         "sessionize_events": _q_sessionize_events,
+        "session_stats": _q_session_stats,
         "tumbling_events": _q_tumbling_events,
         "token_count": _q_token_count,
         "quality_counts": _q_quality_counts,
@@ -936,6 +959,26 @@ def oracle_sql() -> dict[str, str]:
                                 ts), 0) AS gap_us
                 FROM events
             )
+        """,
+        "session_stats": f"""
+            WITH s AS (
+                SELECT user_id,
+                       CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+                       CAST(SUM(CASE WHEN gap_us > CAST({_SESSION_GAP_S} AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM (
+                    SELECT event_id, user_id, ts, value,
+                           COALESCE(date_diff('microsecond',
+                                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                    ts), 0) AS gap_us
+                    FROM events
+                )
+            )
+            SELECT user_id, session_id,
+                   CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, session_id
         """,
         "tumbling_events": f"""
             SELECT (epoch_us(ts) // (CAST({_WINDOW_S} AS BIGINT) * 1000000)) * {_WINDOW_S} AS window_epoch_s,
