@@ -428,6 +428,26 @@ def _q_union_customers(sf_dir: str):
     return F.distinct_on(u, ["c_custkey", "c_name"])
 
 
+def _q_part_name_scalars(sf_dir: str):
+    """String scalar family: vectorized upper/substr/length/concat over the
+    part names (pyarrow utf8 kernels)."""
+    ds = F.load(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        name = b.column("p_name")
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "name_upper": pc.utf8_upper(name),
+                "name_head": pc.utf8_slice_codeunits(name, 0, 8),
+                "name_len": pc.cast(pc.utf8_length(name), pa.int64()),
+                "brand_name": pc.binary_join_element_wise(b.column("p_brand"), name, ":"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _q_events_time_parts(sf_dir: str):
     """Temporal scalar family: vectorized year/month/day/hour extraction
     (pyarrow temporal kernels) from the event timestamps."""
@@ -787,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpeish_tokens": _q_bpeish_tokens,
         "json_extract_events": _q_json_extract_events,
         "union_customers": _q_union_customers,
+        "part_name_scalars": _q_part_name_scalars,
         "events_time_parts": _q_events_time_parts,
         "user_event_pivot": _q_user_event_pivot,
         "customer_order_counts": _q_customer_order_counts,
@@ -892,6 +913,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7500
             UNION
             SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "part_name_scalars": """
+            SELECT p_partkey,
+                   UPPER(p_name) AS name_upper,
+                   SUBSTR(p_name, 1, 8) AS name_head,
+                   CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+                   p_brand || ':' || p_name AS brand_name
+            FROM part
         """,
         "events_time_parts": """
             SELECT event_id,
