@@ -53,6 +53,9 @@ _BENCH_QUERIES = [
     "minhash_pairs",
     "simhash",
     "ann_brute_force",
+    "asof_click_value",
+    "rolling_sum_events",
+    "top_terms",
 ]
 
 
