@@ -428,6 +428,45 @@ def _q_union_customers(sf_dir: str):
     return F.distinct_on(u, ["c_custkey", "c_name"])
 
 
+def _q_doc_word_positions(sf_dir: str):
+    """flat_map-with-ordinal family (the span-explode shape): one row per
+    (doc, word position). Fully vectorized arrow explode — list_flatten for
+    the values, list_parent_indices for the doc, and a cumulative-offset
+    subtraction for the 1-based position; no per-row Python."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column("text"), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        # position = global index - first global index of the parent list
+        offs = np.asarray(toks.offsets)
+        pos = np.arange(len(flat), dtype=np.int64) - offs[np.asarray(parent)] + 1
+        t = pa.table(
+            {
+                "doc_id": pc.take(b.column("doc_id"), parent),
+                "pos": pa.array(pos),
+                "word": flat,
+            }
+        )
+        # whitespace-split of a padded text yields empty edge tokens that a
+        # regex word-extractor never produces — drop them to match SQL
+        return t.filter(pc.not_equal(t.column("word"), ""))
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _q_distinct_users_by_type(sf_dir: str):
+    """Grouped COUNT(DISTINCT): two-level shape — distinct_on the pair
+    (dedupe shuffle moves one row per distinct pair), then a tiny grouped
+    count. Never a per-group set on one node."""
+    ds = F.load(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = F.distinct_on(ds, ["event_type", "user_id"])
+    return F.grouped_agg(pairs, ["event_type"], [("user_id", "count", "n_users")])
+
+
 def _q_part_name_scalars(sf_dir: str):
     """String scalar family: vectorized upper/substr/length/concat over the
     part names (pyarrow utf8 kernels)."""
@@ -807,6 +846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpeish_tokens": _q_bpeish_tokens,
         "json_extract_events": _q_json_extract_events,
         "union_customers": _q_union_customers,
+        "doc_word_positions": _q_doc_word_positions,
+        "distinct_users_by_type": _q_distinct_users_by_type,
         "part_name_scalars": _q_part_name_scalars,
         "events_time_parts": _q_events_time_parts,
         "user_event_pivot": _q_user_event_pivot,
@@ -913,6 +954,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7500
             UNION
             SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "doc_word_positions": """
+            SELECT * FROM (
+                SELECT doc_id,
+                       CAST(generate_subscripts(arr, 1) AS BIGINT) AS pos,
+                       unnest(arr) AS word
+                FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS arr FROM documents)
+            ) WHERE word <> ''
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "part_name_scalars": """
             SELECT p_partkey,
