@@ -428,6 +428,58 @@ def _q_union_customers(sf_dir: str):
     return F.distinct_on(u, ["c_custkey", "c_name"])
 
 
+def _q_user_event_ranks(sf_dir: str):
+    """Ranking window family: ROW_NUMBER() per user ordered by (ts,
+    event_id) — bucketed cumcount, no per-key dispatch."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = F.window_row_number(ds, "user_id", ["ts", "event_id"], out_col="rn")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "rn": b["rn"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_p90_value_by_type(sf_dir: str):
+    """Exact discrete p90 per event type (order statistic on exact cents —
+    always an actual data value, so the comparison is integer-exact)."""
+    ds = F.load(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    return F.grouped_quantile_disc(
+        ds.map_batches(to_cents, batch_format="pyarrow"), "event_type", "value_cents", 0.9, out_col="p90_cents"
+    )
+
+
+def _q_except_customers(sf_dir: str):
+    """Set-op family: EXCEPT — BUILDING-segment customers who have no
+    order above 300k (distinct left minus right, null-probe anti join)."""
+    seg = F.load(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    ).select_columns(["c_custkey"])
+    big = F.load(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 300000"
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b.column("o_custkey")})
+
+    return F.except_rows(seg, big.map_batches(rename, batch_format="pyarrow"), ["c_custkey"])
+
+
 def _q_doc_word_positions(sf_dir: str):
     """flat_map-with-ordinal family (the span-explode shape): one row per
     (doc, word position). Fully vectorized arrow explode — list_flatten for
@@ -846,6 +898,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpeish_tokens": _q_bpeish_tokens,
         "json_extract_events": _q_json_extract_events,
         "union_customers": _q_union_customers,
+        "user_event_ranks": _q_user_event_ranks,
+        "p90_value_by_type": _q_p90_value_by_type,
+        "except_customers": _q_except_customers,
         "doc_word_positions": _q_doc_word_positions,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "part_name_scalars": _q_part_name_scalars,
@@ -954,6 +1009,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7500
             UNION
             SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "user_event_ranks": """
+            SELECT event_id, user_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+            FROM events
+        """,
+        "p90_value_by_type": """
+            SELECT event_type,
+                   CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_cents
+            FROM events GROUP BY event_type
+        """,
+        "except_customers": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
         """,
         "doc_word_positions": """
             SELECT * FROM (

@@ -334,6 +334,77 @@ def grouped_median(ds: Dataset, key: str, value_col: str, out_col: str = "median
     return ds.groupby(key).map_groups(med, batch_format="pandas")
 
 
+def grouped_quantile_disc(
+    ds: Dataset, key: str, value_col: str, q: float, out_col: str = "quantile"
+) -> Dataset:
+    """Exact DISCRETE per-group quantile (SQL quantile_disc: the element at
+    ceil(q*n)-1 of the sorted values — always an actual data value, so
+    integer columns stay exact). Same co-location assumption as
+    grouped_median."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy())
+        idx = max(0, int(np.ceil(q * len(v))) - 1)
+        return pd.DataFrame({key: [g[key].iloc[0]], out_col: [v[idx]]})
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+def window_row_number(
+    ds: Dataset,
+    part_key: str,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-key ROW_NUMBER() ordered by order_cols (1-based). Bucketed like
+    every window op: one vectorized groupby(key).cumcount per bucket."""
+    from ..hashing import stable_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = stable_bucket(batch[part_key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values([part_key, *order_cols], kind="mergesort")
+        g[out_col] = g.groupby(part_key, sort=False).cumcount().to_numpy() + 1
+        return g
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
+def except_rows(left: Dataset, right: Dataset, cols: list[str]) -> Dataset:
+    """SQL EXCEPT (distinct rows of left absent from right): dedupe left,
+    then one hash LEFT-ANTI-style join via a null-probe — both sides shuffle
+    only the key columns."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({f"__r_{c}": b.column(c) for c in cols}).append_column(
+            "__present", pa.array(np.ones(b.num_rows, dtype=np.int8))
+        )
+
+    right_keys = distinct_on(right.map_batches(lambda b: b.select(cols), batch_format="pyarrow"), cols)
+    probe = right_keys.map_batches(tag, batch_format="pyarrow")
+    left_d = distinct_on(left, cols)
+    joined = left_d.join(
+        probe,
+        join_type="left_outer",
+        num_partitions=8,
+        on=tuple(cols),
+        right_on=tuple(f"__r_{c}" for c in cols),
+    )
+
+    def keep_absent(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["__present"].isna()][cols]
+        # keep the key dtypes on empty batches: an all-matched block must
+        # not degrade the dataset schema to objectless/empty
+        return out.astype({c: b[c].dtype for c in cols})
+
+    return joined.map_batches(keep_absent, batch_format="pandas")
+
+
 def distinct_on(ds: Dataset, cols: list[str]) -> Dataset:
     """Multi-column distinct (groupby + project)."""
     out = ds.groupby(cols).aggregate(Count(alias_name="__n"))
