@@ -337,3 +337,30 @@ def test_term_counts_and_median(ray_session):
     ev = pd.DataFrame({"k": ["x"] * 4 + ["y"] * 3, "v": [1, 2, 3, 4, 10, 30, 20]})
     med = F.grouped_median(rd.from_pandas(ev), "k", "v", "m").to_pandas()
     assert dict(zip(med["k"], med["m"])) == {"x": 2.5, "y": 20.0}
+
+
+def test_window_row_number_matches_pandas(ray_session):
+    ds = F.load(SF, "events", columns=["event_id", "user_id", "ts"])
+    out = F.window_row_number(ds, "user_id", ["ts", "event_id"], out_col="rn").to_pandas()
+    gold = pd.read_parquet(f"{SF}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    gold["rn"] = gold.groupby("user_id").cumcount() + 1
+    m = out.set_index("event_id")["rn"].to_dict()
+    assert all(m[eid] == want for eid, want in gold.set_index("event_id")["rn"].items())
+
+
+def test_grouped_quantile_disc(ray_session):
+    df = pd.DataFrame({"k": ["a"] * 10 + ["b"] * 3, "v": list(range(10, 110, 10)) + [5, 1, 9]})
+    out = F.grouped_quantile_disc(rd.from_pandas(df), "k", "v", 0.9, out_col="p90").to_pandas()
+    got = dict(zip(out["k"], out["p90"]))
+    # quantile_disc picks the element at ceil(q*n)-1: a -> 90, b -> 9
+    assert got == {"a": 90, "b": 9}
+
+
+def test_except_rows(ray_session):
+    left = pd.DataFrame({"k": [1, 1, 2, 3, 4]})
+    right = pd.DataFrame({"k": [2, 4, 5]})
+    out = F.except_rows(rd.from_pandas(left), rd.from_pandas(right), ["k"]).to_pandas()
+    assert sorted(out["k"]) == [1, 3]
+    # all-matched case keeps a usable schema
+    out2 = F.except_rows(rd.from_pandas(right), rd.from_pandas(right), ["k"]).to_pandas()
+    assert len(out2) == 0
