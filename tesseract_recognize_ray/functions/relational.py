@@ -329,7 +329,9 @@ def grouped_median(ds: Dataset, key: str, value_col: str, out_col: str = "median
     quantile instead."""
 
     def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({key: [g[key].iloc[0]], out_col: [float(np.median(g[value_col]))]})
+        v = g[value_col].dropna()  # SQL aggregates ignore NULLs
+        m = float(np.median(v)) if len(v) else float("nan")
+        return pd.DataFrame({key: [g[key].iloc[0]], out_col: [m]})
 
     return ds.groupby(key).map_groups(med, batch_format="pandas")
 
@@ -343,7 +345,9 @@ def grouped_quantile_disc(
     grouped_median."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g[value_col].to_numpy())
+        v = np.sort(g[value_col].dropna().to_numpy())  # SQL ignores NULLs
+        if len(v) == 0:
+            return pd.DataFrame({key: [g[key].iloc[0]], out_col: [float("nan")]})
         idx = max(0, int(np.ceil(q * len(v))) - 1)
         return pd.DataFrame({key: [g[key].iloc[0]], out_col: [v[idx]]})
 
@@ -375,25 +379,50 @@ def window_row_number(
     )
 
 
-def except_rows(left: Dataset, right: Dataset, cols: list[str]) -> Dataset:
+def except_rows(left: Dataset, right: Dataset, cols: list[str], num_partitions: int = 8) -> Dataset:
     """SQL EXCEPT (distinct rows of left absent from right): dedupe left,
     then one hash LEFT-ANTI-style join via a null-probe — both sides shuffle
-    only the key columns."""
+    only the key columns. NULL keys follow SQL's IS-NOT-DISTINCT-FROM
+    semantics (null matches null): every key column is split into an
+    (is_null, filled-value) pair before the join, so hash equality treats
+    nulls as equal instead of silently keeping them."""
 
-    def tag(b: pa.Table) -> pa.Table:
-        return pa.table({f"__r_{c}": b.column(c) for c in cols}).append_column(
-            "__present", pa.array(np.ones(b.num_rows, dtype=np.int8))
-        )
+    def _zero(t: pa.DataType):
+        return pa.scalar("", t) if pa.types.is_string(t) or pa.types.is_large_string(t) else pa.scalar(0).cast(t)
 
+    def split_nulls(prefix: str, extra_present: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            out: dict[str, object] = {}
+            for c in cols:
+                col = b.column(c)
+                out[f"{prefix}{c}_n"] = pc.cast(pc.is_null(col), pa.int8())
+                out[f"{prefix}{c}_v"] = pc.fill_null(col, _zero(col.type))
+            if not extra_present:  # left carries originals for the output
+                for c in cols:
+                    out[c] = b.column(c)
+            t = pa.table(out)
+            if extra_present:
+                t = t.append_column("__present", pa.array(np.ones(b.num_rows, dtype=np.int8)))
+            return t
+
+        return fn
+
+    key_cols = [k for c in cols for k in (f"{c}_n", f"{c}_v")]
     right_keys = distinct_on(right.map_batches(lambda b: b.select(cols), batch_format="pyarrow"), cols)
-    probe = right_keys.map_batches(tag, batch_format="pyarrow")
+    probe = right_keys.map_batches(split_nulls("__r_", True), batch_format="pyarrow")
+    # an empty right side has no schema for the join to resolve — EXCEPT
+    # with empty right is just DISTINCT(left). The count touches only the
+    # deduped key rows (already shuffled), not the raw right table.
     left_d = distinct_on(left, cols)
-    joined = left_d.join(
+    if right_keys.count() == 0:
+        return left_d
+    joined = hash_join(
+        left_d.map_batches(split_nulls("__l_", False), batch_format="pyarrow"),
         probe,
+        on=tuple(f"__l_{k}" for k in key_cols),
+        right_on=tuple(f"__r_{k}" for k in key_cols),
         join_type="left_outer",
-        num_partitions=8,
-        on=tuple(cols),
-        right_on=tuple(f"__r_{c}" for c in cols),
+        num_partitions=num_partitions,
     )
 
     def keep_absent(b: pd.DataFrame) -> pd.DataFrame:

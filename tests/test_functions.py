@@ -364,3 +364,25 @@ def test_except_rows(ray_session):
     # all-matched case keeps a usable schema
     out2 = F.except_rows(rd.from_pandas(right), rd.from_pandas(right), ["k"]).to_pandas()
     assert len(out2) == 0
+
+
+def test_except_rows_nulls_and_empty_right(ray_session):
+    """SQL EXCEPT semantics: null keys match null keys (IS NOT DISTINCT
+    FROM), and an empty right side returns distinct(left)."""
+    left = pd.DataFrame({"k": [1.0, np.nan, 3.0, 3.0]})
+    right = pd.DataFrame({"k": [np.nan, 3.0]})
+    out = F.except_rows(rd.from_pandas(left), rd.from_pandas(right), ["k"]).to_pandas()
+    assert sorted(out["k"].tolist()) == [1.0]
+
+    empty = pd.DataFrame({"k": pd.Series(dtype="float64")})
+    out2 = F.except_rows(rd.from_pandas(left), rd.from_pandas(empty), ["k"]).to_pandas()
+    got = sorted(out2["k"].tolist(), key=lambda v: (np.isnan(v), v))
+    assert got[:2] == [1.0, 3.0] and np.isnan(got[2]) and len(got) == 3
+
+
+def test_grouped_quantiles_ignore_nulls(ray_session):
+    df = pd.DataFrame({"k": ["a"] * 4, "v": [1.0, 2.0, np.nan, np.nan]})
+    q = F.grouped_quantile_disc(rd.from_pandas(df), "k", "v", 0.9, out_col="p").to_pandas()
+    assert q["p"].iloc[0] == 2.0
+    m = F.grouped_median(rd.from_pandas(df), "k", "v", out_col="m").to_pandas()
+    assert m["m"].iloc[0] == 1.5

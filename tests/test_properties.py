@@ -11,7 +11,6 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from tesseract_recognize_ray.geometry import (
-    ORIENT_FROM_K,
     UP,
     clip_baseline,
     invert_rot90_bbox,
