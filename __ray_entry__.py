@@ -882,6 +882,161 @@ def _q_frame_sample_resize(sf_dir: str):
     return resized.select_columns(["media_ref", "frame", "width", "height"])
 
 
+def _q_stddev_value_by_type(sf_dir: str):
+    """Statistical aggregate family: per-group sample variance/stddev from
+    EXACT int64 moments (n, Σx, Σx²) — the combiner shuffles one moment row
+    per key per block and the final float64 expression is evaluated once per
+    group, so results are bit-identical to the SQL oracle evaluating the
+    same expression over the same integers (no float-sum order sensitivity)."""
+    ds = F.load(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    return F.grouped_variance(
+        ds.map_batches(to_cents, batch_format="pyarrow"), ["event_type"], "value_cents"
+    )
+
+
+def _q_rollup_suppliers(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation): supplier count + exact-cents balance
+    at (region, nation), (region), and grand-total levels. The base table is
+    scanned once (leaf aggregate); coarser levels re-aggregate the tiny leaf.
+    Dimension keys attach via broadcast lookups — no dim-table shuffle."""
+    sup = F.load(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bal_cents", pc.cast(pc.round(pc.multiply(b.column("s_acctbal"), 100.0)), pa.int64())
+        )
+
+    ds = sup.map_batches(to_cents, batch_format="pyarrow")
+    ds = F.broadcast_lookup_join(ds, nation, "s_nationkey", "n_nationkey")
+    ds = F.broadcast_lookup_join(ds, region, "n_regionkey", "r_regionkey")
+    return F.rollup_agg(
+        ds.select_columns(["r_name", "n_name", "bal_cents"]),
+        ["r_name", "n_name"],
+        [("bal_cents", "sum", "sum_bal_cents"), ("bal_cents", "count", "n_suppliers")],
+    )
+
+
+def _q_intersect_customers(sf_dir: str):
+    """Set-op family: INTERSECT — customers both rich (acctbal > 7500) AND
+    in the BUILDING segment, on (c_custkey, c_name). Complements the UNION
+    and EXCEPT entries; null-safe key equality, deduped-keys-only shuffle."""
+    rich = F.load(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]).filter(
+        expr="c_acctbal > 7500"
+    )
+    seg = F.load(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    )
+    return F.intersect_rows(
+        rich.select_columns(["c_custkey", "c_name"]),
+        seg.select_columns(["c_custkey", "c_name"]),
+        ["c_custkey", "c_name"],
+    )
+
+
+_SAMPLE_MULT_OK = 2654435761  # Knuth multiplicative constant
+_SAMPLE_MULT_LN = 40503
+_SAMPLE_MOD = 1000
+_SAMPLE_KEEP = 125  # 12.5% deterministic sample
+
+
+def _q_sampled_lineitem(sf_dir: str):
+    """Deterministic sampling: keep lineitems where
+    (l_orderkey·2654435761 + l_linenumber·40503) mod 1000 < 125 — the exact
+    predicate the SQL oracle evaluates, so the sample is reproducible across
+    engines and partitionings (a seeded-sampling primitive random_sample
+    can't give). Zero shuffle."""
+    ds = F.load(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    )
+    out = F.hash_sample(
+        ds,
+        [("l_orderkey", _SAMPLE_MULT_OK), ("l_linenumber", _SAMPLE_MULT_LN)],
+        _SAMPLE_MOD,
+        _SAMPLE_KEEP,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": b.column("l_linenumber"),
+                "l_quantity": b.column("l_quantity"),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _q_redact_customer_names(sf_dir: str):
+    """PII-redaction family: mask every digit run in customer names with
+    <ID> and count the matches — vectorized RE2 replace/count kernels
+    (pyarrow), matching DuckDB's regexp_replace(..., 'g') semantics."""
+    ds = F.load(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = F_text.regex_redact(ds, "c_name", r"[0-9]+", "<ID>", out_col="redacted", count_col="n_ids")
+    return out.select_columns(["c_custkey", "redacted", "n_ids"])
+
+
+_HIST_BIN_W = 5
+
+
+def _q_quantity_histogram(sf_dir: str):
+    """Histogram / binning family: fixed-width bins over l_quantity
+    (width 5), count + exact-cents revenue per bin — a computed-key combiner
+    groupby, the distributed histogram shape."""
+    ds = F.load(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def binify(b: pa.Table) -> pa.Table:
+        lo = pc.multiply(
+            pc.floor(pc.divide(b.column("l_quantity"), float(_HIST_BIN_W))), float(_HIST_BIN_W)
+        )
+        return pa.table(
+            {
+                "bin_lo": pc.cast(lo, pa.int64()),
+                "price_cents": pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()),
+            }
+        )
+
+    return F.grouped_agg(
+        ds.map_batches(binify, batch_format="pyarrow"),
+        ["bin_lo"],
+        [("price_cents", "count", "n_items"), ("price_cents", "sum", "sum_price_cents")],
+    )
+
+
+def _q_nations_per_region_agg(sf_dir: str):
+    """Ordered string_agg (collect-list family): the comma-joined sorted
+    nation names per region. Bounded-group co-location assumption
+    (dimension-table shape), documented on the operator."""
+    nation = F.load(sf_dir, "nation", columns=["n_name", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    ds = F.broadcast_lookup_join(nation, region, "n_regionkey", "r_regionkey")
+    return F.grouped_string_agg(
+        ds.select_columns(["r_name", "n_name"]), "r_name", "n_name", out_col="nations"
+    )
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document: token totals,
+    distinct tokens, top-token count, duplicate-token fraction — one
+    vectorized explode+groupby per batch, zero shuffle."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    return F_text.repetition_stats(ds, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -906,6 +1061,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_scalars": _q_part_name_scalars,
         "events_time_parts": _q_events_time_parts,
         "user_event_pivot": _q_user_event_pivot,
+        "stddev_value_by_type": _q_stddev_value_by_type,
+        "rollup_suppliers": _q_rollup_suppliers,
+        "intersect_customers": _q_intersect_customers,
+        "sampled_lineitem": _q_sampled_lineitem,
+        "redact_customer_names": _q_redact_customer_names,
+        "quantity_histogram": _q_quantity_histogram,
+        "nations_per_region_agg": _q_nations_per_region_agg,
+        "doc_repetition": _q_doc_repetition,
         "customer_order_counts": _q_customer_order_counts,
         "asof_click_value": _q_asof_click_value,
         "rolling_sum_events": _q_rolling_sum_events,
@@ -1061,6 +1224,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
             FROM events GROUP BY user_id
+        """,
+        "stddev_value_by_type": """
+            WITH m AS (
+                SELECT event_type,
+                       COUNT(*) AS n_rows,
+                       SUM(vc) AS sx,
+                       SUM(vc * vc) AS sxx
+                FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events)
+                GROUP BY event_type
+            )
+            SELECT event_type, n_rows,
+                   (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0)) AS var_samp,
+                   SQRT((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0))) AS stddev_samp
+            FROM m
+        """,
+        "rollup_suppliers": """
+            SELECT r.r_name AS r_name, n.n_name AS n_name,
+                   CAST(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
+                   COUNT(*) AS n_suppliers
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP (r.r_name, n.n_name)
+        """,
+        "intersect_customers": """
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7500
+            INTERSECT
+            SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "sampled_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+            FROM lineitem
+            WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 1000 < 125
+        """,
+        "redact_customer_names": """
+            SELECT c_custkey,
+                   regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_ids
+            FROM customer
+        """,
+        "quantity_histogram": """
+            SELECT CAST(FLOOR(l_quantity / 5) * 5 AS BIGINT) AS bin_lo,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+            FROM lineitem GROUP BY 1
+        """,
+        "nations_per_region_agg": """
+            SELECT r.r_name AS r_name,
+                   string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "doc_repetition": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+            ), c AS (
+                SELECT doc_id, word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY doc_id, word
+            )
+            SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(MAX(n) AS BIGINT) AS top_word_n,
+                   1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac
+            FROM c GROUP BY doc_id
         """,
         "customer_order_counts": """
             SELECT c.c_custkey, c.c_name,

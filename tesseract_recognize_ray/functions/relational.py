@@ -379,6 +379,32 @@ def window_row_number(
     )
 
 
+def _null_zero(t: pa.DataType):
+    return pa.scalar("", t) if pa.types.is_string(t) or pa.types.is_large_string(t) else pa.scalar(0).cast(t)
+
+
+def _split_nulls_fn(cols: list[str], prefix: str, extra_present: bool):
+    """Per-batch transform implementing SQL IS-NOT-DISTINCT-FROM key
+    equality for hash joins: each key column becomes an (is_null,
+    filled-value) pair so null keys hash-match each other."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        out: dict[str, object] = {}
+        for c in cols:
+            col = b.column(c)
+            out[f"{prefix}{c}_n"] = pc.cast(pc.is_null(col), pa.int8())
+            out[f"{prefix}{c}_v"] = pc.fill_null(col, _null_zero(col.type))
+        if not extra_present:  # left carries originals for the output
+            for c in cols:
+                out[c] = b.column(c)
+        t = pa.table(out)
+        if extra_present:
+            t = t.append_column("__present", pa.array(np.ones(b.num_rows, dtype=np.int8)))
+        return t
+
+    return fn
+
+
 def except_rows(left: Dataset, right: Dataset, cols: list[str], num_partitions: int = 8) -> Dataset:
     """SQL EXCEPT (distinct rows of left absent from right): dedupe left,
     then one hash LEFT-ANTI-style join via a null-probe — both sides shuffle
@@ -386,26 +412,7 @@ def except_rows(left: Dataset, right: Dataset, cols: list[str], num_partitions: 
     semantics (null matches null): every key column is split into an
     (is_null, filled-value) pair before the join, so hash equality treats
     nulls as equal instead of silently keeping them."""
-
-    def _zero(t: pa.DataType):
-        return pa.scalar("", t) if pa.types.is_string(t) or pa.types.is_large_string(t) else pa.scalar(0).cast(t)
-
-    def split_nulls(prefix: str, extra_present: bool):
-        def fn(b: pa.Table) -> pa.Table:
-            out: dict[str, object] = {}
-            for c in cols:
-                col = b.column(c)
-                out[f"{prefix}{c}_n"] = pc.cast(pc.is_null(col), pa.int8())
-                out[f"{prefix}{c}_v"] = pc.fill_null(col, _zero(col.type))
-            if not extra_present:  # left carries originals for the output
-                for c in cols:
-                    out[c] = b.column(c)
-            t = pa.table(out)
-            if extra_present:
-                t = t.append_column("__present", pa.array(np.ones(b.num_rows, dtype=np.int8)))
-            return t
-
-        return fn
+    split_nulls = lambda prefix, extra_present: _split_nulls_fn(cols, prefix, extra_present)  # noqa: E731
 
     key_cols = [k for c in cols for k in (f"{c}_n", f"{c}_v")]
     right_keys = distinct_on(right.map_batches(lambda b: b.select(cols), batch_format="pyarrow"), cols)
@@ -438,3 +445,163 @@ def distinct_on(ds: Dataset, cols: list[str]) -> Dataset:
     """Multi-column distinct (groupby + project)."""
     out = ds.groupby(cols).aggregate(Count(alias_name="__n"))
     return out.drop_columns(["__n"])
+
+
+def intersect_rows(left: Dataset, right: Dataset, cols: list[str], num_partitions: int = 8) -> Dataset:
+    """SQL INTERSECT (distinct rows present in BOTH inputs): dedupe both
+    sides, then one hash INNER join on null-split keys (same
+    IS-NOT-DISTINCT-FROM null semantics as :func:`except_rows`). Both sides
+    shuffle only the deduped key columns — never the raw tables."""
+    key_cols = [k for c in cols for k in (f"{c}_n", f"{c}_v")]
+    left_d = distinct_on(left.map_batches(lambda b: b.select(cols), batch_format="pyarrow"), cols)
+    right_d = distinct_on(right.map_batches(lambda b: b.select(cols), batch_format="pyarrow"), cols)
+    joined = hash_join(
+        left_d.map_batches(_split_nulls_fn(cols, "__l_", False), batch_format="pyarrow"),
+        right_d.map_batches(_split_nulls_fn(cols, "__r_", True), batch_format="pyarrow"),
+        on=tuple(f"__l_{k}" for k in key_cols),
+        right_on=tuple(f"__r_{k}" for k in key_cols),
+        join_type="inner",
+        num_partitions=num_partitions,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(cols)
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+def grouped_variance(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    *,
+    var_col: str = "var_samp",
+    std_col: str | None = "stddev_samp",
+    n_col: str = "n_rows",
+) -> Dataset:
+    """Per-group sample variance / stddev via EXACT integer moments: the
+    combiner pre-aggregates (n, Σx, Σx²) per batch as int64, the groupby
+    shuffle moves one moment row per key per block, and the final float64
+    expression (n·Σx² − (Σx)²)/(n·(n−1)) is evaluated once per group — so
+    the result is bit-identical regardless of partitioning/reduction order
+    (unlike a naive float stddev whose sum order varies run to run).
+    Requires an integer value column (use exact cents); moments must fit
+    int64 per group (Σx² ≲ 9.2e18 — at larger scale promote the sumsq column
+    to float64 or a two-level decimal combiner)."""
+
+    def add_sq(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column(value_col), pa.int64())
+        return b.append_column("__xsq", pc.multiply(x, x))
+
+    moments = grouped_agg(
+        ds.map_batches(add_sq, batch_format="pyarrow"),
+        keys,
+        [
+            (value_col, "count", n_col),
+            (value_col, "sum", "__sx"),
+            ("__xsq", "sum", "__sxx"),
+        ],
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column(n_col), pa.float64())
+        sx = pc.cast(b.column("__sx"), pa.float64())
+        sxx = pc.cast(b.column("__sxx"), pa.float64())
+        var = pc.divide(
+            pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)),
+            pc.multiply(n, pc.subtract(n, pa.scalar(1.0))),
+        )
+        b = b.append_column(var_col, var)
+        if std_col:
+            b = b.append_column(std_col, pc.sqrt(var))
+        return b.drop_columns(["__sx", "__sxx"])
+
+    return moments.map_batches(finalize, batch_format="pyarrow")
+
+
+def rollup_agg(ds: Dataset, keys: list[str], specs: list[tuple[str, str, str]]) -> Dataset:
+    """GROUP BY ROLLUP(keys): the base table is scanned ONCE into the leaf
+    grouped_agg; every coarser level (k1..k_{i}, …, grand total) then
+    re-aggregates the tiny materialized leaf, with rolled-up key columns
+    emitted as typed nulls. Aggregate fns limited to the re-aggregable set
+    {sum, count, min, max} (count re-reduces by sum)."""
+    for _, fn, _ in specs:
+        if fn not in _PARTIAL_FN:
+            raise ValueError(f"rollup_agg: fn {fn!r} is not re-aggregable")
+    # leaf is one row per key combination — tiny; materialize so schema()
+    # and the per-level re-aggregations don't re-execute the base scan.
+    leaf = grouped_agg(ds, keys, specs).materialize()
+    schema = leaf.schema().base_schema
+    aliases = [alias for _, _, alias in specs]
+    order = keys + aliases
+    re_specs = [(alias, _PARTIAL_FN[fn], alias) for _, fn, alias in specs]
+
+    def pad(present: list[str]):
+        missing = [k for k in keys if k not in present]
+
+        def fn(b: pa.Table) -> pa.Table:
+            for k in missing:
+                b = b.append_column(k, pa.nulls(b.num_rows, schema.field(k).type))
+            return b.select(order)
+
+        return fn
+
+    levels = [leaf.map_batches(pad(keys), batch_format="pyarrow")]
+    for i in range(len(keys) - 1, -1, -1):
+        sub = keys[:i]
+        if sub:
+            lvl = grouped_agg(leaf, sub, re_specs)
+        else:  # grand total: constant-key groupby (no driver-side collect)
+            lvl = grouped_agg(
+                leaf.map_batches(
+                    lambda b: b.append_column("__all", pa.array(np.zeros(b.num_rows, dtype=np.int8))),
+                    batch_format="pyarrow",
+                ),
+                ["__all"],
+                re_specs,
+            ).drop_columns(["__all"])
+        levels.append(lvl.map_batches(pad(sub), batch_format="pyarrow"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def hash_sample(
+    ds: Dataset, mix: list[tuple[str, int]], mod: int, keep_lt: int
+) -> Dataset:
+    """Deterministic, reproducible row sampling: keep rows where
+    (Σ column·multiplier) mod `mod` < `keep_lt`. Pure int64 arithmetic on
+    key columns — the SAME predicate is expressible in ANSI SQL, so samples
+    are stable across engines, runs, and partitionings (unlike
+    random_sample). Zero shuffle: a per-batch filter. Multipliers must keep
+    Σ column·multiplier inside int64."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        acc = None
+        for col, mult in mix:
+            term = pc.multiply(pc.cast(b.column(col), pa.int64()), pa.scalar(mult, pa.int64()))
+            acc = term if acc is None else pc.add(acc, term)
+        rem = np.mod(acc.to_numpy(zero_copy_only=False), mod)
+        return b.filter(pa.array(rem < keep_lt))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def grouped_string_agg(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    *,
+    sep: str = ",",
+    out_col: str = "agg",
+) -> Dataset:
+    """Per-group ordered string concatenation (SQL string_agg(v, sep ORDER
+    BY v)). Same bounded-group co-location assumption as grouped_median:
+    each group's values fit one worker (dimension-table shapes)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(g[value_col].dropna().astype(str))
+        return pd.DataFrame({key: [g[key].iloc[0]], out_col: [sep.join(vals)]})
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")

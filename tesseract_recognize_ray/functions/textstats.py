@@ -11,6 +11,8 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 _TOKEN_RE = r"\S+"
@@ -101,6 +103,55 @@ def term_counts(ds: Dataset, text_col: str) -> Dataset:
     return ds.map_batches(partial, batch_format="pandas").groupby("token").aggregate(
         Sum("n", alias_name="n")
     )
+
+
+def regex_redact(
+    ds: Dataset,
+    col: str,
+    pattern: str,
+    replacement: str,
+    *,
+    out_col: str = "redacted",
+    count_col: str = "n_hits",
+) -> Dataset:
+    """PII-style redaction: replace every regex match in `col` with
+    `replacement` and count the matches. Fully vectorized (pyarrow RE2
+    kernels — same regex engine family as DuckDB's regexp_replace, so
+    semantics match the SQL oracle); zero shuffle."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        s = b.column(col)
+        b = b.append_column(out_col, pc.replace_substring_regex(s, pattern=pattern, replacement=replacement))
+        return b.append_column(count_col, pc.cast(pc.count_substring_regex(s, pattern=pattern), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_stats(ds: Dataset, id_col: str, text_col: str) -> Dataset:
+    """Gopher-style repetition signals per document: total whitespace
+    tokens, distinct tokens, the top token's occurrence count, and the
+    duplicate-token fraction 1 − distinct/total. One vectorized
+    explode+groupby per batch (each row is a whole document, so the stats
+    never cross batch boundaries); zero shuffle."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ex = b[text_col].fillna("").str.split().explode().dropna()
+        ex = ex[ex != ""]
+        cnt = ex.groupby([ex.index, ex]).size()
+        agg = cnt.groupby(level=0).agg(["sum", "count", "max"])
+        out = pd.DataFrame({id_col: b[id_col]})
+        out = out.join(agg)
+        out[["sum", "count", "max"]] = out[["sum", "count", "max"]].fillna(0).astype("int64")
+        out = out.rename(columns={"sum": "n_words", "count": "n_distinct", "max": "top_word_n"})
+        n_w = out["n_words"].to_numpy(dtype=np.float64)
+        n_d = out["n_distinct"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = 1.0 - n_d / n_w
+        out["dup_frac"] = np.where(n_w > 0, frac, 0.0)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 class LangId:

@@ -386,3 +386,76 @@ def test_grouped_quantiles_ignore_nulls(ray_session):
     assert q["p"].iloc[0] == 2.0
     m = F.grouped_median(rd.from_pandas(df), "k", "v", out_col="m").to_pandas()
     assert m["m"].iloc[0] == 1.5
+
+
+def test_intersect_rows_with_nulls(ray_session):
+    """SQL INTERSECT: distinct rows present in both; null keys match null
+    keys (IS NOT DISTINCT FROM)."""
+    left = pd.DataFrame({"k": [1.0, 1.0, np.nan, 3.0]})
+    right = pd.DataFrame({"k": [np.nan, 3.0, 4.0]})
+    out = F.intersect_rows(rd.from_pandas(left), rd.from_pandas(right), ["k"]).to_pandas()
+    got = sorted(out["k"].tolist(), key=lambda v: (np.isnan(v), v))
+    assert got[0] == 3.0 and np.isnan(got[1]) and len(got) == 2
+
+
+def test_grouped_variance_matches_numpy(ray_session):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"k": rng.choice(["a", "b", "c"], 300), "v": rng.integers(0, 10000, 300).astype("int64")}
+    )
+    out = F.grouped_variance(rd.from_pandas(df), ["k"], "v").to_pandas().set_index("k")
+    for k, g in df.groupby("k"):
+        assert out.loc[k, "n_rows"] == len(g)
+        assert out.loc[k, "var_samp"] == pytest.approx(g["v"].var(ddof=1), rel=1e-12)
+        assert out.loc[k, "stddev_samp"] == pytest.approx(g["v"].std(ddof=1), rel=1e-12)
+
+
+def test_rollup_agg_matches_pandas(ray_session):
+    df = pd.DataFrame(
+        {
+            "r": ["x", "x", "x", "y", "y"],
+            "n": ["a", "a", "b", "c", "c"],
+            "v": [1, 2, 4, 8, 16],
+        }
+    )
+    out = F.rollup_agg(
+        rd.from_pandas(df), ["r", "n"], [("v", "sum", "sv"), ("v", "count", "nv")]
+    ).to_pandas()
+    # leaf (3) + per-r (2) + grand total (1)
+    assert len(out) == 6
+    key = out.fillna("<null>").set_index(["r", "n"])
+    assert key.loc[("x", "a"), "sv"] == 3 and key.loc[("x", "a"), "nv"] == 2
+    assert key.loc[("x", "<null>"), "sv"] == 7 and key.loc[("x", "<null>"), "nv"] == 3
+    assert key.loc[("y", "<null>"), "sv"] == 24
+    assert key.loc[("<null>", "<null>"), "sv"] == 31 and key.loc[("<null>", "<null>"), "nv"] == 5
+
+
+def test_hash_sample_deterministic(ray_session):
+    df = pd.DataFrame({"a": np.arange(1000, dtype="int64"), "b": np.arange(1000, dtype="int64") % 7})
+    out1 = F.hash_sample(rd.from_pandas(df), [("a", 2654435761), ("b", 40503)], 1000, 100).to_pandas()
+    out2 = F.hash_sample(rd.from_pandas(df), [("a", 2654435761), ("b", 40503)], 1000, 100).to_pandas()
+    expected = df[((df["a"] * 2654435761 + df["b"] * 40503) % 1000) < 100]
+    assert sorted(out1["a"]) == sorted(out2["a"]) == sorted(expected["a"])
+
+
+def test_grouped_string_agg(ray_session):
+    df = pd.DataFrame({"k": ["r1", "r1", "r2", "r1"], "v": ["b", "a", "z", None]})
+    out = F.grouped_string_agg(rd.from_pandas(df), "k", "v", out_col="s").to_pandas()
+    got = dict(zip(out["k"], out["s"]))
+    assert got == {"r1": "a,b", "r2": "z"}  # sorted, nulls ignored
+
+
+def test_regex_redact(ray_session):
+    df = pd.DataFrame({"t": ["Customer#0001", "no digits", "a1b22c333"]})
+    out = F_text.regex_redact(rd.from_pandas(df), "t", r"[0-9]+", "<ID>").to_pandas()
+    assert out["redacted"].tolist() == ["Customer#<ID>", "no digits", "a<ID>b<ID>c<ID>"]
+    assert out["n_hits"].tolist() == [1, 0, 3]
+
+
+def test_repetition_stats(ray_session):
+    df = pd.DataFrame({"id": [0, 1, 2], "t": ["a a b", "x y z", ""]})
+    out = F_text.repetition_stats(rd.from_pandas(df), "id", "t").to_pandas().set_index("id")
+    assert out.loc[0, "n_words"] == 3 and out.loc[0, "n_distinct"] == 2
+    assert out.loc[0, "top_word_n"] == 2 and out.loc[0, "dup_frac"] == pytest.approx(1 / 3)
+    assert out.loc[1, "dup_frac"] == 0.0
+    assert out.loc[2, "n_words"] == 0 and out.loc[2, "dup_frac"] == 0.0
