@@ -1034,7 +1034,142 @@ def _q_doc_repetition(sf_dir: str):
     distinct tokens, top-token count, duplicate-token fraction — one
     vectorized explode+groupby per batch, zero shuffle."""
     ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
-    return F_text.repetition_stats(ds, "doc_id", "text")
+    out = F_text.repetition_stats(ds, "doc_id", "text")
+    return out.select_columns(["doc_id", "n_words", "n_distinct", "top_word_n", "dup_frac"])
+
+
+def _q_p50_cont_value_by_type(sf_dir: str):
+    """Interpolated (continuous) per-group median — SQL quantile_cont /
+    percentile_cont: the interpolation expression is evaluated in float64
+    from exact integer order statistics, bit-matching the oracle."""
+    ds = F.load(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    return F.grouped_quantile_cont(
+        ds.map_batches(to_cents, batch_format="pyarrow"), "event_type", "value_cents", 0.5,
+        out_col="p50_cents",
+    )
+
+
+def _q_event_value_ranks(sf_dir: str):
+    """RANK + DENSE_RANK per event_type ordered by value_cents DESC — gap
+    and dense tie-aware ranks in one bucketed window pass (ties are real:
+    cents collide within a type)."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    out = F.window_rank(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "event_type",
+        ["value_cents"],
+        descending=True,
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "rnk": b["rnk"].astype("int64"),
+                "drnk": b["drnk"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+_HOP_WINDOW_S = 7200
+_HOP_S = 3600
+
+
+def _q_hopping_events(sf_dir: str):
+    """Hopping-window aggregate (stream family): 2h windows hopping every
+    1h — each event lands in 2 overlapping windows via vectorized per-batch
+    replication, then one combiner groupby on (window, event_type)."""
+    from tesseract_recognize_ray.functions import streams as F_st
+
+    ds = F.load(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "value_cents", pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())
+        )
+
+    return F_st.hopping_agg(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "ts",
+        _HOP_WINDOW_S,
+        _HOP_S,
+        ["event_type"],
+        [("value_cents", "sum", "sum_value_cents"), ("value_cents", "count", "n_events")],
+        window_col="window_epoch_s",
+    )
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) (p=14, ~0.8% standard
+    error): register partials per batch, registers-only shuffle, driver
+    folds ≤16384 rows. No SQL oracle by nature (the estimate is
+    deliberately approximate); tests/test_sketches.py bounds the error vs
+    the exact count."""
+    from tesseract_recognize_ray.functions import sketches as F_sk
+
+    ds = F.load(sf_dir, "events", columns=["user_id"])
+    n = F_sk.hll_approx_distinct(ds, "user_id")
+    return pd.DataFrame({"approx_distinct_users": [n]})
+
+
+def _q_heavy_hitter_terms(sf_dir: str):
+    """Frequent-items sketch (SpaceSaving/Misra-Gries shape): top-20 tokens
+    with per-batch top-m counters, m=4096. On this corpus the vocabulary is
+    far below m, so no decrement fires and the sketch is EXACT — the oracle
+    is the plain wordcount SQL; the error bound (undercount ≤ N/(m+1))
+    applies on adversarial vocabularies."""
+    from tesseract_recognize_ray.functions import sketches as F_sk
+
+    ds = F.load(sf_dir, "documents", columns=["text"], num_blocks=16)
+    return F_sk.frequent_terms(ds, "text", k=20, m=4096)
+
+
+def _q_clean_corpus(sf_dir: str):
+    """Composed cleaning pipeline (the LLM-data shape end-to-end): quality
+    gate (≥30 tokens, duplicate-token fraction ≤0.6) → exact dedup keeping
+    the smallest doc_id per identical text → surviving (doc_id, n_words).
+    One stats pass (zero shuffle) + the dedup's (hash, id) shuffle + a
+    broadcast semi-join of the tiny survivor set."""
+    from tesseract_recognize_ray.functions import dedup as F_dd
+
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    stats = F_text.repetition_stats(ds, "doc_id", "text")
+
+    def quality_gate(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b.column("n_words"), 30),
+            pc.less_equal(b.column("dup_frac"), 0.6),
+        )
+        return b.filter(keep)
+
+    kept = stats.map_batches(quality_gate, batch_format="pyarrow")
+    survivors = F_dd.exact_dedup(kept, "doc_id", "text")
+    out = F.broadcast_semi_join(
+        kept.select_columns(["doc_id", "n_words"]), survivors, "doc_id"
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1069,6 +1204,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_histogram": _q_quantity_histogram,
         "nations_per_region_agg": _q_nations_per_region_agg,
         "doc_repetition": _q_doc_repetition,
+        "p50_cont_value_by_type": _q_p50_cont_value_by_type,
+        "event_value_ranks": _q_event_value_ranks,
+        "hopping_events": _q_hopping_events,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "heavy_hitter_terms": _q_heavy_hitter_terms,
+        "clean_corpus": _q_clean_corpus,
         "customer_order_counts": _q_customer_order_counts,
         "asof_click_value": _q_asof_click_value,
         "rolling_sum_events": _q_rolling_sum_events,
@@ -1293,6 +1434,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n) AS BIGINT) AS top_word_n,
                    1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac
             FROM c GROUP BY doc_id
+        """,
+        "p50_cont_value_by_type": """
+            SELECT event_type,
+                   quantile_cont(CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE), 0.5)
+                       AS p50_cents
+            FROM events GROUP BY event_type
+        """,
+        "event_value_ranks": """
+            SELECT event_id, event_type,
+                   CAST(RANK() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC) AS BIGINT) AS rnk,
+                   CAST(DENSE_RANK() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC) AS BIGINT) AS drnk
+            FROM events
+        """,
+        "hopping_events": f"""
+            WITH h AS (
+                SELECT (epoch_us(ts) // (CAST({_HOP_S} AS BIGINT) * 1000000)) * {_HOP_S} AS base_s,
+                       event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vc
+                FROM events
+            ), w AS (
+                SELECT base_s AS window_epoch_s, event_type, vc FROM h
+                UNION ALL
+                SELECT base_s - {_HOP_S} AS window_epoch_s, event_type, vc FROM h
+            )
+            SELECT window_epoch_s, event_type,
+                   CAST(SUM(vc) AS BIGINT) AS sum_value_cents,
+                   COUNT(*) AS n_events
+            FROM w GROUP BY 1, 2
+        """,
+        "heavy_hitter_terms": """
+            SELECT token, COUNT(*) AS n_min
+            FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+            WHERE token <> ''
+            GROUP BY token ORDER BY n_min DESC, token ASC LIMIT 20
+        """,
+        "clean_corpus": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+            ), c AS (
+                SELECT doc_id, word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY doc_id, word
+            ), s AS (
+                SELECT doc_id,
+                       CAST(SUM(n) AS BIGINT) AS n_words,
+                       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac
+                FROM c GROUP BY doc_id
+            ), kept AS (
+                SELECT d.doc_id, d.text, s.n_words
+                FROM documents d JOIN s USING (doc_id)
+                WHERE s.n_words >= 30 AND s.dup_frac <= 0.6
+            )
+            SELECT doc_id, n_words FROM kept
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY text)
         """,
         "customer_order_counts": """
             SELECT c.c_custkey, c.c_name,

@@ -354,6 +354,76 @@ def grouped_quantile_disc(
     return ds.groupby(key).map_groups(fn, batch_format="pandas")
 
 
+def grouped_quantile_cont(
+    ds: Dataset, key: str, value_col: str, q: float, out_col: str = "quantile"
+) -> Dataset:
+    """Exact CONTINUOUS (interpolated) per-group quantile, replicating SQL
+    quantile_cont / percentile_cont: rn = q·(n−1); result =
+    v[⌊rn⌋]·(⌈rn⌉−rn) + v[⌈rn⌉]·(rn−⌊rn⌋), evaluated in float64 from the
+    sorted values — the exact expression DuckDB's interpolator computes, so
+    integer inputs reproduce the oracle bit-for-bit. Same bounded-group
+    co-location assumption as grouped_median."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].dropna().to_numpy()).astype(np.float64)
+        if len(v) == 0:
+            return pd.DataFrame({key: [g[key].iloc[0]], out_col: [float("nan")]})
+        rn = q * (len(v) - 1)
+        frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+        r = v[frn] if crn == frn else v[frn] * (crn - rn) + v[crn] * (rn - frn)
+        return pd.DataFrame({key: [g[key].iloc[0]], out_col: [float(r)]})
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+def window_rank(
+    ds: Dataset,
+    part_key: str,
+    order_cols: list[str],
+    *,
+    rank_col: str = "rnk",
+    dense_col: str | None = "drnk",
+    descending: bool = False,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-key RANK() (gap ranking) and DENSE_RANK() over order_cols.
+    Bucketed like every window op; within a bucket one sort + vectorized
+    first-of-tie detection (no per-key dispatch): rank = row_number at the
+    first row of each distinct order tuple, carried forward across ties;
+    dense rank = running count of distinct tuples."""
+    from ..hashing import stable_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = stable_bucket(batch[part_key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values(
+            [part_key, *order_cols],
+            ascending=[True] + [not descending] * len(order_cols),
+            kind="mergesort",
+        )
+        rn = g.groupby(part_key, sort=False).cumcount().to_numpy() + 1
+        new_key = g[part_key].ne(g[part_key].shift()).to_numpy()
+        new_tuple = (
+            g[order_cols].ne(g[order_cols].shift()).any(axis=1).to_numpy() | new_key
+        )
+        # carry the row number at each tie-group start forward across ties
+        idx = np.maximum.accumulate(np.where(new_tuple, np.arange(len(g)), 0))
+        g[rank_col] = rn[idx]
+        if dense_col:
+            dense = np.cumsum(new_tuple)
+            # restart the dense counter per key: subtract the running count
+            # at the key's first row (where rank is 1 by construction)
+            key_start = np.maximum.accumulate(np.where(new_key, np.arange(len(g)), 0))
+            g[dense_col] = dense - dense[key_start] + 1
+        return g
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
 def window_row_number(
     ds: Dataset,
     part_key: str,

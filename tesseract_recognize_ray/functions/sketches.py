@@ -1,0 +1,103 @@
+"""Probabilistic sketches for web-scale profiling, built mergeable-first:
+the map side emits tiny partial summaries per batch, the shuffle moves only
+summary rows (never raw values), and a small reduce finalizes.
+
+  * hll_approx_distinct — HyperLogLog cardinality: per-batch register
+    partials (vectorized 64-bit hashing, numpy leading-zero ranks) →
+    groupby(register).max → driver-side estimate over ≤2^p rows. Standard
+    bias handling: linear counting below the small-range threshold.
+  * frequent_terms — a SpaceSaving/Misra-Gries-style frequent-items
+    sketch: per-batch top-m counters with the (m+1)-th count subtracted
+    (undercount ≤ batch_N/(m+1), summed ≤ N/(m+1) globally), groupby-sum,
+    then top-k. Bounds shuffle rows to m per batch regardless of the
+    distinct-token blowup — the exact wordcount's combiner can't promise
+    that on adversarial vocabulary.
+
+No external dependencies — hashing is pandas' fixed-key SipHash
+(hashing.stable_bucket's underlying kernel), estimates are pure numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Max, Sum
+
+
+def _hash64(values: pd.Series) -> np.ndarray:
+    """Deterministic (process-stable) vectorized 64-bit hash."""
+    return pd.util.hash_pandas_object(values, index=False).to_numpy()
+
+
+def hll_approx_distinct(ds: Dataset, col: str, p: int = 14) -> int:
+    """Approximate COUNT(DISTINCT col) with a 2^p-register HyperLogLog
+    (standard error ≈ 1.04/sqrt(2^p); p=14 → ~0.8%).
+
+    Scale shape: each batch contributes at most 2^p (register, rank) rows
+    (already maximized locally), the groupby(register).max shuffle moves
+    register summaries only, and the final estimate folds ≤2^p rows on the
+    driver — the raw column never leaves the map stage. Deterministic: the
+    hash is fixed-key, so the estimate is reproducible run to run."""
+    m = 1 << p
+    tail_bits = 64 - p
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = _hash64(b[col].dropna())
+        if len(h) == 0:
+            return pd.DataFrame({"reg": pd.Series(dtype="int64"), "rank": pd.Series(dtype="int64")})
+        reg = (h >> np.uint64(tail_bits)).astype(np.int64)
+        tail = h & np.uint64((1 << tail_bits) - 1)
+        # rank = leading zeros of the tail (within tail_bits) + 1
+        # bit_length via log2 on float64 — exact for < 2^53 (tail_bits ≤ 50)
+        bl = np.zeros(len(tail), dtype=np.int64)
+        nz = tail > 0
+        bl[nz] = np.floor(np.log2(tail[nz].astype(np.float64))).astype(np.int64) + 1
+        rank = tail_bits - bl + 1
+        df = pd.DataFrame({"reg": reg, "rank": rank})
+        return df.groupby("reg", as_index=False)["rank"].max()
+
+    regs = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("reg")
+        .aggregate(Max("rank", alias_name="rank"))
+        .to_pandas()
+    )
+    M = np.zeros(m, dtype=np.float64)
+    M[regs["reg"].to_numpy()] = regs["rank"].to_numpy()
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-M))
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros > 0:  # small-range linear counting
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def frequent_terms(
+    ds: Dataset, text_col: str, k: int = 20, m: int = 4096
+) -> Dataset:
+    """Frequent-items sketch over whitespace tokens: returns the top-k
+    (token, n_min) with n_min an UNDERestimate off by at most
+    total_tokens/(m+1) (the per-batch Misra-Gries decrement, summed). Use
+    when the distinct-token count is unbounded and the exact wordcount's
+    one-row-per-distinct-token-per-block combiner is itself the bottleneck;
+    candidates can be re-counted exactly in a second cheap pass."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[text_col].fillna("").str.split().explode().dropna().value_counts()
+        if len(vc) > m:
+            vc = (vc.iloc[:m] - int(vc.iloc[m])).clip(lower=0)
+            vc = vc[vc > 0]
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object), "n_min": vc.to_numpy()})
+
+    summed = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n_min", alias_name="n_min"))
+    )
+    from .relational import topk
+
+    return topk(summed, "n_min", k, descending=True, tiebreak=["token"]).select_columns(
+        ["token", "n_min"]
+    )

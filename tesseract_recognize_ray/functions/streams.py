@@ -97,3 +97,43 @@ def tumbling_agg(
 
     with_w = ds.map_batches(add_window, batch_format="pyarrow")
     return grouped_agg(with_w, [window_col, *keys], specs)
+
+
+def hopping_agg(
+    ds: Dataset,
+    ts_col: str,
+    window_seconds: int,
+    hop_seconds: int,
+    keys: list[str],
+    specs: list[tuple[str, str, str]],
+    window_col: str = "window_start",
+) -> Dataset:
+    """Hopping (sliding, hop-aligned) window aggregate: every row belongs to
+    window_seconds/hop_seconds overlapping windows; a vectorized per-batch
+    replication assigns each copy its window start (int64 epoch seconds, same
+    rationale as tumbling_agg), then ONE combiner grouped_agg on
+    (window, *keys). The replication factor k = window/hop multiplies map
+    output rows, never shuffle keys — the exchange still moves one row per
+    (window, key) per block. window_seconds must be a multiple of
+    hop_seconds."""
+    if window_seconds % hop_seconds:
+        raise ValueError("hopping_agg: window_seconds must be a multiple of hop_seconds")
+    k = window_seconds // hop_seconds
+    h_us = int(hop_seconds) * 1_000_000
+
+    def add_windows(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64())
+        # euclidean floor to the hop grid (see tumbling_agg for the negative
+        # timestamp rationale)
+        rem = pc.subtract(ts, pc.multiply(pc.divide(ts, h_us), h_us))
+        rem = pc.if_else(pc.less(rem, 0), pc.add(rem, h_us), rem)
+        base_s = pc.multiply(pc.divide(pc.subtract(ts, rem), h_us), hop_seconds)
+        parts = []
+        for i in range(k):
+            parts.append(
+                batch.append_column(window_col, pc.subtract(base_s, i * hop_seconds))
+            )
+        return pa.concat_tables(parts)
+
+    with_w = ds.map_batches(add_windows, batch_format="pyarrow")
+    return grouped_agg(with_w, [window_col, *keys], specs)

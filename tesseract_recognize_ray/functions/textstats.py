@@ -132,7 +132,8 @@ def repetition_stats(ds: Dataset, id_col: str, text_col: str) -> Dataset:
     tokens, distinct tokens, the top token's occurrence count, and the
     duplicate-token fraction 1 − distinct/total. One vectorized
     explode+groupby per batch (each row is a whole document, so the stats
-    never cross batch boundaries); zero shuffle."""
+    never cross batch boundaries); zero shuffle. Input columns are
+    preserved, so the stats compose into downstream filters/dedup."""
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
         b = b.reset_index(drop=True)
@@ -140,7 +141,7 @@ def repetition_stats(ds: Dataset, id_col: str, text_col: str) -> Dataset:
         ex = ex[ex != ""]
         cnt = ex.groupby([ex.index, ex]).size()
         agg = cnt.groupby(level=0).agg(["sum", "count", "max"])
-        out = pd.DataFrame({id_col: b[id_col]})
+        out = b.copy()
         out = out.join(agg)
         out[["sum", "count", "max"]] = out[["sum", "count", "max"]].fillna(0).astype("int64")
         out = out.rename(columns={"sum": "n_words", "count": "n_distinct", "max": "top_word_n"})

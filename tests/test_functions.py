@@ -459,3 +459,67 @@ def test_repetition_stats(ray_session):
     assert out.loc[0, "top_word_n"] == 2 and out.loc[0, "dup_frac"] == pytest.approx(1 / 3)
     assert out.loc[1, "dup_frac"] == 0.0
     assert out.loc[2, "n_words"] == 0 and out.loc[2, "dup_frac"] == 0.0
+
+
+def test_grouped_quantile_cont_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"k": rng.choice(["a", "b", "c"], 500), "v": rng.integers(0, 100000, 500).astype("int64")}
+    )
+    for q in (0.5, 0.9, 0.25):
+        out = (
+            F.grouped_quantile_cont(rd.from_pandas(df), "k", "v", q, out_col="p")
+            .to_pandas()
+            .set_index("k")["p"]
+        )
+        ora = duckdb.sql(
+            f"SELECT k, quantile_cont(CAST(v AS DOUBLE), {q}) AS p FROM df GROUP BY k"
+        ).df().set_index("k")["p"]
+        for k in ora.index:
+            assert out[k] == ora[k], (q, k, out[k], ora[k])  # bit-exact
+
+
+def test_window_rank_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(400, dtype="int64"),
+            "k": rng.choice(["x", "y"], 400),
+            "v": rng.integers(0, 20, 400).astype("int64"),  # heavy ties
+        }
+    )
+    out = (
+        F.window_rank(rd.from_pandas(df), "k", ["v"], descending=True)
+        .to_pandas()
+        .set_index("id")
+    )
+    ora = duckdb.sql(
+        """SELECT id, RANK() OVER (PARTITION BY k ORDER BY v DESC) AS rnk,
+                  DENSE_RANK() OVER (PARTITION BY k ORDER BY v DESC) AS drnk FROM df"""
+    ).df().set_index("id")
+    for i in ora.index:
+        assert out.loc[i, "rnk"] == ora.loc[i, "rnk"]
+        assert out.loc[i, "drnk"] == ora.loc[i, "drnk"]
+
+
+def test_hopping_agg(ray_session):
+    from tesseract_recognize_ray.functions import streams as F_st
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:10", "2024-01-01 02:10"]
+    )
+    df = pd.DataFrame({"ts": ts, "k": ["a"] * 4, "v": [1, 2, 4, 8]})
+    out = (
+        F_st.hopping_agg(rd.from_pandas(df), "ts", 7200, 3600, ["k"], [("v", "sum", "sv")],
+                         window_col="ws")
+        .to_pandas()
+        .set_index("ws")["sv"]
+        .to_dict()
+    )
+    base = int(pd.Timestamp("2024-01-01").timestamp())
+    # windows: [-1h,1h)->1+2, [0,2h)->1+2+4, [1h,3h)->4+8, [2h,4h)->8
+    assert out == {base - 3600: 3, base: 7, base + 3600: 12, base + 7200: 8}

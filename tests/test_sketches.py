@@ -1,0 +1,54 @@
+"""Sketch operators: HLL approximate distinct (error-bounded vs exact) and
+the frequent-items (Misra-Gries-style) top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from tesseract_recognize_ray.functions import sketches as F_sk
+
+
+def test_hll_error_bound(ray_session):
+    rng = np.random.default_rng(11)
+    # ~50k distinct int64 ids with duplicates, across many blocks
+    vals = rng.integers(0, 50_000, size=200_000)
+    exact = len(np.unique(vals))
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    est = F_sk.hll_approx_distinct(ds, "v", p=14)
+    assert abs(est - exact) / exact < 0.03  # p=14 → ~0.8% stderr; 3% is >3 sigma
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"v": list(range(100)) * 5}))
+    est = F_sk.hll_approx_distinct(ds, "v", p=14)
+    assert abs(est - 100) <= 2
+
+
+def test_hll_deterministic(ray_session):
+    df = pd.DataFrame({"v": np.arange(10_000) % 3333})
+    a = F_sk.hll_approx_distinct(rd.from_pandas(df), "v")
+    b = F_sk.hll_approx_distinct(rd.from_pandas(df).repartition(7), "v")
+    assert a == b  # fixed-key hash + max-merge: partitioning-invariant
+
+
+def test_frequent_terms_exact_when_vocab_fits(ray_session):
+    docs = pd.DataFrame({"text": ["a a a b b c"] * 10 + ["d e"] * 3})
+    out = F_sk.frequent_terms(rd.from_pandas(docs), "text", k=3, m=100).to_pandas()
+    assert out["token"].tolist() == ["a", "b", "c"]
+    assert out["n_min"].tolist() == [30, 20, 10]
+
+
+def test_frequent_terms_undercount_bound(ray_session):
+    # heavy hitter 'hh' (freq 400) among 50 noise tokens, m=8 forces decrements
+    rng = np.random.default_rng(5)
+    rows = []
+    for _ in range(100):
+        toks = ["hh"] * 4 + [f"n{rng.integers(50)}" for _ in range(8)]
+        rows.append(" ".join(toks))
+    ds = rd.from_pandas(pd.DataFrame({"text": rows})).repartition(4)
+    out = F_sk.frequent_terms(ds, "text", k=5, m=8).to_pandas().set_index("token")
+    assert "hh" in out.index  # any item with freq > N/(m+1) must survive
+    n_total = 100 * 12
+    assert 400 - n_total / 9 <= out.loc["hh", "n_min"] <= 400
