@@ -704,6 +704,96 @@ def _q_top_terms(sf_dir: str):
     return F.topk(counts, "n", 50, descending=True, tiebreak=["token"]).select_columns(["token", "n"])
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Bigram wordcount: adjacent whitespace-token pairs per document with a
+    per-batch combiner (explode + grouped shift, no per-row loop), top 40 by
+    (count desc, bigram asc)."""
+    ds = F.load(sf_dir, "documents", columns=["text"], num_blocks=16)
+    counts = F_text.bigram_counts(ds, "text")
+    return F.topk(counts, "n", 40, descending=True, tiebreak=["bigram"]).select_columns(
+        ["bigram", "n"]
+    )
+
+
+def _q_cumsum_user_value(sf_dir: str):
+    """Running total window: per-user cumulative sum of exact-cents values
+    ordered by (ts, event_id) — SUM OVER (... ROWS UNBOUNDED PRECEDING)."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    out = F.window_cumsum(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        "value_cents",
+        out_col="cum_cents",
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["event_id", "user_id", "cum_cents"]].astype("int64")
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = "1998-01-01"
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped composition: filter each side at the read, semi-join
+    orders against the qualifying customer keys (small side broadcast),
+    pre-aggregate lineitem revenue by orderkey BEFORE the join (map-side
+    combiner — the join never sees one row per lineitem), hash-join the two
+    aggregates, global top-10 with per-batch prune. Revenue is exact:
+    cents x (100 - discount_pct) in int64."""
+    cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
+        expr=f"c_mktsegment == '{_Q3_SEGMENT}'"
+    )
+    cutoff = pa.scalar(np.datetime64(_Q3_CUTOFF, "us"), pa.timestamp("us"))
+
+    def before_cutoff(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(pc.cast(b.column("o_orderdate"), pa.timestamp("us")), cutoff))
+
+    orders = F.load(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        before_cutoff, batch_format="pyarrow"
+    )
+    orders = F.broadcast_semi_join(orders, cust, "o_custkey", small_key="c_custkey")
+
+    def after_cutoff(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(pc.cast(b.column("l_shipdate"), pa.timestamp("us")), cutoff))
+
+    li = F.load(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(after_cutoff, batch_format="pyarrow")
+
+    def revenue(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+
+    li_agg = F.grouped_agg(
+        li.map_batches(revenue, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("rev", "sum", "revenue_u")],
+    )
+    joined = F.hash_join(
+        li_agg, orders.select_columns(["o_orderkey", "o_orderdate"]),
+        on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=8,
+    )
+    top = F.topk(joined, "revenue_u", 10, descending=True, tiebreak=["l_orderkey"])
+    return top.select_columns(["l_orderkey", "revenue_u", "o_orderdate"])
+
+
 def _q_median_value_by_type(sf_dir: str):
     """Exact per-group median (bounded key domain — the documented
     partitioning assumption) over exact-cents values."""
@@ -1213,7 +1303,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": _q_customer_order_counts,
         "asof_click_value": _q_asof_click_value,
         "rolling_sum_events": _q_rolling_sum_events,
+        "cumsum_user_value": _q_cumsum_user_value,
         "top_terms": _q_top_terms,
+        "top_bigrams": _q_top_bigrams,
+        "shipping_priority": _q_shipping_priority,
         "median_value_by_type": _q_median_value_by_type,
         "sessionize_events": _q_sessionize_events,
         "session_stats": _q_session_stats,
@@ -1522,6 +1615,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS n
             FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)
             GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "cumsum_user_value": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_cents
+            FROM events
+        """,
+        "top_bigrams": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS tok,
+                       generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos
+                FROM documents
+            )
+            SELECT a.tok || ' ' || b.tok AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40
+        """,
+        "shipping_priority": f"""
+            SELECT l.l_orderkey,
+                   SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS revenue_u,
+                   o.o_orderdate
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+              AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+              AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue_u DESC, l.l_orderkey ASC LIMIT 10
         """,
         "median_value_by_type": """
             SELECT event_type,

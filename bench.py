@@ -56,6 +56,11 @@ _BENCH_QUERIES = [
     "asof_click_value",
     "rolling_sum_events",
     "top_terms",
+    "event_value_ranks",
+    "hopping_events",
+    "clean_corpus",
+    "shipping_priority",
+    "top_bigrams",
 ]
 
 

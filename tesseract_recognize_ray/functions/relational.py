@@ -321,6 +321,34 @@ def window_rolling_sum(
     )
 
 
+def window_cumsum(
+    ds: Dataset,
+    part_key: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-key running total (SQL SUM(...) OVER (PARTITION BY key ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)). Same bucketed shape as
+    window_rolling_sum: hash(key) % num_buckets co-locates each key, then
+    ONE vectorized grouped cumsum per bucket — no per-key dispatch."""
+    from ..hashing import stable_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = stable_bucket(batch[part_key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values([part_key, *order_cols], kind="mergesort")
+        g[out_col] = g.groupby(part_key, sort=False)[value_col].cumsum()
+        return g
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
 def grouped_median(ds: Dataset, key: str, value_col: str, out_col: str = "median") -> Dataset:
     """Exact per-group median. Partitioning assumption (documented per the
     brief's custom-operator rule): groupby(key) co-locates each group whole,

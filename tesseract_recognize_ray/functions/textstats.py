@@ -105,6 +105,26 @@ def term_counts(ds: Dataset, text_col: str) -> Dataset:
     )
 
 
+def bigram_counts(ds: Dataset, text_col: str) -> Dataset:
+    """Global bigram frequency over whitespace tokens: per-batch partial
+    counts (explode tokens keeping the source-row index, pair each token
+    with the next token of the SAME document via a grouped shift, then
+    value_counts — all pandas kernels), followed by ONE groupby(bigram)
+    sum. The shuffle moves one row per distinct bigram per block, never
+    one row per occurrence."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = batch[text_col].fillna("").str.split().explode().dropna()
+        nxt = ex.groupby(level=0).shift(-1)
+        vc = (ex + " " + nxt).dropna().value_counts()
+        return pd.DataFrame({"bigram": vc.index.to_numpy(dtype=object), "n": vc.to_numpy()})
+
+    return ds.map_batches(partial, batch_format="pandas").groupby("bigram").aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
 def regex_redact(
     ds: Dataset,
     col: str,

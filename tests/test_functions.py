@@ -523,3 +523,25 @@ def test_hopping_agg(ray_session):
     base = int(pd.Timestamp("2024-01-01").timestamp())
     # windows: [-1h,1h)->1+2, [0,2h)->1+2+4, [1h,3h)->4+8, [2h,4h)->8
     assert out == {base - 3600: 3, base: 7, base + 3600: 12, base + 7200: 8}
+
+
+def test_window_cumsum_matches_pandas(ray_session):
+    df = pd.DataFrame(
+        {
+            "k": ["a", "b", "a", "a", "b"],
+            "t": [3, 1, 1, 2, 2],
+            "v": [10, 20, 1, 2, 3],
+        }
+    )
+    out = F.window_cumsum(rd.from_pandas(df), "k", ["t"], "v", out_col="cs").to_pandas()
+    got = out.set_index(["k", "t"])["cs"].to_dict()
+    # a ordered by t: 1,2,10 -> 1,3,13 ; b: 20,3 -> 20,23
+    assert got == {("a", 1): 1, ("a", 2): 3, ("a", 3): 13, ("b", 1): 20, ("b", 2): 23}
+
+
+def test_bigram_counts(ray_session):
+    df = pd.DataFrame({"text": ["a b a b", "b a", None, "", "solo"]})
+    out = F_text.bigram_counts(rd.from_pandas(df), "text").to_pandas()
+    got = dict(zip(out["bigram"], out["n"]))
+    # doc 1: "a b","b a","a b"; doc 2: "b a"; others contribute none
+    assert got == {"a b": 2, "b a": 2}
