@@ -89,38 +89,72 @@ def quality_counts(ds: Dataset, id_col: str, text_col: str) -> Dataset:
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _ws_token_lists(col: pa.ChunkedArray | pa.Array) -> pa.ListArray:
+    """Whitespace-tokenize a string column into ONE contiguous ListArray
+    (offset 0, no chunk seams). Arrow's split_whitespace collapses interior
+    runs but emits EMPTY tokens at list edges (leading/trailing whitespace,
+    empty/null input) — callers must drop ''."""
+    ls = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+    if isinstance(ls, pa.ChunkedArray):
+        ls = ls.combine_chunks()
+    return ls
+
+
 def term_counts(ds: Dataset, text_col: str) -> Dataset:
     """Global term frequency (the web-scale wordcount): per-batch partial
-    counts (vectorized str.split().explode().value_counts() — the map-side
-    combiner), then ONE groupby(token) sum so the shuffle moves one row per
-    distinct token per block, never one row per occurrence."""
+    counts via pure Arrow kernels (split_whitespace → flatten →
+    value_counts — the map-side combiner, zero Python per token), then ONE
+    groupby(token) sum so the shuffle moves one row per distinct token per
+    block, never one row per occurrence."""
     from ray.data.aggregate import Sum
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch[text_col].fillna("").str.split().explode().dropna().value_counts()
-        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object), "n": vc.to_numpy()})
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = _ws_token_lists(batch.column(text_col)).flatten()
+        vc = pc.value_counts(flat.filter(pc.not_equal(flat, "")))
+        return pa.table(
+            {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
 
-    return ds.map_batches(partial, batch_format="pandas").groupby("token").aggregate(
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("token").aggregate(
         Sum("n", alias_name="n")
     )
 
 
 def bigram_counts(ds: Dataset, text_col: str) -> Dataset:
     """Global bigram frequency over whitespace tokens: per-batch partial
-    counts (explode tokens keeping the source-row index, pair each token
-    with the next token of the SAME document via a grouped shift, then
-    value_counts — all pandas kernels), followed by ONE groupby(bigram)
-    sum. The shuffle moves one row per distinct bigram per block, never
-    one row per occurrence."""
+    counts via pure Arrow/numpy kernels — tokenize once, pair flat[i] with
+    flat[i+1], mask out pairs that cross a document boundary (list offsets)
+    or touch an edge empty token, join with one binary_join_element_wise,
+    value_counts. Then ONE groupby(bigram) sum: the shuffle moves one row
+    per distinct bigram per block, never one row per occurrence."""
     from ray.data.aggregate import Sum
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        ex = batch[text_col].fillna("").str.split().explode().dropna()
-        nxt = ex.groupby(level=0).shift(-1)
-        vc = (ex + " " + nxt).dropna().value_counts()
-        return pd.DataFrame({"bigram": vc.index.to_numpy(dtype=object), "n": vc.to_numpy()})
+    empty = pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
 
-    return ds.map_batches(partial, batch_format="pandas").groupby("bigram").aggregate(
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = _ws_token_lists(batch.column(text_col))
+        flat = lists.flatten()
+        n = len(flat)
+        if n < 2:
+            return empty
+        valid = np.ones(n - 1, dtype=bool)
+        off = np.asarray(lists.offsets)
+        bounds = off[1:-1] - off[0]  # rebase: flatten() re-bases values to offset 0
+        bounds = bounds[(bounds > 0) & (bounds < n)]
+        valid[bounds - 1] = False  # pair (b-1, b) spans two documents
+        left = flat.slice(0, n - 1)
+        right = flat.slice(1, n - 1)
+        mask = pa.array(
+            valid
+            & np.asarray(pc.and_(pc.not_equal(left, ""), pc.not_equal(right, "")))
+        )
+        big = pc.binary_join_element_wise(left.filter(mask), right.filter(mask), " ")
+        vc = pc.value_counts(big)
+        return pa.table(
+            {"bigram": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("bigram").aggregate(
         Sum("n", alias_name="n")
     )
 
