@@ -794,6 +794,81 @@ def _q_shipping_priority(sf_dir: str):
     return top.select_columns(["l_orderkey", "revenue_u", "o_orderdate"])
 
 
+def _q_top3_events_per_user(sf_dir: str):
+    """Per-group top-k (QUALIFY row_number <= 3): map-side combiner prunes
+    each batch to <= 3 rows per user BEFORE the shuffle, bucketed finish."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    out = F.grouped_topk(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id",
+        "value_cents",
+        3,
+        descending=True,
+        tiebreak=["event_id"],
+    )
+    return out.select_columns(["event_id", "user_id", "value_cents"])
+
+
+_FULL_BAL = 5000.0
+
+
+def _q_customer_order_full(sf_dir: str):
+    """FULL OUTER join: high-balance customers x per-customer order
+    aggregates (pre-aggregated build side — the join never sees one row per
+    order). Left-only rows (rich customers without orders) and right-only
+    rows (order groups whose customer misses the balance filter) both
+    survive with COALESCEd fill values."""
+    cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]).filter(
+        expr=f"c_acctbal > {_FULL_BAL}"
+    ).select_columns(["c_custkey", "c_name"])
+
+    orders = F.load(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64()),
+            }
+        )
+
+    agg = F.grouped_agg(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("cents", "sum", "total_cents"), ("cents", "count", "n_orders")],
+    )
+    joined = F.hash_join(
+        cust, agg, on=("c_custkey",), right_on=("o_custkey",),
+        join_type="full_outer", num_partitions=8,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        # Ray's Dataset.join coalesces the join key into the LEFT column name
+        # (right key column is dropped), so c_custkey is non-null on both
+        # left-only and right-only rows.
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "custkey": b.column("c_custkey"),
+                "c_name": pc.coalesce(b.column("c_name"), pa.scalar("", pa.string())),
+                "n_orders": pc.coalesce(pc.cast(b.column("n_orders"), pa.int64()), zero),
+                "total_cents": pc.coalesce(pc.cast(b.column("total_cents"), pa.int64()), zero),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 def _q_median_value_by_type(sf_dir: str):
     """Exact per-group median (bounded key domain — the documented
     partitioning assumption) over exact-cents values."""
@@ -1307,6 +1382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "top_bigrams": _q_top_bigrams,
         "shipping_priority": _q_shipping_priority,
+        "top3_events_per_user": _q_top3_events_per_user,
+        "customer_order_full": _q_customer_order_full,
         "median_value_by_type": _q_median_value_by_type,
         "sessionize_events": _q_sessionize_events,
         "session_stats": _q_session_stats,
@@ -1634,6 +1711,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.tok || ' ' || b.tok AS bigram, CAST(COUNT(*) AS BIGINT) AS n
             FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40
+        """,
+        "top3_events_per_user": """
+            SELECT event_id, user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC, event_id ASC
+            ) <= 3
+        """,
+        "customer_order_full": f"""
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+                   COALESCE(c.c_name, '') AS c_name,
+                   CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(o.total_cents, 0) AS BIGINT) AS total_cents
+            FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > {_FULL_BAL}) c
+            FULL OUTER JOIN (
+                SELECT o_custkey,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+            ) o ON c.c_custkey = o.o_custkey
         """,
         "shipping_priority": f"""
             SELECT l.l_orderkey,

@@ -234,6 +234,43 @@ def topk(ds: Dataset, col: str, k: int, descending: bool = True, tiebreak: list[
     return pruned.sort([c for c, _ in keys], descending=[d == "descending" for _, d in keys]).limit(k)
 
 
+def grouped_topk(
+    ds: Dataset,
+    key: str,
+    col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: list[str] | None = None,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Top-k rows PER GROUP (SQL QUALIFY row_number() OVER (PARTITION BY key
+    ORDER BY ...) <= k). Map-side combiner: each batch first prunes to at
+    most k rows per key (one vectorized sort + groupby.head), so the shuffle
+    moves <= k rows per key per block — never the full group; then a bucketed
+    hash shuffle co-locates each key and ONE sorted groupby.head per bucket
+    finishes. Same per-column sort directions as topk: the value column
+    follows `descending`, tiebreak columns are always ascending."""
+    from ..hashing import stable_bucket
+
+    sort_cols = [key, col] + (tiebreak or [])
+    asc = [True, not descending] + [True] * len(tiebreak or [])
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        pruned = batch.sort_values(sort_cols, ascending=asc, kind="mergesort").groupby(
+            key, sort=False
+        ).head(k)
+        pruned["__bucket"] = stable_bucket(pruned[key], num_buckets)
+        return pruned
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values(sort_cols, ascending=asc, kind="mergesort")
+        return g.groupby(key, sort=False).head(k)
+
+    return ds.map_batches(prune, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,

@@ -545,3 +545,20 @@ def test_bigram_counts(ray_session):
     got = dict(zip(out["bigram"], out["n"]))
     # doc 1: "a b","b a","a b"; doc 2: "b a"; others contribute none
     assert got == {"a b": 2, "b a": 2}
+
+
+def test_grouped_topk(ray_session):
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 2,
+            "id": [1, 2, 3, 4, 5, 6, 7],
+            "v": [10, 50, 50, 20, 40, 7, 7],
+        }
+    )
+    out = F.grouped_topk(rd.from_pandas(df), "k", "v", 2, descending=True, tiebreak=["id"]).to_pandas()
+    got = set(zip(out["k"], out["id"]))
+    # a: v=50 ties at ids 2,3 (tiebreak asc) ; b: both rows tie, ids 6,7
+    assert got == {("a", 2), ("a", 3), ("b", 6), ("b", 7)}
+    # ascending variant
+    out2 = F.grouped_topk(rd.from_pandas(df), "k", "v", 1, descending=False, tiebreak=["id"]).to_pandas()
+    assert set(zip(out2["k"], out2["id"])) == {("a", 1), ("b", 6)}
