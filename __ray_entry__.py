@@ -869,6 +869,68 @@ def _q_customer_order_full(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+def _q_corr_qty_discount(sf_dir: str):
+    """Per-group Pearson correlation from EXACT int64 moments (combiner
+    shuffles six moment values per key per block; bit-stable final float)."""
+    ds = F.load(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+                "disc_pct": pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64()),
+            }
+        )
+
+    return F.grouped_corr(
+        ds.map_batches(to_int, batch_format="pyarrow"),
+        ["l_returnflag"],
+        "qty",
+        "disc_pct",
+        corr_col="corr_qd",
+        covar_col="covar_qd",
+    ).select_columns(["l_returnflag", "n_rows", "corr_qd", "covar_qd"])
+
+
+def _q_mode_priority_by_status(sf_dir: str):
+    """Per-group mode with deterministic ties (smallest value among the most
+    frequent): grouped count combiner, then per-group top-1 by (n desc,
+    value asc) — composition of two existing scale-safe operators."""
+    ds = F.load(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    counts = F.grouped_agg(
+        ds, ["o_orderstatus", "o_orderpriority"], [("o_orderpriority", "count", "n")]
+    )
+    top = F.grouped_topk(
+        counts, "o_orderstatus", "n", 1, descending=True, tiebreak=["o_orderpriority"]
+    )
+    return top.select_columns(["o_orderstatus", "o_orderpriority", "n"])
+
+
+def _q_event_value_quartiles(sf_dir: str):
+    """NTILE(4) window: per-type quartile assignment over a totally-ordered
+    (value_cents, event_id) sort — numpy tile arithmetic per bucket."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    out = F.window_ntile(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "event_type",
+        ["value_cents", "event_id"],
+        4,
+        out_col="quartile",
+    )
+    return out.select_columns(["event_id", "event_type", "quartile"])
+
+
 def _q_median_value_by_type(sf_dir: str):
     """Exact per-group median (bounded key domain — the documented
     partitioning assumption) over exact-cents values."""
@@ -1384,6 +1446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "top3_events_per_user": _q_top3_events_per_user,
         "customer_order_full": _q_customer_order_full,
+        "corr_qty_discount": _q_corr_qty_discount,
+        "mode_priority_by_status": _q_mode_priority_by_status,
+        "event_value_quartiles": _q_event_value_quartiles,
         "median_value_by_type": _q_median_value_by_type,
         "sessionize_events": _q_sessionize_events,
         "session_stats": _q_session_stats,
@@ -1711,6 +1776,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.tok || ' ' || b.tok AS bigram, CAST(COUNT(*) AS BIGINT) AS n
             FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40
+        """,
+        "corr_qty_discount": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       COUNT(*) AS n_rows,
+                       SUM(qty) AS sx, SUM(dp) AS sy,
+                       SUM(qty * qty) AS sxx, SUM(dp * dp) AS syy,
+                       SUM(qty * dp) AS sxy
+                FROM (SELECT l_returnflag,
+                             CAST(l_quantity AS BIGINT) AS qty,
+                             CAST(ROUND(l_discount * 100) AS BIGINT) AS dp
+                      FROM lineitem)
+                GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n_rows,
+                   (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (SQRT(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * SQRT(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qd,
+                   (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0)) AS covar_qd
+            FROM m
+        """,
+        "mode_priority_by_status": """
+            SELECT o_orderstatus, o_orderpriority, CAST(n AS BIGINT) AS n
+            FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+                  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority ASC
+            ) = 1
+        """,
+        "event_value_quartiles": """
+            SELECT event_id, event_type,
+                   CAST(NTILE(4) OVER (
+                        PARTITION BY event_type
+                        ORDER BY CAST(ROUND(value * 100) AS BIGINT), event_id
+                   ) AS BIGINT) AS quartile
+            FROM events
         """,
         "top3_events_per_user": """
             SELECT event_id, user_id,

@@ -654,6 +654,106 @@ def grouped_variance(
     return moments.map_batches(finalize, batch_format="pyarrow")
 
 
+def grouped_corr(
+    ds: Dataset,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    *,
+    corr_col: str = "corr",
+    covar_col: str | None = "covar_samp",
+    n_col: str = "n_rows",
+) -> Dataset:
+    """Per-group Pearson correlation (and sample covariance) via EXACT
+    integer moments — same design as grouped_variance: the combiner
+    pre-aggregates (n, Σx, Σy, Σx², Σy², Σxy) as int64, the shuffle moves
+    one moment row per key per block, and the final float64 expressions
+      corr  = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))
+      covar = (n·Σxy − Σx·Σy) / (n·(n−1))
+    are evaluated once per group → bit-identical across partitionings.
+    Requires integer value columns; per-group Σx², Σy², Σxy must fit int64."""
+
+    def add_moments(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column(x_col), pa.int64())
+        y = pc.cast(b.column(y_col), pa.int64())
+        b = b.append_column("__xx", pc.multiply(x, x))
+        b = b.append_column("__yy", pc.multiply(y, y))
+        return b.append_column("__xy", pc.multiply(x, y))
+
+    moments = grouped_agg(
+        ds.map_batches(add_moments, batch_format="pyarrow"),
+        keys,
+        [
+            (x_col, "count", n_col),
+            (x_col, "sum", "__sx"),
+            (y_col, "sum", "__sy"),
+            ("__xx", "sum", "__sxx"),
+            ("__yy", "sum", "__syy"),
+            ("__xy", "sum", "__sxy"),
+        ],
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column(n_col), pa.float64())
+        sx = pc.cast(b.column("__sx"), pa.float64())
+        sy = pc.cast(b.column("__sy"), pa.float64())
+        sxx = pc.cast(b.column("__sxx"), pa.float64())
+        syy = pc.cast(b.column("__syy"), pa.float64())
+        sxy = pc.cast(b.column("__sxy"), pa.float64())
+        num = pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy))
+        dx = pc.sqrt(pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)))
+        dy = pc.sqrt(pc.subtract(pc.multiply(n, syy), pc.multiply(sy, sy)))
+        b = b.append_column(corr_col, pc.divide(num, pc.multiply(dx, dy)))
+        if covar_col:
+            b = b.append_column(
+                covar_col,
+                pc.divide(num, pc.multiply(n, pc.subtract(n, pa.scalar(1.0)))),
+            )
+        return b.drop_columns(["__sx", "__sy", "__sxx", "__syy", "__sxy"])
+
+    return moments.map_batches(finalize, batch_format="pyarrow")
+
+
+def window_ntile(
+    ds: Dataset,
+    part_key: str,
+    order_cols: list[str],
+    n: int,
+    out_col: str = "ntile",
+    num_buckets: int = 64,
+) -> Dataset:
+    """SQL NTILE(n) OVER (PARTITION BY key ORDER BY order_cols): rows of
+    each group split into n tiles whose sizes differ by at most one, the
+    first (count mod n) tiles one row larger. Bucketed shuffle co-locates
+    each key; inside a bucket everything is numpy on cumcount/size arrays —
+    no per-key dispatch. order_cols should totally order each group (add a
+    unique tiebreak) or tile assignment at equal keys is partition-dependent."""
+    from ..hashing import stable_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = stable_bucket(batch[part_key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values([part_key, *order_cols], kind="mergesort")
+        grp = g.groupby(part_key, sort=False)
+        rn = grp.cumcount().to_numpy()
+        cnt = grp[order_cols[0]].transform("size").to_numpy()
+        q, r = cnt // n, cnt % n
+        boundary = (q + 1) * r  # rows below this index sit in the larger tiles
+        tile = np.where(
+            rn < boundary,
+            rn // np.maximum(q + 1, 1),
+            r + (rn - boundary) // np.maximum(q, 1),
+        )
+        g[out_col] = (tile + 1).astype("int64")
+        return g
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
 def rollup_agg(ds: Dataset, keys: list[str], specs: list[tuple[str, str, str]]) -> Dataset:
     """GROUP BY ROLLUP(keys): the base table is scanned ONCE into the leaf
     grouped_agg; every coarser level (k1..k_{i}, …, grand total) then

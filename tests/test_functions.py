@@ -562,3 +562,33 @@ def test_grouped_topk(ray_session):
     # ascending variant
     out2 = F.grouped_topk(rd.from_pandas(df), "k", "v", 1, descending=False, tiebreak=["id"]).to_pandas()
     assert set(zip(out2["k"], out2["id"])) == {("a", 1), ("b", 6)}
+
+
+def test_window_ntile_sizes(ray_session):
+    # 7 rows into 3 tiles -> sizes 3,2,2 ; 2 rows into 4 tiles -> tiles 1,2
+    df = pd.DataFrame({"k": ["a"] * 7 + ["b"] * 2, "t": list(range(7)) + [0, 1]})
+    out = F.window_ntile(rd.from_pandas(df), "k", ["t"], 3, out_col="nt").to_pandas()
+    a = out[out["k"] == "a"].sort_values("t")["nt"].tolist()
+    b = out[out["k"] == "b"].sort_values("t")["nt"].tolist()
+    assert a == [1, 1, 1, 2, 2, 3, 3]
+    assert b == [1, 2]
+
+
+def test_grouped_corr_exact(ray_session):
+    # perfectly correlated and anti-correlated groups
+    df = pd.DataFrame(
+        {
+            "k": ["p"] * 4 + ["m"] * 4,
+            "x": [1, 2, 3, 4, 1, 2, 3, 4],
+            "y": [2, 4, 6, 8, 8, 6, 4, 2],
+        }
+    )
+    out = (
+        F.grouped_corr(rd.from_pandas(df), ["k"], "x", "y")
+        .to_pandas()
+        .set_index("k")
+    )
+    assert abs(out.loc["p", "corr"] - 1.0) < 1e-12
+    assert abs(out.loc["m", "corr"] + 1.0) < 1e-12
+    # covar_samp of p: cov([1..4],[2..8]) = 2*var([1..4]) = 2*(5/3)
+    assert abs(out.loc["p", "covar_samp"] - 10.0 / 3.0) < 1e-12
