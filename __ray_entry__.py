@@ -869,6 +869,27 @@ def _q_customer_order_full(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+def _q_decontaminate_docs(sf_dir: str):
+    """Training-data decontamination: flag training docs sharing word
+    3-grams with a 'benchmark' split (docs where doc_id % 10 == 7). The
+    benchmark 3-gram set is collected once (small side — eval suites are
+    MBs at any corpus scale), broadcast via ray.put, and checked per batch
+    with one vectorized is_in; no shuffle, text never leaves its task."""
+    docs = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+
+    def split(keep_bench: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = np.asarray(b.column("doc_id")) % 10 == 7
+            return b.filter(pa.array(m if keep_bench else ~m))
+
+        return fn
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    bench_set = F_dedup.collect_ngram_set(bench, "text", n=3)
+    return F_dedup.ngram_contamination(train, "doc_id", "text", bench_set, n=3)
+
+
 def _q_corr_qty_discount(sf_dir: str):
     """Per-group Pearson correlation from EXACT int64 moments (combiner
     shuffles six moment values per key per block; bit-stable final float)."""
@@ -1446,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "top3_events_per_user": _q_top3_events_per_user,
         "customer_order_full": _q_customer_order_full,
+        "decontaminate_docs": _q_decontaminate_docs,
         "corr_qty_discount": _q_corr_qty_discount,
         "mode_priority_by_status": _q_mode_priority_by_status,
         "event_value_quartiles": _q_event_value_quartiles,
@@ -1776,6 +1798,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.tok || ' ' || b.tok AS bigram, CAST(COUNT(*) AS BIGINT) AS n
             FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40
+        """,
+        "decontaminate_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS tok,
+                       generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos
+                FROM documents
+            ), tri AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS tg
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+            ), bench AS (
+                SELECT DISTINCT tg FROM tri WHERE doc_id % 10 = 7
+            )
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM tri t JOIN bench USING (tg)
+            WHERE t.doc_id % 10 <> 7
+            GROUP BY t.doc_id
         """,
         "corr_qty_discount": """
             WITH m AS (

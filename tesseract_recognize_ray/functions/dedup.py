@@ -413,3 +413,74 @@ def embedding_near_dup_pairs(
     from ray.data.aggregate import Max
 
     return out.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+# -------------------------------------------------------- decontamination
+def collect_ngram_set(bench: Dataset, text_col: str, n: int = 3) -> list[str]:
+    """Distinct word-n-gram set of a SMALL benchmark dataset, collected to
+    the driver. Small-side-only by design: eval/benchmark suites are MBs
+    even when the training corpus is 100 TB. For a large right side, skip
+    this and hash-join exploded n-grams instead (verify_jaccard_pairs_joined
+    shows the shape)."""
+    import pyarrow.compute as pc
+
+    from .textstats import flat_ngrams
+
+    def partial(b: pa.Table) -> pa.Table:
+        ngrams, _ = flat_ngrams(b.column(text_col), n)
+        return pa.table({"ng": pc.unique(ngrams)})
+
+    return bench.map_batches(partial, batch_format="pyarrow").unique("ng")
+
+
+def ngram_contamination(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    bench_ngrams: list[str],
+    n: int = 3,
+    out_col: str = "n_hits",
+    concurrency=(1, 4),
+) -> Dataset:
+    """Training-data decontamination (the GPT-3/Gopher n-gram collision
+    check, from the public papers): count, per document, how many word
+    n-gram OCCURRENCES also appear in a benchmark n-gram set; emit
+    (id, n_hits) for contaminated documents only.
+
+    Scale shape: the benchmark set is ray.put ONCE and materialized per
+    ACTOR (__init__), never per batch; documents are single rows, so
+    per-batch hit counts are already final — no groupby, no shuffle, the
+    text never leaves its task."""
+    ref = ray.put(pa.array(bench_ngrams, pa.string()))
+
+    class Counter:
+        def __init__(self):
+            import pyarrow.compute as _pc
+
+            self._pc = _pc
+            self.bench = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from .textstats import flat_ngrams
+
+            pc_ = self._pc
+            ngrams, row_idx = flat_ngrams(b.column(text_col), n)
+            ids_all = b.column(id_col).combine_chunks()
+            if len(ngrams) == 0:
+                return pa.table(
+                    {id_col: ids_all.slice(0, 0), out_col: pa.array([], pa.int64())}
+                )
+            hit = np.asarray(pc_.is_in(ngrams, value_set=self.bench))
+            if not hit.any():
+                return pa.table(
+                    {id_col: ids_all.slice(0, 0), out_col: pa.array([], pa.int64())}
+                )
+            vc = pd.Series(row_idx[hit]).value_counts()
+            return pa.table(
+                {
+                    id_col: ids_all.take(pa.array(vc.index.to_numpy())),
+                    out_col: pa.array(vc.to_numpy(), pa.int64()),
+                }
+            )
+
+    return ds.map_batches(Counter, batch_format="pyarrow", concurrency=concurrency, num_cpus=1)

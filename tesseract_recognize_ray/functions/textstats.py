@@ -100,6 +100,39 @@ def _ws_token_lists(col: pa.ChunkedArray | pa.Array) -> pa.ListArray:
     return ls
 
 
+def flat_ngrams(col: pa.ChunkedArray | pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
+    """Word n-grams for every row of a string column via pure Arrow/numpy
+    kernels: tokenize once, join flat[i..i+n-1] element-wise, mask out
+    windows that cross a row boundary or touch an edge empty token. Returns
+    (ngram string array, source-row index per ngram) — zero Python per
+    token. Shared by bigram_counts and ngram decontamination."""
+    lists = _ws_token_lists(col)
+    flat = lists.flatten()
+    ln = len(flat)
+    empty = (pa.array([], pa.string()), np.empty(0, dtype=np.int64))
+    if ln < n:
+        return empty
+    m = ln - n + 1
+    off = np.asarray(lists.offsets)
+    off = off - off[0]  # rebase: flatten() re-bases values to offset 0
+    valid = np.ones(m, dtype=bool)
+    bounds = off[1:-1]
+    for j in range(1, n):  # window starting at b-j spans the boundary at b
+        idx = bounds - j
+        idx = idx[(idx >= 0) & (idx < m)]
+        valid[idx] = False
+    ne = np.asarray(pc.not_equal(flat, ""))
+    for j in range(n):
+        valid &= ne[j : j + m]
+    if not valid.any():
+        return empty
+    mask = pa.array(valid)
+    parts = [flat.slice(j, m).filter(mask) for j in range(n)]
+    ngrams = pc.binary_join_element_wise(*parts, " ")
+    row_idx = np.repeat(np.arange(len(lists), dtype=np.int64), np.diff(off))[:m][valid]
+    return ngrams, row_idx
+
+
 def term_counts(ds: Dataset, text_col: str) -> Dataset:
     """Global term frequency (the web-scale wordcount): per-batch partial
     counts via pure Arrow kernels (split_whitespace → flatten →

@@ -592,3 +592,36 @@ def test_grouped_corr_exact(ray_session):
     assert abs(out.loc["m", "corr"] + 1.0) < 1e-12
     # covar_samp of p: cov([1..4],[2..8]) = 2*var([1..4]) = 2*(5/3)
     assert abs(out.loc["p", "covar_samp"] - 10.0 / 3.0) < 1e-12
+
+
+def test_flat_ngrams_boundaries():
+    import pyarrow as pa
+
+    from tesseract_recognize_ray.functions.textstats import flat_ngrams
+
+    col = pa.array(["a b c d", "x y", None, "", "  e f g  "])
+    ngrams, idx = flat_ngrams(col, 3)
+    got = list(zip(ngrams.to_pylist(), idx.tolist()))
+    # row 0: 'a b c','b c d'; row 1 too short; row 4: 'e f g' despite edge spaces
+    assert got == [("a b c", 0), ("b c d", 0), ("e f g", 4)]
+
+
+def test_ngram_contamination(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps",   # shares 'quick brown fox' x1
+                "nothing in common here at all",
+                "quick brown fox quick brown fox",  # 2 occurrences
+            ],
+        }
+    )
+    bench = ["quick brown fox", "unused gram here"]
+    out = (
+        F_dedup.ngram_contamination(rd.from_pandas(df), "doc_id", "text", bench, n=3)
+        .to_pandas()
+        .set_index("doc_id")["n_hits"]
+        .to_dict()
+    )
+    assert out == {1: 1, 3: 2}
