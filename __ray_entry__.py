@@ -890,6 +890,40 @@ def _q_decontaminate_docs(sf_dir: str):
     return F_dedup.ngram_contamination(train, "doc_id", "text", bench_set, n=3)
 
 
+def _q_token_postings(sf_dir: str):
+    """Inverted-index build: distinct (token, doc) combiner, bucketed token
+    shuffle, ordered posting lists + document frequency."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    return F.inverted_index(ds, "doc_id", "text", min_df=2)
+
+
+_STRAT_K = 50
+_STRAT_A = 48271  # MINSTD multiplier — small enough that id*A fits int64 on both engines
+_STRAT_M = 1000000007
+
+
+def _q_stratified_event_sample(sf_dir: str):
+    """Stratified deterministic sampling: exactly min(k, group size) events
+    per type, chosen by an arithmetic hash order (reproducible on any
+    engine, no RNG state) — per-group top-k machinery with its combiner
+    prune, ascending."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = (np.asarray(b.column("event_id")) * _STRAT_A) % _STRAT_M
+        return b.append_column("__h", pa.array(h, pa.int64()))
+
+    out = F.grouped_topk(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        "event_type",
+        "__h",
+        _STRAT_K,
+        descending=False,
+        tiebreak=["event_id"],
+    )
+    return out.select_columns(["event_id", "event_type"])
+
+
 def _q_corr_qty_discount(sf_dir: str):
     """Per-group Pearson correlation from EXACT int64 moments (combiner
     shuffles six moment values per key per block; bit-stable final float)."""
@@ -1468,6 +1502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_events_per_user": _q_top3_events_per_user,
         "customer_order_full": _q_customer_order_full,
         "decontaminate_docs": _q_decontaminate_docs,
+        "token_postings": _q_token_postings,
+        "stratified_event_sample": _q_stratified_event_sample,
         "corr_qty_discount": _q_corr_qty_discount,
         "mode_priority_by_status": _q_mode_priority_by_status,
         "event_value_quartiles": _q_event_value_quartiles,
@@ -1798,6 +1834,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.tok || ' ' || b.tok AS bigram, CAST(COUNT(*) AS BIGINT) AS n
             FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40
+        """,
+        "token_postings": """
+            SELECT token,
+                   string_agg(doc_id, ',' ORDER BY doc_id) AS postings,
+                   CAST(COUNT(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, token
+                  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+                        FROM documents))
+            GROUP BY token HAVING COUNT(*) >= 2
+        """,
+        "stratified_event_sample": f"""
+            SELECT event_id, event_type
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY (event_id * {_STRAT_A}) % {_STRAT_M}, event_id
+            ) <= {_STRAT_K}
         """,
         "decontaminate_docs": """
             WITH toks AS (

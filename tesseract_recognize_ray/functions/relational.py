@@ -823,6 +823,50 @@ def hash_sample(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def inverted_index(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    min_df: int = 1,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Inverted-index build: token -> comma-joined posting list of the
+    distinct doc ids containing it (ordered by id) + document frequency.
+    Map-side combiner emits DISTINCT (token, id) pairs only — the shuffle
+    moves one row per distinct (token, doc) per block, never one per
+    occurrence; a bucketed hash shuffle on the token then co-locates each
+    token's postings (unlike a Ray groupby(token), which would dispatch a
+    Python call per token — ruinous at web vocabularies)."""
+    from ..hashing import stable_bucket
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[text_col].fillna("").str.split().explode().dropna()
+        out = pd.DataFrame(
+            {"token": ex.to_numpy(dtype=object), id_col: b[id_col].reindex(ex.index).to_numpy()}
+        )
+        out = out[out["token"] != ""].drop_duplicates()
+        out["__bucket"] = stable_bucket(out["token"], num_buckets)
+        return out
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").drop_duplicates().sort_values(["token", id_col])
+        grp = g.groupby("token", sort=False)[id_col]
+        agg = grp.agg(lambda s: ",".join(s.astype(str)))
+        out = pd.DataFrame(
+            {
+                "token": agg.index.to_numpy(dtype=object),
+                "postings": agg.to_numpy(dtype=object),
+                "df": grp.size().to_numpy().astype("int64"),
+            }
+        )
+        return out[out["df"] >= min_df]
+
+    return ds.map_batches(pairs, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
 def grouped_string_agg(
     ds: Dataset,
     key: str,

@@ -165,23 +165,9 @@ def bigram_counts(ds: Dataset, text_col: str) -> Dataset:
     empty = pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
 
     def partial(batch: pa.Table) -> pa.Table:
-        lists = _ws_token_lists(batch.column(text_col))
-        flat = lists.flatten()
-        n = len(flat)
-        if n < 2:
+        big, _ = flat_ngrams(batch.column(text_col), 2)
+        if len(big) == 0:
             return empty
-        valid = np.ones(n - 1, dtype=bool)
-        off = np.asarray(lists.offsets)
-        bounds = off[1:-1] - off[0]  # rebase: flatten() re-bases values to offset 0
-        bounds = bounds[(bounds > 0) & (bounds < n)]
-        valid[bounds - 1] = False  # pair (b-1, b) spans two documents
-        left = flat.slice(0, n - 1)
-        right = flat.slice(1, n - 1)
-        mask = pa.array(
-            valid
-            & np.asarray(pc.and_(pc.not_equal(left, ""), pc.not_equal(right, "")))
-        )
-        big = pc.binary_join_element_wise(left.filter(mask), right.filter(mask), " ")
         vc = pc.value_counts(big)
         return pa.table(
             {"bigram": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
