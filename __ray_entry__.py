@@ -890,6 +890,29 @@ def _q_decontaminate_docs(sf_dir: str):
     return F_dedup.ngram_contamination(train, "doc_id", "text", bench_set, n=3)
 
 
+def _q_monthly_revenue(sf_dir: str):
+    """Temporal roll-up: exact-cents revenue by calendar month — the group
+    key is derived at the read (year*100+month, int64) so the shuffle key
+    domain is tiny and pre-aggregation collapses each block to <= n_months
+    rows before the groupby."""
+    ds = F.load(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+        ym = pc.add(
+            pc.multiply(pc.cast(pc.year(ts), pa.int64()), pa.scalar(100, pa.int64())),
+            pc.cast(pc.month(ts), pa.int64()),
+        )
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table({"ym": ym, "cents": cents})
+
+    return F.grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["ym"],
+        [("cents", "sum", "revenue_cents"), ("cents", "count", "n_orders")],
+    )
+
+
 def _q_token_postings(sf_dir: str):
     """Inverted-index build: distinct (token, doc) combiner, bucketed token
     shuffle, ordered posting lists + document frequency."""
@@ -1502,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_events_per_user": _q_top3_events_per_user,
         "customer_order_full": _q_customer_order_full,
         "decontaminate_docs": _q_decontaminate_docs,
+        "monthly_revenue": _q_monthly_revenue,
         "token_postings": _q_token_postings,
         "stratified_event_sample": _q_stratified_event_sample,
         "corr_qty_discount": _q_corr_qty_discount,
@@ -1834,6 +1858,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.tok || ' ' || b.tok AS bigram, CAST(COUNT(*) AS BIGINT) AS n
             FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40
+        """,
+        "monthly_revenue": """
+            SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY ym
         """,
         "token_postings": """
             SELECT token,
