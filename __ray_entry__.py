@@ -1477,6 +1477,49 @@ def _q_clean_corpus(sf_dir: str):
     return out
 
 
+def _q_curated_corpus(sf_dir: str):
+    """The full LLM-data curation chain in one pipeline: train split
+    (benchmark docs excluded) → quality gate (≥30 tokens, duplicate-token
+    fraction ≤0.6) → exact dedup keeping the smallest doc_id → benchmark
+    3-gram decontamination (drop any doc sharing a 3-gram with the bench
+    split). Stage shuffles: one (hash, id) dedup shuffle; everything else
+    is zero-shuffle map_batches with broadcast small sides."""
+    from tesseract_recognize_ray.functions import dedup as F_dd
+
+    docs = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+
+    def split(keep_bench: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = np.asarray(b.column("doc_id")) % 10 == 7
+            return b.filter(pa.array(m if keep_bench else ~m))
+
+        return fn
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+
+    stats = F_text.repetition_stats(train, "doc_id", "text")
+
+    def quality_gate(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b.column("n_words"), 30),
+            pc.less_equal(b.column("dup_frac"), 0.6),
+        )
+        return b.filter(keep)
+
+    kept = stats.map_batches(quality_gate, batch_format="pyarrow")
+    dedup_ids = F_dd.exact_dedup(kept, "doc_id", "text")
+    survivors = F.broadcast_semi_join(
+        kept.select_columns(["doc_id", "n_words", "text"]), dedup_ids, "doc_id"
+    )
+    bench_set = F_dd.collect_ngram_set(bench, "text", n=5)
+    contaminated = F_dd.ngram_contamination(survivors, "doc_id", "text", bench_set, n=5)
+    out = F.broadcast_anti_join(
+        survivors.select_columns(["doc_id", "n_words"]), contaminated, "doc_id"
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -1515,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "clean_corpus": _q_clean_corpus,
+        "curated_corpus": _q_curated_corpus,
         "customer_order_counts": _q_customer_order_counts,
         "asof_click_value": _q_asof_click_value,
         "rolling_sum_events": _q_rolling_sum_events,
@@ -1807,6 +1851,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_words FROM kept
             WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY text)
+        """,
+        "curated_corpus": """
+            WITH train AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
+            ), w AS (
+                SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word FROM train
+            ), c AS (
+                SELECT doc_id, word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY doc_id, word
+            ), s AS (
+                SELECT doc_id,
+                       CAST(SUM(n) AS BIGINT) AS n_words,
+                       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac
+                FROM c GROUP BY doc_id
+            ), kept AS (
+                SELECT t.doc_id, t.text, s.n_words
+                FROM train t JOIN s USING (doc_id)
+                WHERE s.n_words >= 30 AND s.dup_frac <= 0.6
+            ), survivors AS (
+                SELECT doc_id, n_words FROM kept
+                WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY text)
+            ), toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS tok,
+                       generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos
+                FROM documents
+            ), tri AS (
+                SELECT t0.doc_id,
+                       t0.tok || ' ' || t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' || t4.tok AS tg
+                FROM toks t0
+                JOIN toks t1 ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+                JOIN toks t2 ON t0.doc_id = t2.doc_id AND t2.pos = t0.pos + 2
+                JOIN toks t3 ON t0.doc_id = t3.doc_id AND t3.pos = t0.pos + 3
+                JOIN toks t4 ON t0.doc_id = t4.doc_id AND t4.pos = t0.pos + 4
+            ), bench AS (
+                SELECT DISTINCT tg FROM tri WHERE doc_id % 10 = 7
+            ), contaminated AS (
+                SELECT DISTINCT t.doc_id FROM tri t JOIN bench USING (tg)
+            )
+            SELECT doc_id, n_words FROM survivors
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         "customer_order_counts": """
             SELECT c.c_custkey, c.c_name,
