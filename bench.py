@@ -61,6 +61,8 @@ _BENCH_QUERIES = [
     "clean_corpus",
     "shipping_priority",
     "top_bigrams",
+    "decontaminate_docs",
+    "curated_corpus",
 ]
 
 

@@ -550,7 +550,12 @@ def except_rows(left: Dataset, right: Dataset, cols: list[str], num_partitions: 
     split_nulls = lambda prefix, extra_present: _split_nulls_fn(cols, prefix, extra_present)  # noqa: E731
 
     key_cols = [k for c in cols for k in (f"{c}_n", f"{c}_v")]
-    right_keys = distinct_on(right.map_batches(lambda b: b.select(cols), batch_format="pyarrow"), cols)
+    # materialize the deduped keys ONCE: count() below executes the branch,
+    # and without this the join would re-execute the whole right lineage a
+    # second time. Post-distinct keys only — never the raw right table.
+    right_keys = distinct_on(
+        right.map_batches(lambda b: b.select(cols), batch_format="pyarrow"), cols
+    ).materialize()
     probe = right_keys.map_batches(split_nulls("__r_", True), batch_format="pyarrow")
     # an empty right side has no schema for the join to resolve — EXCEPT
     # with empty right is just DISTINCT(left). The count touches only the
