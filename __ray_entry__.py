@@ -890,6 +890,28 @@ def _q_decontaminate_docs(sf_dir: str):
     return F_dedup.ngram_contamination(train, "doc_id", "text", bench_set, n=3)
 
 
+def _q_event_percent_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per type over exact-cents values (ties
+    real: cents collide across events) — exact rational floats."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    out = F.window_percent_rank(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "event_type",
+        ["value_cents"],
+    )
+    return out.select_columns(["event_id", "event_type", "pr", "cd"])
+
+
 def _q_monthly_revenue(sf_dir: str):
     """Temporal roll-up: exact-cents revenue by calendar month — the group
     key is derived at the read (year*100+month, int64) so the shuffle key
@@ -1569,6 +1591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_events_per_user": _q_top3_events_per_user,
         "customer_order_full": _q_customer_order_full,
         "decontaminate_docs": _q_decontaminate_docs,
+        "event_percent_rank": _q_event_percent_rank,
         "monthly_revenue": _q_monthly_revenue,
         "token_postings": _q_token_postings,
         "stratified_event_sample": _q_stratified_event_sample,
@@ -1942,6 +1965,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.tok || ' ' || b.tok AS bigram, CAST(COUNT(*) AS BIGINT) AS n
             FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40
+        """,
+        "event_percent_rank": """
+            SELECT event_id, event_type,
+                   percent_rank() OVER (
+                        PARTITION BY event_type
+                        ORDER BY CAST(ROUND(value * 100) AS BIGINT)
+                   ) AS pr,
+                   cume_dist() OVER (
+                        PARTITION BY event_type
+                        ORDER BY CAST(ROUND(value * 100) AS BIGINT)
+                   ) AS cd
+            FROM events
         """,
         "monthly_revenue": """
             SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,

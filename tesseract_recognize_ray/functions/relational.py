@@ -489,6 +489,56 @@ def window_rank(
     )
 
 
+def window_percent_rank(
+    ds: Dataset,
+    part_key: str,
+    order_cols: list[str],
+    *,
+    pr_col: str = "pr",
+    cd_col: str | None = "cd",
+    descending: bool = False,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-key PERCENT_RANK() = (rank-1)/(n-1) (0 for single-row groups)
+    and CUME_DIST() = (# rows with order tuple <= current)/n. Both are exact
+    rationals evaluated once in float64 → bit-identical to any SQL engine
+    computing the same definition. Same bucketed shape as window_rank; the
+    tie-group last-row index comes from one cumsum/take, no per-key
+    dispatch."""
+    from ..hashing import stable_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = stable_bucket(batch[part_key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values(
+            [part_key, *order_cols],
+            ascending=[True] + [not descending] * len(order_cols),
+            kind="mergesort",
+        )
+        n = len(g)
+        rn = g.groupby(part_key, sort=False).cumcount().to_numpy() + 1
+        cnt = g.groupby(part_key, sort=False)[part_key].transform("size").to_numpy()
+        new_key = g[part_key].ne(g[part_key].shift()).to_numpy()
+        new_tuple = (
+            g[order_cols].ne(g[order_cols].shift()).any(axis=1).to_numpy() | new_key
+        )
+        start_idx = np.maximum.accumulate(np.where(new_tuple, np.arange(n), 0))
+        rank = rn[start_idx]
+        g[pr_col] = np.where(cnt > 1, (rank - 1) / np.maximum(cnt - 1, 1), 0.0)
+        if cd_col:
+            starts = np.nonzero(new_tuple)[0]
+            ends = np.append(starts[1:], n) - 1  # last row index of each tie group
+            group_idx = np.cumsum(new_tuple) - 1
+            g[cd_col] = rn[ends[group_idx]] / cnt
+        return g
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
 def window_row_number(
     ds: Dataset,
     part_key: str,

@@ -625,3 +625,18 @@ def test_ngram_contamination(ray_session):
         .to_dict()
     )
     assert out == {1: 1, 3: 2}
+
+
+def test_window_percent_rank_ties(ray_session):
+    # k=a values 1,2,2,4 -> rank 1,2,2,4 ; pr=(r-1)/3 ; cd = 1/4, 3/4, 3/4, 1
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"], "v": [1, 2, 2, 4, 9], "i": range(5)})
+    out = (
+        F.window_percent_rank(rd.from_pandas(df), "k", ["v"])
+        .to_pandas()
+        .sort_values(["k", "v", "i"])
+    )
+    a = out[out["k"] == "a"]
+    assert a["pr"].tolist() == [0.0, 1 / 3, 1 / 3, 1.0]
+    assert a["cd"].tolist() == [0.25, 0.75, 0.75, 1.0]
+    b = out[out["k"] == "b"]
+    assert b["pr"].tolist() == [0.0] and b["cd"].tolist() == [1.0]
