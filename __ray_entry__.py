@@ -890,6 +890,62 @@ def _q_decontaminate_docs(sf_dir: str):
     return F_dedup.ngram_contamination(train, "doc_id", "text", bench_set, n=3)
 
 
+def _q_cube_order_stats(sf_dir: str):
+    """GROUP BY CUBE over (status, priority): one base scan, 2^k-1 subset
+    re-aggregations of the materialized leaf."""
+    ds = F.load(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": b.column("o_orderstatus"),
+                "o_orderpriority": b.column("o_orderpriority"),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64()),
+            }
+        )
+
+    return F.cube_agg(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        [("cents", "sum", "total_cents"), ("cents", "count", "n_orders")],
+    )
+
+
+def _q_region_nation_pairs(sf_dir: str):
+    """CROSS JOIN with a broadcast small side (every region x every
+    nation)."""
+    nation = F.load(sf_dir, "nation", columns=["n_name", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    pairs = F.broadcast_cross_join(nation, region[["r_name"]])
+    return pairs.select_columns(["r_name", "n_name"])
+
+
+def _q_first_last_event_value(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the whole partition per user, ordered
+    by (ts, event_id), exact cents."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    out = F.window_first_last(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        "value_cents",
+        first_col="first_cents",
+        last_col="last_cents",
+    )
+    return out.select_columns(["event_id", "user_id", "first_cents", "last_cents"])
+
+
 def _q_event_percent_rank(sf_dir: str):
     """PERCENT_RANK + CUME_DIST per type over exact-cents values (ties
     real: cents collide across events) — exact rational floats."""
@@ -1592,6 +1648,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_full": _q_customer_order_full,
         "decontaminate_docs": _q_decontaminate_docs,
         "event_percent_rank": _q_event_percent_rank,
+        "cube_order_stats": _q_cube_order_stats,
+        "region_nation_pairs": _q_region_nation_pairs,
+        "first_last_event_value": _q_first_last_event_value,
         "monthly_revenue": _q_monthly_revenue,
         "token_postings": _q_token_postings,
         "stratified_event_sample": _q_stratified_event_sample,
@@ -1965,6 +2024,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.tok || ' ' || b.tok AS bigram, CAST(COUNT(*) AS BIGINT) AS n
             FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40
+        """,
+        "cube_order_stats": """
+            SELECT o_orderstatus, o_orderpriority,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "region_nation_pairs": """
+            SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+        """,
+        "first_last_event_value": """
+            SELECT event_id, user_id,
+                   FIRST_VALUE(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ) AS first_cents,
+                   LAST_VALUE(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ) AS last_cents
+            FROM events
         """,
         "event_percent_rank": """
             SELECT event_id, event_type,

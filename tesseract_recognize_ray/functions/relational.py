@@ -857,6 +857,103 @@ def rollup_agg(ds: Dataset, keys: list[str], specs: list[tuple[str, str, str]]) 
     return out
 
 
+def cube_agg(ds: Dataset, keys: list[str], specs: list[tuple[str, str, str]]) -> Dataset:
+    """GROUP BY CUBE(keys): every subset of the grouping keys. Same design
+    as rollup_agg — ONE base scan into the materialized leaf, then each of
+    the 2^k-1 coarser subsets re-aggregates the tiny leaf (re-aggregable
+    fns only: sum/count/min/max)."""
+    from itertools import combinations
+
+    for _, fn, _ in specs:
+        if fn not in _PARTIAL_FN:
+            raise ValueError(f"cube_agg: fn {fn!r} is not re-aggregable")
+    leaf = grouped_agg(ds, keys, specs).materialize()
+    schema = leaf.schema().base_schema
+    aliases = [alias for _, _, alias in specs]
+    order = keys + aliases
+    re_specs = [(alias, _PARTIAL_FN[fn], alias) for _, fn, alias in specs]
+
+    def pad(present: list[str]):
+        missing = [k for k in keys if k not in present]
+
+        def fn(b: pa.Table) -> pa.Table:
+            for k in missing:
+                b = b.append_column(k, pa.nulls(b.num_rows, schema.field(k).type))
+            return b.select(order)
+
+        return fn
+
+    levels = [leaf.map_batches(pad(keys), batch_format="pyarrow")]
+    subsets = [
+        list(c)
+        for r in range(len(keys) - 1, -1, -1)
+        for c in combinations(keys, r)
+    ]
+    for sub in subsets:
+        if sub:
+            lvl = grouped_agg(leaf, sub, re_specs)
+        else:
+            lvl = grouped_agg(
+                leaf.map_batches(
+                    lambda b: b.append_column("__all", pa.array(np.zeros(b.num_rows, dtype=np.int8))),
+                    batch_format="pyarrow",
+                ),
+                ["__all"],
+                re_specs,
+            ).drop_columns(["__all"])
+        levels.append(lvl.map_batches(pad(sub), batch_format="pyarrow"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def broadcast_cross_join(big: Dataset, small_df: pd.DataFrame) -> Dataset:
+    """CROSS JOIN with a small broadcast side: every batch of `big` pairs
+    with every row of `small_df` (object-store broadcast, zero shuffle).
+    Output size is |big|x|small| — callers own keeping the small side
+    dimension-table sized."""
+    ref = ray.put(small_df)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(ref), how="cross")
+
+    return big.map_batches(fn, batch_format="pandas")
+
+
+def window_first_last(
+    ds: Dataset,
+    part_key: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    first_col: str = "first_value",
+    last_col: str | None = "last_value",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-key FIRST_VALUE / LAST_VALUE over the WHOLE partition (SQL frame
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), ordered by
+    order_cols. One sort + two grouped transforms per bucket. order_cols
+    should totally order each group or the boundary rows are ambiguous."""
+    from ..hashing import stable_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = stable_bucket(batch[part_key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values([part_key, *order_cols], kind="mergesort")
+        grp = g.groupby(part_key, sort=False)[value_col]
+        g[first_col] = grp.transform("first")
+        if last_col:
+            g[last_col] = grp.transform("last")
+        return g
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
 def hash_sample(
     ds: Dataset, mix: list[tuple[str, int]], mod: int, keep_lt: int
 ) -> Dataset:

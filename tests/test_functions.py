@@ -640,3 +640,23 @@ def test_window_percent_rank_ties(ray_session):
     assert a["cd"].tolist() == [0.25, 0.75, 0.75, 1.0]
     b = out[out["k"] == "b"]
     assert b["pr"].tolist() == [0.0] and b["cd"].tolist() == [1.0]
+
+
+def test_cube_agg_levels(ray_session):
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"], "v": [1, 2, 4]})
+    out = F.cube_agg(rd.from_pandas(df), ["a", "b"], [("v", "sum", "sv")]).to_pandas()
+    # 3 leaves + 2 a-levels + 2 b-levels + grand total = 8 rows
+    assert len(out) == 8
+    got = {(r["a"], r["b"]): r["sv"] for _, r in out.iterrows()}
+    assert got[("x", "p")] == 1 and got[("y", "p")] == 4
+    assert got[("x", None)] == 3 and got[(None, "p")] == 5
+    assert got[(None, None)] == 7
+
+
+def test_window_first_last(ray_session):
+    df = pd.DataFrame({"k": ["a", "a", "a", "b"], "t": [2, 1, 3, 1], "v": [20, 10, 30, 7]})
+    out = F.window_first_last(rd.from_pandas(df), "k", ["t"], "v").to_pandas()
+    a = out[out["k"] == "a"]
+    assert set(a["first_value"]) == {10} and set(a["last_value"]) == {30}
+    b = out[out["k"] == "b"]
+    assert set(b["first_value"]) == {7} and set(b["last_value"]) == {7}
