@@ -890,6 +890,49 @@ def _q_decontaminate_docs(sf_dir: str):
     return F_dedup.ngram_contamination(train, "doc_id", "text", bench_set, n=3)
 
 
+def _q_events_day_ranges(sf_dir: str):
+    """Range (interval) join: events against a broadcast daily calendar —
+    each event attaches the day bucket whose [start, start+1d) contains its
+    ts. The calendar is the canonical small interval side."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "ts"])
+    days = pd.date_range("2024-01-01", "2024-12-31", freq="D")
+    cal = pd.DataFrame(
+        {
+            "day_start": days,
+            "day_end": days + pd.Timedelta(days=1),
+            "ymd": (days.year * 10000 + days.month * 100 + days.day).astype("int64"),
+        }
+    )
+    out = F.broadcast_range_join(ds, cal, "ts", "day_start", "day_end")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["event_id", "ymd"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT: three lineitem measures melted to (key, measure, cents)
+    rows — zero-copy id reuse per measure."""
+    ds = F.load(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        out = {"l_orderkey": b.column("l_orderkey"), "l_linenumber": b.column("l_linenumber")}
+        for c in ("l_quantity", "l_extendedprice", "l_tax"):
+            out[c] = pc.cast(pc.round(pc.multiply(b.column(c), 100.0)), pa.int64())
+        return pa.table(out)
+
+    return F.unpivot(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_tax"],
+        name_col="measure",
+        value_col="cents",
+    )
+
+
 def _q_cube_order_stats(sf_dir: str):
     """GROUP BY CUBE over (status, priority): one base scan, 2^k-1 subset
     re-aggregations of the materialized leaf."""
@@ -1648,6 +1691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_full": _q_customer_order_full,
         "decontaminate_docs": _q_decontaminate_docs,
         "event_percent_rank": _q_event_percent_rank,
+        "events_day_ranges": _q_events_day_ranges,
+        "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,
         "region_nation_pairs": _q_region_nation_pairs,
         "first_last_event_value": _q_first_last_event_value,
@@ -2024,6 +2069,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.tok || ' ' || b.tok AS bigram, CAST(COUNT(*) AS BIGINT) AS n
             FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40
+        """,
+        "events_day_ranges": """
+            WITH cal AS (
+                SELECT d AS day_start, d + INTERVAL 1 DAY AS day_end,
+                       CAST(year(d) * 10000 + month(d) * 100 + day(d) AS BIGINT) AS ymd
+                FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                                    TIMESTAMP '2024-12-31',
+                                                    INTERVAL 1 DAY)) AS d)
+            )
+            SELECT e.event_id, c.ymd
+            FROM events e JOIN cal c ON e.ts >= c.day_start AND e.ts < c.day_end
+        """,
+        "lineitem_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   CAST(ROUND(l_quantity * 100) AS BIGINT) AS cents FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(ROUND(l_tax * 100) AS BIGINT) FROM lineitem
         """,
         "cube_order_stats": """
             SELECT o_orderstatus, o_orderpriority,

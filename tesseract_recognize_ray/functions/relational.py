@@ -954,6 +954,69 @@ def window_first_last(
     )
 
 
+def broadcast_range_join(
+    big: Dataset,
+    intervals_df: pd.DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+) -> Dataset:
+    """Range (interval) join with a small broadcast side: attach every
+    interval row whose [start, end) contains the timestamp. Handles
+    OVERLAPPING intervals (a row can match several) by one vectorized mask
+    per interval — cost O(|intervals| x batch), so the interval side must be
+    dimension-sized (calendars, session windows, SLA buckets); a big x big
+    range join needs a bucketed sort-merge instead. Zero shuffle."""
+    ref = ray.put(intervals_df)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        iv = ray.get(ref)
+        ts = batch[ts_col].to_numpy()
+        pieces = []
+        for row in iv.itertuples(index=False):
+            m = (ts >= getattr(row, start_col)) & (ts < getattr(row, end_col))
+            if not m.any():
+                continue
+            piece = batch[m].copy()
+            for c in iv.columns:
+                piece[c] = getattr(row, c)
+            pieces.append(piece)
+        if not pieces:
+            out = batch.head(0).copy()
+            for c in iv.columns:
+                out[c] = iv[c].head(0)
+            return out
+        return pd.concat(pieces, ignore_index=True)
+
+    return big.map_batches(fn, batch_format="pandas")
+
+
+def unpivot(
+    ds: Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    name_col: str = "measure",
+    value_col: str = "value",
+) -> Dataset:
+    """UNPIVOT / melt: one output row per (input row, value column). Pure
+    Arrow per batch — id columns are reused zero-copy n times via concat,
+    never row-looped. Value columns must share (or cast to) one type."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        pieces = []
+        for c in value_cols:
+            t = pa.table(
+                {**{k: b.column(k) for k in id_cols},
+                 name_col: pa.array([c] * b.num_rows, pa.string()),
+                 value_col: b.column(c)}
+            )
+            pieces.append(t)
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def hash_sample(
     ds: Dataset, mix: list[tuple[str, int]], mod: int, keep_lt: int
 ) -> Dataset:

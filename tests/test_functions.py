@@ -660,3 +660,19 @@ def test_window_first_last(ray_session):
     assert set(a["first_value"]) == {10} and set(a["last_value"]) == {30}
     b = out[out["k"] == "b"]
     assert set(b["first_value"]) == {7} and set(b["last_value"]) == {7}
+
+
+def test_broadcast_range_join_overlaps(ray_session):
+    big = pd.DataFrame({"id": [1, 2, 3], "t": [5, 15, 99]})
+    iv = pd.DataFrame({"lo": [0, 10, 0], "hi": [10, 20, 20], "tag": ["a", "b", "wide"]})
+    out = F.broadcast_range_join(rd.from_pandas(big), iv, "t", "lo", "hi").to_pandas()
+    got = sorted(zip(out["id"], out["tag"]))
+    # t=5 -> a + wide ; t=15 -> b + wide ; t=99 -> none
+    assert got == [(1, "a"), (1, "wide"), (2, "b"), (2, "wide")]
+
+
+def test_unpivot(ray_session):
+    df = pd.DataFrame({"k": [1, 2], "x": [10, 20], "y": [30, 40]})
+    out = F.unpivot(rd.from_pandas(df), ["k"], ["x", "y"], name_col="m", value_col="v").to_pandas()
+    got = sorted(zip(out["k"], out["m"], out["v"]))
+    assert got == [(1, "x", 10), (1, "y", 30), (2, "x", 20), (2, "y", 40)]
