@@ -256,7 +256,7 @@ def _q_ann_ivf(sf_dir: str):
     qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
-    res = F_sim.ivf_topk(ds, "vec_id", "embedding", queries, k=_ANN_K, n_centroids=32, nprobe=12)
+    res = F_sim.ivf_topk(ds, "vec_id", "embedding", queries, k=_ANN_K, n_centroids=32, nprobe=12, replicas=2)
     res["rank"] = res.groupby("query_idx").cumcount() + 1
     return res[["query_idx", "vec_id", "rank"]].astype({"query_idx": "int64", "vec_id": "int64", "rank": "int64"})
 
@@ -275,11 +275,11 @@ def _q_ann_ivf_indexed(sf_dir: str):
     st = os.stat(f"{sf_dir}/embeddings.parquet")
     idx_dir = (
         f"/tmp/trr_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{st.st_size}_{int(st.st_mtime)}"
+        f"_{st.st_size}_{int(st.st_mtime)}_r2"
     )
     ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
     if not os.path.exists(os.path.join(idx_dir, "centroids.npy")):
-        build_ivf_index(ds, "vec_id", "embedding", idx_dir, n_centroids=32)
+        build_ivf_index(ds, "vec_id", "embedding", idx_dir, n_centroids=32, replicas=2)
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)

@@ -153,7 +153,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
 def ivf_recall_for(sf_dir: str) -> float:
     """Recall of the IVF path vs exact brute force on the bench queries
-    (n_centroids=32, nprobe=12 — the ann_ivf query's operating point)."""
+    (n_centroids=32, nprobe=12, replicas=2 — the ann_ivf query's operating point)."""
     import numpy as np
     import pandas as pd
 
@@ -165,7 +165,7 @@ def ivf_recall_for(sf_dir: str) -> float:
     q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     exact = F_sim.brute_force_topk(ds, "vec_id", "embedding", q, k=10)
-    approx = F_sim.ivf_topk(ds, "vec_id", "embedding", q, k=10, n_centroids=32, nprobe=12)
+    approx = F_sim.ivf_topk(ds, "vec_id", "embedding", q, k=10, n_centroids=32, nprobe=12, replicas=2)
     return round(F_sim.ivf_recall(approx, exact, 10), 4)
 
 

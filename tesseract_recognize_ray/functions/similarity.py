@@ -97,12 +97,15 @@ def build_ivf_index(
     out_dir: str,
     n_centroids: int = 64,
     seed: int = 42,
+    replicas: int = 1,
 ) -> np.ndarray:
-    """Persist the IVF index: assign every vector to its nearest centroid
-    ONCE and write (id, cell, normalized vector) as parquet PARTITIONED BY
-    CELL, plus the centroid matrix. Queries then read only their probed
-    cells' partitions — the index is computed once per corpus, not per query
-    run, and the read prunes at the directory level."""
+    """Persist the IVF index: assign every vector to its `replicas` nearest
+    centroids ONCE and write (id, cell, normalized vector) as parquet
+    PARTITIONED BY CELL, plus the centroid matrix. Queries then read only
+    their probed cells' partitions — the index is computed once per corpus,
+    not per query run, and the read prunes at the directory level.
+    replicas>1 = multi-assignment (index grows x replicas, recall rises;
+    readers must dedupe by id since a vector appears in several cells)."""
     import os
 
     centroids = build_ivf_centroids(ds, vec_col, n_centroids, seed)
@@ -111,14 +114,22 @@ def build_ivf_index(
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         cents = ray.get(cref)
         v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        scores = v @ cents.T
+        if replicas == 1:
+            cellsR = np.argmax(scores, axis=1).astype(np.int32)[:, None]
+        else:
+            cellsR = np.argsort(-scores, axis=1)[:, :replicas].astype(np.int32)
+        n, r = cellsR.shape
+        flat_cells = cellsR.ravel()
+        rep_idx = np.repeat(np.arange(n), r)
         return pd.DataFrame(
             {
-                id_col: batch[id_col].to_numpy(),
+                id_col: batch[id_col].to_numpy()[rep_idx],
                 # cell twice: partition col (moved into the dir name by the
                 # writer) + data col (survives a direct leaf-dir read)
-                "cell": (c := np.argmax(v @ cents.T, axis=1).astype(np.int32)),
-                "cell_id": c,
-                "nvec": list(v),
+                "cell": flat_cells,
+                "cell_id": flat_cells,
+                "nvec": [v[i] for i in rep_idx],
             }
         )
 
@@ -181,6 +192,9 @@ def ivf_topk_indexed(
         return pd.concat(rows, ignore_index=True)
 
     cand = ds.map_batches(prune, batch_format="pandas").to_pandas()
+    # a multi-assigned (replicas>1) vector can reach the driver once per
+    # probed cell it lives in — keep one candidate per (query, vector)
+    cand = cand.drop_duplicates(["query_idx", "vec_id"])
     cand = cand.sort_values(["query_idx", "cosine", "vec_id"], ascending=[True, False, True], kind="mergesort")
     return cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
 
@@ -207,9 +221,14 @@ def ivf_topk(
     n_centroids: int = 64,
     nprobe: int = 8,
     seed: int = 42,
+    replicas: int = 1,
 ) -> pd.DataFrame:
     """Approximate cosine top-k: assign vectors to centroid cells once,
-    search only the nprobe cells nearest each query."""
+    search only the nprobe cells nearest each query. replicas>1 enables
+    multi-assignment (each vector lives in its `replicas` nearest cells) —
+    the standard recall lever when neighbors straddle cell borders
+    (isotropic embeddings are the worst case); search cost per probe is
+    unchanged, candidate lists grow ~x(replicas x nprobe/n_centroids)."""
     if centroids is None:
         centroids = build_ivf_centroids(ds, vec_col, n_centroids, seed)
     cref = ray.put(centroids)
@@ -225,15 +244,19 @@ def ivf_topk(
         qm, probed_cells = ray.get(qref)
         ids = batch[id_col].to_numpy()
         v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
-        cell = np.argmax(v @ cents.T, axis=1)
-        keep = np.isin(cell, list(probe))
-        ids, v, cell = ids[keep], v[keep], cell[keep]
+        scores = v @ cents.T
+        if replicas == 1:
+            cellsR = np.argmax(scores, axis=1)[:, None]
+        else:
+            cellsR = np.argsort(-scores, axis=1)[:, :replicas]  # (N, R)
+        keep = np.isin(cellsR, list(probe)).any(axis=1)
+        ids, v, cellsR = ids[keep], v[keep], cellsR[keep]
         if not len(ids):
             return pd.DataFrame({"query_idx": [], "vec_id": [], "cosine": []})
         sims = v @ qm.T
         rows = []
         for qi in range(qm.shape[0]):
-            in_cells = np.isin(cell, probed_cells[qi])
+            in_cells = np.isin(cellsR, probed_cells[qi]).any(axis=1)
             if not in_cells.any():
                 continue
             s = sims[in_cells, qi]
