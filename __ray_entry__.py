@@ -890,6 +890,56 @@ def _q_decontaminate_docs(sf_dir: str):
     return F_dedup.ngram_contamination(train, "doc_id", "text", bench_set, n=3)
 
 
+def _q_event_deviation(sf_dir: str):
+    """Multi-column-key hash join: each event joined back to its
+    (user_id, event_type) group aggregate; deviation = n*value - sum stays
+    in exact int64 (no float mean)."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    agg = F.grouped_agg(
+        cents,
+        ["user_id", "event_type"],
+        [("value_cents", "sum", "grp_sum"), ("value_cents", "count", "grp_n")],
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["g_user_id", "g_event_type", "grp_sum", "grp_n"])
+
+    joined = F.hash_join(
+        cents,
+        agg.map_batches(rename, batch_format="pyarrow"),
+        on=("user_id", "event_type"),
+        right_on=("g_user_id", "g_event_type"),
+        num_partitions=8,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        dev = pc.subtract(
+            pc.multiply(b.column("grp_n"), b.column("value_cents")), b.column("grp_sum")
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+                "dev_n_cents": pc.cast(dev, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 def _q_events_day_ranges(sf_dir: str):
     """Range (interval) join: events against a broadcast daily calendar —
     each event attaches the day bucket whose [start, start+1d) contains its
@@ -1691,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_full": _q_customer_order_full,
         "decontaminate_docs": _q_decontaminate_docs,
         "event_percent_rank": _q_event_percent_rank,
+        "event_deviation": _q_event_deviation,
         "events_day_ranges": _q_events_day_ranges,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,
@@ -2069,6 +2120,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.tok || ' ' || b.tok AS bigram, CAST(COUNT(*) AS BIGINT) AS n
             FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40
+        """,
+        "event_deviation": """
+            SELECT e.event_id, e.user_id, e.event_type,
+                   CAST(g.grp_n * CAST(ROUND(e.value * 100) AS BIGINT) - g.grp_sum AS BIGINT)
+                       AS dev_n_cents
+            FROM events e
+            JOIN (SELECT user_id, event_type,
+                         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS grp_sum,
+                         COUNT(*) AS grp_n
+                  FROM events GROUP BY user_id, event_type) g
+            ON e.user_id = g.user_id AND e.event_type = g.event_type
         """,
         "events_day_ranges": """
             WITH cal AS (
