@@ -940,6 +940,50 @@ def _q_event_deviation(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+def _q_user_cooccurrence_clusters(sf_dir: str):
+    """Distributed connected components (hash-to-min, functions/graph.py):
+    users sharing an exact (event_type, value-cents, day) observation are
+    connected; returns every connected user with its cluster id (= min
+    user id of the component) and the cluster size. The edge build emits
+    star edges per key group (same components as the clique, O(k) edges);
+    the oracle recomputes components with a DuckDB recursive CTE."""
+    from tesseract_recognize_ray.functions.graph import (
+        connected_components,
+        group_star_edges,
+    )
+
+    ds = F.load(sf_dir, "events", columns=["user_id", "event_type", "value", "ts"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()), 86_400_000_000)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+                "cents": cents,
+                "day": pc.cast(day, pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow")
+    edges = group_star_edges(keyed, ["event_type", "cents", "day"], "user_id")
+    comp = connected_components(edges, "src", "dst")
+    sizes = F.grouped_agg(comp, ["component"], [("node", "count", "cluster_size")])
+    out = F.broadcast_lookup_join(comp, sizes.to_pandas(), "component")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["node"].astype("int64"),
+                "cluster_id": b["component"].astype("int64"),
+                "cluster_size": b["cluster_size"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def _q_events_day_ranges(sf_dir: str):
     """Range (interval) join: events against a broadcast daily calendar —
     each event attaches the day bucket whose [start, start+1d) contains its
@@ -1742,6 +1786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _q_decontaminate_docs,
         "event_percent_rank": _q_event_percent_rank,
         "event_deviation": _q_event_deviation,
+        "user_cooccurrence_clusters": _q_user_cooccurrence_clusters,
         "events_day_ranges": _q_events_day_ranges,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,
@@ -2131,6 +2176,35 @@ def oracle_sql() -> dict[str, str]:
                          COUNT(*) AS grp_n
                   FROM events GROUP BY user_id, event_type) g
             ON e.user_id = g.user_id AND e.event_type = g.event_type
+        """,
+        "user_cooccurrence_clusters": """
+            WITH RECURSIVE du AS (
+                SELECT DISTINCT user_id, event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                FROM events
+            ),
+            e0 AS (
+                SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+                FROM du a JOIN du b
+                  ON a.event_type = b.event_type AND a.cents = b.cents
+                 AND a.day = b.day AND a.user_id < b.user_id
+            ),
+            edges AS (SELECT ua, ub FROM e0 UNION SELECT ub, ua FROM e0),
+            nodes AS (SELECT DISTINCT ua AS n FROM edges),
+            reach(src, dst) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT r.src, e.ub FROM reach r JOIN edges e ON r.dst = e.ua
+            ),
+            comp AS (
+                SELECT src AS user_id, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src
+            )
+            SELECT c.user_id, c.cluster_id, s.cluster_size
+            FROM comp c
+            JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                  FROM comp GROUP BY cluster_id) s USING (cluster_id)
         """,
         "events_day_ranges": """
             WITH cal AS (

@@ -63,6 +63,7 @@ _BENCH_QUERIES = [
     "top_bigrams",
     "decontaminate_docs",
     "curated_corpus",
+    "user_cooccurrence_clusters",
 ]
 
 

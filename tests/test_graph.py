@@ -1,0 +1,98 @@
+"""functions/graph.py — hash-to-min connected components.
+
+Oracle: a plain in-process union-find (path compression + min-id roots),
+so every assertion is against exact component structure, not just counts.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _cc(edges_df, **kw):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import connected_components
+
+    out = connected_components(rd.from_pandas(edges_df), "src", "dst", **kw).to_pandas()
+    return dict(zip(out["node"], out["component"]))
+
+
+def test_cc_random_graph_matches_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    edges = [tuple(map(int, rng.integers(0, 200, 2))) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = pd.DataFrame(edges, columns=["src", "dst"]).drop_duplicates()
+    assert _cc(df, num_buckets=8) == _union_find_components(df.itertuples(index=False))
+
+
+def test_cc_star_with_high_hub(ray_session):
+    # the hub has the HIGHEST id: leaves only learn the global min through
+    # the hub's re-broadcast — the case plain neighbor-min propagation
+    # without the (x, m) emission gets wrong.
+    edges = [(999, leaf) for leaf in (3, 7, 11, 15)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    got = _cc(df, num_buckets=4)
+    assert got == {999: 3, 3: 3, 7: 3, 11: 3, 15: 3}
+
+
+def test_cc_long_path_converges(ray_session):
+    # diameter 40 path: exercises multi-round convergence + the fixpoint
+    # signature stop (labels monotone; unchanged signature == done).
+    edges = [(i, i + 1) for i in range(300, 340)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    got = _cc(df, num_buckets=4)
+    assert set(got.values()) == {300}
+    assert len(got) == 41
+
+
+def test_cc_two_components_and_self_loop(ray_session):
+    df = pd.DataFrame([(1, 2), (2, 3), (10, 11), (20, 20)], columns=["src", "dst"])
+    got = _cc(df, num_buckets=4)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_cc_empty_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import connected_components
+
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    out = connected_components(empty, "src", "dst").to_pandas()
+    assert len(out) == 0
+
+
+def test_group_star_edges_same_components_as_clique(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import group_star_edges
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "node": [5, 9, 2, 9, 30, 7],
+        }
+    )
+    stars = group_star_edges(rd.from_pandas(df), ["k"], "node", num_buckets=2).to_pandas()
+    got = set(map(tuple, stars[["src", "dst"]].to_numpy()))
+    # group a -> star around 2; group b -> star around 9; c is a singleton
+    assert got == {(2, 5), (2, 9), (9, 30)}
