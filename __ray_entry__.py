@@ -984,6 +984,44 @@ def _q_user_cooccurrence_clusters(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_shingle_dup_clusters(sf_dir: str):
+    """Shingle-based duplicate clustering: documents sharing ANY exact word
+    5-gram are edges; connected components (hash-to-min, functions/graph.py)
+    give the duplicate clusters. Star edges per gram group keep a hot
+    shingle (k docs) at O(k) edges. Grams travel as strings here so the
+    DuckDB oracle (positional self-join n-grams + recursive CTE) is exact;
+    the 100 TB variant ships hash64(gram) through the shuffle instead."""
+    from tesseract_recognize_ray.functions.graph import (
+        connected_components,
+        group_star_edges,
+    )
+    from tesseract_recognize_ray.functions.textstats import flat_ngrams
+
+    docs = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams(b: pa.Table) -> pa.Table:
+        ngrams, row_idx = flat_ngrams(b.column("text"), 5)
+        doc = pc.take(b.column("doc_id"), pa.array(row_idx, pa.int64()))
+        return pa.table({"doc_id": doc, "gram": ngrams})
+
+    keyed = docs.map_batches(grams, batch_format="pyarrow")
+    edges = group_star_edges(keyed, ["gram"], "doc_id")
+    comp = connected_components(edges, "src", "dst")
+    sizes = F.grouped_agg(comp, ["component"], [("node", "count", "cluster_size")])
+    out = F.broadcast_lookup_join(comp, sizes.to_pandas(), "component")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["node"].astype("int64"),
+                "cluster_id": b["component"].astype("int64"),
+                "cluster_size": b["cluster_size"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def _q_events_day_ranges(sf_dir: str):
     """Range (interval) join: events against a broadcast daily calendar —
     each event attaches the day bucket whose [start, start+1d) contains its
@@ -1787,6 +1825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_percent_rank": _q_event_percent_rank,
         "event_deviation": _q_event_deviation,
         "user_cooccurrence_clusters": _q_user_cooccurrence_clusters,
+        "shingle_dup_clusters": _q_shingle_dup_clusters,
         "events_day_ranges": _q_events_day_ranges,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,
@@ -2202,6 +2241,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach GROUP BY src
             )
             SELECT c.user_id, c.cluster_id, s.cluster_size
+            FROM comp c
+            JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                  FROM comp GROUP BY cluster_id) s USING (cluster_id)
+        """,
+        "shingle_dup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT a.doc_id,
+                       a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok
+                             || ' ' || e.tok AS gram
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+                JOIN toks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+                JOIN toks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+                WHERE a.tok <> '' AND b.tok <> '' AND c.tok <> ''
+                  AND d.tok <> '' AND e.tok <> ''
+            ),
+            e0 AS (
+                SELECT DISTINCT a.doc_id AS ua, b.doc_id AS ub
+                FROM grams a JOIN grams b USING (gram)
+                WHERE a.doc_id < b.doc_id
+            ),
+            edges AS (SELECT ua, ub FROM e0 UNION SELECT ub, ua FROM e0),
+            nodes AS (SELECT DISTINCT ua AS n FROM edges),
+            reach(src, dst) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT r.src, e.ub FROM reach r JOIN edges e ON r.dst = e.ua
+            ),
+            comp AS (
+                SELECT src AS doc_id, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src
+            )
+            SELECT c.doc_id, c.cluster_id, s.cluster_size
             FROM comp c
             JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
                   FROM comp GROUP BY cluster_id) s USING (cluster_id)
