@@ -298,6 +298,26 @@ def _q_minhash_pairs(sf_dir: str):
     return pairs
 
 
+def _q_near_dup_dedup(sf_dir: str):
+    """Dedup composition (the web-corpus chain): MinHash-LSH candidates ->
+    exact-Jaccard verify via two hash joins -> connected components ->
+    drop every non-canonical cluster member. Probabilistic candidate step
+    -> no SQL oracle; planted-dup structure is pytest-gated
+    (tests/test_graph.py::test_near_dup_dedup_planted_clusters)."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    kept = F_dedup.near_dup_dedup(ds, "doc_id", "text", threshold=0.8)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": pc.utf8_length(b.column("text")).cast(pa.int64()),
+            }
+        )
+
+    return kept.map_batches(project, batch_format="pyarrow")
+
+
 def _q_simhash(sf_dir: str):
     """Dedup: 64-bit simhash fingerprint per document (hex). Deterministic
     but not SQL-expressible; rows-only check."""
@@ -1848,6 +1868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_indexed": _q_ann_ivf_indexed,
         "minhash_pairs": _q_minhash_pairs,
+        "near_dup_dedup": _q_near_dup_dedup,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,

@@ -24,6 +24,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
@@ -321,6 +322,52 @@ def verify_jaccard_pairs_joined(
         return batch.drop(columns=[c for c in batch.columns if c.startswith("__")])
 
     return j.map_batches(score, batch_format="pandas")
+
+
+def near_dup_dedup(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    min_est: float = 0.5,
+) -> Dataset:
+    """End-to-end near-duplicate REMOVAL (the RefinedWeb/CCNet chain):
+    MinHash-LSH candidates -> exact char-shingle Jaccard verify (two hash
+    joins, no text broadcast) -> connected components over verified pairs
+    (hash-to-min, functions/graph.py) -> keep the min-id doc per duplicate
+    cluster. Returns the surviving rows of `ds` (all columns); docs in no
+    cluster pass through untouched.
+
+    Scale notes: only signatures and (id, id) pairs move through shuffles;
+    the drop set is |duplicates| ids — broadcast here, swap in a hash
+    left-anti join when clusters approach corpus size."""
+    from .graph import connected_components
+    from .relational import broadcast_anti_join
+
+    pairs = minhash_lsh_pairs(
+        ds,
+        id_col,
+        text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        min_est=min_est,
+    )
+    verified = verify_jaccard_pairs_joined(
+        pairs, ds, id_col, text_col, shingle_k=shingle_k, threshold=threshold
+    )
+    comp = connected_components(verified, "id_a", "id_b")
+
+    def non_canonical(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b.column("node"), b.column("component")))
+        return pa.table({"__drop_id": t.column("node")})
+
+    drops = comp.map_batches(non_canonical, batch_format="pyarrow")
+    return broadcast_anti_join(ds, drops, id_col, "__drop_id")
 
 
 def simhash64(ds: Dataset, id_col: str, text_col: str) -> Dataset:

@@ -81,6 +81,32 @@ def test_cc_empty_edges(ray_session):
     assert len(out) == 0
 
 
+def test_near_dup_dedup_planted_clusters(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import dedup as F_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into the "
+        "green hills where many red birds sing songs at dawn while old ships sail"
+    )
+    texts = {
+        0: base,
+        1: base.replace("red birds", "blue birds"),  # near-dup of 0
+        2: base + " extra tail words",  # near-dup of 0 -> same cluster
+        3: "completely different content about database query engines and shuffles",
+        4: "another unrelated document mentioning parquet blocks and arrow batches",
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    kept = (
+        F_dedup.near_dup_dedup(rd.from_pandas(df), "doc_id", "text", threshold=0.7)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    # cluster {0,1,2} collapses to its min id; singletons survive
+    assert sorted(kept) == [0, 3, 4]
+
+
 def test_group_star_edges_same_components_as_clique(ray_session):
     import ray.data as rd
 
