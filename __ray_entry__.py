@@ -1042,6 +1042,26 @@ def _q_shingle_dup_clusters(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_edit_distance_pairs(sf_dir: str):
+    """Pairwise edit-distance verify over SQL-expressible candidates: all
+    distinct doc pairs sharing a word 5-gram (clique pairs, max_group
+    guard), each scored with unit-cost levenshtein (numpy row-DP; exact
+    match vs DuckDB's levenshtein())."""
+    from tesseract_recognize_ray.functions.graph import group_clique_pairs
+    from tesseract_recognize_ray.functions.textstats import flat_ngrams
+
+    docs = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams(b: pa.Table) -> pa.Table:
+        ngrams, row_idx = flat_ngrams(b.column("text"), 5)
+        doc = pc.take(b.column("doc_id"), pa.array(row_idx, pa.int64()))
+        return pa.table({"doc_id": doc, "gram": ngrams})
+
+    keyed = docs.map_batches(grams, batch_format="pyarrow")
+    pairs = group_clique_pairs(keyed, ["gram"], "doc_id")
+    return F_dedup.edit_distance_pairs(pairs, docs, "doc_id", "text")
+
+
 def _q_events_day_ranges(sf_dir: str):
     """Range (interval) join: events against a broadcast daily calendar —
     each event attaches the day bucket whose [start, start+1d) contains its
@@ -1846,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_deviation": _q_event_deviation,
         "user_cooccurrence_clusters": _q_user_cooccurrence_clusters,
         "shingle_dup_clusters": _q_shingle_dup_clusters,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "events_day_ranges": _q_events_day_ranges,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,
@@ -2304,6 +2325,35 @@ def oracle_sql() -> dict[str, str]:
             FROM comp c
             JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
                   FROM comp GROUP BY cluster_id) s USING (cluster_id)
+        """,
+        "edit_distance_pairs": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT a.doc_id,
+                       a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok
+                             || ' ' || e.tok AS gram
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+                JOIN toks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+                JOIN toks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+                WHERE a.tok <> '' AND b.tok <> '' AND c.tok <> ''
+                  AND d.tok <> '' AND e.tok <> ''
+            ),
+            e0 AS (
+                SELECT DISTINCT a.doc_id AS ua, b.doc_id AS ub
+                FROM grams a JOIN grams b USING (gram)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT e.ua AS id_a, e.ub AS id_b,
+                   CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+            FROM e0 e
+            JOIN documents da ON da.doc_id = e.ua
+            JOIN documents db ON db.doc_id = e.ub
         """,
         "events_day_ranges": """
             WITH cal AS (

@@ -324,6 +324,75 @@ def verify_jaccard_pairs_joined(
     return j.map_batches(score, batch_format="pandas")
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, numpy row-DP: the sequential insert cascade
+    cur[j] = min(m[j-1], cur[j-1]+1) is closed-form as a prefix-min of
+    (candidate - j) plus j, so each DP row is O(1) numpy kernels instead of
+    a per-cell Python loop. Computed over UTF-8 BYTES (not codepoints) to
+    match DuckDB's levenshtein() bit-exactly."""
+    if a == b:
+        return 0
+    A = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    B = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    if len(A) == 0:
+        return len(B)
+    if len(B) == 0:
+        return len(A)
+    lb = len(B)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i, ca in enumerate(A, 1):
+        sub = prev[:-1] + (B != ca)
+        m = np.minimum(prev[1:] + 1, sub)
+        h = np.concatenate(([i], m)) - idx
+        prev = np.minimum.accumulate(h) + idx
+    return int(prev[-1])
+
+
+def edit_distance_pairs(
+    pairs: Dataset,
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 8,
+) -> Dataset:
+    """Pairwise edit-distance verify: candidate (src, dst) pairs hash-joined
+    against the docs table twice (no text broadcast), then unit-cost
+    levenshtein per pair (numpy row-DP). Returns (id_a, id_b, edit_dist)."""
+
+    def rename(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"__{side}_id": b.column(id_col), f"__{side}_text": b.column(text_col)}
+            )
+
+        return fn
+
+    a_side = ds.map_batches(rename("a"), batch_format="pyarrow")
+    b_side = ds.map_batches(rename("b"), batch_format="pyarrow")
+    j = pairs.join(
+        a_side, join_type="inner", num_partitions=num_partitions, on=(src,), right_on=("__a_id",)
+    )
+    j = j.join(
+        b_side, join_type="inner", num_partitions=num_partitions, on=(dst,), right_on=("__b_id",)
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        d = [levenshtein(x, y) for x, y in zip(batch["__a_text"], batch["__b_text"])]
+        return pd.DataFrame(
+            {
+                "id_a": batch[src].astype("int64").to_numpy(),
+                "id_b": batch[dst].astype("int64").to_numpy(),
+                "edit_dist": pd.Series(d, dtype="int64").to_numpy(),
+            }
+        )
+
+    return j.map_batches(score, batch_format="pandas")
+
+
 def near_dup_dedup(
     ds: Dataset,
     id_col: str,

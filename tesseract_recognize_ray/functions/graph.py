@@ -120,6 +120,56 @@ def connected_components(
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
+def group_clique_pairs(
+    ds: Dataset,
+    key_cols: list[str],
+    node_col: str,
+    *,
+    num_buckets: int = 64,
+    max_group: int = 256,
+) -> Dataset:
+    """ALL distinct in-group pairs (src < dst) of nodes sharing a key tuple
+    — the candidate-pair shape for pairwise verify stages (edit distance,
+    exact Jaccard), where star edges would under-report pairs. Groups larger
+    than max_group are dropped (a shingle shared by 10^6 docs would emit
+    5·10^11 pairs); pairs seen under several keys are deduped by a
+    (src, dst) groupby."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        key = pd.util.hash_pandas_object(
+            batch.select(key_cols).to_pandas(), index=False
+        ).to_numpy()
+        bk = (key % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(bk, pa.int32()))
+
+    def cliques(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(key_cols + [node_col])
+        outs = []
+        for _, g in df.groupby(key_cols, sort=False):
+            nodes = np.sort(g[node_col].to_numpy())
+            k = len(nodes)
+            if k < 2 or k > max_group:
+                continue
+            iu = np.triu_indices(k, 1)
+            outs.append(pd.DataFrame({"src": nodes[iu[0]], "dst": nodes[iu[1]]}))
+        if not outs:
+            return pd.DataFrame({"src": pd.Series([], dtype="int64"), "dst": pd.Series([], dtype="int64")})
+        return pd.concat(outs).drop_duplicates()
+
+    pairs = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda d: cliques(d.drop(columns="__bucket")), batch_format="pandas")
+    )
+    # global distinct — the same pair can arise under different keys
+    from tesseract_recognize_ray.functions.relational import grouped_agg
+
+    dd = grouped_agg(pairs, ["src", "dst"], [("src", "count", "__n")])
+    return dd.map_batches(
+        lambda b: b.select(["src", "dst"]), batch_format="pyarrow"
+    )
+
+
 def group_star_edges(
     ds: Dataset,
     key_cols: list[str],

@@ -107,6 +107,43 @@ def test_near_dup_dedup_planted_clusters(ray_session):
     assert sorted(kept) == [0, 3, 4]
 
 
+def test_levenshtein_matches_duckdb():
+    import duckdb
+
+    from tesseract_recognize_ray.functions.dedup import levenshtein
+
+    con = duckdb.connect()
+    cases = [
+        ("kitten", "sitting"),
+        ("", "abc"),
+        ("abc", ""),
+        ("same", "same"),
+        ("a b c d", "a x c d e"),
+        ("über", "uber"),  # byte-level, like DuckDB
+    ]
+    for a, b in cases:
+        assert levenshtein(a, b) == con.execute("select levenshtein(?,?)", [a, b]).fetchone()[0]
+
+
+def test_group_clique_pairs_dedup_and_guard(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import group_clique_pairs
+
+    df = pd.DataFrame(
+        {
+            # key 'a' -> {1,2,3}; key 'b' -> {2,3} (duplicate pair); 'big' -> dropped
+            "k": ["a", "a", "a", "b", "b"] + ["big"] * 5,
+            "node": [1, 2, 3, 2, 3, 10, 11, 12, 13, 14],
+        }
+    )
+    pairs = group_clique_pairs(
+        rd.from_pandas(df), ["k"], "node", num_buckets=2, max_group=4
+    ).to_pandas()
+    got = set(map(tuple, pairs[["src", "dst"]].to_numpy()))
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_group_star_edges_same_components_as_clique(ray_session):
     import ray.data as rd
 
