@@ -1062,6 +1062,34 @@ def _q_edit_distance_pairs(sf_dir: str):
     return F_dedup.edit_distance_pairs(pairs, docs, "doc_id", "text")
 
 
+def _q_trailing_hour_events(sf_dir: str):
+    """Time-RANGE window frame (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW): per-user trailing-hour sum + count, exact cents. One
+    searchsorted pair per bucket via per-group time rebasing — no per-key
+    dispatch (functions/relational.window_range_sum)."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    out = F.window_range_sum(
+        cents, "user_id", "ts", "value_cents", 3_600_000_000, "trail_sum_cents", "trail_n"
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["event_id", "user_id", "trail_sum_cents", "trail_n"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def _q_events_day_ranges(sf_dir: str):
     """Range (interval) join: events against a broadcast daily calendar —
     each event attaches the day bucket whose [start, start+1d) contains its
@@ -1867,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cooccurrence_clusters": _q_user_cooccurrence_clusters,
         "shingle_dup_clusters": _q_shingle_dup_clusters,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "trailing_hour_events": _q_trailing_hour_events,
         "events_day_ranges": _q_events_day_ranges,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,
@@ -2325,6 +2354,14 @@ def oracle_sql() -> dict[str, str]:
             FROM comp c
             JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
                   FROM comp GROUP BY cluster_id) s USING (cluster_id)
+        """,
+        "trailing_hour_events": """
+            SELECT event_id, user_id,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS trail_sum_cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """,
         "edit_distance_pairs": """
             WITH toks AS (

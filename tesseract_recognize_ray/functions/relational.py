@@ -358,6 +358,62 @@ def window_rolling_sum(
     )
 
 
+def window_range_sum(
+    ds: Dataset,
+    part_key: str,
+    ts_col: str,
+    value_col: str,
+    range_us: int,
+    out_sum: str = "range_sum",
+    out_n: str = "range_n",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-key trailing TIME-RANGE window (SQL RANGE BETWEEN INTERVAL x
+    PRECEDING AND CURRENT ROW): for each row, sum/count of the key's rows
+    with ts in [ts_i - range_us, ts_i] — equal-ts peers included, exactly
+    the SQL RANGE peer semantics.
+
+    Fully vectorized per bucket, no per-key dispatch: rows sort by
+    (key, ts); each key's timestamps are rebased to its own first ts and
+    offset by group_index * (bucket_span + range_us + 1), making the
+    concatenation globally sorted so ONE np.searchsorted pair resolves every
+    row's frame bounds; prefix sums turn bounds into sums."""
+    from ..hashing import stable_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = stable_bucket(batch[part_key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values([part_key, ts_col], kind="mergesort")
+        ts = g[ts_col].to_numpy()
+        ts = ts.astype("datetime64[us]").astype(np.int64) if ts.dtype.kind == "M" else ts.astype(np.int64)
+        vals = g[value_col].to_numpy()
+        codes, _ = pd.factorize(g[part_key].to_numpy(), sort=False)
+        # first ts of each group, broadcast per row (groups are contiguous)
+        starts = np.flatnonzero(np.diff(codes, prepend=-1))
+        base = np.repeat(ts[starts], np.diff(np.append(starts, len(ts))))
+        rel = ts - base
+        span = int(rel.max()) if len(rel) else 0
+        stride = span + int(range_us) + 1
+        if len(codes) and int(codes[-1]) >= (np.iinfo(np.int64).max - span) // max(stride, 1):
+            raise OverflowError(
+                "window_range_sum: bucket group-count x time-span exceeds int64; "
+                "raise num_buckets"
+            )
+        adj = codes.astype(np.int64) * stride + rel
+        lo = np.searchsorted(adj, adj - int(range_us), side="left")
+        hi = np.searchsorted(adj, adj, side="right")
+        cs = np.concatenate(([0], np.cumsum(vals)))
+        g[out_sum] = (cs[hi] - cs[lo]).astype(vals.dtype)
+        g[out_n] = (hi - lo).astype(np.int64)
+        return g
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
 def window_cumsum(
     ds: Dataset,
     part_key: str,

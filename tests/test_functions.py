@@ -329,6 +329,29 @@ def test_window_rolling_sum_matches_pandas(ray_session):
     assert all(m[eid] == want for eid, want in gold.set_index("event_id")["roll"].items())
 
 
+def test_window_range_sum_peers_and_bounds(ray_session):
+    import ray.data as rd
+
+    # user 1: ts 0, 50, 50, 120 with window 60 -> frames:
+    #   ts=0   -> {0}                 sum=1 n=1
+    #   ts=50  -> {0,50,50} (PEERS: both equal-ts rows in both frames)
+    #   ts=120 -> {120} (50 < 120-60) sum=8 n=1
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 1, 2],
+            "ts": np.array([0, 50, 50, 120, 10], dtype="int64"),
+            "v": np.array([1, 2, 4, 8, 16], dtype="int64"),
+        }
+    )
+    out = (
+        F.window_range_sum(rd.from_pandas(df), "u", "ts", "v", 60, "s", "n", num_buckets=2)
+        .to_pandas()
+        .sort_values(["u", "ts", "v"])
+    )
+    assert out["s"].tolist() == [1, 7, 7, 8, 16]
+    assert out["n"].tolist() == [1, 3, 3, 1, 1]
+
+
 def test_term_counts_and_median(ray_session):
     df = pd.DataFrame({"text": ["a b a", "b c", None, "a"]})
     tc = F_text.term_counts(rd.from_pandas(df), "text").to_pandas()
