@@ -1090,6 +1090,51 @@ def _q_trailing_hour_events(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_salted_type_join(sf_dir: str):
+    """Skew-resistant salted join (functions/relational.salted_join): events
+    (hot key: only a handful of event_type values) joined to the per-type
+    sum — the key is salted into 4 sub-keys so one hot type spreads over 4
+    shuffle partitions. Output row-identical to the plain SQL join."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    agg = F.grouped_agg(cents, ["event_type"], [("value_cents", "sum", "type_sum_cents")])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["g_event_type", "type_sum_cents"])
+
+    j = F.salted_join(
+        cents.drop_columns(["value_cents"]),
+        agg.map_batches(rename, batch_format="pyarrow"),
+        on="event_type",
+        right_on="g_event_type",
+        salt=4,
+        # few (type, salt) keys -> keep partitions ≤ key count (an all-empty
+        # hash partition arrives schema-less and trips the acero join)
+        num_partitions=4,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "type_sum_cents": b.column("type_sum_cents"),
+            }
+        )
+
+    return j.map_batches(project, batch_format="pyarrow")
+
+
 def _q_events_day_ranges(sf_dir: str):
     """Range (interval) join: events against a broadcast daily calendar —
     each event attaches the day bucket whose [start, start+1d) contains its
@@ -1896,6 +1941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_dup_clusters": _q_shingle_dup_clusters,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "trailing_hour_events": _q_trailing_hour_events,
+        "salted_type_join": _q_salted_type_join,
         "events_day_ranges": _q_events_day_ranges,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,
@@ -2354,6 +2400,14 @@ def oracle_sql() -> dict[str, str]:
             FROM comp c
             JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
                   FROM comp GROUP BY cluster_id) s USING (cluster_id)
+        """,
+        "salted_type_join": """
+            SELECT e.event_id, e.event_type, g.type_sum_cents
+            FROM events e
+            JOIN (SELECT event_type,
+                         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS type_sum_cents
+                  FROM events GROUP BY event_type) g
+            ON e.event_type = g.event_type
         """,
         "trailing_hour_events": """
             SELECT event_id, user_id,

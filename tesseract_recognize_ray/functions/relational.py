@@ -182,6 +182,51 @@ def broadcast_lookup_join(
 
 
 # ------------------------------------------------------------------ windows
+def salted_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    *,
+    salt: int = 8,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Skew-resistant inner equi-join: every left row gets a salt in
+    [0, salt) (round-robin per batch — any assignment is correct, it only
+    spreads rows), the right side is replicated `salt` times, and the join
+    key becomes (key, salt) — a hot key's rows now land on `salt` shuffle
+    partitions instead of one. Output is row-identical to hash_join; use
+    when BOTH sides are too large to broadcast and the key histogram is
+    skewed (the classic event_type / hot-domain case)."""
+    rkey = right_on or on
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        s = (np.arange(batch.num_rows, dtype=np.int64) % salt).astype(np.int32)
+        return batch.append_column("__salt", pa.array(s))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        parts = []
+        for i in range(salt):
+            parts.append(
+                batch.append_column(
+                    "__salt_r", pa.array(np.full(batch.num_rows, i, dtype=np.int32))
+                )
+            )
+        return pa.concat_tables(parts)
+
+    j = left.map_batches(add_salt, batch_format="pyarrow").join(
+        right.map_batches(replicate, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(on, "__salt"),
+        right_on=(rkey, "__salt_r"),
+    )
+    return j.map_batches(
+        lambda b: b.drop_columns([c for c in ("__salt", "__salt_r") if c in b.column_names]),
+        batch_format="pyarrow",
+    )
+
+
 def window_lag(
     ds: Dataset,
     part_key: str,
