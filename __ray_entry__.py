@@ -1135,6 +1135,64 @@ def _q_salted_type_join(sf_dir: str):
     return j.map_batches(project, batch_format="pyarrow")
 
 
+def _q_returned_revenue_by_customer(sf_dir: str):
+    """TPC-H-Q10-shaped 4-way composition: returned lineitems (filter at the
+    read) -> map-side revenue combiner per orderkey -> hash join orders ->
+    re-aggregate per custkey -> hash join customer -> broadcast nation ->
+    global top-20. Revenue exact in int64 cent-percent units."""
+    li = F.load(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    ).filter(expr="l_returnflag == 'R'")
+
+    def revenue(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+
+    li_agg = F.grouped_agg(
+        li.map_batches(revenue, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("rev", "sum", "rev_u")],
+    )
+    orders = F.load(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j1 = F.hash_join(li_agg, orders, on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=8)
+    per_cust = F.grouped_agg(j1, ["o_custkey"], [("rev_u", "sum", "revenue_u")])
+    cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    j2 = F.hash_join(per_cust, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=8)
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j3 = F.broadcast_lookup_join(j2, nation, "c_nationkey", "n_nationkey")
+    # Dataset.join keeps only the LEFT key column -> customer key lives on
+    # as o_custkey; rename at the final projection
+    top = F.topk(j3, "revenue_u", 20, descending=True, tiebreak=["o_custkey"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("o_custkey"),
+                "c_name": b.column("c_name"),
+                "n_name": b.column("n_name"),
+                "revenue_u": b.column("revenue_u"),
+            }
+        )
+
+    return top.map_batches(project, batch_format="pyarrow")
+
+
+def _q_regex_extract_docs(sf_dir: str):
+    """Vectorized regex extraction: first 'qu[a-z]+' match per document via
+    Arrow's RE2 extract_regex kernel (same engine family as DuckDB's
+    regexp_extract; no-match maps to '' to mirror DuckDB)."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b.column("text"), r"(?P<m>qu[a-z]+)")
+        m = pc.fill_null(pc.struct_field(ex, "m"), "")
+        return pa.table({"doc_id": b.column("doc_id"), "first_qu": m})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _q_events_day_ranges(sf_dir: str):
     """Range (interval) join: events against a broadcast daily calendar —
     each event attaches the day bucket whose [start, start+1d) contains its
@@ -1942,6 +2000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "trailing_hour_events": _q_trailing_hour_events,
         "salted_type_join": _q_salted_type_join,
+        "returned_revenue_by_customer": _q_returned_revenue_by_customer,
+        "regex_extract_docs": _q_regex_extract_docs,
         "events_day_ranges": _q_events_day_ranges,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,
@@ -2400,6 +2460,24 @@ def oracle_sql() -> dict[str, str]:
             FROM comp c
             JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
                   FROM comp GROUP BY cluster_id) s USING (cluster_id)
+        """,
+        "regex_extract_docs": """
+            SELECT doc_id, regexp_extract(text, '(qu[a-z]+)') AS first_qu
+            FROM documents
+        """,
+        "returned_revenue_by_customer": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                       AS revenue_u
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue_u DESC, c.c_custkey ASC
+            LIMIT 20
         """,
         "salted_type_join": """
             SELECT e.event_id, e.event_type, g.type_sum_cents
