@@ -1193,6 +1193,57 @@ def _q_regex_extract_docs(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _q_events_in_type_windows(sf_dir: str):
+    """Big x big interval join (functions/relational.grid_range_join): every
+    event matched against every (event_type, day) active window
+    [min ts, max ts] containing it — no broadcast; intervals replicate to
+    6-hour grid cells, points hash-join on their cell, exact bound filter
+    finishes."""
+    ev = F.load(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "ts_us": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64()),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    us = ev.map_batches(to_us, batch_format="pyarrow")
+
+    def with_day(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "d", pc.cast(pc.divide(b.column("ts_us"), 86_400_000_000), pa.int64())
+        )
+
+    iv = F.grouped_agg(
+        us.map_batches(with_day, batch_format="pyarrow"),
+        ["event_type", "d"],
+        [("ts_us", "min", "lo"), ("ts_us", "max", "hi")],
+    )
+
+    def rename_iv(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"itype": b.column("event_type"), "d": b.column("d"), "lo": b.column("lo"), "hi": b.column("hi")}
+        )
+
+    points = us.drop_columns(["event_type"])
+    j = F.grid_range_join(
+        points,
+        iv.map_batches(rename_iv, batch_format="pyarrow"),
+        "ts_us",
+        "lo",
+        "hi",
+        cell=21_600_000_000,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"), "itype": b.column("itype"), "d": b.column("d")})
+
+    return j.map_batches(project, batch_format="pyarrow")
+
+
 def _q_events_day_ranges(sf_dir: str):
     """Range (interval) join: events against a broadcast daily calendar —
     each event attaches the day bucket whose [start, start+1d) contains its
@@ -2002,6 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_type_join": _q_salted_type_join,
         "returned_revenue_by_customer": _q_returned_revenue_by_customer,
         "regex_extract_docs": _q_regex_extract_docs,
+        "events_in_type_windows": _q_events_in_type_windows,
         "events_day_ranges": _q_events_day_ranges,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,
@@ -2460,6 +2512,17 @@ def oracle_sql() -> dict[str, str]:
             FROM comp c
             JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
                   FROM comp GROUP BY cluster_id) s USING (cluster_id)
+        """,
+        "events_in_type_windows": """
+            WITH iv AS (
+                SELECT event_type AS itype,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                       MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+                FROM events GROUP BY 1, 2
+            )
+            SELECT e.event_id, i.itype, i.d
+            FROM events e JOIN iv i
+              ON epoch_us(e.ts) >= i.lo AND epoch_us(e.ts) <= i.hi
         """,
         "regex_extract_docs": """
             SELECT doc_id, regexp_extract(text, '(qu[a-z]+)') AS first_qu

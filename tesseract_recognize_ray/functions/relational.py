@@ -1055,6 +1055,66 @@ def window_first_last(
     )
 
 
+def grid_range_join(
+    points: Dataset,
+    intervals: Dataset,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    *,
+    cell: int,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Interval-containment join for two BIG sides (ts in [lo, hi], both
+    inclusive) — the scale path past broadcast_range_join: each interval is
+    replicated to every fixed-width grid cell it overlaps, each point hashes
+    to its single cell, and a plain hash join on the cell id co-locates the
+    candidates; an exact bound filter finishes. Every matching pair appears
+    exactly once (a point owns exactly one cell — no dedup shuffle).
+
+    `cell` tunes the replication-vs-cartesian tradeoff: replication factor
+    is width/cell + 1, per-cell candidate product is cell occupancy of each
+    side. Pick cell ~ median interval width. ts/lo/hi must be int64 on a
+    shared scale (e.g. epoch microseconds); point and interval payload
+    column names must not collide."""
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).to_numpy()
+        return batch.append_column(
+            "__cell", pa.array(np.floor_divide(ts, cell).astype(np.int64))
+        )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        lo = batch.column(lo_col).to_numpy()
+        hi = batch.column(hi_col).to_numpy()
+        lo_c = np.floor_divide(lo, cell).astype(np.int64)
+        cnt = np.floor_divide(hi, cell).astype(np.int64) - lo_c + 1
+        idx = np.repeat(np.arange(len(lo), dtype=np.int64), cnt)
+        offs = np.arange(len(idx), dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        t = batch.take(pa.array(idx))
+        return t.append_column("__cell_i", pa.array(lo_c[idx] + offs, pa.int64()))
+
+    j = points.map_batches(add_cell, batch_format="pyarrow").join(
+        intervals.map_batches(replicate, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("__cell",),
+        right_on=("__cell_i",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        keep = pc.and_(
+            pc.greater_equal(ts, batch.column(lo_col)),
+            pc.less_equal(ts, batch.column(hi_col)),
+        )
+        return batch.filter(keep).drop_columns(
+            [c for c in ("__cell", "__cell_i") if c in batch.column_names]
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def broadcast_range_join(
     big: Dataset,
     intervals_df: pd.DataFrame,

@@ -352,6 +352,26 @@ def test_window_range_sum_peers_and_bounds(ray_session):
     assert out["n"].tolist() == [1, 3, 3, 1, 1]
 
 
+def test_grid_range_join_bounds_and_replication(ray_session):
+    import ray.data as rd
+
+    pts = pd.DataFrame({"pid": [0, 1, 2, 3], "ts_us": np.array([5, 10, 25, 99], dtype="int64")})
+    # interval A spans 3 cells of width 10 ([0,25]); B is a point interval [10,10]
+    iv = pd.DataFrame(
+        {
+            "iid": ["A", "B"],
+            "lo": np.array([0, 10], dtype="int64"),
+            "hi": np.array([25, 10], dtype="int64"),
+        }
+    )
+    out = F.grid_range_join(
+        rd.from_pandas(pts), rd.from_pandas(iv), "ts_us", "lo", "hi", cell=10, num_partitions=4
+    ).to_pandas()
+    got = sorted(map(tuple, out[["pid", "iid"]].to_numpy()))
+    # inclusive both ends; pid=3 matches nothing; each pair exactly once
+    assert got == [(0, "A"), (1, "A"), (1, "B"), (2, "A")]
+
+
 def test_term_counts_and_median(ray_session):
     df = pd.DataFrame({"text": ["a b a", "b c", None, "a"]})
     tc = F_text.term_counts(rd.from_pandas(df), "text").to_pandas()
