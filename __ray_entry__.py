@@ -1244,6 +1244,20 @@ def _q_events_in_type_windows(sf_dir: str):
     return j.map_batches(project, batch_format="pyarrow")
 
 
+def _q_approx_value_quantiles(sf_dir: str):
+    """Mergeable histogram quantile sketch (functions/sketches.py): p50/p90/
+    p99 of event value within one bin width of exact, moving only bin
+    summaries through the shuffle (vs a full sort for exact). Deterministic;
+    error-bound gated in pytest (no SQL expression of the sketch)."""
+    from tesseract_recognize_ray.functions.sketches import histogram_quantile_sketch
+
+    ds = F.load(sf_dir, "events", columns=["value"])
+    est = histogram_quantile_sketch(ds, "value", [0.5, 0.9, 0.99], nbins=4096)
+    return pd.DataFrame(
+        {"q": list(est.keys()), "est": [round(v, 6) for v in est.values()]}
+    )
+
+
 def _q_events_day_ranges(sf_dir: str):
     """Range (interval) join: events against a broadcast daily calendar —
     each event attaches the day bucket whose [start, start+1d) contains its
@@ -2054,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue_by_customer": _q_returned_revenue_by_customer,
         "regex_extract_docs": _q_regex_extract_docs,
         "events_in_type_windows": _q_events_in_type_windows,
+        "approx_value_quantiles": _q_approx_value_quantiles,
         "events_day_ranges": _q_events_day_ranges,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 
 def _hash64(values: pd.Series) -> np.ndarray:
@@ -72,6 +72,49 @@ def hll_approx_distinct(ds: Dataset, col: str, p: int = 14) -> int:
     if est <= 2.5 * m and zeros > 0:  # small-range linear counting
         est = m * np.log(m / zeros)
     return int(round(est))
+
+
+def histogram_quantile_sketch(
+    ds: Dataset, col: str, qs: list[float], nbins: int = 4096
+) -> dict[float, float]:
+    """Mergeable approximate quantiles via an exact fixed-bin histogram:
+    pass 1 is a tiny Min/Max aggregate, pass 2 bins every value
+    (vectorized bincount per batch — at most `nbins` partial rows per
+    batch) and groupby(bin).sum moves only bin summaries; the driver folds
+    ≤nbins rows and interpolates uniformly inside the target bin.
+
+    Error ≤ one bin width = (max-min)/nbins — DETERMINISTIC regardless of
+    block order (exact counts, exact extremes), unlike sampling sketches.
+    The scale contrast: an exact quantile needs a full sort (all-to-all on
+    every row); this moves O(blocks x nbins) summary rows."""
+    stats = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    if hi == lo:
+        return {q: lo for q in qs}
+    w = (hi - lo) / nbins
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        bins = np.minimum(((v - lo) / w).astype(np.int64), nbins - 1)
+        cnt = np.bincount(bins, minlength=nbins)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bin": nz.astype(np.int64), "n": cnt[nz].astype(np.int64)})
+
+    hdf = ds.map_batches(partial, batch_format="pandas").groupby("bin").sum("n").to_pandas()
+    counts = np.zeros(nbins, dtype=np.float64)
+    counts[hdf["bin"].to_numpy()] = hdf["sum(n)"].to_numpy()
+    c = np.cumsum(counts)
+    total = c[-1]
+    out: dict[float, float] = {}
+    for q in qs:
+        target = q * total
+        i = int(np.searchsorted(c, target, side="left"))
+        i = min(i, nbins - 1)
+        prev = c[i - 1] if i else 0.0
+        frac = (target - prev) / counts[i] if counts[i] else 0.0
+        out[q] = lo + (i + min(frac, 1.0)) * w
+    return out
 
 
 def frequent_terms(

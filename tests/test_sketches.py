@@ -33,6 +33,24 @@ def test_hll_deterministic(ray_session):
     assert a == b  # fixed-key hash + max-merge: partitioning-invariant
 
 
+def test_histogram_quantile_sketch_error_bound(ray_session):
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.normal(50, 10, 20000), rng.exponential(5, 5000)])
+    df = pd.DataFrame({"v": vals})
+    nbins = 1024
+    est = F_sk.histogram_quantile_sketch(rd.from_pandas(df), "v", [0.1, 0.5, 0.9, 0.99], nbins=nbins)
+    width = (vals.max() - vals.min()) / nbins
+    for q, e in est.items():
+        exact = np.quantile(vals, q)
+        assert abs(e - exact) <= width + 1e-9, (q, e, exact, width)
+
+
+def test_histogram_quantile_sketch_constant_column(ray_session):
+    df = pd.DataFrame({"v": np.full(100, 7.5)})
+    est = F_sk.histogram_quantile_sketch(rd.from_pandas(df), "v", [0.5])
+    assert est[0.5] == 7.5
+
+
 def test_frequent_terms_exact_when_vocab_fits(ray_session):
     docs = pd.DataFrame({"text": ["a a a b b c"] * 10 + ["d e"] * 3})
     out = F_sk.frequent_terms(rd.from_pandas(docs), "text", k=3, m=100).to_pandas()
