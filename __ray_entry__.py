@@ -1258,6 +1258,61 @@ def _q_approx_value_quantiles(sf_dir: str):
     )
 
 
+def _q_normalize_docs(sf_dir: str):
+    """Text normalization for training corpora: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim — all
+    Arrow/RE2 kernels, zero Python per row."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b.column("text"))
+        t = pc.replace_substring_regex(t, r"[^a-z0-9]+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": b.column("doc_id"), "norm_text": t})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_profile_lineitem(sf_dir: str):
+    """One-pass column profiler (the warehouse 'ANALYZE' shape): per numeric
+    column min / max / null count / row count via a single combiner
+    aggregate — one summary row per column, no per-column rescans."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = F.load(sf_dir, "lineitem", columns=cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, mins, maxs, nulls, rows = [], [], [], [], []
+        for c in cols:
+            col = b.column(c)
+            names.append(c)
+            mins.append(pc.min(col).as_py())
+            maxs.append(pc.max(col).as_py())
+            nulls.append(col.null_count)
+            rows.append(len(col))
+        return pa.table(
+            {
+                "column": pa.array(names),
+                "vmin": pa.array(mins, pa.float64()),
+                "vmax": pa.array(maxs, pa.float64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "n_rows": pa.array(rows, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return F.grouped_agg(
+        partials,
+        ["column"],
+        [
+            ("vmin", "min", "vmin"),
+            ("vmax", "max", "vmax"),
+            ("n_null", "sum", "n_null"),
+            ("n_rows", "sum", "n_rows"),
+        ],
+        combine=False,
+    )
+
+
 def _q_events_day_ranges(sf_dir: str):
     """Range (interval) join: events against a broadcast daily calendar —
     each event attaches the day bucket whose [start, start+1d) contains its
@@ -2069,6 +2124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract_docs": _q_regex_extract_docs,
         "events_in_type_windows": _q_events_in_type_windows,
         "approx_value_quantiles": _q_approx_value_quantiles,
+        "normalize_docs": _q_normalize_docs,
+        "profile_lineitem": _q_profile_lineitem,
         "events_day_ranges": _q_events_day_ranges,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,
@@ -2527,6 +2584,33 @@ def oracle_sql() -> dict[str, str]:
             FROM comp c
             JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
                   FROM comp GROUP BY cluster_id) s USING (cluster_id)
+        """,
+        "normalize_docs": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                       AS norm_text
+            FROM documents
+        """,
+        "profile_lineitem": """
+            SELECT 'l_quantity' AS "column", CAST(MIN(l_quantity) AS DOUBLE) AS vmin,
+                   CAST(MAX(l_quantity) AS DOUBLE) AS vmax,
+                   CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', CAST(MIN(l_extendedprice) AS DOUBLE),
+                   CAST(MAX(l_extendedprice) AS DOUBLE),
+                   CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', CAST(MIN(l_discount) AS DOUBLE),
+                   CAST(MAX(l_discount) AS DOUBLE),
+                   CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', CAST(MIN(l_tax) AS DOUBLE),
+                   CAST(MAX(l_tax) AS DOUBLE),
+                   CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT) FROM lineitem
         """,
         "events_in_type_windows": """
             WITH iv AS (

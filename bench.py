@@ -64,6 +64,11 @@ _BENCH_QUERIES = [
     "decontaminate_docs",
     "curated_corpus",
     "user_cooccurrence_clusters",
+    "shingle_dup_clusters",
+    "near_dup_dedup",
+    "trailing_hour_events",
+    "events_in_type_windows",
+    "returned_revenue_by_customer",
 ]
 
 
