@@ -30,6 +30,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
+from ray.data.aggregate import Count as AggCount, Sum as AggSum
 
 from tesseract_recognize_ray.hashing import stable_bucket
 
@@ -102,11 +103,9 @@ def connected_components(
                 batch_format="pandas",
             )
         ).materialize()
-        if pairs.count() == 0:
-            break
-        sums = pairs.sum(["u", "v"])
-        sig = (pairs.count(), sums["sum(u)"], sums["sum(v)"])
-        if sig == prev_sig:
+        stats = pairs.aggregate(AggCount(), AggSum("u"), AggSum("v"))
+        sig = (stats["count()"], stats["sum(u)"], stats["sum(v)"])
+        if sig[0] == 0 or sig == prev_sig:
             break
         prev_sig = sig
     # final labels: component = min over C(u) ∪ {u} (self loops retained)
