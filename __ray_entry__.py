@@ -1313,6 +1313,28 @@ def _q_profile_lineitem(sf_dir: str):
     )
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (functions/similarity.embedding_centroids
+    — one partial sum row per key per block), exploded to (label, dim,
+    mean*1e6 int) so the float mean compares bit-stably against DuckDB's
+    unnest-with-ordinality AVG."""
+    ds = F.load(sf_dir, "embeddings", columns=["label", "embedding"])
+    cent = F_sim.embedding_centroids(ds, "label", "embedding")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["centroid"].to_numpy())
+        k, dim = mat.shape
+        return pd.DataFrame(
+            {
+                "label": np.repeat(b["label"].to_numpy().astype("int64"), dim),
+                "d": np.tile(np.arange(1, dim + 1, dtype="int64"), k),
+                "mean_e6": np.round(mat.reshape(-1) * 1e6).astype("int64"),
+            }
+        )
+
+    return cent.map_batches(explode, batch_format="pandas")
+
+
 def _q_events_day_ranges(sf_dir: str):
     """Range (interval) join: events against a broadcast daily calendar —
     each event attaches the day bucket whose [start, start+1d) contains its
@@ -2126,6 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_quantiles": _q_approx_value_quantiles,
         "normalize_docs": _q_normalize_docs,
         "profile_lineitem": _q_profile_lineitem,
+        "label_centroids": _q_label_centroids,
         "events_day_ranges": _q_events_day_ranges,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,
@@ -2584,6 +2607,15 @@ def oracle_sql() -> dict[str, str]:
             FROM comp c
             JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
                   FROM comp GROUP BY cluster_id) s USING (cluster_id)
+        """,
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, CAST(d AS BIGINT) AS d,
+                   CAST(ROUND(AVG(CAST(v AS DOUBLE)) * 1000000) AS BIGINT)
+                       AS mean_e6
+            FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS d
+                  FROM embeddings)
+            GROUP BY label, d
         """,
         "normalize_docs": """
             SELECT doc_id,

@@ -68,6 +68,48 @@ def brute_force_topk(
     return cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
 
 
+def embedding_centroids(
+    ds: Dataset, key_col: str, vec_col: str, *, num_buckets: int = 16
+) -> Dataset:
+    """Per-key mean embedding (class prototype / cluster centroid): each
+    batch emits ONE partial (key, sum-vector, n) row per key (segmented
+    np.add.at — the shuffle moves key-count x dim doubles per block, never
+    raw vectors), then a bucketed merge divides. Output: (key, centroid
+    float64 list, n)."""
+    from ..hashing import stable_bucket
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        codes, uniq = pd.factorize(b[key_col].to_numpy())
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(sums, codes, mat)
+        n = np.bincount(codes, minlength=len(uniq))
+        return pd.DataFrame({key_col: uniq, "__sum": list(sums), "__n": n.astype("int64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = stable_bucket(b[key_col], num_buckets)
+        return b
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(df[key_col].to_numpy())
+        mat = np.stack(df["__sum"].to_numpy())
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(sums, codes, mat)
+        n = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(n, codes, df["__n"].to_numpy())
+        return pd.DataFrame(
+            {key_col: uniq, "centroid": list(sums / n[:, None]), "n": n}
+        )
+
+    return (
+        parts.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda d: merge(d.drop(columns="__bucket")), batch_format="pandas")
+    )
+
+
 def build_ivf_centroids(
     ds: Dataset, vec_col: str, n_centroids: int = 64, seed: int = 42, lloyd_iters: int = 10
 ) -> np.ndarray:
