@@ -1335,6 +1335,31 @@ def _q_label_centroids(sf_dir: str):
     return cent.map_batches(explode, batch_format="pandas")
 
 
+def _q_html_main_content(sf_dir: str):
+    """North-rule extraction flavor: HTML boilerplate strip via DOM-walk
+    block scoring (functions/html.py — link density, block length,
+    class/id + structural-tag hints; boilerpipe/readability model). Each
+    document is deterministically wrapped in a synthetic page (nav link
+    farms, ads, related-links insets, comments, footer) and the actor-pool
+    extractor must recover EXACTLY the planted main content — the oracle is
+    the original text column, so the whole parse+classify path is
+    value-gated, not rows-only."""
+    from tesseract_recognize_ray.functions.html import strip_boilerplate, wrap_in_boilerplate
+
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_html(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "html": [wrap_in_boilerplate(d, t) for d, t in zip(b["doc_id"], b["text"])],
+            }
+        )
+
+    pages = ds.map_batches(to_html, batch_format="pandas")
+    return strip_boilerplate(pages, "html", "main_text", concurrency=(1, 4))
+
+
 def _q_events_day_ranges(sf_dir: str):
     """Range (interval) join: events against a broadcast daily calendar —
     each event attaches the day bucket whose [start, start+1d) contains its
@@ -2149,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": _q_normalize_docs,
         "profile_lineitem": _q_profile_lineitem,
         "label_centroids": _q_label_centroids,
+        "html_main_content": _q_html_main_content,
         "events_day_ranges": _q_events_day_ranges,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "cube_order_stats": _q_cube_order_stats,
@@ -2607,6 +2633,9 @@ def oracle_sql() -> dict[str, str]:
             FROM comp c
             JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
                   FROM comp GROUP BY cluster_id) s USING (cluster_id)
+        """,
+        "html_main_content": """
+            SELECT doc_id, text AS main_text FROM documents
         """,
         "label_centroids": """
             SELECT CAST(label AS BIGINT) AS label, CAST(d AS BIGINT) AS d,
