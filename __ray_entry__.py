@@ -1042,6 +1042,86 @@ def _q_shingle_dup_clusters(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_pagerank_supplier_parts(sf_dir: str):
+    """PageRank (functions/graph.py ``pagerank``: per-iteration edges x
+    ranks hash join + combiner groupby(dst) sum; dangling mass folded into
+    the scalar base) over the bipartite supplier->part shipment graph: each
+    lineitem row is one directed edge l_suppkey -> 1_000_000 + l_partkey
+    (parallel edges weight by multiplicity; every part node is dangling,
+    exercising the uniform-redistribution path). 5 iterations, damping
+    0.85. Ranks are rounded to 8 decimals on BOTH sides so summation-order
+    float noise (~1e-15) cannot cross the driver's 9-digit value hash."""
+    from tesseract_recognize_ray.functions.graph import pagerank
+
+    ds = F.load(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def edge(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(b.column("l_suppkey"), pa.int64()),
+                "dst": pc.add(
+                    pa.scalar(1_000_000, pa.int64()),
+                    pc.cast(b.column("l_partkey"), pa.int64()),
+                ),
+            }
+        )
+
+    pr = pagerank(ds.map_batches(edge, batch_format="pyarrow"), iters=5)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "rank": pc.round(b.column("rank"), ndigits=8),
+            }
+        )
+
+    return pr.map_batches(project, batch_format="pyarrow")
+
+
+def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration SQL mirroring ``pagerank`` step for step
+    (same association order: base = (1-d)/n + d*dang/n, then + d*in_mass),
+    so Ray and DuckDB agree to well within the 8-decimal rounding."""
+    parts = [
+        """
+        WITH edges AS (
+          SELECT CAST(l_suppkey AS BIGINT) AS src,
+                 CAST(1000000 + l_partkey AS BIGINT) AS dst
+          FROM lineitem
+        ),
+        nodes AS (
+          SELECT node, CAST(SUM(deg) AS BIGINT) AS outdeg FROM (
+            SELECT src AS node, 1 AS deg FROM edges
+            UNION ALL
+            SELECT dst AS node, 0 AS deg FROM edges
+          ) GROUP BY node
+        ),
+        p AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT node, outdeg, 1.0 / (SELECT n FROM p) AS rank FROM nodes)
+        """
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+        r{i} AS (
+          SELECT nd.node, nd.outdeg,
+                 (1 - {damping}) / (SELECT n FROM p)
+                 + {damping} * (SELECT COALESCE(SUM(rank) FILTER (WHERE outdeg = 0), 0)
+                                FROM r{i - 1}) / (SELECT n FROM p)
+                 + {damping} * COALESCE(m.in_mass, 0) AS rank
+          FROM nodes nd
+          LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rank / r.outdeg) AS in_mass
+            FROM edges e JOIN r{i - 1} r ON e.src = r.node
+            GROUP BY e.dst
+          ) m USING (node)
+        )"""
+        )
+    parts.append(f"\nSELECT node, ROUND(rank, 8) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
 def _q_edit_distance_pairs(sf_dir: str):
     """Pairwise edit-distance verify over SQL-expressible candidates: all
     distinct doc pairs sharing a word 5-gram (clique pairs, max_group
@@ -2164,6 +2244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_deviation": _q_event_deviation,
         "user_cooccurrence_clusters": _q_user_cooccurrence_clusters,
         "shingle_dup_clusters": _q_shingle_dup_clusters,
+        "pagerank_supplier_parts": _q_pagerank_supplier_parts,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "trailing_hour_events": _q_trailing_hour_events,
         "salted_type_join": _q_salted_type_join,
@@ -2595,6 +2676,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
                   FROM comp GROUP BY cluster_id) s USING (cluster_id)
         """,
+        "pagerank_supplier_parts": _pagerank_oracle_sql(iters=5, damping=0.85),
         "shingle_dup_clusters": """
             WITH RECURSIVE toks AS (
                 SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

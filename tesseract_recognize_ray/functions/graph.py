@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count as AggCount, Sum as AggSum
@@ -117,6 +118,144 @@ def connected_components(
         return pa.table({"node": batch.column("u"), "component": batch.column("component")})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def pagerank(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    iters: int = 10,
+    num_partitions: int = 8,
+) -> Dataset:
+    """PageRank over a directed edge Dataset (duplicate edges count as
+    parallel edges), fixed iteration count. Returns (node, rank) for every
+    node appearing as src or dst; ranks sum to 1.
+
+    Ray Data shape per iteration: ONE hash join (edges x ranks on src) +
+    ONE combiner groupby(dst) sum — rank vectors never leave the cluster,
+    the driver sees only the dangling-mass scalar. Dangling nodes (outdeg
+    0) redistribute uniformly, the standard power-iteration treatment.
+
+    Ray 2.49's Dataset.join crashes on a shuffle partition that received no
+    shards on one side (the ArrowBlockBuilder yields a zero-COLUMN table and
+    pyarrow's join then can't find the key field — join.py:118). Two
+    mitigations here: `_typed` rebuilds every block against an explicit
+    schema (so zero-column empties never enter a join), and the effective
+    num_partitions is capped at ~n/32 so every partition of a small graph is
+    statistically guaranteed shards on both sides."""
+    from tesseract_recognize_ray.functions.relational import grouped_agg
+
+    def _typed(schema: dict[str, pa.DataType]):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({k: pa.array([], t) for k, t in schema.items()})
+            return pa.table({k: b.column(k).cast(t) for k, t in schema.items()})
+
+        return fn
+
+    def pairs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b.column(src).cast(pa.int64()),
+                "dst": b.column(dst).cast(pa.int64()),
+            }
+        )
+
+    e = edges.map_batches(pairs, batch_format="pyarrow").materialize()
+
+    # node inventory + out-degree in ONE combiner aggregate, no join: each
+    # edge contributes (src, deg=1) and (dst, deg=0) rows.
+    def deg_rows(b: pa.Table) -> pa.Table:
+        s = b.column("src").combine_chunks()
+        d = b.column("dst").combine_chunks()
+        node = pa.chunked_array([s, d]).combine_chunks()
+        deg = pa.array(
+            np.concatenate(
+                [np.ones(len(s), dtype=np.int64), np.zeros(len(d), dtype=np.int64)]
+            )
+        )
+        return pa.table({"node": node, "deg": deg})
+
+    nodes = (
+        grouped_agg(
+            e.map_batches(deg_rows, batch_format="pyarrow"),
+            ["node"],
+            [("deg", "sum", "outdeg")],
+        )
+        .map_batches(
+            _typed({"node": pa.int64(), "outdeg": pa.int64()}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n = nodes.count()
+    num_partitions = max(1, min(num_partitions, n // 32))
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: pa.table({"node": b.column("node"), "rank": pc.cast(b.column("outdeg"), pa.float64())}),
+            batch_format="pyarrow",
+        )
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column("rank", pa.array(np.full(b.num_rows, 1.0 / n))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        dang = ranks.map_batches(
+            lambda b: b.filter(pc.equal(b.column("outdeg"), 0)), batch_format="pyarrow"
+        ).sum("rank") or 0.0
+        contribs = e.join(
+            ranks.map_batches(
+                lambda b: b.rename_columns(["r_node", "outdeg", "rank"]), batch_format="pyarrow"
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("r_node",),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "dst": b.column("dst"),
+                    "c": pc.divide(b.column("rank"), pc.cast(b.column("outdeg"), pa.float64())),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums = grouped_agg(contribs, ["dst"], [("c", "sum", "in_mass")]).map_batches(
+            _typed({"dst": pa.int64(), "in_mass": pa.float64()}),
+            batch_format="pyarrow",
+        )
+        base = (1.0 - damping) / n + damping * dang / n
+
+        def apply(b: pa.Table, base=base) -> pa.Table:
+            mass = pc.fill_null(b.column("in_mass"), 0.0)
+            rank = pc.add(pa.scalar(base), pc.multiply(pa.scalar(damping), mass))
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "outdeg": b.column("outdeg"),
+                    "rank": rank,
+                }
+            )
+
+        ranks = (
+            nodes.join(
+                sums.map_batches(
+                    lambda b: b.rename_columns(["s_node", "in_mass"]), batch_format="pyarrow"
+                ),
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("node",),
+                right_on=("s_node",),
+            )
+            .map_batches(apply, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return ranks.drop_columns(["outdeg"])
 
 
 def group_clique_pairs(

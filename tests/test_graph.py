@@ -159,3 +159,66 @@ def test_group_star_edges_same_components_as_clique(ray_session):
     got = set(map(tuple, stars[["src", "dst"]].to_numpy()))
     # group a -> star around 2; group b -> star around 9; c is a singleton
     assert got == {(2, 5), (2, 9), (9, 30)}
+
+
+def _pagerank_numpy(edges, n_nodes, damping=0.85, iters=10):
+    """Dense power iteration with parallel-edge weights and uniform
+    dangling redistribution — the textbook definition pagerank() targets."""
+    M = np.zeros((n_nodes, n_nodes))
+    for s, d in edges:
+        M[d, s] += 1
+    outdeg = M.sum(axis=0)
+    for j in range(n_nodes):
+        if outdeg[j] > 0:
+            M[:, j] /= outdeg[j]
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(iters):
+        dang = r[outdeg == 0].sum()
+        r = (1 - damping) / n_nodes + damping * (M @ r) + damping * dang / n_nodes
+    return r
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    n = 60
+    edges = [tuple(map(int, rng.integers(0, n, 2))) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]  # parallel edges kept
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    out = (
+        pagerank(rd.from_pandas(df), iters=10)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    present = sorted(set(df["src"]) | set(df["dst"]))
+    # nodes absent from the edge list are absent from the output, so the
+    # dense reference is computed over the present nodes only.
+    remap = {v: i for i, v in enumerate(present)}
+    redges = [(remap[a], remap[b]) for a, b in edges]
+    ref = _pagerank_numpy(redges, len(present))
+    assert list(out["node"]) == present
+    np.testing.assert_allclose(out["rank"].to_numpy(), ref, atol=1e-12)
+    assert abs(out["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_and_duplicate_edges(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (1, 2)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    out = (
+        pagerank(rd.from_pandas(df), iters=10)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    ref = _pagerank_numpy(edges, 4)
+    np.testing.assert_allclose(out["rank"].to_numpy(), ref, atol=1e-12)
+    # duplicate (1,2) edge makes node 2 receive 2/3 of node 1's mass
+    assert out.loc[2, "rank"] > out.loc[0, "rank"]
