@@ -69,6 +69,7 @@ _BENCH_QUERIES = [
     "trailing_hour_events",
     "events_in_type_windows",
     "returned_revenue_by_customer",
+    "pagerank_supplier_parts",
 ]
 
 
