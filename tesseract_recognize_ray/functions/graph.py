@@ -120,6 +120,53 @@ def connected_components(
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
+def _pagerank_broadcast(
+    e: Dataset, nodes: Dataset, n: int, damping: float, iters: int
+) -> Dataset:
+    """Small-node-count PageRank path: the rank vector (O(nodes) floats)
+    lives on the driver and is re-broadcast via ray.put each iteration;
+    edges stay distributed and are scanned by a stateless map_batches that
+    looks ranks up with a searchsorted against the broadcast id vector.
+    Per iteration: ONE Ray job (edge scan + combiner groupby(dst) sum) and
+    a node-count-sized result pull — no join operator. The caller gates on
+    broadcast_max_nodes; above it the hash-join path runs instead."""
+    import ray
+
+    nd = nodes.to_pandas()  # gated: at most broadcast_max_nodes rows
+    order = np.argsort(nd["node"].to_numpy(), kind="stable")
+    ids = nd["node"].to_numpy()[order]
+    outdeg = nd["outdeg"].to_numpy()[order]
+    dang_mask = outdeg == 0
+    inv_deg = np.where(dang_mask, 0.0, 1.0 / np.maximum(outdeg, 1))
+    r = np.full(n, 1.0 / n)
+    ids_ref = ray.put(ids)
+    w_ref = ray.put(inv_deg)
+
+    from tesseract_recognize_ray.functions.relational import grouped_agg
+
+    for _ in range(iters):
+        dang = float(r[dang_mask].sum())
+        base = (1.0 - damping) / n + damping * dang / n
+        r_ref = ray.put(r)
+
+        def contrib(b: pa.Table, r_ref=r_ref) -> pa.Table:
+            ids_l = ray.get(ids_ref)
+            si = np.searchsorted(ids_l, b.column("src").to_numpy(zero_copy_only=False))
+            c = ray.get(r_ref)[si] * ray.get(w_ref)[si]
+            return pa.table({"dst": b.column("dst"), "c": pa.array(c)})
+
+        st = grouped_agg(
+            e.map_batches(contrib, batch_format="pyarrow"),
+            ["dst"],
+            [("c", "sum", "in_mass")],
+        ).to_pandas()
+        r = np.full(n, base)
+        di = np.searchsorted(ids, st["dst"].to_numpy())
+        r[di] = base + damping * st["in_mass"].to_numpy()
+
+    return rd.from_arrow(pa.table({"node": pa.array(ids, pa.int64()), "rank": pa.array(r)}))
+
+
 def pagerank(
     edges: Dataset,
     src: str = "src",
@@ -128,15 +175,28 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     num_partitions: int = 8,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> Dataset:
     """PageRank over a directed edge Dataset (duplicate edges count as
     parallel edges), fixed iteration count. Returns (node, rank) for every
     node appearing as src or dst; ranks sum to 1.
 
-    Ray Data shape per iteration: ONE hash join (edges x ranks on src) +
-    ONE combiner groupby(dst) sum — rank vectors never leave the cluster,
-    the driver sees only the dangling-mass scalar. Dangling nodes (outdeg
-    0) redistribute uniformly, the standard power-iteration treatment.
+    Broadcast-or-hash, the same gate as the J1 spans<->media join
+    (pipelines/extract.py): the rank vector is O(nodes) while edges are the
+    big side, so when the graph has <= broadcast_max_nodes nodes the rank
+    vector lives on the driver and each iteration is ONE Ray job — a
+    map_batches over the (static, materialized) weighted edges against the
+    ray.put-broadcast rank vector, then a combiner groupby(dst) sum whose
+    node-count-sized result updates the vector. Above the threshold
+    (billions of nodes at 100 TB) the hash path runs instead: ONE hash join
+    (weighted edges x ranks on src) + ONE combiner groupby(node) per
+    iteration; rank vectors never leave the cluster and the driver sees
+    only the dangling-mass scalar. In both paths edge weights (1/outdeg)
+    are joined in ONCE before the loop, and in the hash path nodes that
+    receive no contributions are covered by unioning a static
+    zero-contribution row per node into the groupby instead of a second
+    (left outer) join per iteration. Dangling nodes (outdeg 0) redistribute
+    uniformly, the standard power-iteration treatment.
 
     Ray 2.49's Dataset.join crashes on a shuffle partition that received no
     shards on one side (the ArrowBlockBuilder yields a zero-COLUMN table and
@@ -198,8 +258,50 @@ def pagerank(
             batch_format="pyarrow",
         )
 
+    if n <= broadcast_max_nodes:
+        return _pagerank_broadcast(e, nodes, n, damping, iters)
+
+    # weighted edges, joined ONCE: (src, dst, w = 1/outdeg(src))
+    we = (
+        e.join(
+            nodes.map_batches(
+                lambda b: pa.table(
+                    {
+                        "w_node": b.column("node"),
+                        "w": pc.divide(
+                            pa.scalar(1.0), pc.cast(b.column("outdeg"), pa.float64())
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("w_node",),
+        )
+        .map_batches(
+            _typed({"src": pa.int64(), "dst": pa.int64(), "w": pa.float64()}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
     ranks = nodes.map_batches(
         lambda b: b.append_column("rank", pa.array(np.full(b.num_rows, 1.0 / n))),
+        batch_format="pyarrow",
+    ).materialize()
+    # static zero-contribution row per node: guarantees every node (incl.
+    # ones with no in-edges) survives the groupby, carrying its outdeg —
+    # replaces a per-iteration left-outer join against `nodes`.
+    zeros = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "c": pa.array(np.zeros(b.num_rows)),
+                "outdeg": b.column("outdeg"),
+            }
+        ),
         batch_format="pyarrow",
     ).materialize()
 
@@ -207,9 +309,12 @@ def pagerank(
         dang = ranks.map_batches(
             lambda b: b.filter(pc.equal(b.column("outdeg"), 0)), batch_format="pyarrow"
         ).sum("rank") or 0.0
-        contribs = e.join(
+        contribs = we.join(
             ranks.map_batches(
-                lambda b: b.rename_columns(["r_node", "outdeg", "rank"]), batch_format="pyarrow"
+                lambda b: pa.table(
+                    {"r_node": b.column("node"), "rank": b.column("rank")}
+                ),
+                batch_format="pyarrow",
             ),
             join_type="inner",
             num_partitions=num_partitions,
@@ -218,14 +323,11 @@ def pagerank(
         ).map_batches(
             lambda b: pa.table(
                 {
-                    "dst": b.column("dst"),
-                    "c": pc.divide(b.column("rank"), pc.cast(b.column("outdeg"), pa.float64())),
+                    "node": b.column("dst"),
+                    "c": pc.multiply(b.column("w"), b.column("rank")),
+                    "outdeg": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
                 }
             ),
-            batch_format="pyarrow",
-        )
-        sums = grouped_agg(contribs, ["dst"], [("c", "sum", "in_mass")]).map_batches(
-            _typed({"dst": pa.int64(), "in_mass": pa.float64()}),
             batch_format="pyarrow",
         )
         base = (1.0 - damping) / n + damping * dang / n
@@ -242,14 +344,20 @@ def pagerank(
             )
 
         ranks = (
-            nodes.join(
-                sums.map_batches(
-                    lambda b: b.rename_columns(["s_node", "in_mass"]), batch_format="pyarrow"
+            grouped_agg(
+                contribs.union(zeros),
+                ["node"],
+                [("c", "sum", "in_mass"), ("outdeg", "max", "outdeg")],
+            )
+            .map_batches(
+                _typed(
+                    {
+                        "node": pa.int64(),
+                        "in_mass": pa.float64(),
+                        "outdeg": pa.int64(),
+                    }
                 ),
-                join_type="left_outer",
-                num_partitions=num_partitions,
-                on=("node",),
-                right_on=("s_node",),
+                batch_format="pyarrow",
             )
             .map_batches(apply, batch_format="pyarrow")
             .materialize()

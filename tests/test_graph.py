@@ -222,3 +222,30 @@ def test_pagerank_dangling_and_duplicate_edges(ray_session):
     np.testing.assert_allclose(out["rank"].to_numpy(), ref, atol=1e-12)
     # duplicate (1,2) edge makes node 2 receive 2/3 of node 1's mass
     assert out.loc[2, "rank"] > out.loc[0, "rank"]
+
+
+def test_pagerank_hash_path_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    n = 80
+    edges = [tuple(map(int, rng.integers(0, n, 2))) for _ in range(400)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    # broadcast_max_nodes=0 forces the distributed hash-join path; both
+    # paths must agree with the dense reference to float precision.
+    out = (
+        pagerank(rd.from_pandas(df), iters=6, broadcast_max_nodes=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    present = sorted(set(df["src"]) | set(df["dst"]))
+    remap = {v: i for i, v in enumerate(present)}
+    redges = [(remap[a], remap[b]) for a, b in edges]
+    ref = _pagerank_numpy(redges, len(present), iters=6)
+    assert list(out["node"]) == present
+    np.testing.assert_allclose(out["rank"].to_numpy(), ref, atol=1e-9)
+    assert abs(out["rank"].sum() - 1.0) < 1e-9
