@@ -2191,6 +2191,138 @@ def _q_curated_corpus(sf_dir: str):
     return out
 
 
+def _q_event_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution (nats,
+    e6-rounded): counts per (user, type) via ONE combiner groupby, then the
+    per-user reduction sums c and c*ln(c) in a second combiner groupby —
+    entropy = ln(total) - sum(c ln c)/total, no per-group Python. The
+    feature is the standard behavioral-diversity signal for user-quality
+    filtering in training-data curation."""
+    ds = F.load(sf_dir, "events", columns=["user_id", "event_type"])
+    c = F.grouped_agg(ds, ["user_id", "event_type"], [("event_type", "count", "c")])
+
+    def parts(b: pa.Table) -> pa.Table:
+        cf = pc.cast(b.column("c"), pa.float64())
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "c": b.column("c"),
+                "clnc": pc.multiply(cf, pc.ln(cf)),
+            }
+        )
+
+    agg = F.grouped_agg(
+        c.map_batches(parts, batch_format="pyarrow"),
+        ["user_id"],
+        [("c", "sum", "tot"), ("clnc", "sum", "slc")],
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        tot = pc.cast(b.column("tot"), pa.float64())
+        ent = pc.subtract(pc.ln(tot), pc.divide(b.column("slc"), tot))
+        e6 = pc.cast(pc.round(pc.multiply(ent, 1e6)), pa.int64())
+        return pa.table({"user_id": b.column("user_id"), "entropy_e6": e6})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-document TF-IDF top-3 terms. Each document is one row, so term
+    frequencies are EXACT per batch (one vectorized pyarrow group_by, no
+    shuffle); document frequency is one combiner groupby over the
+    (doc, token) rows; N comes from parquet metadata. Scores attach via a
+    token-bucketed merge and per-doc top-3 uses the grouped_topk map-side
+    prune (<= 3 rows per doc per block enter the shuffle). Ranking uses the
+    e6-rounded score on BOTH sides so ln() noise cannot flip a rank."""
+    from tesseract_recognize_ray.functions.textstats import _ws_token_lists
+
+    docs = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    n_docs = float(docs.count())
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        lists = _ws_token_lists(b.column("text"))
+        flat = lists.flatten()
+        off = np.asarray(lists.offsets)
+        off = off - off[0]
+        row_idx = np.repeat(np.arange(len(lists), dtype=np.int64), np.diff(off))
+        tbl = pa.table(
+            {
+                "doc_id": pc.take(b.column("doc_id"), pa.array(row_idx)),
+                "token": flat,
+            }
+        ).filter(pc.not_equal(flat, ""))
+        g = tbl.group_by(["doc_id", "token"]).aggregate([("token", "count")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "token": g.column("token"),
+                "tf": pc.cast(g.column("token_count"), pa.int64()),
+            }
+        )
+
+    tf = docs.map_batches(tf_partial, batch_format="pyarrow").materialize()
+    dfreq = F.grouped_agg(tf, ["token"], [("token", "count", "df")])
+
+    # token vocabulary is tiny relative to the corpus (Heaps' law) — attach
+    # df by broadcast lookup; a 10^9-token vocabulary would swap this for a
+    # token-bucketed merge
+    scored = F.broadcast_lookup_join(tf, dfreq.to_pandas(), "token")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        lg = np.log(n_docs / b["df"].to_numpy().astype(np.float64))
+        e6 = np.round(b["tf"].to_numpy().astype(np.float64) * lg * 1e6)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "token": b["token"],
+                "tfidf_e6": e6.astype("int64"),
+            }
+        )
+
+    sc = scored.map_batches(score, batch_format="pandas")
+    return F.grouped_topk(sc, "doc_id", "tfidf_e6", 3, descending=True, tiebreak=["token"])
+
+
+def _q_copurchase_triangles(sf_dir: str):
+    """Triangle count of the part co-purchase graph (parts are connected
+    when some order contains both): edges via per-order clique pairs
+    (group_clique_pairs), triangles via degree-oriented wedge matching
+    (functions/graph.enumerate_triangles — O(m^1.5) wedge volume, no
+    hot-node blowup). The oracle recounts with a 3-way SQL self-join."""
+    from tesseract_recognize_ray.functions.graph import (
+        enumerate_triangles,
+        group_clique_pairs,
+    )
+
+    ds = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey")
+    n = enumerate_triangles(edges, "src", "dst").count()
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
+def _q_part_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance over the thresholded co-purchase graph
+    (parts sharing >= 2 orders; seeds = every part with id % 500 == 0 that
+    appears on the src side). Level-synchronous frontier expansion
+    (functions/graph.bfs_hops): one broadcast-filtered edge scan + one
+    combiner groupby(node) min per round, convergence from an O(1) driver
+    scalar. The oracle replays it with a DuckDB recursive CTE."""
+    from tesseract_recognize_ray.functions.graph import bfs_hops, group_clique_pairs
+
+    ds = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey", min_count=2).materialize()
+
+    def seed_filter(b: pa.Table) -> pa.Table:
+        # src % 500 == 0 (integer ids are non-negative, so trunc-div is floor)
+        keep = pc.equal(
+            pc.subtract(b.column("src"), pc.multiply(pc.divide(b.column("src"), 500), 500)), 0
+        )
+        return b.select(["src"]).filter(keep)
+
+    seeds = F.distinct_on(edges.map_batches(seed_filter, batch_format="pyarrow"), ["src"])
+    return bfs_hops(edges, seeds, "src", "dst", max_depth=12)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -2290,6 +2422,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagexml_orientation_pass": _q_pagexml_orientation_pass,
         "image_features": _q_image_features,
         "frame_sample_resize": _q_frame_sample_resize,
+        "event_type_entropy": _q_event_type_entropy,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "copurchase_triangles": _q_copurchase_triangles,
+        "part_bfs_hops": _q_part_bfs_hops,
     }
 
 
@@ -3088,5 +3224,71 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {_ANN_K}
+        """,
+        "event_type_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS c
+                FROM events GROUP BY user_id, event_type
+            ),
+            t AS (
+                SELECT user_id, SUM(c) AS tot,
+                       SUM(c * ln(CAST(c AS DOUBLE))) AS slc
+                FROM c GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(ROUND((ln(CAST(tot AS DOUBLE)) - slc / tot) * 1e6) AS BIGINT) AS entropy_e6
+            FROM t
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token,
+                       CAST(ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 1e6) AS BIGINT) AS tfidf_e6
+                FROM tf JOIN df USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, token, tfidf_e6 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf_e6 DESC, token ASC
+                ) AS rn
+                FROM scored
+            ) WHERE rn <= 3
+        """,
+        "copurchase_triangles": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a JOIN op b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        """,
+        "part_bfs_hops": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a JOIN op b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+            seeds AS (SELECT DISTINCT u AS node FROM e WHERE u % 500 = 0)
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+                WITH RECURSIVE d AS (
+                    SELECT node, 0 AS dist FROM seeds
+                    UNION
+                    SELECT s.v, d.dist + 1 FROM d JOIN sym s ON s.u = d.node
+                    WHERE d.dist < 12
+                ) SELECT node, dist FROM d
+            ) GROUP BY node
         """,
     }

@@ -70,6 +70,10 @@ _BENCH_QUERIES = [
     "events_in_type_windows",
     "returned_revenue_by_customer",
     "pagerank_supplier_parts",
+    "event_type_entropy",
+    "tfidf_top_terms",
+    "copurchase_triangles",
+    "part_bfs_hops",
 ]
 
 

@@ -373,13 +373,18 @@ def group_clique_pairs(
     *,
     num_buckets: int = 64,
     max_group: int = 256,
+    min_count: int = 1,
 ) -> Dataset:
     """ALL distinct in-group pairs (src < dst) of nodes sharing a key tuple
     — the candidate-pair shape for pairwise verify stages (edit distance,
     exact Jaccard), where star edges would under-report pairs. Groups larger
     than max_group are dropped (a shingle shared by 10^6 docs would emit
     5·10^11 pairs); pairs seen under several keys are deduped by a
-    (src, dst) groupby."""
+    (src, dst) groupby. min_count > 1 keeps only pairs co-occurring under at
+    least that many distinct key tuples (SQL HAVING COUNT(*) >= c over the
+    distinct (key, node) projection) — the same (src, dst) groupby then
+    counts per-key emissions instead of deduping early, so the sparsifying
+    threshold costs no extra shuffle."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         key = pd.util.hash_pandas_object(
@@ -400,7 +405,10 @@ def group_clique_pairs(
             outs.append(pd.DataFrame({"src": nodes[iu[0]], "dst": nodes[iu[1]]}))
         if not outs:
             return pd.DataFrame({"src": pd.Series([], dtype="int64"), "dst": pd.Series([], dtype="int64")})
-        return pd.concat(outs).drop_duplicates()
+        out = pd.concat(outs)
+        # min_count needs one row per (key, pair) emission for the count;
+        # plain dedup mode collapses early to shrink the shuffle
+        return out if min_count > 1 else out.drop_duplicates()
 
     pairs = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -411,6 +419,8 @@ def group_clique_pairs(
     from tesseract_recognize_ray.functions.relational import grouped_agg
 
     dd = grouped_agg(pairs, ["src", "dst"], [("src", "count", "__n")])
+    if min_count > 1:
+        dd = dd.filter(expr=f"__n >= {min_count}")
     return dd.map_batches(
         lambda b: b.select(["src", "dst"]), batch_format="pyarrow"
     )
@@ -454,3 +464,295 @@ def group_star_edges(
         .groupby("__bucket")
         .map_groups(lambda d: stars(d.drop(columns="__bucket")), batch_format="pandas")
     )
+
+
+def enumerate_triangles(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    num_buckets: int = 64,
+    broadcast_max_nodes: int = 4_000_000,
+) -> Dataset:
+    """Every triangle of an undirected simple graph, exactly once, as rows
+    (a, b, c) — the MapReduce node-iterator with DEGREE orientation (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
+    WWW 2011). Each edge is oriented from its lower to its higher endpoint
+    in the total order (degree, id); a triangle x-y-z is then found exactly
+    once, as the wedge (b, c) emitted at its order-minimal vertex a matched
+    against the oriented edge b->c.
+
+    Scale shape: degree orientation bounds every out-degree by O(sqrt(2m)),
+    so total wedge volume is O(m^1.5) instead of sum(deg^2) — the hot-node
+    (celebrity vertex) blowup cannot happen. Degrees (one int per node)
+    attach via a ray.put broadcast + searchsorted below broadcast_max_nodes
+    (~60 MB of arrays at the default gate), else via a bucketed merge; the
+    closing wedge-edge match is a tag-union bucketed merge on stable_bucket
+    of the (b, c) pair — never Ray's JoinOperator, whose empty hash
+    partitions cannot be joined. Payloads are int64 triples throughout."""
+    import ray
+
+    from tesseract_recognize_ray.functions.relational import grouped_agg
+
+    # canonical distinct undirected edges (u < v by id), self-loops dropped
+    def canon(b: pa.Table) -> pa.Table:
+        u = pc.cast(b.column(src), pa.int64())
+        v = pc.cast(b.column(dst), pa.int64())
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        t = pa.table({"u": lo, "v": hi})
+        return t.filter(pc.less(t.column("u"), t.column("v")))
+
+    e = grouped_agg(
+        edges.map_batches(canon, batch_format="pyarrow"), ["u", "v"], [("u", "count", "__n")]
+    ).drop_columns(["__n"]).materialize()
+
+    # undirected degree of every node: one combiner groupby over both endpoints
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays([b.column("u").combine_chunks(), b.column("v").combine_chunks()])}
+        )
+
+    deg = grouped_agg(
+        e.map_batches(endpoints, batch_format="pyarrow"), ["node"], [("node", "count", "deg")]
+    )
+    n_nodes = deg.count()
+
+    def orient_arrays(u, v, du, dv):
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pa.table(
+            {
+                "a": pa.array(np.where(u_first, u, v), pa.int64()),
+                "b": pa.array(np.where(u_first, v, u), pa.int64()),
+                "db": pa.array(np.where(u_first, dv, du), pa.int64()),
+            }
+        )
+
+    if n_nodes <= broadcast_max_nodes:
+        nd = deg.to_pandas()  # gated: at most broadcast_max_nodes rows
+        order = np.argsort(nd["node"].to_numpy(), kind="stable")
+        ids_ref = ray.put(nd["node"].to_numpy()[order])
+        deg_ref = ray.put(nd["deg"].to_numpy()[order])
+
+        def orient(b: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            dg = ray.get(deg_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            return orient_arrays(u, v, dg[np.searchsorted(ids, u)], dg[np.searchsorted(ids, v)])
+
+        oriented = e.map_batches(orient, batch_format="pyarrow")
+    else:
+        # bucketed merge: edge rows ride to the bucket of each endpoint in
+        # turn, degree rows (tag 1) ride along; one stable_bucket shuffle per
+        # endpoint, vectorized pandas merge inside each bucket
+        def attach(edge_ds: Dataset, key: str, out: str) -> Dataset:
+            def tag_edges(b: pa.Table) -> pa.Table:
+                t = b.append_column("__node", b.column(key))
+                return t.append_column("__tag", pa.array(np.zeros(b.num_rows, dtype=np.int8)))
+
+            def tag_deg(b: pa.Table) -> pa.Table:
+                cols = {n: pa.nulls(b.num_rows, pa.int64()) for n in edge_ds.schema().names}
+                cols["__node"] = b.column("node")
+                cols["__deg"] = b.column("deg")
+                cols["__tag"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+                return pa.table(cols)
+
+            le = edge_ds.map_batches(tag_edges, batch_format="pyarrow")
+            le = le.map_batches(
+                lambda b: b.append_column("__deg", pa.nulls(b.num_rows, pa.int64())),
+                batch_format="pyarrow",
+            )
+            both = le.union(deg.map_batches(tag_deg, batch_format="pyarrow"))
+
+            def bucket(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "__bucket", pa.array(stable_bucket(b.column("__node"), num_buckets), pa.int32())
+                )
+
+            def merge(df: pd.DataFrame) -> pd.DataFrame:
+                dd = df[df["__tag"] == 1][["__node", "__deg"]]
+                ee = df[df["__tag"] == 0].drop(columns=["__deg", "__bucket", "__tag"])
+                m = ee.merge(dd, on="__node", how="inner")
+                return m.drop(columns="__node").rename(columns={"__deg": out})
+
+            return (
+                both.map_batches(bucket, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(merge, batch_format="pandas")
+            )
+
+        ed = attach(attach(e, "u", "__du"), "v", "__dv")
+
+        def orient(b: pa.Table) -> pa.Table:
+            return orient_arrays(
+                b.column("u").to_numpy(zero_copy_only=False),
+                b.column("v").to_numpy(zero_copy_only=False),
+                b.column("__du").to_numpy(zero_copy_only=False),
+                b.column("__dv").to_numpy(zero_copy_only=False),
+            )
+
+        oriented = ed.map_batches(orient, batch_format="pyarrow")
+
+    # materialized on purpose: the oriented edge list is consumed by BOTH
+    # downstream branches (wedge emission and the closing-edge match)
+    oriented = oriented.materialize()
+
+    # wedges at each pivot a: all out-neighbor pairs (b, c), b before c in
+    # the same (degree, id) order the edges were oriented by; tag 0 rows.
+    # Oriented edges re-enter as tag-1 rows keyed by their own (b, c) pair,
+    # so one stable_bucket shuffle co-locates every wedge with the edge
+    # that would close it.
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = stable_bucket(b.column("a"), num_buckets)
+        return b.append_column("__bucket", pa.array(bk, pa.int32()))
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for a_val, g in df.groupby("a", sort=False):
+            nb = g.sort_values(["db", "b"], kind="mergesort")["b"].to_numpy()
+            k = len(nb)
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, 1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "wa": np.full(len(iu[0]), a_val, dtype=np.int64),
+                        "kb": nb[iu[0]],
+                        "kc": nb[iu[1]],
+                    }
+                )
+            )
+        base = pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("wa", "kb", "kc")})
+        out = pd.concat([base] + outs) if outs else base
+        out["__tag"] = np.zeros(len(out), dtype=np.int8)
+        return out
+
+    w = (
+        oriented.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda d: wedges(d.drop(columns="__bucket")), batch_format="pandas")
+    )
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "wa": pa.nulls(b.num_rows, pa.int64()),
+                "kb": b.column("a"),
+                "kc": b.column("b"),
+                "__tag": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            }
+        )
+
+    both = w.union(oriented.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        key = pc.add(
+            pc.multiply(b.column("kb"), pa.scalar(1_000_003, pa.int64())), b.column("kc")
+        )
+        return b.append_column(
+            "__bucket", pa.array(stable_bucket(key, num_buckets), pa.int32())
+        )
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        ee = df[df["__tag"] == 1][["kb", "kc"]]
+        ww = df[df["__tag"] == 0][["wa", "kb", "kc"]]
+        m = ww.merge(ee, on=["kb", "kc"], how="inner")
+        return pd.DataFrame(
+            {
+                "a": m["wa"].astype("int64"),
+                "b": m["kb"].astype("int64"),
+                "c": m["kc"].astype("int64"),
+            }
+        )
+
+    return (
+        both.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda d: close(d.drop(columns="__bucket")), batch_format="pandas")
+    )
+
+
+def bfs_hops(
+    edges: Dataset,
+    seeds: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_depth: int = 12,
+    num_partitions: int = 16,
+    broadcast_max_frontier: int = 2_000_000,
+) -> Dataset:
+    """Multi-source BFS shortest hop distance over an undirected graph:
+    rows (node, dist) for every node reachable from the seed set within
+    max_depth hops. Level-synchronous frontier expansion — per round the
+    current frontier joins the (symmetrized, distributed) edge list, newly
+    produced (neighbor, d+1) rows union into the distance table and ONE
+    combiner groupby(node) min keeps first-visit distances; convergence is
+    an O(1) driver scalar (count of nodes first reached this round).
+
+    Broadcast-or-hash gate, same design as ``pagerank``: while the frontier
+    id set is below broadcast_max_frontier it ships via ray.put and the
+    expansion is a stateless edge scan with a vectorized is_in filter (no
+    join operator); a wider frontier falls back to a frontier x edges hash
+    join. Distances and edges stay distributed either way — the driver only
+    ever holds frontier ids and per-round scalar counts."""
+    import ray
+
+    from tesseract_recognize_ray.functions.relational import grouped_agg, hash_join
+
+    def sym(b: pa.Table) -> pa.Table:
+        u = pc.cast(b.column(src), pa.int64()).combine_chunks()
+        v = pc.cast(b.column(dst), pa.int64()).combine_chunks()
+        return pa.table({"eu": pa.concat_arrays([u, v]), "ev": pa.concat_arrays([v, u])})
+
+    e = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(b.column(b.column_names[0]), pa.int64()),
+                "dist": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    dist = seeds.map_batches(seed_rows, batch_format="pyarrow").materialize()
+    frontier_n = dist.count()
+
+    for d in range(max_depth):
+        if frontier_n == 0:
+            break
+        frontier = dist.filter(expr=f"dist == {d}")
+        if frontier_n <= broadcast_max_frontier:
+            ids = frontier.select_columns(["node"]).to_pandas()["node"].to_numpy()
+            ids_ref = ray.put(pa.array(ids, pa.int64()))
+
+            def expand(b: pa.Table, ids_ref=ids_ref, nd=d + 1) -> pa.Table:
+                hit = b.filter(pc.is_in(b.column("eu"), value_set=ray.get(ids_ref)))
+                return pa.table(
+                    {
+                        "node": hit.column("ev"),
+                        "dist": pa.array(np.full(hit.num_rows, nd, dtype=np.int64)),
+                    }
+                )
+
+            cand = e.map_batches(expand, batch_format="pyarrow")
+        else:
+            fr = frontier.select_columns(["node"]).rename_columns({"node": "__fn"})
+            j = hash_join(e, fr, on=("eu",), right_on=("__fn",), num_partitions=num_partitions)
+
+            def to_cand(b: pa.Table, nd=d + 1) -> pa.Table:
+                return pa.table(
+                    {
+                        "node": b.column("ev"),
+                        "dist": pa.array(np.full(b.num_rows, nd, dtype=np.int64)),
+                    }
+                )
+
+            cand = j.map_batches(to_cand, batch_format="pyarrow")
+
+        dist = grouped_agg(dist.union(cand), ["node"], [("dist", "min", "dist")]).materialize()
+        frontier_n = dist.filter(expr=f"dist == {d + 1}").count()
+
+    return dist

@@ -249,3 +249,118 @@ def test_pagerank_hash_path_matches_broadcast(ray_session):
     assert list(out["node"]) == present
     np.testing.assert_allclose(out["rank"].to_numpy(), ref, atol=1e-9)
     assert abs(out["rank"].sum() - 1.0) < 1e-9
+
+
+# ------------------------------------------------------- triangles and BFS
+def _brute_triangles(edges_df):
+    adj = {}
+    for a, b in edges_df.itertuples(index=False):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = set()
+    for u in adj:
+        for v in adj[u]:
+            for w in adj[u] & adj[v]:
+                tris.add(tuple(sorted((u, v, w))))
+    return tris
+
+
+def _brute_bfs(edges_df, seeds, max_depth=12):
+    adj = {}
+    for a, b in edges_df.itertuples(index=False):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    d = 0
+    while frontier and d < max_depth:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_triangles_k4_plus_tail(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import enumerate_triangles
+
+    # K4 (4 triangles) + a path and an isolated edge (0 triangles)
+    df = pd.DataFrame(
+        {"src": [1, 1, 1, 2, 2, 3, 4, 5, 7], "dst": [2, 3, 4, 3, 4, 4, 5, 6, 8]}
+    )
+    tri = enumerate_triangles(rd.from_pandas(df)).to_pandas()
+    got = {tuple(sorted(t)) for t in tri[["a", "b", "c"]].itertuples(index=False)}
+    assert got == _brute_triangles(df)
+    assert len(tri) == 4  # each triangle exactly once (no double counting)
+
+
+def test_triangles_random_graph_and_duplicate_edges(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import enumerate_triangles
+
+    rng = np.random.default_rng(11)
+    raw = pd.DataFrame(rng.integers(0, 40, size=(300, 2)), columns=["src", "dst"])
+    raw = raw[raw.src != raw.dst]
+    # duplicate + reversed edges must not inflate the count
+    noisy = pd.concat([raw, raw, raw.rename(columns={"src": "dst", "dst": "src"})])
+    tri = enumerate_triangles(rd.from_pandas(noisy), num_buckets=8).to_pandas()
+    got = {tuple(sorted(t)) for t in tri[["a", "b", "c"]].itertuples(index=False)}
+    assert got == _brute_triangles(raw)
+    assert len(tri) == len(got)
+
+
+def test_bfs_hops_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import bfs_hops
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(rng.integers(0, 60, size=(80, 2)), columns=["src", "dst"])
+    df = df[df.src != df.dst]
+    seeds = [0, 30]
+    out = bfs_hops(
+        rd.from_pandas(df),
+        rd.from_pandas(pd.DataFrame({"node": seeds})),
+    ).to_pandas()
+    assert dict(zip(out["node"], out["dist"])) == _brute_bfs(df, seeds)
+
+
+def test_bfs_hops_max_depth_truncates(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import bfs_hops
+
+    # path graph 0-1-2-3-4-5
+    df = pd.DataFrame({"src": [0, 1, 2, 3, 4], "dst": [1, 2, 3, 4, 5]})
+    out = bfs_hops(
+        rd.from_pandas(df),
+        rd.from_pandas(pd.DataFrame({"node": [0]})),
+        max_depth=3,
+    ).to_pandas()
+    assert dict(zip(out["node"], out["dist"])) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_clique_pairs_min_count(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import group_clique_pairs
+
+    # pair (1,2) under keys 10 and 20; pair (1,3) only under key 10
+    df = pd.DataFrame(
+        {"k": [10, 10, 10, 20, 20], "node": [1, 2, 3, 1, 2]}
+    )
+    all_pairs = group_clique_pairs(rd.from_pandas(df), ["k"], "node").to_pandas()
+    assert {tuple(t) for t in all_pairs.itertuples(index=False)} == {(1, 2), (1, 3), (2, 3)}
+    repeated = group_clique_pairs(
+        rd.from_pandas(df), ["k"], "node", min_count=2
+    ).to_pandas()
+    assert {tuple(t) for t in repeated.itertuples(index=False)} == {(1, 2)}
