@@ -2296,7 +2296,8 @@ def _q_copurchase_triangles(sf_dir: str):
 
     ds = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey")
-    n = enumerate_triangles(edges, "src", "dst").count()
+    # clique pairs are already canonical (src < dst) and globally distinct
+    n = enumerate_triangles(edges, "src", "dst", assume_simple=True).count()
     return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
 
 

@@ -366,6 +366,25 @@ def pagerank(
     return ranks.drop_columns(["outdeg"])
 
 
+def _pair_indices(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Global row indices (left, right) of ALL ordered within-group pairs
+    (left row strictly before right row) over groups laid out contiguously
+    with the given sizes — pure numpy, O(total pairs), no per-group Python.
+    Two stacked grouped-aranges: one enumerates each group's left slots
+    i = 0..k-2, the second expands slot i into its k-1-i right partners."""
+    k = counts.astype(np.int64)
+    starts = np.cumsum(k) - k  # exclusive cumsum, same shape as k (incl. empty)
+    m = np.maximum(k - 1, 0)  # left slots per group
+    gi_off = np.cumsum(m) - m
+    r = np.arange(m.sum(), dtype=np.int64) - np.repeat(gi_off, m)  # local i
+    rep = np.repeat(k, m) - 1 - r  # rights per left slot
+    left_slot = np.repeat(starts, m) + r
+    left = np.repeat(left_slot, rep)
+    p_off = np.cumsum(rep) - rep
+    rr = np.arange(rep.sum(), dtype=np.int64) - np.repeat(p_off, rep)
+    return left, left + 1 + rr
+
+
 def group_clique_pairs(
     ds: Dataset,
     key_cols: list[str],
@@ -394,18 +413,18 @@ def group_clique_pairs(
         return batch.append_column("__bucket", pa.array(bk, pa.int32()))
 
     def cliques(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(key_cols + [node_col])
-        outs = []
-        for _, g in df.groupby(key_cols, sort=False):
-            nodes = np.sort(g[node_col].to_numpy())
-            k = len(nodes)
-            if k < 2 or k > max_group:
-                continue
-            iu = np.triu_indices(k, 1)
-            outs.append(pd.DataFrame({"src": nodes[iu[0]], "dst": nodes[iu[1]]}))
-        if not outs:
-            return pd.DataFrame({"src": pd.Series([], dtype="int64"), "dst": pd.Series([], dtype="int64")})
-        out = pd.concat(outs)
+        # fully vectorized: sort rows (group, node), take within-group pair
+        # indices from _pair_indices — node sort order makes src < dst free
+        df = df.drop_duplicates(key_cols + [node_col]).sort_values(
+            key_cols + [node_col], kind="mergesort"
+        )
+        sizes = df.groupby(key_cols, sort=False).size().to_numpy()
+        keep = (sizes >= 2) & (sizes <= max_group)
+        vals = df[node_col].to_numpy()[np.repeat(keep, sizes)]
+        li, ri = _pair_indices(sizes[keep])
+        out = pd.DataFrame(
+            {"src": vals[li].astype(np.int64), "dst": vals[ri].astype(np.int64)}
+        )
         # min_count needs one row per (key, pair) emission for the count;
         # plain dedup mode collapses early to shrink the shuffle
         return out if min_count > 1 else out.drop_duplicates()
@@ -473,6 +492,8 @@ def enumerate_triangles(
     *,
     num_buckets: int = 64,
     broadcast_max_nodes: int = 4_000_000,
+    broadcast_max_edges: int = 50_000_000,
+    assume_simple: bool = False,
 ) -> Dataset:
     """Every triangle of an undirected simple graph, exactly once, as rows
     (a, b, c) — the MapReduce node-iterator with DEGREE orientation (Suri &
@@ -494,7 +515,10 @@ def enumerate_triangles(
 
     from tesseract_recognize_ray.functions.relational import grouped_agg
 
-    # canonical distinct undirected edges (u < v by id), self-loops dropped
+    # canonical distinct undirected edges (u < v by id), self-loops dropped;
+    # assume_simple skips the dedup groupby when the caller guarantees that
+    # form already (e.g. group_clique_pairs output) — it was the single most
+    # expensive stage of the whole enumeration
     def canon(b: pa.Table) -> pa.Table:
         u = pc.cast(b.column(src), pa.int64())
         v = pc.cast(b.column(dst), pa.int64())
@@ -503,9 +527,17 @@ def enumerate_triangles(
         t = pa.table({"u": lo, "v": hi})
         return t.filter(pc.less(t.column("u"), t.column("v")))
 
-    e = grouped_agg(
-        edges.map_batches(canon, batch_format="pyarrow"), ["u", "v"], [("u", "count", "__n")]
-    ).drop_columns(["__n"]).materialize()
+    if assume_simple:
+        e = edges.map_batches(
+            lambda b: pa.table(
+                {"u": pc.cast(b.column(src), pa.int64()), "v": pc.cast(b.column(dst), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        e = grouped_agg(
+            edges.map_batches(canon, batch_format="pyarrow"), ["u", "v"], [("u", "count", "__n")]
+        ).drop_columns(["__n"]).materialize()
 
     # undirected degree of every node: one combiner groupby over both endpoints
     def endpoints(b: pa.Table) -> pa.Table:
@@ -608,24 +640,21 @@ def enumerate_triangles(
         return b.append_column("__bucket", pa.array(bk, pa.int32()))
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for a_val, g in df.groupby("a", sort=False):
-            nb = g.sort_values(["db", "b"], kind="mergesort")["b"].to_numpy()
-            k = len(nb)
-            if k < 2:
-                continue
-            iu = np.triu_indices(k, 1)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "wa": np.full(len(iu[0]), a_val, dtype=np.int64),
-                        "kb": nb[iu[0]],
-                        "kc": nb[iu[1]],
-                    }
-                )
-            )
-        base = pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("wa", "kb", "kc")})
-        out = pd.concat([base] + outs) if outs else base
+        # vectorized across every pivot in the bucket: sort by (a, db, b)
+        # so within-pivot pair order follows the orientation total order,
+        # then one _pair_indices call emits all wedges at once
+        df = df.sort_values(["a", "db", "b"], kind="mergesort")
+        sizes = df.groupby("a", sort=False).size().to_numpy()
+        a_vals = df["a"].to_numpy()
+        b_vals = df["b"].to_numpy()
+        li, ri = _pair_indices(sizes)
+        out = pd.DataFrame(
+            {
+                "wa": a_vals[li].astype(np.int64),
+                "kb": b_vals[li].astype(np.int64),
+                "kc": b_vals[ri].astype(np.int64),
+            }
+        )
         out["__tag"] = np.zeros(len(out), dtype=np.int8)
         return out
 
@@ -634,6 +663,49 @@ def enumerate_triangles(
         .groupby("__bucket")
         .map_groups(lambda d: wedges(d.drop(columns="__bucket")), batch_format="pandas")
     )
+
+    # Closing match. Wedge volume is O(m^1.5) while the edge list is only
+    # O(m), so the cheap path broadcasts the packed edge set ((b<<32)|c,
+    # sorted uint64 — 8 bytes/edge) and filters wedges with one searchsorted
+    # per batch: the dominant data volume never shuffles. Falls back to a
+    # tag-union bucketed merge when the edge list is too big to broadcast or
+    # ids exceed 32 bits (never Ray's JoinOperator, whose empty hash
+    # partitions cannot be joined).
+    n_edges = oriented.count()
+    if n_nodes:
+        from ray.data.aggregate import Max as AggMax, Min as AggMin
+
+        bounds = deg.aggregate(AggMin("node"), AggMax("node"))
+        ids_fit_u32 = bounds["min(node)"] >= 0 and bounds["max(node)"] < 2**32
+    else:
+        ids_fit_u32 = True
+
+    if n_edges <= broadcast_max_edges and ids_fit_u32:
+        packed = oriented.map_batches(
+            lambda b: pa.table(
+                {
+                    "k": pa.array(
+                        (b.column("a").to_numpy(zero_copy_only=False).astype(np.uint64) << np.uint64(32))
+                        | b.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()["k"].to_numpy()  # gated: at most broadcast_max_edges rows
+        edge_ref = ray.put(np.sort(packed))
+
+        def close_bcast(b: pa.Table) -> pa.Table:
+            arr = ray.get(edge_ref)
+            kb = b.column("kb").to_numpy(zero_copy_only=False).astype(np.uint64)
+            kc = b.column("kc").to_numpy(zero_copy_only=False).astype(np.uint64)
+            key = (kb << np.uint64(32)) | kc
+            idx = np.searchsorted(arr, key)
+            idx_c = np.minimum(idx, len(arr) - 1) if len(arr) else idx
+            hit = (arr[idx_c] == key) if len(arr) else np.zeros(len(key), bool)
+            t = b.select(["wa", "kb", "kc"]).filter(pa.array(hit))
+            return t.rename_columns(["a", "b", "c"])
+
+        return w.map_batches(close_bcast, batch_format="pyarrow")
 
     def edge_rows(b: pa.Table) -> pa.Table:
         return pa.table(

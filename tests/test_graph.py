@@ -364,3 +364,28 @@ def test_clique_pairs_min_count(ray_session):
         rd.from_pandas(df), ["k"], "node", min_count=2
     ).to_pandas()
     assert {tuple(t) for t in repeated.itertuples(index=False)} == {(1, 2)}
+
+
+def test_triangles_assume_simple_and_merge_fallback_parity(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import enumerate_triangles
+
+    rng = np.random.default_rng(3)
+    raw = pd.DataFrame(rng.integers(0, 30, size=(150, 2)), columns=["src", "dst"])
+    raw = raw[raw.src != raw.dst]
+    canon = pd.DataFrame(
+        {"src": raw.min(axis=1), "dst": raw.max(axis=1)}
+    ).drop_duplicates()
+    expected = _brute_triangles(canon)
+
+    simple = enumerate_triangles(
+        rd.from_pandas(canon), assume_simple=True, num_buckets=8
+    ).to_pandas()
+    assert {tuple(sorted(t)) for t in simple[["a", "b", "c"]].itertuples(index=False)} == expected
+
+    # force the bucketed-merge closing path (broadcast gate at 0)
+    merged = enumerate_triangles(
+        rd.from_pandas(canon), assume_simple=True, num_buckets=8, broadcast_max_edges=0
+    ).to_pandas()
+    assert {tuple(sorted(t)) for t in merged[["a", "b", "c"]].itertuples(index=False)} == expected
