@@ -2324,6 +2324,87 @@ def _q_part_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, "src", "dst", max_depth=12)
 
 
+def _q_funnel_click_purchase(sf_dir: str):
+    """Two-step windowed funnel (click -> purchase within 1h, strictly
+    later): per user, how many clicks converted and the fastest conversion
+    latency. One pre-filtered bucket shuffle + a single searchsorted over
+    per-key-rebased times (functions/streams.funnel_conversions) — the SQL
+    oracle needs a time-range self-join to say the same thing."""
+    from tesseract_recognize_ray.functions.streams import funnel_conversions
+
+    ds = F.load(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_conversions(
+        ds, "user_id", "ts", "event_type", "click", "purchase", 3600.0
+    )
+
+
+def _q_event_value_outliers(sf_dir: str):
+    """Robust z-score outlier flagging: per event type, median and MAD of
+    exact-cents values (two grouped-median passes + broadcast lookups — the
+    dimension is one row per type), keep events with
+    |v - median| > 3 * MAD. Cents are small exact integers, and medians /
+    MADs are exact binary fractions (k/4), so the float comparison is
+    deterministic on both sides."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    v = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+    med = F.grouped_median(v, "event_type", "value_cents", out_col="med").to_pandas()
+    withmed = F.broadcast_lookup_join(v, med, "event_type")
+
+    def absdev(b: pd.DataFrame) -> pd.DataFrame:
+        b["adev"] = (b["value_cents"] - b["med"]).abs()
+        return b
+
+    wd = withmed.map_batches(absdev, batch_format="pandas")
+    mad = F.grouped_median(
+        wd.select_columns(["event_type", "adev"]), "event_type", "adev", out_col="mad"
+    ).to_pandas()
+    scored = F.broadcast_lookup_join(wd, mad, "event_type")
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["adev"] > 3.0 * b["mad"]
+        out = b.loc[keep, ["event_id", "event_type", "value_cents"]]
+        out["event_id"] = out["event_id"].astype("int64")
+        out["value_cents"] = out["value_cents"].astype("int64")
+        return out
+
+    return scored.map_batches(flag, batch_format="pandas")
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_user_type_pivot(sf_dir: str):
+    """PIVOT (wide reshape, the inverse of lineitem_unpivot): per user one
+    exact-cents column per event type plus the row count. The type taxonomy
+    is a fixed known list (a discovery pass would collect distinct types
+    first); the reshape itself is ONE conditional-sum combiner groupby —
+    no per-type scans, no shuffle per column."""
+    ds = F.load(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def widen(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())
+        cols = {"user_id": b.column("user_id")}
+        for t in _PIVOT_TYPES:
+            m = pc.equal(b.column("event_type"), t)
+            cols[f"{t}_cents"] = pc.if_else(m, cents, pa.scalar(0, pa.int64()))
+        cols["n_events"] = pa.array(np.ones(b.num_rows, dtype=np.int64))
+        return pa.table(cols)
+
+    specs = [(f"{t}_cents", "sum", f"{t}_cents") for t in _PIVOT_TYPES]
+    specs.append(("n_events", "sum", "n_events"))
+    return F.grouped_agg(ds.map_batches(widen, batch_format="pyarrow"), ["user_id"], specs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -2427,6 +2508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "copurchase_triangles": _q_copurchase_triangles,
         "part_bfs_hops": _q_part_bfs_hops,
+        "funnel_click_purchase": _q_funnel_click_purchase,
+        "event_value_outliers": _q_event_value_outliers,
+        "user_type_pivot": _q_user_type_pivot,
     }
 
 
@@ -3291,5 +3375,44 @@ def oracle_sql() -> dict[str, str]:
                     WHERE d.dist < 12
                 ) SELECT node, dist FROM d
             ) GROUP BY node
+        """,
+        "funnel_click_purchase": """
+            WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+            m AS (
+                SELECT c.user_id, c.ts, MIN(p.ts) AS fp
+                FROM c JOIN p ON p.user_id = c.user_id
+                             AND p.ts > c.ts
+                             AND p.ts <= c.ts + INTERVAL 1 HOUR
+                GROUP BY c.user_id, c.ts
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS conversions,
+                   CAST(MIN(epoch_us(fp) - epoch_us(ts)) AS BIGINT) AS min_latency_us
+            FROM m GROUP BY user_id
+        """,
+        "event_value_outliers": """
+            WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+                FROM events
+            ),
+            s AS (
+                SELECT event_type, median(value_cents) AS med, mad(value_cents) AS mad
+                FROM v GROUP BY event_type
+            )
+            SELECT v.event_id, v.event_type, v.value_cents
+            FROM v JOIN s USING (event_type)
+            WHERE ABS(v.value_cents - s.med) > 3 * s.mad
+        """,
+        "user_type_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS click_cents,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS error_cents,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS signup_cents,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS view_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
         """,
     }

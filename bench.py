@@ -74,6 +74,9 @@ _BENCH_QUERIES = [
     "tfidf_top_terms",
     "copurchase_triangles",
     "part_bfs_hops",
+    "funnel_click_purchase",
+    "event_value_outliers",
+    "user_type_pivot",
 ]
 
 

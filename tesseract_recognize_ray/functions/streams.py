@@ -137,3 +137,85 @@ def hopping_agg(
 
     with_w = ds.map_batches(add_windows, batch_format="pyarrow")
     return grouped_agg(with_w, [window_col, *keys], specs)
+
+
+def funnel_conversions(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    first_type: str,
+    then_type: str,
+    window_seconds: float,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Two-step windowed funnel (the MATCH_RECOGNIZE-shaped conversion
+    query): for every `first_type` event, a conversion is the first
+    `then_type` event of the same key STRICTLY later and within
+    window_seconds. Returns one row per key with >= 1 conversion:
+    (key, conversions, min_latency_us).
+
+    Scale shape: events pre-filter to the two step types at the scan, then
+    ONE hash(key) bucket shuffle; inside a bucket every key is matched at
+    once with the per-key time-rebasing idiom (same as window_range_sum) —
+    key i's timestamps shift by i * GAP where GAP > bucket time span +
+    window, so a single global searchsorted of step-1 times into the sorted
+    step-2 array can never match across keys. No per-key dispatch, no
+    self-join. int64 bound: GAP * keys_per_bucket must stay < 2^63 —
+    ~3.5M keys per bucket at a one-month span; raise num_buckets for more."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..hashing import stable_bucket
+
+        batch = batch[batch[type_col].isin([first_type, then_type])][
+            [key, ts_col, type_col]
+        ]
+        batch["__bucket"] = stable_bucket(batch[key], num_buckets)
+        return batch
+
+    w_us = int(round(window_seconds * 1e6))
+    empty = pd.DataFrame(
+        {
+            key: pd.Series([], dtype="int64"),
+            "conversions": pd.Series([], dtype="int64"),
+            "min_latency_us": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(g[key], sort=False)
+        ts_us = g[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+        if not len(ts_us):
+            return empty
+        gap = (ts_us.max() - ts_us.min()) + w_us + 2
+        reb = (ts_us - ts_us.min()) + codes.astype(np.int64) * gap
+        is_first = (g[type_col] == first_type).to_numpy()
+        p = np.sort(reb[~is_first])
+        c = reb[is_first]
+        c_codes = codes[is_first]
+        if not len(p) or not len(c):
+            return empty
+        pos = np.searchsorted(p, c, side="right")  # first strictly-later step-2
+        ok = pos < len(p)
+        lat = np.where(ok, p[np.minimum(pos, max(len(p) - 1, 0))] - c, np.int64(0))
+        ok &= lat <= w_us
+        if not ok.any():
+            return empty
+        hit_codes = c_codes[ok]
+        conv = np.bincount(hit_codes, minlength=len(uniq))
+        best = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(best, hit_codes, lat[ok])
+        mask = conv > 0
+        return pd.DataFrame(
+            {
+                key: pd.Series(np.asarray(uniq)[mask]).astype("int64"),
+                "conversions": conv[mask].astype("int64"),
+                "min_latency_us": best[mask].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda d: fn(d.drop(columns="__bucket")), batch_format="pandas")
+    )

@@ -719,3 +719,64 @@ def test_unpivot(ray_session):
     out = F.unpivot(rd.from_pandas(df), ["k"], ["x", "y"], name_col="m", value_col="v").to_pandas()
     got = sorted(zip(out["k"], out["m"], out["v"]))
     assert got == [(1, "x", 10), (1, "y", 30), (2, "x", 20), (2, "y", 40)]
+
+
+def test_funnel_conversions_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import streams as F_st
+
+    rng = np.random.default_rng(13)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 25, n),
+            "ts": pd.to_datetime(rng.integers(0, 3_600_000, n), unit="ms"),
+            "etype": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    w_s = 120.0
+    out = F_st.funnel_conversions(
+        rd.from_pandas(df), "uid", "ts", "etype", "a", "b", w_s, num_buckets=4
+    ).to_pandas()
+
+    # brute force: per 'a' event, the first 'b' of the same uid strictly
+    # later and within the window
+    exp = {}
+    w_us = int(w_s * 1e6)
+    for uid, g in df.groupby("uid"):
+        a_ts = g.loc[g.etype == "a", "ts"].to_numpy("datetime64[us]").astype("int64")
+        b_ts = np.sort(g.loc[g.etype == "b", "ts"].to_numpy("datetime64[us]").astype("int64"))
+        lats = []
+        for t in a_ts:
+            later = b_ts[b_ts > t]
+            if len(later) and later[0] - t <= w_us:
+                lats.append(later[0] - t)
+        if lats:
+            exp[uid] = (len(lats), min(lats))
+    got = {r.uid: (r.conversions, r.min_latency_us) for r in out.itertuples(index=False)}
+    assert got == exp
+
+
+def test_funnel_conversions_boundary_semantics(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import streams as F_st
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "uid": [1, 1, 2, 2, 3, 3],
+            "ts": [
+                base, base,                                   # uid1: same-instant purchase — NOT strictly later
+                base, base + pd.Timedelta(seconds=60),        # uid2: exactly at the window edge — inclusive
+                base, base + pd.Timedelta(seconds=61),        # uid3: past the window — no conversion
+            ],
+            "etype": ["click", "purchase"] * 3,
+        }
+    )
+    out = F_st.funnel_conversions(
+        rd.from_pandas(df), "uid", "ts", "etype", "click", "purchase", 60.0
+    ).to_pandas()
+    got = {r.uid: (r.conversions, r.min_latency_us) for r in out.itertuples(index=False)}
+    assert got == {2: (1, 60_000_000)}
