@@ -2405,6 +2405,61 @@ def _q_user_type_pivot(sf_dir: str):
     return F.grouped_agg(ds.map_batches(widen, batch_format="pyarrow"), ["user_id"], specs)
 
 
+_KCORE_K = 90
+_KCORE_ROUNDS = 4
+
+
+def _q_part_kcore(sf_dir: str):
+    """Fixed-round k-core peeling (k=90, 4 rounds) of the part co-purchase
+    graph: per round one degree groupby + a broadcast-gated edge filter
+    (functions/graph.kcore_peel). Mid-cascade by design — the oracle unrolls
+    the same four peels as MATERIALIZED CTEs, so both sides must agree on
+    the exact intermediate state, not just the fixpoint."""
+    from tesseract_recognize_ray.functions.graph import group_clique_pairs, kcore_peel
+
+    ds = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey")
+    return kcore_peel(
+        edges, "src", "dst", k=_KCORE_K, rounds=_KCORE_ROUNDS, assume_simple=True
+    )
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+            WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS MATERIALIZED (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a JOIN op b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+            )"""
+    ]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(
+            f""",
+            d{r} AS MATERIALIZED (
+                SELECT node, COUNT(*) AS c FROM (
+                    SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}
+                ) GROUP BY node
+            ),
+            good{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE c >= {_KCORE_K}),
+            e{r + 1} AS MATERIALIZED (
+                SELECT e{r}.u, e{r}.v FROM e{r}
+                JOIN good{r} gu ON e{r}.u = gu.node
+                JOIN good{r} gv ON e{r}.v = gv.node
+            )"""
+        )
+    parts.append(
+        f"""
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT u AS node FROM e{_KCORE_ROUNDS}
+                UNION ALL SELECT v FROM e{_KCORE_ROUNDS}
+            ) GROUP BY node
+        """
+    )
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -2511,6 +2566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_click_purchase": _q_funnel_click_purchase,
         "event_value_outliers": _q_event_value_outliers,
         "user_type_pivot": _q_user_type_pivot,
+        "part_kcore": _q_part_kcore,
     }
 
 
@@ -3415,4 +3471,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY user_id
         """,
+        "part_kcore": _kcore_oracle(),
     }

@@ -828,3 +828,141 @@ def bfs_hops(
         frontier_n = dist.filter(expr=f"dist == {d + 1}").count()
 
     return dist
+
+
+def kcore_peel(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    k: int,
+    rounds: int,
+    num_buckets: int = 64,
+    broadcast_max_nodes: int = 4_000_000,
+    assume_simple: bool = False,
+) -> Dataset:
+    """Fixed-round k-core peeling over an undirected simple graph: each of
+    `rounds` iterations recomputes node degrees (one combiner groupby over
+    both endpoints) and removes every node with degree < k together with
+    its incident edges. Returns (node, deg) for nodes surviving all rounds,
+    with degrees over the final surviving edge set — EXACTLY the state after
+    `rounds` peels (possibly mid-cascade), which is what the unrolled SQL
+    oracle computes; a converged round (nothing removed) short-circuits,
+    since further rounds are no-ops.
+
+    Broadcast-or-merge gate per round, same design as enumerate_triangles:
+    the surviving node id set ships via ray.put + searchsorted membership
+    below broadcast_max_nodes; above it, two tag-union bucketed semi-merges
+    (one per endpoint) filter the edge list without any driver pull."""
+    import ray
+
+    from tesseract_recognize_ray.functions.relational import grouped_agg
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = pc.cast(b.column(src), pa.int64())
+        v = pc.cast(b.column(dst), pa.int64())
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        t = pa.table({"u": lo, "v": hi})
+        return t.filter(pc.less(t.column("u"), t.column("v")))
+
+    if assume_simple:
+        e = edges.map_batches(
+            lambda b: pa.table(
+                {"u": pc.cast(b.column(src), pa.int64()), "v": pc.cast(b.column(dst), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        e = grouped_agg(
+            edges.map_batches(canon, batch_format="pyarrow"), ["u", "v"], [("u", "count", "__n")]
+        ).drop_columns(["__n"]).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays([b.column("u").combine_chunks(), b.column("v").combine_chunks()])}
+        )
+
+    def degrees(edge_ds: Dataset) -> Dataset:
+        return grouped_agg(
+            edge_ds.map_batches(endpoints, batch_format="pyarrow"),
+            ["node"],
+            [("node", "count", "deg")],
+        )
+
+    for _ in range(rounds):
+        deg = degrees(e).materialize()
+        n_nodes = deg.count()
+        good = deg.filter(expr=f"deg >= {k}")
+        n_good = good.count()
+        if n_good == n_nodes:  # converged: further rounds are no-ops
+            break
+        if n_good == 0:
+            return rd.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())})
+            )
+        if n_nodes <= broadcast_max_nodes:
+            ids = np.sort(good.select_columns(["node"]).to_pandas()["node"].to_numpy())
+            ids_ref = ray.put(ids)
+
+            def keep_edges(b: pa.Table, ids_ref=ids_ref) -> pa.Table:
+                arr = ray.get(ids_ref)
+                u = b.column("u").to_numpy(zero_copy_only=False)
+                v = b.column("v").to_numpy(zero_copy_only=False)
+
+                def member(x):
+                    i = np.minimum(np.searchsorted(arr, x), len(arr) - 1)
+                    return arr[i] == x
+
+                return b.filter(pa.array(member(u) & member(v)))
+
+            e = e.map_batches(keep_edges, batch_format="pyarrow").materialize()
+        else:
+            # two semi-merges: good-node rows (tag 1) ride to each endpoint's
+            # bucket in turn; an edge survives a pass iff its endpoint matched
+            def semi(edge_ds: Dataset, col: str) -> Dataset:
+                def tag_edges(b: pa.Table) -> pa.Table:
+                    return pa.table(
+                        {
+                            "u": b.column("u"),
+                            "v": b.column("v"),
+                            "__node": b.column(col),
+                            "__tag": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+                        }
+                    )
+
+                def tag_good(b: pa.Table) -> pa.Table:
+                    return pa.table(
+                        {
+                            "u": pa.nulls(b.num_rows, pa.int64()),
+                            "v": pa.nulls(b.num_rows, pa.int64()),
+                            "__node": b.column("node"),
+                            "__tag": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                        }
+                    )
+
+                both = edge_ds.map_batches(tag_edges, batch_format="pyarrow").union(
+                    good.map_batches(tag_good, batch_format="pyarrow")
+                )
+
+                def bucket(b: pa.Table) -> pa.Table:
+                    return b.append_column(
+                        "__bucket",
+                        pa.array(stable_bucket(b.column("__node"), num_buckets), pa.int32()),
+                    )
+
+                def merge(df: pd.DataFrame) -> pd.DataFrame:
+                    ok = set(df.loc[df["__tag"] == 1, "__node"].to_numpy())
+                    ee = df[df["__tag"] == 0]
+                    keep = ee["__node"].isin(ok)
+                    return ee.loc[keep, ["u", "v"]].astype("int64")
+
+                return (
+                    both.map_batches(bucket, batch_format="pyarrow")
+                    .groupby("__bucket")
+                    .map_groups(lambda d: merge(d.drop(columns="__bucket")), batch_format="pandas")
+                )
+
+            e = semi(semi(e, "u"), "v").materialize()
+
+    return degrees(e)

@@ -389,3 +389,52 @@ def test_triangles_assume_simple_and_merge_fallback_parity(ray_session):
         rd.from_pandas(canon), assume_simple=True, num_buckets=8, broadcast_max_edges=0
     ).to_pandas()
     assert {tuple(sorted(t)) for t in merged[["a", "b", "c"]].itertuples(index=False)} == expected
+
+
+def _brute_kcore(edges_df, k, rounds):
+    e = {tuple(sorted(t)) for t in edges_df.itertuples(index=False) if t[0] != t[1]}
+    for _ in range(rounds):
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            break
+        e = {(a, b) for a, b in e if a not in bad and b not in bad}
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def test_kcore_peel_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import kcore_peel
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(rng.integers(0, 40, size=(260, 2)), columns=["src", "dst"])
+    df = df[df.src != df.dst]
+    for k, rounds in ((3, 2), (5, 4), (8, 6)):
+        out = kcore_peel(rd.from_pandas(df), k=k, rounds=rounds).to_pandas()
+        assert dict(zip(out["node"], out["deg"])) == _brute_kcore(df, k, rounds)
+
+
+def test_kcore_peel_collapse_and_merge_path(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import kcore_peel
+
+    # triangle + pendant: 2-core after 1 round = the triangle; k=3 collapses
+    df = pd.DataFrame({"src": [1, 1, 2, 3], "dst": [2, 3, 3, 4]})
+    out = kcore_peel(rd.from_pandas(df), k=2, rounds=3).to_pandas()
+    assert dict(zip(out["node"], out["deg"])) == {1: 2, 2: 2, 3: 2}
+    gone = kcore_peel(rd.from_pandas(df), k=3, rounds=3).to_pandas()
+    assert len(gone) == 0
+    # force the bucketed semi-merge path (broadcast gate at 0)
+    merged = kcore_peel(
+        rd.from_pandas(df), k=2, rounds=3, broadcast_max_nodes=0, num_buckets=4
+    ).to_pandas()
+    assert dict(zip(merged["node"], merged["deg"])) == {1: 2, 2: 2, 3: 2}
