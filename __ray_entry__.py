@@ -2460,6 +2460,40 @@ def _kcore_oracle() -> str:
     return "".join(parts)
 
 
+def _q_user_hourly_fill(sf_dir: str):
+    """Gap-filled per-user hourly resample: one row per user per hour
+    between the user's first and last event, exact-cents sum + count with
+    zeros in empty hours (functions/streams.time_fill — combiner groupby to
+    sparse (user, hour) rows, then vectorized dense-range generation inside
+    one key-bucket shuffle). SQL needs generate_series + LEFT JOIN."""
+    from tesseract_recognize_ray.functions.streams import time_fill
+
+    ds = F.load(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    out = time_fill(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "value_cents",
+        3600.0,
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        # Dataset.rename_columns breaks on pandas-format blocks (Ray 2.49)
+        return b.rename(columns={"val_sum": "cents", "win": "hour_win"})
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -2567,6 +2601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_outliers": _q_event_value_outliers,
         "user_type_pivot": _q_user_type_pivot,
         "part_kcore": _q_part_kcore,
+        "user_hourly_fill": _q_user_hourly_fill,
     }
 
 
@@ -3472,4 +3507,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "part_kcore": _kcore_oracle(),
+        "user_hourly_fill": """
+            WITH w AS (
+                SELECT user_id, epoch_us(ts) // 3600000000 AS hour_win,
+                       COUNT(*) AS n,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            b AS (SELECT user_id, MIN(hour_win) AS wmin, MAX(hour_win) AS wmax FROM w GROUP BY user_id),
+            g AS (SELECT user_id, unnest(generate_series(wmin, wmax)) AS hour_win FROM b)
+            SELECT g.user_id, CAST(g.hour_win AS BIGINT) AS hour_win,
+                   CAST(COALESCE(w.c, 0) AS BIGINT) AS cents,
+                   CAST(COALESCE(w.n, 0) AS BIGINT) AS n_events
+            FROM g LEFT JOIN w USING (user_id, hour_win)
+        """,
     }

@@ -77,6 +77,8 @@ _BENCH_QUERIES = [
     "funnel_click_purchase",
     "event_value_outliers",
     "user_type_pivot",
+    "part_kcore",
+    "user_hourly_fill",
 ]
 
 

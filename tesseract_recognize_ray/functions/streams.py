@@ -219,3 +219,83 @@ def funnel_conversions(
         .groupby("__bucket")
         .map_groups(lambda d: fn(d.drop(columns="__bucket")), batch_format="pandas")
     )
+
+
+def time_fill(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: float,
+    num_buckets: int = 64,
+    max_windows_per_key: int = 1_000_000,
+) -> Dataset:
+    """Gap-filled tumbling-window aggregate (resample): per key, one row for
+    EVERY window between the key's first and last event — count and sum,
+    zeros for empty windows. The dense range a SQL engine builds with
+    generate_series + LEFT JOIN.
+
+    Scale shape: one combiner groupby collapses events to (key, window)
+    partials, then one hash(key) bucket shuffle; the dense ranges are
+    generated vectorized inside each bucket (grouped arange over per-key
+    spans — no per-key Python) and merged against the sparse rows. A key
+    whose span exceeds max_windows_per_key raises ValueError instead of
+    silently truncating — densifying a decade of 1-second windows is a
+    caller bug, not something to paper over."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..hashing import stable_bucket
+
+    w_us = int(round(window_seconds * 1e6))
+
+    def to_win(b: pd.DataFrame) -> pd.DataFrame:
+        ts_us = b[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                key: b[key],
+                "win": np.floor_divide(ts_us, w_us),
+                value_col: b[value_col],
+            }
+        )
+
+    from tesseract_recognize_ray.functions.relational import grouped_agg
+
+    sparse = grouped_agg(
+        ds.map_batches(to_win, batch_format="pandas"),
+        [key, "win"],
+        [(value_col, "sum", "val_sum"), (value_col, "count", "n_events")],
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = stable_bucket(b[key], num_buckets)
+        return b
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "win"], kind="mergesort")
+        bounds = g.groupby(key, sort=False)["win"].agg(["min", "max"])
+        spans = (bounds["max"] - bounds["min"] + 1).to_numpy()
+        if (spans > max_windows_per_key).any():
+            worst = int(spans.max())
+            raise ValueError(
+                f"time_fill: a key spans {worst} windows (> max_windows_per_key="
+                f"{max_windows_per_key}); widen the window or raise the cap"
+            )
+        total = spans.sum()
+        off = np.cumsum(spans) - spans
+        idx = np.arange(total, dtype=np.int64) - np.repeat(off, spans)
+        dense = pd.DataFrame(
+            {
+                key: np.repeat(bounds.index.to_numpy(), spans),
+                "win": np.repeat(bounds["min"].to_numpy(), spans) + idx,
+            }
+        )
+        m = dense.merge(g[[key, "win", "val_sum", "n_events"]], on=[key, "win"], how="left")
+        m["val_sum"] = m["val_sum"].fillna(0).astype("int64")
+        m["n_events"] = m["n_events"].fillna(0).astype("int64")
+        return m
+
+    return (
+        sparse.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda d: fill(d.drop(columns="__bucket")), batch_format="pandas")
+    )

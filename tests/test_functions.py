@@ -780,3 +780,50 @@ def test_funnel_conversions_boundary_semantics(ray_session):
     ).to_pandas()
     got = {r.uid: (r.conversions, r.min_latency_us) for r in out.itertuples(index=False)}
     assert got == {2: (1, 60_000_000)}
+
+
+def test_time_fill_dense_ranges_and_zeros(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import streams as F_st
+
+    df = pd.DataFrame(
+        {
+            "uid": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 03:20", "2024-01-01 05:00"]
+            ),
+            "cents": [100, 50, 25, 7],
+        }
+    )
+    out = (
+        F_st.time_fill(rd.from_pandas(df), "uid", "ts", "cents", 3600.0, num_buckets=4)
+        .to_pandas()
+        .sort_values(["uid", "win"])
+        .reset_index(drop=True)
+    )
+    base = pd.Timestamp("2024-01-01").value // 10**9 // 3600
+    # uid 1 spans hours 0..3 -> 4 rows incl. two empty; uid 2 one row
+    assert out["uid"].tolist() == [1, 1, 1, 1, 2]
+    assert (out["win"] - base).tolist() == [0, 1, 2, 3, 5]
+    assert out["val_sum"].tolist() == [150, 0, 0, 25, 7]
+    assert out["n_events"].tolist() == [2, 0, 0, 1, 1]
+
+
+def test_time_fill_span_cap_raises(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import streams as F_st
+
+    df = pd.DataFrame(
+        {
+            "uid": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01", "2024-03-01"]),
+            "cents": [1, 1],
+        }
+    )
+    with _pytest.raises(Exception, match="max_windows_per_key"):
+        F_st.time_fill(
+            rd.from_pandas(df), "uid", "ts", "cents", 3600.0, max_windows_per_key=100
+        ).to_pandas()
