@@ -2494,6 +2494,81 @@ def _q_user_hourly_fill(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_latest_event_per_user(sf_dir: str):
+    """Latest-row-per-key compaction: the current state of every user from
+    the event log — ROW_NUMBER() = 1 by (ts, event_id) desc, with a map-side
+    one-row-per-key-per-block prune before the bucketed shuffle."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    out = F.keep_latest(ds, "user_id", ["ts", "event_id"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["user_id", "event_id", "ts", "event_type", "value"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users bucketed by first active day, counted
+    at each day offset they return on (distinct-activity combiner -> per-user
+    min -> hash join back -> tiny counting groupby)."""
+    from tesseract_recognize_ray.functions.streams import cohort_retention
+
+    ds = F.load(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts")
+
+
+def _q_regr_price_by_qty(sf_dir: str):
+    """Per-group simple linear regression (regr_slope / regr_intercept) of
+    exact price cents against quantity, from exact int64 moments."""
+    ds = F.load(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return F.grouped_regr(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"],
+        "qty",
+        "price_cents",
+    )
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    """Paragraph-level exact dedup over 20-token chunks: first occurrence of
+    each distinct chunk corpus-wide survives (packed-position Min after a
+    per-block distinct-chunk combiner)."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    return F_dedup.chunk_dedup(ds, "doc_id", "text", n_tokens=20)
+
+
+def _q_top_terms_by_lang(sf_dir: str):
+    """Per-language top-5 terms: grouped wordcount with a vectorized
+    (group, token) pair combiner, then per-group top-k with the map-side
+    k-row prune."""
+    ds = F.load(sf_dir, "documents", columns=["lang", "text"], num_blocks=16)
+    counts = F_text.grouped_term_counts(ds, "lang", "text")
+    return F.grouped_topk(counts, "lang", "n", 5, descending=True, tiebreak=["token"])
+
+
+_BM25_TERMS = ["query", "table", "spark", "window"]
+
+
+def _q_bm25_top_docs(sf_dir: str):
+    """BM25 relevance top-20 for a fixed query-term set: compact per-doc
+    stats pass (materialized — ints only, never the text), one driver
+    aggregate for N/avgdl/df, numpy scoring pass with per-block top-k prune."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    return F_text.bm25_top_docs(ds, "doc_id", "text", _BM25_TERMS, k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -2504,6 +2579,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": _q_anti_join_customers,
         "revenue_by_nation": _q_revenue_by_nation,
         "window_lag_events": _q_window_lag_events,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "cohort_retention": _q_cohort_retention,
+        "regr_price_by_qty": _q_regr_price_by_qty,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "top_terms_by_lang": _q_top_terms_by_lang,
+        "bm25_top_docs": _q_bm25_top_docs,
         "events_by_type": _q_events_by_type,
         "suppliers_per_region": _q_suppliers_per_region,
         "parts_by_brand": _q_parts_by_brand,
@@ -2648,6 +2729,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
             FROM events
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type, value
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cohort_retention": """
+            WITH act AS (
+                SELECT DISTINCT user_id,
+                       datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+                FROM events
+            ),
+            f AS (SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY user_id)
+            SELECT f.cohort_day, act.d - f.cohort_day AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS users
+            FROM act JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "regr_price_by_qty": """
+            SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(regr_slope(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                                    CAST(l_quantity AS BIGINT)), 4) AS slope,
+                   ROUND(regr_intercept(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                                        CAST(l_quantity AS BIGINT)), 4) AS intercept
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "paragraph_dedup": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+            ),
+            chunks0 AS (
+                SELECT doc_id, t,
+                       unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS chunk_idx
+                FROM toks
+            ),
+            chunks AS (
+                SELECT doc_id, chunk_idx,
+                       array_to_string(t[(chunk_idx*20+1):((chunk_idx+1)*20)], ' ') AS para
+                FROM chunks0
+            )
+            SELECT doc_id, chunk_idx, para FROM chunks
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, chunk_idx) = 1
+        """,
+        "bm25_top_docs": """
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+            stats AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                       SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                FROM dl
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tok WHERE token IN ('query', 'table', 'spark', 'window')
+                GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+            scored AS (
+                SELECT tf.doc_id,
+                       SUM(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, ROUND(score, 6) AS bm25
+            FROM scored WHERE score > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "top_terms_by_lang": """
+            WITH c AS (
+                SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS token
+                      FROM documents)
+                GROUP BY lang, token
+            )
+            SELECT lang, token, n FROM c
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) <= 5
         """,
         "suppliers_per_region": """
             SELECT r.r_name AS r_name,

@@ -600,3 +600,48 @@ def ngram_contamination(
             )
 
     return ds.map_batches(Counter, batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+
+def chunk_dedup(ds: Dataset, id_col: str, text_col: str, n_tokens: int = 20) -> Dataset:
+    """Paragraph-level exact dedup (the C4/RefinedWeb within-corpus repeated-
+    span remover), over fixed-size token chunks since the synthetic corpus
+    has no paragraph breaks: explode every doc into n_tokens-token chunks
+    (pure Arrow kernels — textstats.flat_token_chunks), then keep the FIRST
+    occurrence of each distinct chunk corpus-wide, first = lexicographic min
+    (doc id, chunk index). One groupby(chunk) shuffle moves (chunk, packed
+    position) pairs; the winner position is a single int64 Min because the
+    pair is packed as id * 2^20 + chunk_idx (requires chunk_idx < 2^20 and
+    non-negative ids — asserted)."""
+    from ray.data.aggregate import Min
+
+    from .textstats import flat_token_chunks
+
+    _SHIFT = 20
+
+    def explode(batch: pa.Table) -> pa.Table:
+        chunks, row_idx, chunk_idx = flat_token_chunks(batch.column(text_col), n_tokens)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[row_idx]
+        assert (ids >= 0).all() and (chunk_idx < (1 << _SHIFT)).all()
+        packed = (ids.astype(np.int64) << _SHIFT) | chunk_idx
+        t = pa.table({"para": chunks, "__pos": pa.array(packed, pa.int64())})
+        # map-side combiner: one row per distinct chunk per block
+        t = t.group_by("para").aggregate([("__pos", "min")])
+        return t.rename_columns(["para", "__pos"])
+
+    kept = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("para")
+        .aggregate(Min("__pos", alias_name="__pos"))
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        pos = b.column("__pos").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(pos >> _SHIFT, pa.int64()),
+                "chunk_idx": pa.array(pos & ((1 << _SHIFT) - 1), pa.int64()),
+                "para": b.column("para"),
+            }
+        )
+
+    return kept.map_batches(unpack, batch_format="pyarrow")

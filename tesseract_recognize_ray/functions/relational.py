@@ -1260,3 +1260,101 @@ def grouped_string_agg(
         return pd.DataFrame({key: [g[key].iloc[0]], out_col: [sep.join(vals)]})
 
     return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+def keep_latest(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    *,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Latest-row-per-key dedup — SQL ``QUALIFY ROW_NUMBER() OVER (PARTITION
+    BY key ORDER BY order_cols DESC) = 1`` (the canonical "current state of
+    every entity" compaction over an event log). Scale shape: a per-batch
+    prune keeps ONE candidate row per key per block (sort desc +
+    drop_duplicates — the map-side combiner), then a bucketed shuffle on
+    hash(key) resolves the global winner, so the shuffle moves at most one
+    row per key per block, never the full table. ``order_cols`` must totally
+    order each key's rows (include a unique tiebreak such as the event id) or
+    the winner at ties is partition-dependent."""
+    from ..hashing import stable_bucket
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(order_cols, ascending=False, kind="mergesort").drop_duplicates(
+            key, keep="first"
+        )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = prune(b)
+        b["__bucket"] = stable_bucket(b[key], num_buckets)
+        return b
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return prune(g.drop(columns="__bucket"))
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
+def grouped_regr(
+    ds: Dataset,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    *,
+    slope_col: str = "slope",
+    intercept_col: str = "intercept",
+    n_col: str = "n_rows",
+    round_digits: int | None = 4,
+) -> Dataset:
+    """Per-group simple linear regression (SQL regr_slope / regr_intercept)
+    via EXACT integer moments — same design as grouped_corr: the combiner
+    pre-aggregates (n, Σx, Σy, Σx², Σxy) as int64, the shuffle moves one
+    moment row per key per block, and
+      slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+      intercept = (Σy − slope·Σx) / n
+    are evaluated once per group in float64 → bit-identical across
+    partitionings. round_digits absorbs the ulp-level difference vs engines
+    that stream running covariances (DuckDB). Requires integer value
+    columns; per-group Σx² and Σxy must fit int64 (Σy² is never formed, so
+    y may be large — e.g. exact cents)."""
+
+    def add_moments(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column(x_col), pa.int64())
+        y = pc.cast(b.column(y_col), pa.int64())
+        b = b.append_column("__xx", pc.multiply(x, x))
+        return b.append_column("__xy", pc.multiply(x, y))
+
+    moments = grouped_agg(
+        ds.map_batches(add_moments, batch_format="pyarrow"),
+        keys,
+        [
+            (x_col, "count", n_col),
+            (x_col, "sum", "__sx"),
+            (y_col, "sum", "__sy"),
+            ("__xx", "sum", "__sxx"),
+            ("__xy", "sum", "__sxy"),
+        ],
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column(n_col), pa.float64())
+        sx = pc.cast(b.column("__sx"), pa.float64())
+        sy = pc.cast(b.column("__sy"), pa.float64())
+        sxx = pc.cast(b.column("__sxx"), pa.float64())
+        sxy = pc.cast(b.column("__sxy"), pa.float64())
+        slope = pc.divide(
+            pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy)),
+            pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)),
+        )
+        intercept = pc.divide(pc.subtract(sy, pc.multiply(slope, sx)), n)
+        if round_digits is not None:
+            slope = pc.round(slope, ndigits=round_digits)
+            intercept = pc.round(intercept, ndigits=round_digits)
+        b = b.append_column(slope_col, slope)
+        b = b.append_column(intercept_col, intercept)
+        return b.drop_columns(["__sx", "__sy", "__sxx", "__sxy"])
+
+    return moments.map_batches(finalize, batch_format="pyarrow")

@@ -299,3 +299,54 @@ def time_fill(
         .groupby("__bucket")
         .map_groups(lambda d: fill(d.drop(columns="__bucket")), batch_format="pandas")
     )
+
+
+def cohort_retention(
+    ds: Dataset,
+    user_col: str,
+    ts_col: str,
+    *,
+    cohort_col: str = "cohort_day",
+    offset_col: str = "day_offset",
+    users_col: str = "users",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Cohort retention matrix over an event log: each user's cohort is its
+    first active calendar day; for every (cohort day, day offset) count the
+    users active on that day. Days are int64 epoch days end-to-end (no
+    date-type hashing ambiguity). Scale shape: (1) a per-batch DISTINCT
+    (user, day) combiner so at most one row per user-day per block shuffles;
+    (2) ONE bucketed shuffle on hash(user) co-locates each user's activity —
+    cohort day (min) and offsets are vectorized pandas transforms inside the
+    bucket (per-user state is bounded by the calendar span, never the raw
+    event count); (3) a final counting groupby whose output cardinality is
+    cohorts x offsets. No join and no driver-side state anywhere."""
+    from ..hashing import stable_bucket
+    from .relational import grouped_agg
+
+    _US_PER_DAY = 86_400_000_000
+
+    def to_day_pairs(b: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(pc.cast(b.column(ts_col), pa.timestamp("us")), pa.int64())
+        days = np.floor_divide(ts.to_numpy(zero_copy_only=False), _US_PER_DAY)
+        out = pd.DataFrame({user_col: b.column(user_col).to_pandas(), "__day": days})
+        out = out.drop_duplicates()  # map-side combiner
+        out["__bucket"] = stable_bucket(out[user_col], num_partitions)
+        return out
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([user_col, "__day"])
+        d0 = g.groupby(user_col, sort=False)["__day"].transform("min")
+        return pd.DataFrame(
+            {
+                cohort_col: d0.to_numpy(),
+                offset_col: (g["__day"] - d0).to_numpy(),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(to_day_pairs, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(offsets, batch_format="pandas")
+    )
+    return grouped_agg(pairs, [cohort_col, offset_col], [(offset_col, "count", users_col)])

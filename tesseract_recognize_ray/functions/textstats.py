@@ -362,3 +362,175 @@ def fingerprint(ds: Dataset, text_col: str, out_col: str = "fingerprint", window
         return batch
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def flat_token_chunks(
+    col: pa.ChunkedArray | pa.Array, n_tokens: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Split every row of a string column into fixed-size token chunks
+    ("pseudo-paragraphs" of n_tokens whitespace tokens, last chunk ragged)
+    with pure Arrow/numpy kernels: tokenize once, drop empty edge tokens,
+    rebuild a ListArray whose offsets sit at chunk boundaries, and join each
+    chunk with ONE binary_join call — zero Python per token. Returns
+    (chunk strings, source-row index per chunk, within-row chunk index)."""
+    lists = _ws_token_lists(col)
+    flat = lists.flatten()
+    off = np.asarray(lists.offsets, dtype=np.int64)
+    off = off - off[0]
+    empty = (
+        pa.array([], pa.string()),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
+    if len(flat) == 0:
+        return empty
+    ne = np.asarray(pc.not_equal(flat, ""))
+    clean = flat.filter(pa.array(ne))
+    # non-empty token count per row -> clean offsets
+    csum = np.concatenate([[0], np.cumsum(ne)])
+    lens = csum[off[1:]] - csum[off[:-1]]
+    clean_off = np.concatenate([[0], np.cumsum(lens)])
+    n_chunks = -(-lens // n_tokens)  # ceil; 0 for empty rows
+    total = int(n_chunks.sum())
+    if total == 0:
+        return empty
+    row_of_chunk = np.repeat(np.arange(len(lens), dtype=np.int64), n_chunks)
+    chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_chunks)])[:-1], n_chunks
+    )
+    starts = clean_off[row_of_chunk] + chunk_idx * n_tokens
+    offsets = np.concatenate([starts, [clean_off[-1]]]).astype(np.int32)
+    chunks = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), clean), " "
+    )
+    return chunks, row_of_chunk, chunk_idx
+
+
+def grouped_term_counts(ds: Dataset, group_col: str, text_col: str) -> Dataset:
+    """Term frequency PER GROUP (e.g. per language): the per-batch combiner
+    tokenizes with Arrow kernels, attaches the group of each token via one
+    np.repeat over the list offsets, and pre-counts (group, token) pairs with
+    a vectorized pyarrow group_by — the shuffle moves one row per distinct
+    (group, token) per block, never one row per occurrence."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = _ws_token_lists(batch.column(text_col))
+        flat = lists.flatten()
+        off = np.asarray(lists.offsets, dtype=np.int64)
+        off = off - off[0]
+        row_idx = np.repeat(np.arange(len(lists), dtype=np.int64), np.diff(off))
+        mask = pc.not_equal(flat, "")
+        t = pa.table(
+            {
+                group_col: pc.take(batch.column(group_col).combine_chunks(), pa.array(row_idx)),
+                "token": flat,
+            }
+        ).filter(mask)
+        return (
+            t.group_by([group_col, "token"])
+            .aggregate([([], "count_all")])
+            .rename_columns([group_col, "token", "n"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def bm25_top_docs(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> Dataset:
+    """BM25 relevance ranking for a fixed query-term set (Robertson/Lucene
+    idf = ln(1 + (N-df+0.5)/(df+0.5))): top-k docs by score. Scale shape:
+    pass 1 reduces every doc to one compact stats row (dl + one tf per term,
+    all ints — vectorized is_in over the flat token array, never per-row
+    Python) and MATERIALIZES it (m+2 ints per doc, not the text); the corpus
+    constants (N, avgdl, df) come from ONE driver-side aggregate over it;
+    pass 2 re-reads the cached stats rows, scores each doc in numpy with the
+    broadcast constants, and prunes to k rows per block before the final
+    top-k. Scores are deterministic: integer inputs + shared float64
+    constants, summed in fixed term order."""
+    from .relational import topk
+
+    m = len(terms)
+    term_arr = pa.array(terms, pa.string())
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        lists = _ws_token_lists(batch.column(text_col))
+        flat = lists.flatten()
+        off = np.asarray(lists.offsets, dtype=np.int64)
+        off = off - off[0]
+        row_idx = np.repeat(np.arange(len(lists), dtype=np.int64), np.diff(off))
+        ne = np.asarray(pc.not_equal(flat, ""))
+        n_rows = len(lists)
+        dl = np.bincount(row_idx[ne], minlength=n_rows).astype(np.int64)
+        cols = {id_col: batch.column(id_col), "dl": pa.array(dl)}
+        code = np.asarray(pc.index_in(flat, value_set=term_arr).fill_null(m))
+        for i in range(m):
+            hit = ne & (code == i)
+            cols[f"tf_{i}"] = pa.array(
+                np.bincount(row_idx[hit], minlength=n_rows).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    stats = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Count, Sum
+
+    def nz(batch: pa.Table) -> pa.Table:
+        cols = {"dl": batch.column("dl")}
+        for i in range(m):
+            cols[f"nz_{i}"] = pc.cast(
+                pc.greater(batch.column(f"tf_{i}"), 0), pa.int64()
+            )
+        return pa.table(cols)
+
+    agg = stats.map_batches(nz, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("dl", alias_name="sum_dl"),
+        *[Sum(f"nz_{i}", alias_name=f"df_{i}") for i in range(m)],
+    )
+    n_docs = float(agg["n_docs"])
+    avgdl = float(agg["sum_dl"]) / n_docs
+    idf = np.array(
+        [np.log1p((n_docs - agg[f"df_{i}"] + 0.5) / (agg[f"df_{i}"] + 0.5)) for i in range(m)]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(dl))
+        for i in range(m):
+            tf = batch.column(f"tf_{i}").to_numpy(zero_copy_only=False).astype(np.float64)
+            s += idf[i] * (tf * (k1 + 1.0)) / (tf + norm)
+        t = pa.table({id_col: batch.column(id_col), "bm25": pa.array(s)})
+        return t.filter(pc.greater(t.column("bm25"), 0.0))
+
+    out = topk(
+        stats.map_batches(score, batch_format="pyarrow"),
+        "bm25",
+        k,
+        descending=True,
+        tiebreak=[id_col],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bm25": pc.round(batch.column("bm25"), ndigits=round_digits),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
