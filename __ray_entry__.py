@@ -2569,6 +2569,36 @@ def _q_bm25_top_docs(sf_dir: str):
     return F_text.bm25_top_docs(ds, "doc_id", "text", _BM25_TERMS, k=20)
 
 
+def _q_part_neighbor_jaccard(sf_dir: str):
+    """Link prediction on the thresholded co-purchase graph (parts sharing
+    >= 2 orders): common-neighbor counts via wedge-center clique pairs,
+    Jaccard overlap from broadcast degrees, top 100."""
+    from tesseract_recognize_ray.functions.graph import group_clique_pairs, neighbor_jaccard
+
+    ds = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey", min_count=2)
+    sim = neighbor_jaccard(edges)
+    return F.topk(sim, "jaccard", 100, descending=True, tiebreak=["src", "dst"])
+
+
+def _q_skew_value_by_type(sf_dir: str):
+    """Per-group sample skewness + excess kurtosis of exact cents (two-pass:
+    exact int means, centered float64 moments)."""
+    ds = F.load(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    return F.grouped_skew_kurt(
+        ds.map_batches(to_cents, batch_format="pyarrow"), "event_type", "cents"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -2585,6 +2615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "top_terms_by_lang": _q_top_terms_by_lang,
         "bm25_top_docs": _q_bm25_top_docs,
+        "part_neighbor_jaccard": _q_part_neighbor_jaccard,
+        "skew_value_by_type": _q_skew_value_by_type,
         "events_by_type": _q_events_by_type,
         "suppliers_per_region": _q_suppliers_per_region,
         "parts_by_brand": _q_parts_by_brand,
@@ -2803,6 +2835,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ROUND(score, 6) AS bm25
             FROM scored WHERE score > 0
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "part_neighbor_jaccard": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a JOIN op b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+            cmn AS (
+                SELECT a.node AS src, b.node AS dst, CAST(COUNT(*) AS BIGINT) AS common
+                FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+                GROUP BY 1, 2
+            )
+            SELECT src, dst, common,
+                   ROUND(CAST(common AS DOUBLE) / (da.d + db.d - common), 6) AS jaccard
+            FROM cmn JOIN deg da ON da.node = src JOIN deg db ON db.node = dst
+            ORDER BY jaccard DESC, src ASC, dst ASC LIMIT 100
+        """,
+        "skew_value_by_type": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(skewness(CAST(ROUND(value * 100) AS BIGINT)), 6) AS skew,
+                   ROUND(kurtosis(CAST(ROUND(value * 100) AS BIGINT)), 6) AS kurt
+            FROM events GROUP BY event_type
         """,
         "top_terms_by_lang": """
             WITH c AS (

@@ -79,6 +79,14 @@ _BENCH_QUERIES = [
     "user_type_pivot",
     "part_kcore",
     "user_hourly_fill",
+    "latest_event_per_user",
+    "cohort_retention",
+    "regr_price_by_qty",
+    "paragraph_dedup",
+    "top_terms_by_lang",
+    "bm25_top_docs",
+    "part_neighbor_jaccard",
+    "skew_value_by_type",
 ]
 
 

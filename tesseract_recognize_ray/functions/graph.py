@@ -393,6 +393,7 @@ def group_clique_pairs(
     num_buckets: int = 64,
     max_group: int = 256,
     min_count: int = 1,
+    count_col: str | None = None,
 ) -> Dataset:
     """ALL distinct in-group pairs (src < dst) of nodes sharing a key tuple
     — the candidate-pair shape for pairwise verify stages (edit distance,
@@ -425,9 +426,9 @@ def group_clique_pairs(
         out = pd.DataFrame(
             {"src": vals[li].astype(np.int64), "dst": vals[ri].astype(np.int64)}
         )
-        # min_count needs one row per (key, pair) emission for the count;
-        # plain dedup mode collapses early to shrink the shuffle
-        return out if min_count > 1 else out.drop_duplicates()
+        # min_count / count_col need one row per (key, pair) emission for the
+        # count; plain dedup mode collapses early to shrink the shuffle
+        return out if (min_count > 1 or count_col) else out.drop_duplicates()
 
     pairs = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -437,9 +438,13 @@ def group_clique_pairs(
     # global distinct — the same pair can arise under different keys
     from tesseract_recognize_ray.functions.relational import grouped_agg
 
-    dd = grouped_agg(pairs, ["src", "dst"], [("src", "count", "__n")])
+    dd = grouped_agg(pairs, ["src", "dst"], [("src", "count", count_col or "__n")])
     if min_count > 1:
-        dd = dd.filter(expr=f"__n >= {min_count}")
+        dd = dd.filter(expr=f"{count_col or '__n'} >= {min_count}")
+    if count_col:
+        return dd.map_batches(
+            lambda b: b.select(["src", "dst", count_col]), batch_format="pyarrow"
+        )
     return dd.map_batches(
         lambda b: b.select(["src", "dst"]), batch_format="pyarrow"
     )
@@ -966,3 +971,73 @@ def kcore_peel(
             e = semi(semi(e, "u"), "v").materialize()
 
     return degrees(e)
+
+
+def neighbor_jaccard(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    num_buckets: int = 64,
+    max_degree: int = 256,
+    min_common: int = 1,
+    round_digits: int = 6,
+) -> Dataset:
+    """Link-prediction node similarity over an undirected simple edge list
+    (src < dst, globally distinct): for every node pair sharing >= min_common
+    neighbors, the common-neighbor count and Jaccard overlap
+    |N(a)∩N(b)| / |N(a)∪N(b)|. Scale shape: symmetrize to (node, nbr) rows,
+    reuse group_clique_pairs keyed by the SHARED NEIGHBOR — each wedge center
+    w emits its adjacent pairs vectorized, a (src, dst) groupby counts wedges
+    = common neighbors (O(Σ deg(w)²) emission, bounded by max_degree — a
+    hub star would otherwise emit deg² rows); degrees ride along as a
+    broadcast lookup (node->degree map; swap for a hash join when the node
+    catalog outgrows a broadcast). Jaccard is ONE float64 division of exact
+    ints — bit-identical across engines."""
+    from tesseract_recognize_ray.functions.relational import (
+        broadcast_lookup_join,
+        grouped_agg,
+    )
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        fwd = pa.table({"node": b.column(src), "nbr": b.column(dst)})
+        rev = pa.table({"node": b.column(dst), "nbr": b.column(src)})
+        return pa.concat_tables([fwd, rev])
+
+    adj = edges.map_batches(symmetrize, batch_format="pyarrow")
+    common = group_clique_pairs(
+        adj,
+        ["nbr"],
+        "node",
+        num_buckets=num_buckets,
+        max_group=max_degree,
+        min_count=min_common,
+        count_col="common",
+    )
+    deg = grouped_agg(adj, ["node"], [("nbr", "count", "d")]).to_pandas()
+    joined = broadcast_lookup_join(
+        broadcast_lookup_join(
+            common, deg.rename(columns={"node": "src", "d": "__da"}), "src"
+        ),
+        deg.rename(columns={"node": "dst", "d": "__db"}),
+        "dst",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = pc.cast(b.column("common"), pa.float64())
+        union = pc.subtract(
+            pc.cast(pc.add(b.column("__da"), b.column("__db")), pa.float64()), c
+        )
+        jac = pc.divide(c, union)
+        if round_digits is not None:
+            jac = pc.round(jac, ndigits=round_digits)
+        return pa.table(
+            {
+                src: b.column("src"),
+                dst: b.column("dst"),
+                "common": b.column("common"),
+                "jaccard": jac,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -1358,3 +1358,60 @@ def grouped_regr(
         return b.drop_columns(["__sx", "__sy", "__sxx", "__sxy"])
 
     return moments.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_skew_kurt(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    *,
+    skew_col: str = "skew",
+    kurt_col: str = "kurt",
+    n_col: str = "n_rows",
+    round_digits: int | None = 6,
+) -> Dataset:
+    """Per-group sample skewness and excess kurtosis (bias-corrected, the
+    DuckDB/SQL-standard estimators
+      skew = √(n(n−1))/(n−2) · (m3/n)/(m2/n)^{3/2}
+      kurt = (n−1)/((n−2)(n−3)) · ((n+1)·((m4/n)/(m2/n)² − 3) + 6)
+    ) via TWO passes: pass 1 the exact-int (n, Σx) combiner → exact group
+    means; pass 2 centered float64 moments Σd², Σd³, Σd⁴ (d = x − mean,
+    numerically safe — raw 3rd/4th int moments overflow int64 at scale and
+    uncentered float moments cancel catastrophically). The mean map is
+    broadcast into pass 2 (one row per group — grouped keys are assumed
+    low-cardinality dimension values); both passes move one combiner row per
+    key per block. round_digits absorbs summation-order ulp noise vs
+    streaming engines."""
+    means_df = grouped_agg(
+        ds, [key], [(value_col, "count", n_col), (value_col, "sum", "__sx")]
+    ).to_pandas()
+    means_df["__mean"] = means_df["__sx"].astype(np.float64) / means_df[n_col].astype(
+        np.float64
+    )
+    mean_map = dict(zip(means_df[key], means_df["__mean"]))
+
+    def centered(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[value_col].astype(np.float64) - b[key].map(mean_map).astype(np.float64)
+        d2 = d * d
+        t = pd.DataFrame({key: b[key], "__d2": d2, "__d3": d2 * d, "__d4": d2 * d2})
+        return t.groupby(key, as_index=False).sum()  # map-side combiner
+
+    sums = grouped_agg(
+        ds.map_batches(centered, batch_format="pandas"),
+        [key],
+        [("__d2", "sum", "__m2"), ("__d3", "sum", "__m3"), ("__d4", "sum", "__m4")],
+    ).to_pandas()
+    out = sums.merge(means_df[[key, n_col]], on=key)
+    n = out[n_col].astype(np.float64)
+    v = out["__m2"] / n  # population variance
+    g1 = (out["__m3"] / n) / np.power(v, 1.5)
+    skew = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+    g2 = (out["__m4"] / n) / (v * v) - 3.0
+    kurt = ((n + 1.0) * g2 + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+    if round_digits is not None:
+        skew = skew.round(round_digits)
+        kurt = kurt.round(round_digits)
+    res = pd.DataFrame(
+        {key: out[key], n_col: out[n_col].astype("int64"), skew_col: skew, kurt_col: kurt}
+    )
+    return rd.from_pandas(res.sort_values(key).reset_index(drop=True))

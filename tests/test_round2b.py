@@ -114,3 +114,34 @@ def test_bm25_matches_reference_formula(ray_session):
     assert set(got) == set(want)
     for k_ in want:
         assert abs(got[k_] - want[k_]) < 1e-8
+
+
+def test_neighbor_jaccard_square_graph(ray_session):
+    from tesseract_recognize_ray.functions.graph import neighbor_jaccard
+
+    # square 1-2-3-4-1: opposite corners share BOTH neighbors (jaccard 1.0),
+    # adjacent corners share none -> only the two diagonals appear.
+    edges = pd.DataFrame({"src": [1, 2, 3, 1], "dst": [2, 3, 4, 4]})
+    out = neighbor_jaccard(rd.from_pandas(edges)).to_pandas()
+    got = sorted(map(tuple, out[["src", "dst", "common", "jaccard"]].itertuples(index=False)))
+    assert got == [(1, 3, 2, 1.0), (2, 4, 2, 1.0)]
+
+
+def test_grouped_skew_kurt_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {"g": np.repeat(["a", "b"], 300), "v": rng.integers(0, 10_000, 600)}
+    )
+    out = (
+        F.grouped_skew_kurt(rd.from_pandas(df).repartition(4), "g", "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    gold = duckdb.sql(
+        "SELECT g, CAST(COUNT(*) AS BIGINT) n_rows, ROUND(skewness(v),6) skew,"
+        " ROUND(kurtosis(v),6) kurt FROM df GROUP BY g ORDER BY g"
+    ).df()
+    pd.testing.assert_frame_equal(out, gold)
