@@ -769,12 +769,16 @@ def bfs_hops(
     combiner groupby(node) min keeps first-visit distances; convergence is
     an O(1) driver scalar (count of nodes first reached this round).
 
-    Broadcast-or-hash gate, same design as ``pagerank``: while the frontier
-    id set is below broadcast_max_frontier it ships via ray.put and the
-    expansion is a stateless edge scan with a vectorized is_in filter (no
-    join operator); a wider frontier falls back to a frontier x edges hash
-    join. Distances and edges stay distributed either way — the driver only
-    ever holds frontier ids and per-round scalar counts."""
+    Broadcast-or-hash gate, same design as ``pagerank``: while the VISITED
+    id set fits broadcast_max_frontier, the driver coordinates a classic
+    frontier BFS — ONE Ray job per round (edge scan with a vectorized is_in
+    filter against the ray.put frontier + per-block distinct combiner), no
+    shuffle, no join; the driver holds O(visited) int64 ids, the same order
+    as the broadcast ceiling it is gated by. The moment the frontier
+    outgrows the gate, the accumulated distances spill into a distributed
+    (node, dist) Dataset and the loop continues with frontier x edges hash
+    joins + a combiner groupby(node) min per round — distances and edges
+    stay distributed, the driver only sees per-round scalars."""
     import ray
 
     from tesseract_recognize_ray.functions.relational import grouped_agg, hash_join
@@ -786,53 +790,112 @@ def bfs_hops(
 
     e = edges.map_batches(sym, batch_format="pyarrow").materialize()
 
-    def seed_rows(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": pc.cast(b.column(b.column_names[0]), pa.int64()),
-                "dist": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
-            }
+    seed_ids = np.unique(seeds.to_pandas().iloc[:, 0].to_numpy().astype(np.int64))
+    visited = seed_ids
+    chunks: list[tuple[np.ndarray, int]] = [(seed_ids, 0)]
+    frontier = seed_ids
+    dist: Dataset | None = None  # set once spilled to the distributed path
+
+    d = 0
+    while d < max_depth and len(frontier) > 0:
+        if dist is None and len(frontier) <= broadcast_max_frontier:
+            ids_ref = ray.put(pa.array(frontier, pa.int64()))
+
+            def expand(b: pa.Table, ids_ref=ids_ref) -> pa.Table:
+                hit = b.filter(pc.is_in(b.column("eu"), value_set=ray.get(ids_ref)))
+                return pa.table({"node": pc.unique(hit.column("ev"))})
+
+            cand = (
+                e.map_batches(expand, batch_format="pyarrow")
+                .to_pandas()["node"]
+                .to_numpy()
+            )
+            new = np.setdiff1d(np.unique(cand), visited, assume_unique=True)
+            d += 1
+            if len(new):
+                chunks.append((new, d))
+                visited = np.union1d(visited, new)
+            frontier = new
+            continue
+        if dist is None:
+            # spill the driver-accumulated distances and switch modes
+            dist = rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(np.concatenate([c for c, _ in chunks]), pa.int64()),
+                        "dist": pa.array(
+                            np.concatenate(
+                                [np.full(len(c), dd, dtype=np.int64) for c, dd in chunks]
+                            )
+                        ),
+                    }
+                )
+            ).materialize()
+        # bucketed frontier SEMI join, no Dataset.join: frontier rows and
+        # edge rows co-locate by hash(eu); inside each bucket a vectorized
+        # isin filter emits the expansion. (Ray 2.49's acero-backed join
+        # rejects the zero-column empty partitions a sparse frontier
+        # produces, and BFS only needs semi-join semantics anyway.)
+        def tag_frontier(b: pa.Table, dd=d) -> pa.Table:
+            keep = b.filter(pc.equal(b.column("dist"), dd))
+            k = pc.cast(keep.column("node"), pa.int64())
+            return pa.table(
+                {
+                    "k": k,
+                    "ev": pa.array(np.full(len(k), -1, dtype=np.int64)),
+                    "s": pa.array(np.ones(len(k), dtype=np.int8)),
+                }
+            )
+
+        def tag_edges(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "k": b.column("eu"),
+                    "ev": b.column("ev"),
+                    "s": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+                }
+            )
+
+        tagged = dist.map_batches(tag_frontier, batch_format="pyarrow").union(
+            e.map_batches(tag_edges, batch_format="pyarrow")
         )
 
-    dist = seeds.map_batches(seed_rows, batch_format="pyarrow").materialize()
-    frontier_n = dist.count()
+        def add_bucket(b: pa.Table) -> pa.Table:
+            bk = stable_bucket(b.column("k"), num_partitions)
+            return b.append_column("__bucket", pa.array(bk, pa.int32()))
 
-    for d in range(max_depth):
-        if frontier_n == 0:
-            break
-        frontier = dist.filter(expr=f"dist == {d}")
-        if frontier_n <= broadcast_max_frontier:
-            ids = frontier.select_columns(["node"]).to_pandas()["node"].to_numpy()
-            ids_ref = ray.put(pa.array(ids, pa.int64()))
+        def expand_bucket(g: pd.DataFrame, nd=d + 1) -> pd.DataFrame:
+            fset = g.loc[g["s"] == 1, "k"].to_numpy()
+            hits = g.loc[(g["s"] == 0) & g["k"].isin(fset), "ev"]
+            return pd.DataFrame(
+                {"node": hits.to_numpy(), "dist": np.full(len(hits), nd, dtype=np.int64)}
+            )
 
-            def expand(b: pa.Table, ids_ref=ids_ref, nd=d + 1) -> pa.Table:
-                hit = b.filter(pc.is_in(b.column("eu"), value_set=ray.get(ids_ref)))
-                return pa.table(
-                    {
-                        "node": hit.column("ev"),
-                        "dist": pa.array(np.full(hit.num_rows, nd, dtype=np.int64)),
-                    }
-                )
+        cand_ds = (
+            tagged.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(
+                lambda g: expand_bucket(g.drop(columns="__bucket")), batch_format="pandas"
+            )
+        )
+        dist = grouped_agg(dist.union(cand_ds), ["node"], [("dist", "min", "dist")]).materialize()
+        d += 1
+        # loop condition only needs emptiness, not the ids
+        n_new = dist.filter(expr=f"dist == {d}").count()
+        frontier = np.empty(min(n_new, 1), dtype=np.int64)
 
-            cand = e.map_batches(expand, batch_format="pyarrow")
-        else:
-            fr = frontier.select_columns(["node"]).rename_columns({"node": "__fn"})
-            j = hash_join(e, fr, on=("eu",), right_on=("__fn",), num_partitions=num_partitions)
-
-            def to_cand(b: pa.Table, nd=d + 1) -> pa.Table:
-                return pa.table(
-                    {
-                        "node": b.column("ev"),
-                        "dist": pa.array(np.full(b.num_rows, nd, dtype=np.int64)),
-                    }
-                )
-
-            cand = j.map_batches(to_cand, batch_format="pyarrow")
-
-        dist = grouped_agg(dist.union(cand), ["node"], [("dist", "min", "dist")]).materialize()
-        frontier_n = dist.filter(expr=f"dist == {d + 1}").count()
-
-    return dist
+    if dist is not None:
+        return dist
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.concatenate([c for c, _ in chunks]), pa.int64()),
+                "dist": pa.array(
+                    np.concatenate([np.full(len(c), dd, dtype=np.int64) for c, dd in chunks])
+                ),
+            }
+        )
+    )
 
 
 def kcore_peel(

@@ -438,3 +438,23 @@ def test_kcore_peel_collapse_and_merge_path(ray_session):
         rd.from_pandas(df), k=2, rounds=3, broadcast_max_nodes=0, num_buckets=4
     ).to_pandas()
     assert dict(zip(merged["node"], merged["deg"])) == {1: 2, 2: 2, 3: 2}
+
+
+def test_bfs_hops_hash_join_spill_path(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.graph import bfs_hops
+
+    # broadcast_max_frontier=1 forces the spill to the distributed
+    # hash-join path on the first multi-node frontier; result must be
+    # identical to the brute-force distances.
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(rng.integers(0, 40, size=(60, 2)), columns=["src", "dst"])
+    df = df[df.src != df.dst]
+    seeds = [0]
+    out = bfs_hops(
+        rd.from_pandas(df),
+        rd.from_pandas(pd.DataFrame({"node": seeds})),
+        broadcast_max_frontier=1,
+    ).to_pandas()
+    assert dict(zip(out["node"], out["dist"])) == _brute_bfs(df, seeds)
