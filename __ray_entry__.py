@@ -2599,6 +2599,22 @@ def _q_skew_value_by_type(sf_dir: str):
     )
 
 
+def _q_image_phash_dups(sf_dir: str):
+    """Multimodal: perceptual-duplicate image groups (64-bit aHash equality)
+    over the synthetic media table — only (id, phash) pairs shuffle, pixels
+    stay inside the hashing actors. Rows-only."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.multimodal import phash_dups
+
+    paths = _corpus()
+    ds = rd.read_parquet(paths["media"], columns=["media_ref", "bytes", "n_pages"]).filter(
+        expr="n_pages == 1"
+    )
+    out = phash_dups(ds, "media_ref")
+    return out.to_pandas().sort_values(["phash", "media_ref"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -2617,6 +2633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top_docs": _q_bm25_top_docs,
         "part_neighbor_jaccard": _q_part_neighbor_jaccard,
         "skew_value_by_type": _q_skew_value_by_type,
+        "image_phash_dups": _q_image_phash_dups,
         "events_by_type": _q_events_by_type,
         "suppliers_per_region": _q_suppliers_per_region,
         "parts_by_brand": _q_parts_by_brand,

@@ -49,8 +49,10 @@ def exact_dedup(ds: Dataset, id_col: str, text_col: str) -> Dataset:
         h = _text_hash64(texts)
         return pa.table({id_col: batch.column(id_col), "__h": pa.array(h.astype(np.int64))})
 
+    from .relational import grouped_agg
+
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    kept = hashed.groupby("__h").aggregate(Min(id_col, alias_name=id_col))
+    kept = grouped_agg(hashed, ["__h"], [(id_col, "min", id_col)])
     return kept.drop_columns(["__h"])
 
 
@@ -246,11 +248,15 @@ def minhash_lsh_pairs(
     pairs = banded.groupby("__g").map_groups(group_pairs, batch_format="pandas")
     # a pair can surface from several bands -> dedupe, keep best estimate;
     # the truncation flag survives if ANY contributing bucket was truncated
-    from ray.data.aggregate import Max
+    from .relational import grouped_agg
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"),
-        Max("bucket_truncated", alias_name="bucket_truncated"),
+    return grouped_agg(
+        pairs,
+        ["id_a", "id_b"],
+        [
+            ("est_jaccard", "max", "est_jaccard"),
+            ("bucket_truncated", "max", "bucket_truncated"),
+        ],
     )
 
 
@@ -526,9 +532,9 @@ def embedding_near_dup_pairs(
         )
 
     out = buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
-    from ray.data.aggregate import Max
+    from .relational import grouped_agg
 
-    return out.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return grouped_agg(out, ["id_a", "id_b"], [("cosine", "max", "cosine")])
 
 
 # -------------------------------------------------------- decontamination

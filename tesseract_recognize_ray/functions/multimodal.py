@@ -214,3 +214,95 @@ def audio_decode(ds: Dataset, deterministic_fake: bool = True, concurrency=(1, 4
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImagePHash:
+    """64-bit average-hash (aHash) perceptual fingerprint per single-page
+    raster blob: downsample to an 8x8 mean grid (block means via one
+    reduceat pass per axis — exact, geometry-independent), threshold at the
+    grid mean, pack the bits into one int64. Identical renders hash equal;
+    small global brightness shifts flip few bits. Downsample index maps are
+    cached per source geometry in the actor, same as ImageResize. Exact
+    scale invariance holds when both dimensions are divisible by the grid
+    (aligned block boundaries); ragged geometries still hash stably, they
+    just aren't bit-identical to their resampled variants."""
+
+    def __init__(self, bytes_col: str = "bytes", grid: int = 8):
+        self.bytes_col = bytes_col
+        self.g = grid
+        self._weights = np.left_shift(
+            np.uint64(1), np.arange(grid * grid, dtype=np.uint64)
+        )
+        self._cuts: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    def _cuts_for(self, h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+        key = (h, w)
+        m = self._cuts.get(key)
+        if m is None:
+            ys = (np.arange(self.g) * h // self.g).astype(np.intp)
+            xs = (np.arange(self.g) * w // self.g).astype(np.intp)
+            m = self._cuts[key] = (ys, xs)
+        return m
+
+    def _hash_one(self, img: np.ndarray) -> int:
+        h, w = img.shape
+        ys, xs = self._cuts_for(h, w)
+        rows = np.add.reduceat(img.astype(np.float64), ys, axis=0)
+        cells = np.add.reduceat(rows, xs, axis=1)
+        ny = np.diff(np.append(ys, h)).astype(np.float64)
+        nx = np.diff(np.append(xs, w)).astype(np.float64)
+        means = cells / np.outer(ny, nx)
+        bits = (means.ravel() > means.mean()).astype(np.uint64)
+        return int((bits * self._weights).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.bytes_col)
+        hashes = [
+            self._hash_one(decode_page_pixels(memoryview(col[i].as_buffer())))
+            for i in range(batch.num_rows)
+        ]
+        keep = [n for n in batch.schema.names if n != self.bytes_col]
+        return batch.select(keep).append_column("phash", pa.array(hashes, pa.int64()))
+
+
+def image_phash(ds: Dataset, concurrency=(1, 8), batch_size: int = 8) -> Dataset:
+    return ds.map_batches(
+        ImagePHash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def phash_dups(
+    ds: Dataset, id_col: str, *, concurrency=(1, 8), num_buckets: int = 64
+) -> Dataset:
+    """Perceptual-duplicate groups: images with EQUAL aHash fingerprints.
+    (id, canonical, phash) for every member of a multi-image hash group,
+    canonical = min id. Scale shape: only (id, phash) pairs shuffle — one
+    bucketed groupby(phash), pixels never leave the hashing actors."""
+    import pandas as pd
+
+    from ..hashing import stable_bucket
+
+    hashed = image_phash(ds, concurrency=concurrency)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        t = pa.table({id_col: b.column(id_col), "phash": b.column("phash")})
+        bk = stable_bucket(t.column("phash"), num_buckets)
+        return t.append_column("__bucket", pa.array(bk, pa.int32()))
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        canon = g.groupby("phash", sort=False)[id_col].transform("min")
+        size = g.groupby("phash", sort=False)[id_col].transform("size")
+        out = g[size >= 2].copy()
+        out["canonical"] = canon[size >= 2].to_numpy()
+        return out[[id_col, "canonical", "phash"]]
+
+    return (
+        hashed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(groups, batch_format="pandas")
+    )

@@ -761,9 +761,9 @@ def except_rows(left: Dataset, right: Dataset, cols: list[str], num_partitions: 
 
 
 def distinct_on(ds: Dataset, cols: list[str]) -> Dataset:
-    """Multi-column distinct (groupby + project)."""
-    out = ds.groupby(cols).aggregate(Count(alias_name="__n"))
-    return out.drop_columns(["__n"])
+    """Multi-column distinct — grouped_agg's bucketed reduce (per-batch
+    distinct combiner + one int32-bucket shuffle), not the sort aggregate."""
+    return grouped_agg(ds, cols, [(cols[0], "count", "__n")]).drop_columns(["__n"])
 
 
 def intersect_rows(left: Dataset, right: Dataset, cols: list[str], num_partitions: int = 8) -> Dataset:

@@ -148,8 +148,10 @@ def term_counts(ds: Dataset, text_col: str) -> Dataset:
             {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby("token").aggregate(
-        Sum("n", alias_name="n")
+    from .relational import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["token"], [("n", "sum", "n")]
     )
 
 
@@ -173,8 +175,10 @@ def bigram_counts(ds: Dataset, text_col: str) -> Dataset:
             {"bigram": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby("bigram").aggregate(
-        Sum("n", alias_name="n")
+    from .relational import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["bigram"], [("n", "sum", "n")]
     )
 
 
@@ -433,10 +437,12 @@ def grouped_term_counts(ds: Dataset, group_col: str, text_col: str) -> Dataset:
             .rename_columns([group_col, "token", "n"])
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([group_col, "token"])
-        .aggregate(Sum("n", alias_name="n"))
+    from .relational import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "token"],
+        [("n", "sum", "n")],
     )
 
 

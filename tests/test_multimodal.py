@@ -67,3 +67,34 @@ def test_audio_stub(ray_session):
 
     with pytest.raises(NotImplementedError, match="soundfile"):
         dec(pa.table({"bytes": pa.array([b"x"], pa.large_binary())}))
+
+
+def test_phash_dups_planted(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.multimodal import _encode, phash_dups
+
+    rng = np.random.default_rng(7)
+    base = (rng.integers(0, 256, size=(40, 64))).astype(np.uint8)
+    other = (rng.integers(0, 256, size=(40, 64))).astype(np.uint8)
+    rows = pd.DataFrame(
+        {
+            "media_ref": ["a", "a_copy", "b", "b_scaled", "c"],
+            "bytes": [
+                _encode(base),
+                _encode(base),  # exact duplicate
+                _encode(other),
+                # same image at 2x resolution (dims divisible by the 8x8 grid,
+                # so block boundaries align): block means match -> same hash
+                _encode(np.kron(other, np.ones((2, 2), dtype=np.uint8))),
+                _encode(rng.integers(0, 256, size=(40, 64)).astype(np.uint8)),
+            ],
+        }
+    )
+    out = phash_dups(rd.from_pandas(rows).repartition(3), "media_ref").to_pandas()
+    groups = out.groupby("canonical")["media_ref"].apply(set).to_dict()
+    assert groups.get("a") == {"a", "a_copy"}
+    assert groups.get("b") == {"b", "b_scaled"}
+    assert "c" not in set(out["media_ref"])
