@@ -2615,6 +2615,88 @@ def _q_image_phash_dups(sf_dir: str):
     return out.to_pandas().sort_values(["phash", "media_ref"]).reset_index(drop=True)
 
 
+def _q_order_flags_by_customer(sf_dir: str):
+    """Grouped boolean aggregates (SQL bool_or / bool_and) — any/all are
+    their own mergeable partials in grouped_agg's combiner path."""
+    ds = F.load(sf_dir, "orders", columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "is_f": pc.equal(b.column("o_orderstatus"), "F"),
+                "big": pc.greater(b.column("o_totalprice"), 1000.0),
+            }
+        )
+
+    return F.grouped_agg(
+        ds.map_batches(flags, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("is_f", "any", "any_f"), ("big", "all", "all_big"), ("is_f", "count", "n_orders")],
+    )
+
+
+def _q_user_activity_islands(sf_dir: str):
+    """Gaps-and-islands over variable-length intervals: each event spans
+    [ts, ts + value seconds]; overlapping/touching intervals per user merge
+    into islands (running-cummax semantics — a long interval absorbs later
+    short ones, which constant-gap sessionize cannot express)."""
+    from tesseract_recognize_ray.functions.streams import interval_merge
+
+    ds = F.load(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        s = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64())
+        dur = pc.cast(pc.round(pc.multiply(b.column("value"), 1_000_000.0)), pa.int64())
+        return pa.table({"user_id": b.column("user_id"), "s": s, "e": pc.add(s, dur)})
+
+    out = interval_merge(ds.map_batches(to_iv, batch_format="pyarrow"), "user_id", "s", "e")
+    return out
+
+
+def _q_weighted_doc_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): u from a fixed integer hash of doc_id, key = u^(1/w)
+    with w = n_chars, global top-100 by key — the quality/length-weighted
+    corpus sampling primitive, reproducible run-to-run and in SQL."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64), 1.0)
+        u = ((d * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+        k = u ** (1.0 / w)
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "n_chars": b.column("n_chars"), "k": pa.array(k)}
+        )
+
+    out = F.topk(
+        ds.map_batches(add_key, batch_format="pyarrow"), "k", 100, descending=True, tiebreak=["doc_id"]
+    )
+    return out.drop_columns(["k"])
+
+
+def _q_event_global_ordinals(sf_dir: str):
+    """Distributed zipWithIndex: the 1-based global ordinal of every event
+    under ORDER BY (ts, event_id) via sampled range partitioning + broadcast
+    prefix offsets — no single-node sort, no driver data materialization."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "ts"])
+    out = F.global_row_number(ds, ["ts", "event_id"], out_col="ordinal")
+    return out.drop_columns(["ts"])
+
+
+def _q_lineitem_checksum(sf_dir: str):
+    """Order-independent table checksum (the 100 TB source-vs-sink audit
+    primitive): per-row Horner polynomial hash of the 4 line-identity keys
+    mod a 31-bit prime, summed mod the prime. One streaming scan, one int64
+    per batch to the driver."""
+    v = F.polynomial_checksum(
+        F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]),
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    )
+    return pd.DataFrame({"checksum": pd.Series([v], dtype="int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -2634,6 +2716,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_neighbor_jaccard": _q_part_neighbor_jaccard,
         "skew_value_by_type": _q_skew_value_by_type,
         "image_phash_dups": _q_image_phash_dups,
+        "order_flags_by_customer": _q_order_flags_by_customer,
+        "user_activity_islands": _q_user_activity_islands,
+        "weighted_doc_sample": _q_weighted_doc_sample,
+        "event_global_ordinals": _q_event_global_ordinals,
+        "lineitem_checksum": _q_lineitem_checksum,
         "events_by_type": _q_events_by_type,
         "suppliers_per_region": _q_suppliers_per_region,
         "parts_by_brand": _q_parts_by_brand,
@@ -2872,6 +2959,55 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(common AS DOUBLE) / (da.d + db.d - common), 6) AS jaccard
             FROM cmn JOIN deg da ON da.node = src JOIN deg db ON db.node = dst
             ORDER BY jaccard DESC, src ASC, dst ASC LIMIT 100
+        """,
+        "order_flags_by_customer": """
+            SELECT o_custkey,
+                   bool_or(o_orderstatus = 'F') AS any_f,
+                   bool_and(o_totalprice > 1000) AS all_big,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        """,
+        "user_activity_islands": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS e
+                FROM events
+            ), b AS (
+                SELECT user_id, s, e,
+                       CASE WHEN s <= max(e) OVER (
+                                PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            THEN 0 ELSE 1 END AS brk
+                FROM iv
+            ), g AS (
+                SELECT user_id, s, e,
+                       CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+                FROM b
+            )
+            SELECT user_id, island, MIN(s) AS island_start, MAX(e) AS island_end,
+                   COUNT(*) AS n_rows
+            FROM g GROUP BY user_id, island
+        """,
+        "weighted_doc_sample": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       pow(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0,
+                           1.0 / GREATEST(n_chars, 1)) AS k
+                FROM documents)
+            ORDER BY k DESC, doc_id LIMIT 100
+        """,
+        "event_global_ordinals": """
+            SELECT event_id,
+                   ROW_NUMBER() OVER (ORDER BY ts, event_id) AS ordinal
+            FROM events
+        """,
+        "lineitem_checksum": """
+            SELECT CAST(SUM(
+                (((((l_orderkey % 2147483647) * 1000003 + l_partkey) % 2147483647)
+                   * 1000003 + l_suppkey) % 2147483647 * 1000003 + l_linenumber)
+                % 2147483647
+            ) % 2147483647 AS BIGINT) AS checksum FROM lineitem
         """,
         "skew_value_by_type": """
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -87,6 +87,10 @@ _BENCH_QUERIES = [
     "bm25_top_docs",
     "part_neighbor_jaccard",
     "skew_value_by_type",
+    "user_activity_islands",
+    "event_global_ordinals",
+    "lineitem_checksum",
+    "weighted_doc_sample",
 ]
 
 

@@ -45,7 +45,7 @@ def load(
 
 
 # ---------------------------------------------------------------- grouped agg
-_PARTIAL_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+_PARTIAL_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max", "any": "any", "all": "all"}
 
 
 def grouped_agg(
@@ -56,7 +56,9 @@ def grouped_agg(
     combine: bool = True,
 ) -> Dataset:
     """groupby(keys) with aggregate specs [(col, fn, alias)], fn in
-    {sum, count, min, max, mean}. With combine=True (default), a vectorized
+    {sum, count, min, max, mean, any, all} (any/all = SQL bool_or/bool_and
+    over a boolean column; combine path only — both are their own
+    mergeable partial). With combine=True (default), a vectorized
     per-batch pyarrow group_by pre-aggregates before the shuffle; mean is
     decomposed into sum+count and finalized after the reduce.
 
@@ -122,6 +124,8 @@ def grouped_agg(
     else:
         reducers = []
         for col, fn, alias in expanded:
+            if fn in ("any", "all"):
+                raise ValueError("grouped_agg: any/all require combine=True")
             cls = {"sum": Sum, "count": Count, "min": Min, "max": Max}[fn]
             reducers.append(cls(col, alias_name=alias) if fn != "count" else Count(alias_name=alias))
         out = ds.groupby(keys).aggregate(*reducers)
@@ -1443,3 +1447,102 @@ def grouped_skew_kurt(
         {key: out[key], n_col: out[n_col].astype("int64"), skew_col: skew, kurt_col: kurt}
     )
     return rd.from_pandas(res.sort_values(key).reset_index(drop=True))
+
+
+# -------------------------------------------------- global ordering / audit
+def global_row_number(
+    ds: Dataset,
+    order_cols: list[str],
+    out_col: str = "ordinal",
+    num_buckets: int = 32,
+    sample_per_block: int = 32,
+) -> Dataset:
+    """Distributed zipWithIndex: assign the 1-based global ordinal of each
+    row under ORDER BY order_cols — ROW_NUMBER() OVER (ORDER BY ...) without
+    a single-node sort or any driver materialization of data rows.
+
+    Classic sampled range partitioning (the same shape Ray's sort uses, but
+    exposed as a reusable primitive that yields *ordinals*, which
+    Dataset.sort does not):
+      1. sample up to sample_per_block values of order_cols[0] per block
+         (driver sees blocks x sample rows, bounded and tiny);
+      2. derive num_buckets-1 split points; every row gets its range bucket
+         via ONE vectorized searchsorted — rows with equal first-key always
+         co-locate, so cross-bucket order is total;
+      3. per-bucket row counts (tiny shuffle) -> driver prefix sum ->
+         broadcast base offsets;
+      4. one map_groups per bucket: vectorized lexsort + arange + base.
+
+    Needs two passes over the input (count pass + number pass); upstream
+    lineage re-executes, so feed it a cheap scan (read->project), not an
+    expensive pipeline. Heavy skew on a single first-key value lands that
+    value in one bucket (documented partitioning assumption)."""
+    first = order_cols[0]
+
+    def sample(b: pa.Table) -> pa.Table:
+        col = b.column(first)
+        n = len(col)
+        idx = np.unique(np.linspace(0, max(n - 1, 0), num=min(sample_per_block, n)).astype(np.int64))
+        return pa.table({first: col.take(pa.array(idx))})
+
+    parts = [
+        b[first].to_numpy()
+        for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(batch_format="pandas")
+    ]
+    samples = np.sort(np.concatenate(parts)) if parts else np.array([])
+    if len(samples) == 0:
+        splits = np.array([])
+    else:
+        qs = np.linspace(0, len(samples) - 1, num=num_buckets + 1).astype(np.int64)[1:-1]
+        splits = np.unique(samples[qs])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = b.column(first).to_numpy(zero_copy_only=False)
+        bk = np.searchsorted(splits, v, side="right").astype(np.int32)
+        return b.append_column("__rb", pa.array(bk, pa.int32()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    counts = grouped_agg(bucketed, ["__rb"], [("__rb", "count", "n")]).to_pandas()
+    counts = counts.sort_values("__rb")
+    base = dict(zip(counts["__rb"].to_numpy(), np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]])))
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        bk = int(g["__rb"].iloc[0])
+        g = g.drop(columns="__rb").sort_values(order_cols, kind="mergesort")
+        g[out_col] = np.arange(1, len(g) + 1, dtype=np.int64) + np.int64(base[bk])
+        return g
+
+    return bucketed.groupby("__rb").map_groups(number, batch_format="pandas")
+
+
+def polynomial_checksum(
+    ds: Dataset,
+    cols: list[str],
+    mult: int = 1_000_003,
+    prime: int = 2_147_483_647,
+) -> int:
+    """Order-independent content checksum over integer columns: per-row
+    Horner polynomial hash mod a 31-bit prime, summed mod the prime. One
+    streaming scan, fully vectorized, no shuffle — the per-batch partial is
+    a single int64. Exactly reproducible in ANSI SQL (all intermediates stay
+    under 2^62, so BIGINT arithmetic never overflows on either side):
+
+        SUM(((col0 % p) * m + col1) % p * m + ... ) % p
+
+    The 100 TB audit primitive: run on source and on sink, compare two
+    numbers. Row order, partitioning and file layout don't matter."""
+    p = np.int64(prime)
+    m = np.int64(mult)
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = np.mod(b.column(cols[0]).to_numpy(zero_copy_only=False).astype(np.int64), p)
+        for c in cols[1:]:
+            v = b.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            h = np.mod(h * m + v, p)
+        return pa.table({"partial": pa.array([int(np.sum(h % p) % p)], pa.int64())})
+
+    total = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pandas"):
+        total = (total + int(b["partial"].sum())) % prime
+    return total

@@ -350,3 +350,58 @@ def cohort_retention(
         .map_groups(offsets, batch_format="pandas")
     )
     return grouped_agg(pairs, [cohort_col, offset_col], [(offset_col, "count", users_col)])
+
+
+def interval_merge(
+    ds: Dataset,
+    key: str,
+    start_col: str,
+    end_col: str,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Gaps-and-islands over VARIABLE-LENGTH intervals: merge per-key
+    [start, end] intervals that overlap or touch (next.start <= running
+    max(end)) into islands. Returns one row per island:
+    (key, island, island_start, island_end, n_rows), island 1-based per key
+    in start order — exactly SQL's lag-max/cumsum-of-breaks idiom.
+
+    Distinct from sessionize: sessionize merges POINTS by gap (constant
+    timeout); here each row carries its own duration, so a long interval can
+    absorb many later short ones (running-cummax semantics, not prev-row).
+
+    Scale shape: ONE hash(key) % num_buckets shuffle; inside a bucket every
+    key is processed at once — sort by (key, start, end), per-key running
+    cummax of end (pandas C groupby.cummax), breaks + cumsum, then ONE
+    groupby aggregate for the island bounds. No per-key dispatch."""
+    from ..hashing import stable_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[key, start_col, end_col]]
+        batch["__bucket"] = stable_bucket(batch[key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, start_col, end_col], kind="mergesort")
+        cm = g.groupby(key, sort=False)[end_col].cummax().to_numpy()
+        # exact int64 shift — Series.shift() would round-trip epoch-us
+        # values through float64 and lose sub-1024us precision above 2^53
+        prev_cm = np.empty_like(cm)
+        if len(cm):
+            prev_cm[1:] = cm[:-1]
+            prev_cm[0] = cm[0]  # overridden: row 0 is always a new key
+        new_key = g[key].ne(g[key].shift()).to_numpy()  # forces a break at key boundaries
+        s = g[start_col].to_numpy()
+        brk = new_key | (s > prev_cm)
+        gs = np.cumsum(brk)
+        first = pd.Series(gs).groupby(g[key].to_numpy(), sort=False).transform("first").to_numpy()
+        g["island"] = gs - first + 1
+        out = g.groupby([key, "island"], sort=False).agg(
+            island_start=(start_col, "min"),
+            island_end=(end_col, "max"),
+            n_rows=(start_col, "size"),
+        )
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out.reset_index()
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(fn, batch_format="pandas")

@@ -1,0 +1,124 @@
+"""Round-2 continuation operators: interval gaps-and-islands, grouped bool
+aggregates, distributed global row numbering, order-independent polynomial
+checksum, weighted deterministic sampling — edge-case semantics vs
+pandas/numpy ground truth (the driver contract value-matches each vs DuckDB
+at sf0.01)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from tesseract_recognize_ray.functions import relational as F
+from tesseract_recognize_ray.functions.streams import interval_merge
+
+
+def test_interval_merge_long_interval_absorbs(ray_session):
+    # key 1: [0,100] absorbs [10,20] AND [90,150] (running cummax, not
+    # prev-row end); [200,210] starts a new island. touching ([150,150+0])
+    # merges: next.start <= cummax. key 2 independent.
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2],
+            "s": [0, 10, 90, 200, 5],
+            "e": [100, 20, 150, 210, 6],
+        }
+    )
+    out = (
+        interval_merge(rd.from_pandas(df).repartition(3), "k", "s", "e")
+        .to_pandas()
+        .sort_values(["k", "island"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "island": [1, 2, 1],
+            "island_start": [0, 200, 5],
+            "island_end": [150, 210, 6],
+            "n_rows": [3, 1, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(out, want.astype({c: "int64" for c in want.columns}))
+
+
+def test_interval_merge_touching_and_epoch_us_precision(ray_session):
+    # epoch-us magnitudes (>2^53): a 1-us gap must NOT merge while an exact
+    # touch must — fails if the cummax shift round-trips through float64.
+    base = 1_700_000_000_000_000  # ~2023 in us
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1],
+            "s": [base, base + 10, base + 21],  # [b,b+10] touch [b+10,b+20]; gap of 1 to [b+21]
+            "e": [base + 10, base + 20, base + 30],
+        }
+    )
+    out = (
+        interval_merge(rd.from_pandas(df), "k", "s", "e")
+        .to_pandas()
+        .sort_values("island")
+        .reset_index(drop=True)
+    )
+    assert list(out["island"]) == [1, 2]
+    assert list(out["island_end"]) == [base + 20, base + 30]
+
+
+def test_grouped_bool_any_all(ray_session):
+    df = pd.DataFrame(
+        {"k": [1, 1, 2, 2, 3], "b": [True, False, True, True, False]}
+    )
+    out = (
+        F.grouped_agg(
+            rd.from_pandas(df).repartition(4),
+            ["k"],
+            [("b", "any", "any_b"), ("b", "all", "all_b")],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["any_b"]) == [True, True, False]
+    assert list(out["all_b"]) == [False, True, False]
+
+
+def test_global_row_number_matches_argsort_with_skew(ray_session):
+    # skewed first key (many duplicates of one value) + tiebreak column;
+    # ordinals must equal ROW_NUMBER() OVER (ORDER BY v, id) exactly.
+    rng = np.random.RandomState(7)
+    v = np.where(rng.rand(500) < 0.4, 42, rng.randint(0, 100, 500))
+    df = pd.DataFrame({"id": np.arange(500)[::-1], "v": v})
+    out = F.global_row_number(
+        rd.from_pandas(df).repartition(8), ["v", "id"], num_buckets=4
+    ).to_pandas()
+    want = df.sort_values(["v", "id"], kind="mergesort").reset_index(drop=True)
+    want["ordinal"] = np.arange(1, len(want) + 1)
+    got = out.sort_values("ordinal").reset_index(drop=True)[["id", "v", "ordinal"]]
+    pd.testing.assert_frame_equal(got, want[["id", "v", "ordinal"]])
+
+
+def test_polynomial_checksum_order_and_partition_invariant(ray_session):
+    df = pd.DataFrame({"a": [1, 2, 3, 4, 5], "b": [9, 8, 7, 6, 5]})
+    c1 = F.polynomial_checksum(rd.from_pandas(df), ["a", "b"])
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    c2 = F.polynomial_checksum(rd.from_pandas(shuffled).repartition(5), ["a", "b"])
+    assert c1 == c2
+    # sensitivity: a single changed value moves the checksum
+    df2 = df.copy()
+    df2.loc[0, "b"] = 10
+    assert F.polynomial_checksum(rd.from_pandas(df2), ["a", "b"]) != c1
+
+
+def test_weighted_sample_prefers_heavy_docs(ray_session):
+    # Efraimidis-Spirakis: P(selected) scales with weight — with a handful
+    # of huge weights among tiny ones, the huge ones must dominate the top-k.
+    n = 400
+    w = np.full(n, 1.0)
+    heavy = [5, 50, 123, 300]
+    w[heavy] = 1e6
+    d = np.arange(n, dtype=np.int64)
+    u = ((d * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+    k = u ** (1.0 / w)
+    top10 = set(np.argsort(-k)[:10])
+    assert set(heavy) <= top10
