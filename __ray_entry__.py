@@ -2697,6 +2697,14 @@ def _q_lineitem_checksum(sf_dir: str):
     return pd.DataFrame({"checksum": pd.Series([v], dtype="int64")})
 
 
+def _q_doc_sliding_chunks(sf_dir: str):
+    """LLM-training chunker: overlapping 32-token windows with stride 16 per
+    document (vectorized flat-map, no shuffle; every token covered, ragged
+    final window)."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    return F_text.sliding_token_chunks(ds, "doc_id", "text", window=32, stride=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -2721,6 +2729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_doc_sample": _q_weighted_doc_sample,
         "event_global_ordinals": _q_event_global_ordinals,
         "lineitem_checksum": _q_lineitem_checksum,
+        "doc_sliding_chunks": _q_doc_sliding_chunks,
         "events_by_type": _q_events_by_type,
         "suppliers_per_region": _q_suppliers_per_region,
         "parts_by_brand": _q_parts_by_brand,
@@ -3001,6 +3010,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    ROW_NUMBER() OVER (ORDER BY ts, event_id) AS ordinal
             FROM events
+        """,
+        "doc_sliding_chunks": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, tl, len(tl) AS L FROM toks WHERE len(tl) > 0
+            ), idx AS (
+                SELECT doc_id, tl, L,
+                       unnest(generate_series(0,
+                           CAST(CEIL(GREATEST(L - 32, 0) / 16.0) AS BIGINT))) AS chunk_idx
+                FROM sized
+            )
+            SELECT doc_id, chunk_idx,
+                   array_to_string(tl[chunk_idx*16 + 1 : chunk_idx*16 + 32], ' ') AS chunk
+            FROM idx
         """,
         "lineitem_checksum": """
             SELECT CAST(SUM(

@@ -540,3 +540,74 @@ def bm25_top_docs(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sliding_token_chunks(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    window: int,
+    stride: int,
+) -> Dataset:
+    """OVERLAPPING fixed-size token windows — the LLM-training chunker
+    (context-window packing with stride overlap). Every row with L > 0
+    non-empty whitespace tokens yields ceil(max(L - window, 0) / stride) + 1
+    chunks; chunk i covers tokens [i*stride, i*stride + window) clipped to L
+    (the final chunk is ragged, and every token is covered).
+
+    Fully vectorized flat-map: one Arrow tokenize per batch, one numpy
+    gather-index build (overlap = replicated take indices, never Python
+    loops), one ListArray + binary_join to rebuild chunk strings. Each
+    output row is (id, chunk_idx, chunk); rows stay independent, so the
+    stage streams — no shuffle, no state."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("sliding_token_chunks: window and stride must be positive")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lists = _ws_token_lists(batch.column(text_col))
+        flat = lists.flatten()
+        off = np.asarray(lists.offsets, dtype=np.int64)
+        off = off - off[0]
+        empty = pa.table(
+            {
+                id_col: batch.column(id_col).slice(0, 0),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            }
+        )
+        if len(flat) == 0:
+            return empty
+        ne = np.asarray(pc.not_equal(flat, ""))
+        clean = flat.filter(pa.array(ne))
+        csum = np.concatenate([[0], np.cumsum(ne)])
+        lens = csum[off[1:]] - csum[off[:-1]]
+        clean_off = np.concatenate([[0], np.cumsum(lens)])
+        n_chunks = np.where(lens > 0, -(-np.maximum(lens - window, 0) // stride) + 1, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        row_of_chunk = np.repeat(np.arange(len(lens), dtype=np.int64), n_chunks)
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)])[:-1], n_chunks
+        )
+        starts = chunk_idx * stride  # within-row token start
+        w = np.minimum(starts + window, lens[row_of_chunk]) - starts  # ragged tail
+        gstart = clean_off[row_of_chunk] + starts  # global token start
+        tot_tok = int(w.sum())
+        # replicated gather indices: arange minus per-chunk rebase
+        w_off = np.concatenate([[0], np.cumsum(w)])
+        ar = np.arange(tot_tok, dtype=np.int64) - np.repeat(w_off[:-1], w)
+        take_idx = np.repeat(gstart, w) + ar
+        toks = clean.take(pa.array(take_idx))
+        chunks = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(w_off, pa.int64()).cast(pa.int32()), toks), " "
+        )
+        return pa.table(
+            {
+                id_col: pc.take(batch.column(id_col).combine_chunks(), pa.array(row_of_chunk)),
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "chunk": chunks,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -122,3 +122,26 @@ def test_weighted_sample_prefers_heavy_docs(ray_session):
     k = u ** (1.0 / w)
     top10 = set(np.argsort(-k)[:10])
     assert set(heavy) <= top10
+
+
+def test_sliding_chunks_overlap_and_ragged_tail(ray_session):
+    from tesseract_recognize_ray.functions.textstats import sliding_token_chunks
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d e f g", "x y", "   "],  # L=7; L=2; L=0 (no chunks)
+        }
+    )
+    out = (
+        sliding_token_chunks(rd.from_pandas(df), "doc_id", "text", window=4, stride=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # doc 1: ceil((7-4)/2)+1 = 3 chunks; final ragged (1 token)
+    assert list(out[out.doc_id == 1]["chunk"]) == ["a b c d", "c d e f", "e f g"]
+    # doc 2: L < window -> exactly one (whole-doc) chunk
+    assert list(out[out.doc_id == 2]["chunk"]) == ["x y"]
+    # doc 3: whitespace-only -> zero chunks
+    assert (out.doc_id == 3).sum() == 0
