@@ -2705,6 +2705,48 @@ def _q_doc_sliding_chunks(sf_dir: str):
     return F_text.sliding_token_chunks(ds, "doc_id", "text", window=32, stride=16)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means (k=8, 3 update iterations, deterministic
+    seeds + e6-rounded centroids) — assignment of every embedding to its
+    final cluster, replayed exactly by an unrolled-CTE DuckDB oracle."""
+    from tesseract_recognize_ray.functions.similarity import kmeans_lloyd
+
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_lloyd(ds, "vec_id", "embedding", k=8, iters=3)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs (same idiom as the
+    pagerank / k-core oracles): a_i = nearest-centroid assignment,
+    m_i = e6-rounded coordinate means, c_{i+1} keeps empty clusters."""
+    assign = (
+        "SELECT e.vec_id, e.v, c.cid FROM e CROSS JOIN {c} c "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+        "ORDER BY list_distance(e.v, c.v), c.cid) = 1"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v"
+        f" FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(iters):
+        parts.append(f"a{i} AS ({assign.format(c=f'c{i}')})")
+        parts.append(
+            f"m{i} AS (SELECT cid, list(val ORDER BY dim) AS v FROM ("
+            f"SELECT cid, dim, ROUND(AVG(val), 6) AS val FROM ("
+            f"SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM a{i})"
+            f" GROUP BY cid, dim) GROUP BY cid)"
+        )
+        parts.append(
+            f"c{i+1} AS (SELECT c{i}.cid, COALESCE(m{i}.v, c{i}.v) AS v"
+            f" FROM c{i} LEFT JOIN m{i} ON c{i}.cid = m{i}.cid)"
+        )
+    final = (
+        f"SELECT vec_id, cid AS cluster FROM ({assign.format(c=f'c{iters}')})"
+    )
+    return ",\n".join(parts[:1] + [""]).rstrip() + "\n" + ",\n".join(parts[1:]) + "\n" + final
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_project": _q_filter_project,
@@ -2730,6 +2772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_global_ordinals": _q_event_global_ordinals,
         "lineitem_checksum": _q_lineitem_checksum,
         "doc_sliding_chunks": _q_doc_sliding_chunks,
+        "kmeans_clusters": _q_kmeans_clusters,
         "events_by_type": _q_events_by_type,
         "suppliers_per_region": _q_suppliers_per_region,
         "parts_by_brand": _q_parts_by_brand,
@@ -3028,6 +3071,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tl[chunk_idx*16 + 1 : chunk_idx*16 + 32], ' ') AS chunk
             FROM idx
         """,
+        "kmeans_clusters": _kmeans_oracle_sql(),
         "lineitem_checksum": """
             SELECT CAST(SUM(
                 (((((l_orderkey % 2147483647) * 1000003 + l_partkey) % 2147483647)

@@ -91,6 +91,7 @@ _BENCH_QUERIES = [
     "event_global_ordinals",
     "lineitem_checksum",
     "weighted_doc_sample",
+    "kmeans_clusters",
 ]
 
 

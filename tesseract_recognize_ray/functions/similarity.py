@@ -314,3 +314,84 @@ def ivf_topk(
     cand = ds.map_batches(prune, batch_format="pandas").to_pandas()
     cand = cand.sort_values(["query_idx", "cosine", "vec_id"], ascending=[True, False, True], kind="mergesort")
     return cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+
+
+def kmeans_lloyd(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    round_digits: int = 6,
+) -> Dataset:
+    """Distributed Lloyd's k-means with a deterministic, SQL-reproducible
+    contract (an unrolled-CTE oracle can replay it exactly):
+
+      * seeds = the vectors of the k smallest id_col values, cid 0..k-1;
+      * assignment = smallest direct squared-L2 distance, ties to the
+        smallest cid (same order DuckDB's list_distance + cid sort yields);
+      * each iteration's new centroid = coordinate mean ROUNDED to
+        round_digits — rounding makes the distributed float64 sum bit-stable
+        against any serial re-computation (error ~1e-13 << 5e-7 quantum);
+      * an empty cluster keeps its previous centroid.
+
+    Scale shape per iteration: centroids broadcast once via ray.put; ONE
+    map_batches pass emits <=k (cid, partial_sum, n) rows per block
+    (k x dim doubles, never raw vectors); the driver folds the tiny
+    k x blocks partials. iters+1 streaming passes over the input total —
+    the input lineage should be a cheap scan. Output: (id_col, cluster)."""
+    import ray
+
+    seed_rows = (
+        ds.sort(id_col).limit(k).to_pandas()
+    )  # k rows only; Ray's sort+limit prunes per-block before the merge
+    cents = np.stack(seed_rows.sort_values(id_col)[vec_col].to_numpy()).astype(np.float64)
+
+    def assign_of(c_ref):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(c_ref)
+            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            # direct (x - c)^2 form: elementwise-identical arithmetic to the
+            # oracle's list_distance, so near-tie flips can't diverge
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            asg = np.argmin(d2, axis=1)  # first min = smallest cid on ties
+            return pd.DataFrame({id_col: b[id_col].to_numpy(), "cluster": asg.astype(np.int64)})
+
+        return fn
+
+    def partials_of(c_ref):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(c_ref)
+            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            asg = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, asg, x)
+            n = np.bincount(asg, minlength=len(c))
+            keep = n > 0
+            return pd.DataFrame(
+                {
+                    "cid": np.arange(len(c))[keep],
+                    "s": list(sums[keep]),
+                    "n": n[keep].astype("int64"),
+                }
+            )
+
+        return fn
+
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+        sums = np.zeros_like(cents)
+        n = np.zeros(len(cents), dtype=np.int64)
+        for b in ds.map_batches(partials_of(c_ref), batch_format="pandas").iter_batches(
+            batch_format="pandas"
+        ):
+            cid = b["cid"].to_numpy()
+            np.add.at(sums, cid, np.stack(b["s"].to_numpy()))
+            np.add.at(n, cid, b["n"].to_numpy())
+        nz = n > 0
+        new = cents.copy()
+        new[nz] = np.round(sums[nz] / n[nz, None], round_digits)
+        cents = new
+
+    return ds.map_batches(assign_of(ray.put(cents)), batch_format="pandas")

@@ -145,3 +145,48 @@ def test_sliding_chunks_overlap_and_ragged_tail(ray_session):
     assert list(out[out.doc_id == 2]["chunk"]) == ["x y"]
     # doc 3: whitespace-only -> zero chunks
     assert (out.doc_id == 3).sum() == 0
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    from tesseract_recognize_ray.functions.similarity import kmeans_lloyd
+
+    # three tight, far-apart planted clusters; ids interleaved so the
+    # id-ordered seeds start in mixed positions and Lloyd must converge
+    rng = np.random.default_rng(7)
+    centers = np.array([[0.0, 0.0], [100.0, 0.0], [0.0, 100.0]])
+    lab = np.arange(90) % 3
+    pts = centers[lab] + rng.normal(0, 0.5, size=(90, 2))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(90, dtype=np.int64), "embedding": list(pts)}
+    )
+    out = (
+        kmeans_lloyd(rd.from_pandas(df).repartition(4), "vec_id", "embedding", k=3, iters=5)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 90
+    # every planted cluster maps to exactly one output label, all distinct
+    got = [set(out["cluster"][lab == g]) for g in range(3)]
+    assert all(len(s) == 1 for s in got)
+    assert len(set().union(*got)) == 3
+
+
+def test_kmeans_deterministic_and_partition_invariant(ray_session):
+    from tesseract_recognize_ray.functions.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(11)
+    pts = rng.normal(0, 1, size=(60, 4))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(60, dtype=np.int64), "embedding": list(pts)}
+    )
+    runs = [
+        kmeans_lloyd(rd.from_pandas(df).repartition(p), "vec_id", "embedding", k=4, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        for p in (1, 5)
+    ]
+    # e6 centroid rounding makes the distributed reduce bit-stable: the
+    # assignment must not depend on block layout
+    pd.testing.assert_frame_equal(runs[0], runs[1])
