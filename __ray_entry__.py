@@ -2715,17 +2715,18 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_lloyd(ds, "vec_id", "embedding", k=8, iters=3)
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> list[str]:
     """Unrolled Lloyd's iterations as chained CTEs (same idiom as the
     pagerank / k-core oracles): a_i = nearest-centroid assignment,
-    m_i = e6-rounded coordinate means, c_{i+1} keeps empty clusters."""
+    m_i = e6-rounded coordinate means, c_{i+1} keeps empty clusters.
+    The chain ends in ``af`` = final assignment (vec_id, v, cid)."""
     assign = (
         "SELECT e.vec_id, e.v, c.cid FROM e CROSS JOIN {c} c "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id "
         "ORDER BY list_distance(e.v, c.v), c.cid) = 1"
     )
     parts = [
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v"
         f" FROM e ORDER BY vec_id LIMIT {k})",
     ]
@@ -2741,10 +2742,44 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
             f"c{i+1} AS (SELECT c{i}.cid, COALESCE(m{i}.v, c{i}.v) AS v"
             f" FROM c{i} LEFT JOIN m{i} ON c{i}.cid = m{i}.cid)"
         )
-    final = (
-        f"SELECT vec_id, cid AS cluster FROM ({assign.format(c=f'c{iters}')})"
+    parts.append(f"af AS ({assign.format(c=f'c{iters}')})")
+    return parts
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes(k, iters))
+        + "\nSELECT vec_id, cid AS cluster FROM af"
     )
-    return ",\n".join(parts[:1] + [""]).rstrip() + "\n" + ",\n".join(parts[1:]) + "\n" + final
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: k-means clusters (k=8, 3 iterations),
+    then flag vectors with an earlier cluster-mate at e6-rounded cosine
+    >= 0.9 — the whole chain replayed by the k-means CTEs + one self-join."""
+    from tesseract_recognize_ray.functions.similarity import semantic_dedup
+
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, "vec_id", "embedding", k=8, iters=3, threshold=0.9)
+
+
+def _semantic_dedup_oracle_sql(k: int = 8, iters: int = 3, t: float = 0.9) -> str:
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes(k, iters))
+        + f"""
+SELECT x.vec_id, x.cid AS cluster,
+       COALESCE(bool_or(ROUND(list_cosine_similarity(x.v, y.v), 6) >= {t}), FALSE) AS is_dup
+FROM af x LEFT JOIN af y ON x.cid = y.cid AND y.vec_id < x.vec_id
+GROUP BY x.vec_id, x.cid"""
+    )
+
+
+def _q_doc_lm_score(sf_dir: str):
+    """CCNet-style unigram LM quality score: corpus term counts -> top-20
+    vocabulary broadcast once -> per-doc integer micro-log10-prob sums
+    (OOV floored at count 0.5). Integer-exact, so fully SQL-oracled."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    return F_text.unigram_logprob(ds, "doc_id", "text", vocab_size=20)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2773,6 +2808,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_checksum": _q_lineitem_checksum,
         "doc_sliding_chunks": _q_doc_sliding_chunks,
         "kmeans_clusters": _q_kmeans_clusters,
+        "semantic_dedup": _q_semantic_dedup,
+        "doc_lm_score": _q_doc_lm_score,
         "events_by_type": _q_events_by_type,
         "suppliers_per_region": _q_suppliers_per_region,
         "parts_by_brand": _q_parts_by_brand,
@@ -3072,6 +3109,30 @@ def oracle_sql() -> dict[str, str]:
             FROM idx
         """,
         "kmeans_clusters": _kmeans_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "doc_lm_score": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+                FROM documents
+            ),
+            counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+            tot AS (SELECT SUM(n) AS t FROM counts),
+            vocab AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 20),
+            lp AS (SELECT v.token,
+                          CAST(ROUND(LOG10(v.n / tot.t) * 1e6) AS BIGINT) AS lp
+                   FROM vocab v, tot),
+            flr AS (SELECT CAST(ROUND(LOG10(0.5 / t) * 1e6) AS BIGINT) AS flp FROM tot)
+            SELECT d.doc_id,
+                   CAST(COUNT(tk.token) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(CASE WHEN tk.token IS NULL THEN 0
+                                          ELSE COALESCE(lp.lp, flr.flp) END), 0)
+                        AS BIGINT) AS lp_micro
+            FROM documents d
+            LEFT JOIN toks tk ON tk.doc_id = d.doc_id
+            LEFT JOIN lp ON lp.token = tk.token
+            CROSS JOIN flr
+            GROUP BY d.doc_id
+        """,
         "lineitem_checksum": """
             SELECT CAST(SUM(
                 (((((l_orderkey % 2147483647) * 1000003 + l_partkey) % 2147483647)

@@ -92,6 +92,8 @@ _BENCH_QUERIES = [
     "lineitem_checksum",
     "weighted_doc_sample",
     "kmeans_clusters",
+    "semantic_dedup",
+    "doc_lm_score",
 ]
 
 

@@ -342,29 +342,48 @@ def kmeans_lloyd(
     the input lineage should be a cheap scan. Output: (id_col, cluster)."""
     import ray
 
+    cents = _kmeans_centroids(ds, id_col, vec_col, k, iters, round_digits)
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(c_ref)
+        x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        asg = _assign(x, c)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), "cluster": asg.astype(np.int64)})
+
+    c_ref = ray.put(cents)
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _assign(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Nearest centroid by direct (x - c)^2 squared-L2 — elementwise-identical
+    arithmetic to DuckDB's list_distance, so near-tie flips can't diverge;
+    argmin's first-min rule = smallest cid on exact ties."""
+    d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
+def _kmeans_centroids(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    round_digits: int = 6,
+) -> np.ndarray:
+    """The Lloyd iteration loop of kmeans_lloyd (see its contract docstring);
+    returns the final k x dim float64 centroid matrix."""
+    import ray
+
     seed_rows = (
         ds.sort(id_col).limit(k).to_pandas()
     )  # k rows only; Ray's sort+limit prunes per-block before the merge
     cents = np.stack(seed_rows.sort_values(id_col)[vec_col].to_numpy()).astype(np.float64)
 
-    def assign_of(c_ref):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            c = ray.get(c_ref)
-            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
-            # direct (x - c)^2 form: elementwise-identical arithmetic to the
-            # oracle's list_distance, so near-tie flips can't diverge
-            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            asg = np.argmin(d2, axis=1)  # first min = smallest cid on ties
-            return pd.DataFrame({id_col: b[id_col].to_numpy(), "cluster": asg.astype(np.int64)})
-
-        return fn
-
     def partials_of(c_ref):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             c = ray.get(c_ref)
             x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
-            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            asg = np.argmin(d2, axis=1)
+            asg = _assign(x, c)
             sums = np.zeros_like(c)
             np.add.at(sums, asg, x)
             n = np.bincount(asg, minlength=len(c))
@@ -394,4 +413,73 @@ def kmeans_lloyd(
         new[nz] = np.round(sums[nz] / n[nz, None], round_digits)
         cents = new
 
-    return ds.map_batches(assign_of(ray.put(cents)), batch_format="pandas")
+    return cents
+
+
+def semantic_dedup(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.9,
+    round_digits: int = 6,
+) -> Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with k-means, then inside each cluster flag every vector that
+    has an EARLIER (smaller id_col) cluster-mate with e6-rounded cosine
+    similarity >= threshold. The earlier-neighbor rule (rather than
+    greedy-kept chains) keeps the semantics order-free and exactly
+    SQL-expressible: a self-join on cluster + vec_id inequality replays it.
+    Output: (id_col, cluster, is_dup) — one row per input vector; the kept
+    set is ``is_dup == False``.
+
+    Scale shape: centroids from the same broadcast-partials Lloyd loop as
+    kmeans_lloyd; ONE map_batches assigns clusters (vectors stay in their
+    blocks); the only shuffle moves each vector ONCE keyed by cluster id.
+    Pairwise work is confined within clusters — at web scale SemDeDup runs
+    with k ~ sqrt(N) (10^5+ clusters), so per-cluster O(n^2/k^2) stays
+    bounded and the groupby has high key cardinality; the per-cluster
+    matmul walks column chunks so peak memory is O(n x 1024), not O(n^2)."""
+    import ray
+
+    cents = _kmeans_centroids(ds, id_col, vec_col, k, iters, round_digits)
+    c_ref = ray.put(cents)
+
+    def assign_keep(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(c_ref)
+        x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        asg = _assign(x, c)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "cluster": asg.astype(np.int64),
+                vec_col: list(x),
+            }
+        )
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col).reset_index(drop=True)
+        x = np.stack(df[vec_col].to_numpy())
+        nrm = np.linalg.norm(x, axis=1)
+        nrm[nrm == 0] = 1.0  # zero vectors: cos := 0 (oracle-side NaN never >= t)
+        xn = x / nrm[:, None]
+        n = len(df)
+        dup = np.zeros(n, dtype=bool)
+        step = 1024
+        for s in range(1, n, step):
+            e = min(s + step, n)
+            sims = np.round(xn[:e] @ xn[s:e].T, round_digits)
+            jj = np.arange(e)[:, None]
+            ii = np.arange(s, e)[None, :]
+            sims[jj >= ii] = -2.0  # only strictly-earlier rows count
+            dup[s:e] = (sims >= threshold).any(axis=0)
+        return pd.DataFrame(
+            {id_col: df[id_col], "cluster": df["cluster"], "is_dup": dup}
+        )
+
+    return (
+        ds.map_batches(assign_keep, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(mark, batch_format="pandas")
+    )

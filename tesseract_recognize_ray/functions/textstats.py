@@ -611,3 +611,71 @@ def sliding_token_chunks(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def unigram_logprob(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 5000,
+    floor_count: float = 0.5,
+) -> Dataset:
+    """CCNet-style unigram language-model quality score, integer-exact so a
+    SQL oracle reproduces it bit-for-bit: per document,
+
+        lp_micro = sum over whitespace tokens of
+                   CAST(ROUND(log10(p(token)) * 1e6) AS BIGINT)
+
+    where p(token) = corpus_count/total for the ``vocab_size`` most frequent
+    tokens (ties broken by token asc — same order as the topk contract) and
+    p(OOV) = floor_count/total. Per-token quantization to integer micro-nats
+    BEFORE the per-doc sum makes the distributed reduce order-independent
+    (int64 adds commute exactly; float sums don't). Output:
+    (id_col, n_tokens, lp_micro) with one row per input document — empty /
+    whitespace-only docs score (0, 0).
+
+    Scale shape: pass 1 = term_counts (map-side combiner, one row per
+    distinct token per block through the shuffle), materialized once —
+    the vocabulary is the corpus's distinct-token set, bounded and tiny
+    relative to the corpus (web corpora: ~10^8 rows from 10^12 docs);
+    top-V + total then reduce it to a broadcast table shipped once via
+    ray.put, and pass 2 streams documents through one vectorized
+    map_batches (Arrow tokenize -> pc.index_in against the broadcast
+    vocab -> np.add.at per-doc int sums). No per-token Python."""
+    import ray
+
+    from .relational import topk
+
+    counts = term_counts(ds, text_col).materialize()
+    total = int(counts.sum("n"))
+    top = topk(counts, "n", vocab_size, descending=True, tiebreak=["token"]).to_pandas()
+    lp = np.round(np.log10(top["n"].to_numpy(np.float64) / total) * 1e6).astype(np.int64)
+    floor_lp = np.int64(np.round(np.log10(floor_count / total) * 1e6))
+    vocab_ref = ray.put((pa.array(top["token"], pa.string()), lp))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vocab_arr, lp_arr = ray.get(vocab_ref)
+        lists = _ws_token_lists(batch.column(text_col))
+        flat = lists.flatten()
+        off = np.asarray(lists.offsets)
+        off = off - off[0]  # flatten() re-bases values to offset 0
+        docidx = np.repeat(np.arange(len(lists), dtype=np.int64), np.diff(off))
+        ne = np.asarray(pc.not_equal(flat, ""))
+        docidx = docidx[ne]
+        idx = pc.index_in(flat.filter(pa.array(ne)), value_set=vocab_arr)
+        valid = idx.is_valid().to_numpy(zero_copy_only=False)
+        idx_np = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_lp = np.where(valid, lp_arr[idx_np], floor_lp)
+        n = len(lists)
+        sums = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, docidx, tok_lp)
+        ntok = np.bincount(docidx, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(ntok),
+                "lp_micro": pa.array(sums),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -190,3 +190,52 @@ def test_kmeans_deterministic_and_partition_invariant(ray_session):
     # e6 centroid rounding makes the distributed reduce bit-stable: the
     # assignment must not depend on block layout
     pd.testing.assert_frame_equal(runs[0], runs[1])
+
+
+def test_unigram_logprob_exact_values(ray_session):
+    from tesseract_recognize_ray.functions.textstats import unigram_logprob
+
+    # corpus: a x3, b x1, c x1 (total 5); vocab_size=2 -> {a, b} (tie b<c);
+    # hand-computed integer micro-log10-probs, incl. OOV floor + empty doc
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a a b", "  ", "c a"]})
+    out = (
+        unigram_logprob(rd.from_pandas(df), "doc_id", "text", vocab_size=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    lp_a = round(np.log10(3 / 5) * 1e6)  # -221849
+    lp_b = round(np.log10(1 / 5) * 1e6)  # -698970
+    flp = round(np.log10(0.5 / 5) * 1e6)  # -1000000 exactly
+    assert list(out["n_tokens"]) == [3, 0, 2]
+    assert list(out["lp_micro"]) == [2 * lp_a + lp_b, 0, flp + lp_a]
+
+
+def test_semantic_dedup_flags_planted_near_dups(ray_session):
+    from tesseract_recognize_ray.functions.similarity import semantic_dedup
+
+    # random 16-dim gaussians: pairwise cosine concentrates near 0, far from
+    # the 0.999 threshold; planted near-copies 10->11 and 16->29 are the only
+    # near-dup pairs and land in the same k-means cluster by construction
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, size=(30, 16))
+    base[11] = base[10] + 1e-4
+    base[29] = base[16] * (1 + 1e-6)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(30, dtype=np.int64), "embedding": list(base)}
+    )
+    out = (
+        semantic_dedup(
+            rd.from_pandas(df).repartition(3), "vec_id", "embedding",
+            k=2, iters=4, threshold=0.999,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 30
+    dup_ids = set(out[out["is_dup"]]["vec_id"])
+    # the LATER member of each planted pair is flagged, everything else kept
+    assert dup_ids == {11, 29}
+    cl = out.set_index("vec_id")["cluster"]
+    assert cl[10] == cl[11] and cl[16] == cl[29]
