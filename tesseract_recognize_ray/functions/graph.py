@@ -898,6 +898,66 @@ def bfs_hops(
     )
 
 
+def _kcore_broadcast(e: Dataset, *, k: int, rounds: int) -> Dataset:
+    """Driver-coordinated k-core peel below the broadcast gate: ONE Ray job
+    per round. The alive-id set (sorted int64) ships via ray.put; each block
+    filters its edges to both-endpoints-alive and emits value_counts degree
+    partials (distinct endpoints per block, never raw edges); the driver
+    folds them and updates the alive set. Matches kcore_peel's fixed-round
+    mid-cascade contract exactly (converged round short-circuits; output =
+    degrees over the final surviving edge set, so isolated-but-alive nodes
+    don't appear — same as the groupby path)."""
+    import ray
+
+    def partials_of(alive_ref):
+        def fn(b: pa.Table) -> pa.Table:
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            alive = ray.get(alive_ref)
+            if alive is not None:
+                def member(x):
+                    i = np.minimum(np.searchsorted(alive, x), len(alive) - 1)
+                    return alive[i] == x
+
+                m = member(u) & member(v)
+                u, v = u[m], v[m]
+            vc = pc.value_counts(pa.array(np.concatenate([u, v])))
+            return pa.table(
+                {
+                    "node": vc.field("values"),
+                    "cnt": pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
+
+        return fn
+
+    def fold_degrees(alive_ref):
+        parts = [
+            b
+            for b in e.map_batches(partials_of(alive_ref), batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pandas"  # whole blocks: default 256 re-chops
+            )
+        ]
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        s = pd.concat(parts).groupby("node", sort=True)["cnt"].sum()
+        return s.index.to_numpy().astype(np.int64), s.to_numpy().astype(np.int64)
+
+    def result(nodes, degs):
+        return rd.from_arrow(pa.table({"node": pa.array(nodes), "deg": pa.array(degs)}))
+
+    alive_ref = ray.put(None)
+    for _ in range(rounds):
+        nodes, degs = fold_degrees(alive_ref)
+        good = nodes[degs >= k]
+        if len(good) == len(nodes):  # converged: further rounds are no-ops
+            return result(nodes, degs)
+        if len(good) == 0:
+            return result(np.empty(0, np.int64), np.empty(0, np.int64))
+        alive_ref = ray.put(good)  # sorted: groupby(sort=True) index order
+    return result(*fold_degrees(alive_ref))
+
+
 def kcore_peel(
     edges: Dataset,
     src: str = "src",
@@ -918,10 +978,16 @@ def kcore_peel(
     oracle computes; a converged round (nothing removed) short-circuits,
     since further rounds are no-ops.
 
-    Broadcast-or-merge gate per round, same design as enumerate_triangles:
-    the surviving node id set ships via ray.put + searchsorted membership
-    below broadcast_max_nodes; above it, two tag-union bucketed semi-merges
-    (one per endpoint) filter the edge list without any driver pull."""
+    Broadcast-or-merge gate, same design as bfs_hops: when the edge list is
+    small enough that the driver can hold per-node state (|E| <=
+    broadcast_max_nodes, so |V| <= 2x that), the whole peel runs as ONE Ray
+    job per round — alive ids ship via ray.put, each block emits its
+    value_counts degree partials over alive-edge endpoints, the driver folds
+    them — no shuffle, no per-round edge materialization (the original edge
+    set is scanned each round; for fixed small `rounds` that beats writing
+    shrunken copies). Above the gate, each round recomputes degrees with a
+    combiner groupby and filters edges with two tag-union bucketed
+    semi-merges (one per endpoint) without any driver pull."""
     import ray
 
     from tesseract_recognize_ray.functions.relational import grouped_agg
@@ -958,6 +1024,9 @@ def kcore_peel(
             [("node", "count", "deg")],
         )
 
+    if e.count() <= broadcast_max_nodes:
+        return _kcore_broadcast(e, k=k, rounds=rounds)
+
     for _ in range(rounds):
         deg = degrees(e).materialize()
         n_nodes = deg.count()
@@ -969,69 +1038,53 @@ def kcore_peel(
             return rd.from_arrow(
                 pa.table({"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())})
             )
-        if n_nodes <= broadcast_max_nodes:
-            ids = np.sort(good.select_columns(["node"]).to_pandas()["node"].to_numpy())
-            ids_ref = ray.put(ids)
-
-            def keep_edges(b: pa.Table, ids_ref=ids_ref) -> pa.Table:
-                arr = ray.get(ids_ref)
-                u = b.column("u").to_numpy(zero_copy_only=False)
-                v = b.column("v").to_numpy(zero_copy_only=False)
-
-                def member(x):
-                    i = np.minimum(np.searchsorted(arr, x), len(arr) - 1)
-                    return arr[i] == x
-
-                return b.filter(pa.array(member(u) & member(v)))
-
-            e = e.map_batches(keep_edges, batch_format="pyarrow").materialize()
-        else:
-            # two semi-merges: good-node rows (tag 1) ride to each endpoint's
-            # bucket in turn; an edge survives a pass iff its endpoint matched
-            def semi(edge_ds: Dataset, col: str) -> Dataset:
-                def tag_edges(b: pa.Table) -> pa.Table:
-                    return pa.table(
-                        {
-                            "u": b.column("u"),
-                            "v": b.column("v"),
-                            "__node": b.column(col),
-                            "__tag": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-                        }
-                    )
-
-                def tag_good(b: pa.Table) -> pa.Table:
-                    return pa.table(
-                        {
-                            "u": pa.nulls(b.num_rows, pa.int64()),
-                            "v": pa.nulls(b.num_rows, pa.int64()),
-                            "__node": b.column("node"),
-                            "__tag": pa.array(np.ones(b.num_rows, dtype=np.int8)),
-                        }
-                    )
-
-                both = edge_ds.map_batches(tag_edges, batch_format="pyarrow").union(
-                    good.map_batches(tag_good, batch_format="pyarrow")
+        # two semi-merges: good-node rows (tag 1) ride to each endpoint's
+        # bucket in turn; an edge survives a pass iff its endpoint matched
+        def semi(edge_ds: Dataset, col: str) -> Dataset:
+            def tag_edges(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "u": b.column("u"),
+                        "v": b.column("v"),
+                        "__node": b.column(col),
+                        "__tag": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+                    }
                 )
 
-                def bucket(b: pa.Table) -> pa.Table:
-                    return b.append_column(
-                        "__bucket",
-                        pa.array(stable_bucket(b.column("__node"), num_buckets), pa.int32()),
-                    )
-
-                def merge(df: pd.DataFrame) -> pd.DataFrame:
-                    ok = set(df.loc[df["__tag"] == 1, "__node"].to_numpy())
-                    ee = df[df["__tag"] == 0]
-                    keep = ee["__node"].isin(ok)
-                    return ee.loc[keep, ["u", "v"]].astype("int64")
-
-                return (
-                    both.map_batches(bucket, batch_format="pyarrow")
-                    .groupby("__bucket")
-                    .map_groups(lambda d: merge(d.drop(columns="__bucket")), batch_format="pandas")
+            def tag_good(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "u": pa.nulls(b.num_rows, pa.int64()),
+                        "v": pa.nulls(b.num_rows, pa.int64()),
+                        "__node": b.column("node"),
+                        "__tag": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                    }
                 )
 
-            e = semi(semi(e, "u"), "v").materialize()
+            both = edge_ds.map_batches(tag_edges, batch_format="pyarrow").union(
+                good.map_batches(tag_good, batch_format="pyarrow")
+            )
+
+            def bucket(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "__bucket",
+                    pa.array(stable_bucket(b.column("__node"), num_buckets), pa.int32()),
+                )
+
+            def merge(df: pd.DataFrame) -> pd.DataFrame:
+                ok = set(df.loc[df["__tag"] == 1, "__node"].to_numpy())
+                ee = df[df["__tag"] == 0]
+                keep = ee["__node"].isin(ok)
+                return ee.loc[keep, ["u", "v"]].astype("int64")
+
+            return (
+                both.map_batches(bucket, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(lambda d: merge(d.drop(columns="__bucket")), batch_format="pandas")
+            )
+
+        e = semi(semi(e, "u"), "v").materialize()
+
 
     return degrees(e)
 

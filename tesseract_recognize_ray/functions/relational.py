@@ -1487,7 +1487,7 @@ def global_row_number(
 
     parts = [
         b[first].to_numpy()
-        for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(batch_format="pandas")
+        for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(batch_size=None, batch_format="pandas")
     ]
     samples = np.sort(np.concatenate(parts)) if parts else np.array([])
     if len(samples) == 0:
@@ -1543,6 +1543,6 @@ def polynomial_checksum(
         return pa.table({"partial": pa.array([int(np.sum(h % p) % p)], pa.int64())})
 
     total = 0
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pandas"):
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_size=None, batch_format="pandas"):
         total = (total + int(b["partial"].sum())) % prime
     return total

@@ -403,7 +403,7 @@ def _kmeans_centroids(
         sums = np.zeros_like(cents)
         n = np.zeros(len(cents), dtype=np.int64)
         for b in ds.map_batches(partials_of(c_ref), batch_format="pandas").iter_batches(
-            batch_format="pandas"
+            batch_size=None, batch_format="pandas"
         ):
             cid = b["cid"].to_numpy()
             np.add.at(sums, cid, np.stack(b["s"].to_numpy()))
