@@ -79,6 +79,55 @@ def _round_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return out.drop_duplicates()
 
 
+def _min_label_prop(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized min-label propagation with pointer jumping over one
+    in-memory edge list: returns (sorted unique node ids, component label =
+    min node id of each node's component). O((E+V) log D) numpy work."""
+    ids = np.unique(np.concatenate([u, v]))
+    iu = np.searchsorted(ids, u)
+    iv = np.searchsorted(ids, v)
+    lab = np.arange(len(ids))
+    while True:
+        l2 = lab.copy()
+        np.minimum.at(l2, iu, lab[iv])
+        np.minimum.at(l2, iv, lab[iu])
+        l2 = np.minimum(l2, l2[l2])  # pointer jump: label of my label
+        if np.array_equal(l2, lab):
+            break
+        lab = l2
+    return ids, ids[lab]
+
+
+def _cc_broadcast(edges: Dataset, src: str, dst: str) -> Dataset:
+    """Broadcast-gate fast path for connected_components: each block runs
+    local min-label propagation and emits ONE (node, local-component) star
+    row per distinct node — a per-block spanning contraction, never raw
+    edges — and the driver folds the contracted stars with the same numpy
+    kernel. ONE Ray job total; pulled rows are bounded by blocks x
+    nodes-per-block, not by |E|."""
+
+    def forest(b: pa.Table) -> pa.Table:
+        u = b.column(src).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b.column(dst).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids, comp = _min_label_prop(u, v)
+        return pa.table({"node": pa.array(ids), "comp": pa.array(comp)})
+
+    parts = [
+        b
+        for b in edges.map_batches(forest, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pandas"
+        )
+        if len(b)
+    ]
+    if not parts:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+        )
+    allp = pd.concat(parts)
+    ids, comp = _min_label_prop(allp["node"].to_numpy(), allp["comp"].to_numpy())
+    return rd.from_arrow(pa.table({"node": pa.array(ids), "component": pa.array(comp)}))
+
+
 def connected_components(
     edges: Dataset,
     src: str = "src",
@@ -86,13 +135,20 @@ def connected_components(
     *,
     num_buckets: int = 64,
     max_rounds: int = 30,
+    broadcast_max_edges: int = 4_000_000,
 ) -> Dataset:
     """Connected components of an undirected graph given as an edge Dataset
     (each edge once, either orientation; int-castable node ids).
 
     Returns Dataset[node: int64, component: int64] covering every node that
     appears in `edges`, with component = min node id of its component.
-    """
+
+    Below `broadcast_max_edges` the per-block-contraction fast path runs
+    (see _cc_broadcast: one Ray job, node-bounded driver pull); above it,
+    the hash-to-min shuffle iteration handles graphs of any size."""
+    edges = edges.materialize()  # both paths re-scan; rounds must not re-run lineage
+    if edges.count() <= broadcast_max_edges:
+        return _cc_broadcast(edges, src, dst)
     pairs = edges.map_batches(_init_pairs(src, dst), batch_format="pyarrow")
     prev_sig = None
     for _ in range(max_rounds):

@@ -39,7 +39,11 @@ def test_cc_random_graph_matches_union_find(ray_session):
     edges = [tuple(map(int, rng.integers(0, 200, 2))) for _ in range(150)]
     edges = [(a, b) for a, b in edges if a != b]
     df = pd.DataFrame(edges, columns=["src", "dst"]).drop_duplicates()
-    assert _cc(df, num_buckets=8) == _union_find_components(df.itertuples(index=False))
+    want = _union_find_components(df.itertuples(index=False))
+    # both paths must agree with union-find: the per-block-contraction
+    # broadcast path (default gate) and the hash-to-min shuffle path
+    assert _cc(df, num_buckets=8) == want
+    assert _cc(df, num_buckets=8, broadcast_max_edges=0) == want
 
 
 def test_cc_star_with_high_hub(ray_session):
@@ -57,7 +61,7 @@ def test_cc_long_path_converges(ray_session):
     # signature stop (labels monotone; unchanged signature == done).
     edges = [(i, i + 1) for i in range(300, 340)]
     df = pd.DataFrame(edges, columns=["src", "dst"])
-    got = _cc(df, num_buckets=4)
+    got = _cc(df, num_buckets=4, broadcast_max_edges=0)  # force shuffle path
     assert set(got.values()) == {300}
     assert len(got) == 41
 
