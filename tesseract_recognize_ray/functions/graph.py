@@ -606,10 +606,45 @@ def enumerate_triangles(
             {"node": pa.concat_arrays([b.column("u").combine_chunks(), b.column("v").combine_chunks()])}
         )
 
-    deg = grouped_agg(
-        e.map_batches(endpoints, batch_format="pyarrow"), ["node"], [("node", "count", "deg")]
-    )
-    n_nodes = deg.count()
+    # Degrees: below the edge broadcast gate they fold on the driver in ONE
+    # pass (per-block value_counts partials — the same shape as the kcore
+    # fast path; re-using a deg *Dataset* here cost three full re-executions
+    # of the groupby lineage: count, to_pandas and the id-bounds aggregate).
+    n_edges = e.count()
+    ids = dgs = None
+    deg = None
+    if n_edges <= broadcast_max_edges:
+        def endpoint_counts(b: pa.Table) -> pa.Table:
+            vc = pc.value_counts(
+                pa.concat_arrays(
+                    [b.column("u").combine_chunks(), b.column("v").combine_chunks()]
+                )
+            )
+            return pa.table(
+                {"node": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+            )
+
+        parts = [
+            b
+            for b in e.map_batches(endpoint_counts, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pandas"
+            )
+            if len(b)
+        ]
+        if parts:
+            s = pd.concat(parts).groupby("node", sort=True)["cnt"].sum()
+            ids = s.index.to_numpy().astype(np.int64)
+            dgs = s.to_numpy().astype(np.int64)
+        else:
+            ids = np.empty(0, np.int64)
+            dgs = np.empty(0, np.int64)
+        n_nodes = len(ids)
+    if ids is None or n_nodes > broadcast_max_nodes:
+        ids = dgs = None
+        deg = grouped_agg(
+            e.map_batches(endpoints, batch_format="pyarrow"), ["node"], [("node", "count", "deg")]
+        ).materialize()
+        n_nodes = deg.count()
 
     def orient_arrays(u, v, du, dv):
         u_first = (du < dv) | ((du == dv) & (u < v))
@@ -621,18 +656,16 @@ def enumerate_triangles(
             }
         )
 
-    if n_nodes <= broadcast_max_nodes:
-        nd = deg.to_pandas()  # gated: at most broadcast_max_nodes rows
-        order = np.argsort(nd["node"].to_numpy(), kind="stable")
-        ids_ref = ray.put(nd["node"].to_numpy()[order])
-        deg_ref = ray.put(nd["deg"].to_numpy()[order])
+    if ids is not None:
+        ids_ref = ray.put(ids)  # driver-folded: already sorted by node id
+        deg_ref = ray.put(dgs)
 
         def orient(b: pa.Table) -> pa.Table:
-            ids = ray.get(ids_ref)
+            sids = ray.get(ids_ref)
             dg = ray.get(deg_ref)
             u = b.column("u").to_numpy(zero_copy_only=False)
             v = b.column("v").to_numpy(zero_copy_only=False)
-            return orient_arrays(u, v, dg[np.searchsorted(ids, u)], dg[np.searchsorted(ids, v)])
+            return orient_arrays(u, v, dg[np.searchsorted(sids, u)], dg[np.searchsorted(sids, v)])
 
         oriented = e.map_batches(orient, batch_format="pyarrow")
     else:
@@ -640,23 +673,26 @@ def enumerate_triangles(
         # turn, degree rows (tag 1) ride along; one stable_bucket shuffle per
         # endpoint, vectorized pandas merge inside each bucket
         def attach(edge_ds: Dataset, key: str, out: str) -> Dataset:
+            # both tag streams MUST emit the same column ORDER — Dataset.union
+            # aligns blocks positionally, so a (__tag, __deg) vs (__deg, __tag)
+            # mismatch silently transposes the two columns
+            names = list(edge_ds.schema().names)
+
             def tag_edges(b: pa.Table) -> pa.Table:
                 t = b.append_column("__node", b.column(key))
-                return t.append_column("__tag", pa.array(np.zeros(b.num_rows, dtype=np.int8)))
+                t = t.append_column("__tag", pa.array(np.zeros(b.num_rows, dtype=np.int8)))
+                return t.append_column("__deg", pa.nulls(b.num_rows, pa.int64()))
 
             def tag_deg(b: pa.Table) -> pa.Table:
-                cols = {n: pa.nulls(b.num_rows, pa.int64()) for n in edge_ds.schema().names}
+                cols = {n: pa.nulls(b.num_rows, pa.int64()) for n in names}
                 cols["__node"] = b.column("node")
-                cols["__deg"] = b.column("deg")
                 cols["__tag"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+                cols["__deg"] = b.column("deg")
                 return pa.table(cols)
 
-            le = edge_ds.map_batches(tag_edges, batch_format="pyarrow")
-            le = le.map_batches(
-                lambda b: b.append_column("__deg", pa.nulls(b.num_rows, pa.int64())),
-                batch_format="pyarrow",
+            both = edge_ds.map_batches(tag_edges, batch_format="pyarrow").union(
+                deg.map_batches(tag_deg, batch_format="pyarrow")
             )
-            both = le.union(deg.map_batches(tag_deg, batch_format="pyarrow"))
 
             def bucket(b: pa.Table) -> pa.Table:
                 return b.append_column(
@@ -667,7 +703,10 @@ def enumerate_triangles(
                 dd = df[df["__tag"] == 1][["__node", "__deg"]]
                 ee = df[df["__tag"] == 0].drop(columns=["__deg", "__bucket", "__tag"])
                 m = ee.merge(dd, on="__node", how="inner")
-                return m.drop(columns="__node").rename(columns={"__deg": out})
+                m = m.drop(columns="__node").rename(columns={"__deg": out})
+                # tag-1 rows' null ints float the dtypes through the group
+                # concat; the surviving rows are all tag-0 ints
+                return m.astype({c: "int64" for c in m.columns})
 
             return (
                 both.map_batches(bucket, batch_format="pyarrow")
@@ -719,27 +758,24 @@ def enumerate_triangles(
         out["__tag"] = np.zeros(len(out), dtype=np.int8)
         return out
 
-    w = (
-        oriented.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(lambda d: wedges(d.drop(columns="__bucket")), batch_format="pandas")
-    )
-
     # Closing match. Wedge volume is O(m^1.5) while the edge list is only
     # O(m), so the cheap path broadcasts the packed edge set ((b<<32)|c,
-    # sorted uint64 — 8 bytes/edge) and filters wedges with one searchsorted
-    # per batch: the dominant data volume never shuffles. Falls back to a
-    # tag-union bucketed merge when the edge list is too big to broadcast or
-    # ids exceed 32 bits (never Ray's JoinOperator, whose empty hash
-    # partitions cannot be joined).
-    n_edges = oriented.count()
-    if n_nodes:
+    # sorted uint64 — 8 bytes/edge) and FUSES the close filter into the
+    # wedge-emission map_groups: wedges are born, filtered against the
+    # broadcast set, and die inside one task — the O(m^1.5) wedge stream
+    # never touches the object store, only actual triangles do. Falls back
+    # to a tag-union bucketed merge when the edge list is too big to
+    # broadcast or ids exceed 32 bits (never Ray's JoinOperator, whose
+    # empty hash partitions cannot be joined).
+    if n_nodes == 0:
+        ids_fit_u32 = True
+    elif ids is not None:
+        ids_fit_u32 = bool(ids[0] >= 0 and ids[-1] < 2**32)
+    else:
         from ray.data.aggregate import Max as AggMax, Min as AggMin
 
         bounds = deg.aggregate(AggMin("node"), AggMax("node"))
         ids_fit_u32 = bounds["min(node)"] >= 0 and bounds["max(node)"] < 2**32
-    else:
-        ids_fit_u32 = True
 
     if n_edges <= broadcast_max_edges and ids_fit_u32:
         packed = oriented.map_batches(
@@ -755,18 +791,42 @@ def enumerate_triangles(
         ).to_pandas()["k"].to_numpy()  # gated: at most broadcast_max_edges rows
         edge_ref = ray.put(np.sort(packed))
 
-        def close_bcast(b: pa.Table) -> pa.Table:
-            arr = ray.get(edge_ref)
-            kb = b.column("kb").to_numpy(zero_copy_only=False).astype(np.uint64)
-            kc = b.column("kc").to_numpy(zero_copy_only=False).astype(np.uint64)
-            key = (kb << np.uint64(32)) | kc
-            idx = np.searchsorted(arr, key)
-            idx_c = np.minimum(idx, len(arr) - 1) if len(arr) else idx
-            hit = (arr[idx_c] == key) if len(arr) else np.zeros(len(key), bool)
-            t = b.select(["wa", "kb", "kc"]).filter(pa.array(hit))
-            return t.rename_columns(["a", "b", "c"])
+        def wedges_close(df: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
 
-        return w.map_batches(close_bcast, batch_format="pyarrow")
+            arr = _ray.get(edge_ref)
+            df = df.sort_values(["a", "db", "b"], kind="mergesort")
+            sizes = df.groupby("a", sort=False).size().to_numpy()
+            a_vals = df["a"].to_numpy()
+            b_vals = df["b"].to_numpy()
+            li, ri = _pair_indices(sizes)
+            key = (b_vals[li].astype(np.uint64) << np.uint64(32)) | b_vals[ri].astype(np.uint64)
+            if len(arr):
+                idx = np.minimum(np.searchsorted(arr, key), len(arr) - 1)
+                hit = arr[idx] == key
+            else:
+                hit = np.zeros(len(key), bool)
+            return pd.DataFrame(
+                {
+                    "a": a_vals[li[hit]].astype(np.int64),
+                    "b": b_vals[li[hit]].astype(np.int64),
+                    "c": b_vals[ri[hit]].astype(np.int64),
+                }
+            )
+
+        return (
+            oriented.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(
+                lambda d: wedges_close(d.drop(columns="__bucket")), batch_format="pandas"
+            )
+        )
+
+    w = (
+        oriented.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda d: wedges(d.drop(columns="__bucket")), batch_format="pandas")
+    )
 
     def edge_rows(b: pa.Table) -> pa.Table:
         return pa.table(
