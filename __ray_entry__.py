@@ -2676,6 +2676,55 @@ def _q_weighted_doc_sample(sf_dir: str):
     return out.drop_columns(["k"])
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition matrix of per-user event sequences (the sequence-
+    modeling prep step): count (from_type, to_type) over consecutive events
+    per user ordered by (ts, event_id) — one bucketed lag shuffle + one
+    combiner groupby; the first event of each user has no predecessor."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    lag = F.window_lag(ds, "user_id", ["ts", "event_id"], "event_type", out_col="from_type")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["from_type"].notna()]
+        return pd.DataFrame({"from_type": b["from_type"], "to_type": b["event_type"]})
+
+    return F.grouped_agg(
+        lag.map_batches(project, batch_format="pandas"),
+        ["from_type", "to_type"],
+        [("to_type", "count", "n")],
+    )
+
+
+def _q_balanced_doc_sample(sf_dir: str):
+    """Domain-rebalancing sampler (DoReMi-lite): deterministic A-ES draw of
+    200 docs with per-doc weight 1/|source group|, so every `source` domain
+    gets equal expected representation regardless of its corpus share. The
+    A-ES key is compared in log-space — k = n_source * log10(u) with u from
+    the fixed integer hash of doc_id — a monotone transform of u^(1/w) that
+    cannot underflow for huge groups. Group sizes are a tiny groupby
+    broadcast to every task; SQL replays via a join + the same expression."""
+    import ray
+
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "source"])
+    counts = F.grouped_agg(ds, ["source"], [("doc_id", "count", "n")]).to_pandas()
+    cmap_ref = ray.put(dict(zip(counts["source"], counts["n"].astype(np.int64))))
+
+    def add_key(b: pa.Table) -> pa.Table:
+        cmap = ray.get(cmap_ref)
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = pd.Series(b.column("source").to_pandas()).map(cmap).to_numpy(np.float64)
+        u = ((d * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+        k = n * np.log10(u)
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "source": b.column("source"), "k": pa.array(k)}
+        )
+
+    out = F.topk(
+        ds.map_batches(add_key, batch_format="pyarrow"), "k", 200, descending=True, tiebreak=["doc_id"]
+    )
+    return out.drop_columns(["k"])
+
+
 def _q_event_global_ordinals(sf_dir: str):
     """Distributed zipWithIndex: the 1-based global ordinal of every event
     under ORDER BY (ts, event_id) via sampled range partitioning + broadcast
@@ -2810,6 +2859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "semantic_dedup": _q_semantic_dedup,
         "doc_lm_score": _q_doc_lm_score,
+        "event_transitions": _q_event_transitions,
+        "balanced_doc_sample": _q_balanced_doc_sample,
         "events_by_type": _q_events_by_type,
         "suppliers_per_region": _q_suppliers_per_region,
         "parts_by_brand": _q_parts_by_brand,
@@ -3107,6 +3158,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_idx,
                    array_to_string(tl[chunk_idx*16 + 1 : chunk_idx*16 + 32], ' ') AS chunk
             FROM idx
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS from_type
+                FROM events
+            )
+            SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE from_type IS NOT NULL
+            GROUP BY from_type, event_type
+        """,
+        "balanced_doc_sample": """
+            WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+            SELECT doc_id, source FROM (
+                SELECT d.doc_id, d.source,
+                       c.n * LOG10(((d.doc_id * 2654435761) % 4294967296 + 0.5)
+                                   / 4294967296.0) AS k
+                FROM documents d JOIN c USING (source)
+            ) ORDER BY k DESC, doc_id LIMIT 200
         """,
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),

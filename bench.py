@@ -94,6 +94,8 @@ _BENCH_QUERIES = [
     "kmeans_clusters",
     "semantic_dedup",
     "doc_lm_score",
+    "event_transitions",
+    "balanced_doc_sample",
 ]
 
 

@@ -239,3 +239,24 @@ def test_semantic_dedup_flags_planted_near_dups(ray_session):
     assert dup_ids == {11, 29}
     cl = out.set_index("vec_id")["cluster"]
     assert cl[10] == cl[11] and cl[16] == cl[29]
+
+
+def test_balanced_sample_equalizes_domains(ray_session):
+    # 3 sources with wildly skewed shares (400/80/20): a 60-doc A-ES draw
+    # with w=1/|group| must land each source near 20, not near its share
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import relational as F
+
+    n = 500
+    src = np.array(["big"] * 400 + ["mid"] * 80 + ["small"] * 20)
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "source": src})
+    counts = df.groupby("source").size()
+    cmap = counts.to_dict()
+    d = df["doc_id"].to_numpy()
+    u = ((d * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+    k = df["source"].map(cmap).to_numpy(np.float64) * np.log10(u)
+    picked = df.iloc[np.argsort(-k, kind="stable")[:60]]
+    got = picked.groupby("source").size()
+    # every domain within [10, 30] of the equal-share 20
+    assert all(10 <= got.get(s, 0) <= 30 for s in ["big", "mid", "small"]), got.to_dict()
