@@ -2831,8 +2831,121 @@ def _q_doc_lm_score(sf_dir: str):
     return F_text.unigram_logprob(ds, "doc_id", "text", vocab_size=20)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing (GPT-style pretraining prep): all
+    documents' whitespace tokens laid end-to-end in doc_id order, cut into
+    fixed 64-token training windows; one row per (window, doc) overlap with
+    the doc-local token span. Only (doc_id, token_count) pairs shuffle —
+    text never moves."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    return F_text.pack_sequences(ds, "doc_id", "text", seq_len=64)
+
+
+def _q_bloom_semi_join_lineitem(sf_dir: str):
+    """Bloom-pruned semi-join: per-returnflag count + quantity sum of
+    lineitems whose order has o_totalprice > 150000. The probe side is
+    pruned by a broadcast Bloom filter (block-partial bitmap OR-reduce,
+    ~0.4% FP) BEFORE the exact join removes false positives — the 100 TB
+    shape for big-probe/small-build semi-joins: most non-matching rows die
+    in place instead of entering the exchange."""
+    orders = F.load(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    build = orders.map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 150000.0)),
+        batch_format="pyarrow",
+    ).select_columns(["o_orderkey"])
+    bloom_ref = F.bloom_build(build, "o_orderkey")
+    li = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"])
+    pruned = F.bloom_prune(li, "l_orderkey", bloom_ref)
+    exact = F.broadcast_semi_join(pruned, build, "l_orderkey", "o_orderkey")
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(b.column("l_quantity"), 100.0)), pa.int64())
+        return pa.table({"l_returnflag": b.column("l_returnflag"), "qc": q})
+
+    agg = F.grouped_agg(
+        exact.map_batches(to_cents, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("qc", "count", "n"), ("qc", "sum", "qc_sum")],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "n": b.column("n"),
+                "sum_qty": pc.divide(pc.cast(b.column("qc_sum"), pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_doc_split_counts(sf_dir: str):
+    """Deterministic train/val/test split (the reproducible-split primitive
+    every training pipeline needs): bucket = Knuth multiplicative hash of
+    doc_id mod 100 -> train(<80) / val(<90) / test; pure row-local
+    arithmetic replayed exactly by SQL. Returns per-(source, split) doc
+    counts so the result stays tiny at any corpus size."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (d * 2654435761) % 4294967296 % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table(
+            {"source": b.column("source"), "split": pa.array(split, pa.string())}
+        )
+
+    t = ds.map_batches(fn, batch_format="pyarrow")
+    return F.grouped_agg(t, ["source", "split"], [("split", "count", "n")])
+
+
+def _events_roundtrip_agg(back) -> Any:
+    return F.grouped_agg(
+        back,
+        ["event_type"],
+        [("event_id", "count", "n"), ("event_id", "sum", "sum_event_id"), ("user_id", "sum", "sum_user_id")],
+    )
+
+
+def _q_events_jsonl_roundtrip(sf_dir: str):
+    """Source/sink format coverage: events -> partitioned JSONL files under
+    /tmp (one file per block — the resumable-sink contract) ->
+    ray.data.read_json -> grouped aggregate. Integer/string columns only,
+    which JSON text round-trips exactly; the oracle aggregates the original
+    parquet, so the match proves the writer+reader are lossless."""
+    import shutil
+
+    import ray
+
+    out = "/tmp/trr_roundtrip_jsonl"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    ds.write_json(out)
+    return _events_roundtrip_agg(ray.data.read_json(out))
+
+
+def _q_events_csv_roundtrip(sf_dir: str):
+    """Same round-trip contract as events_jsonl_roundtrip through the CSV
+    writer/reader (type inference must restore int64/string exactly)."""
+    import shutil
+
+    import ray
+
+    out = "/tmp/trr_roundtrip_csv"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    ds.write_csv(out)
+    return _events_roundtrip_agg(ray.data.read_csv(out))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "pack_sequences": _q_pack_sequences,
+        "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
+        "doc_split_counts": _q_doc_split_counts,
+        "events_jsonl_roundtrip": _q_events_jsonl_roundtrip,
+        "events_csv_roundtrip": _q_events_csv_roundtrip,
         "filter_project": _q_filter_project,
         "groupby_pricing": _q_groupby_pricing,
         "topk_orders": _q_topk_orders,
@@ -2963,7 +3076,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    _events_roundtrip_sql = """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(event_id) AS sum_event_id,
+                   SUM(user_id) AS sum_user_id
+            FROM events GROUP BY event_type
+        """
     return {
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n,
+                       CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                            AS BIGINT) AS s
+                FROM t WHERE n > 0
+            ), w AS (
+                SELECT doc_id, n, s,
+                       unnest(generate_series(s // 64, (s + n - 1) // 64)) AS window_id
+                FROM c
+            )
+            SELECT window_id, doc_id,
+                   GREATEST(window_id * 64 - s, 0) AS tok_start,
+                   LEAST((window_id + 1) * 64 - s, n) AS tok_end
+            FROM w
+        """,
+        "bloom_semi_join_lineitem": """
+            SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+            )
+            GROUP BY l_returnflag
+        """,
+        "doc_split_counts": """
+            SELECT source,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "events_jsonl_roundtrip": _events_roundtrip_sql,
+        "events_csv_roundtrip": _events_roundtrip_sql,
         "filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity,
                    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents

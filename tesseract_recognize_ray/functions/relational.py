@@ -1546,3 +1546,71 @@ def polynomial_checksum(
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_size=None, batch_format="pandas"):
         total = (total + int(b["partial"].sum())) % prime
     return total
+
+
+def _splitmix64(v: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array (public-domain
+    mixing constants; wraparound is numpy's native uint64 arithmetic)."""
+    v = v + np.uint64(0x9E3779B97F4A7C15)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
+
+
+def _bloom_hashes(v: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) uint64 bit positions via double hashing h1 + i*h2 mod m."""
+    h1 = _splitmix64(v)
+    h2 = _splitmix64(v ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)
+
+
+def bloom_build(build: Dataset, key: str, m_bits: int = 1 << 23, k: int = 5):
+    """Build a Bloom filter over an int64 key column, distributed: every
+    block emits ONE packed m_bits/8-byte bitmap partial (keys never reach
+    the driver), the driver ORs the partials — a mergeable commutative
+    sketch, exactly the 100 TB shape (partials are fixed-size regardless of
+    block row count; OR-reduce trees if block count ever made the driver OR
+    a bottleneck). Returns a ray.ObjectRef to the packed uint8 bitmap for
+    broadcast into probe-side tasks.
+
+    With m_bits=2^23 (1 MiB) and k=5 the false-positive rate at 1M build
+    keys is ~0.4% — FPs only cost wasted probe rows downstream, never
+    correctness, because callers re-verify with an exact join."""
+    words = m_bits // 8
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
+        bits = _bloom_hashes(v, m_bits, k).ravel()
+        bools = np.zeros(m_bits, dtype=bool)
+        bools[bits.astype(np.int64)] = True
+        return pa.table({"bm": pa.array([np.packbits(bools, bitorder="little").tobytes()])})
+
+    acc = np.zeros(words, dtype=np.uint8)
+    for b in build.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for buf in b.column("bm").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+    return ray.put(acc)
+
+
+def bloom_prune(ds: Dataset, key: str, bloom_ref, m_bits: int = 1 << 23, k: int = 5) -> Dataset:
+    """Drop rows whose key is definitely NOT in the filter (no false
+    negatives; ~0.4% false positives pass through). The probe tests packed
+    bits by gather — `(bm[pos>>3] >> (pos&7)) & 1` — so the bitmap is never
+    unpacked per task. This is the shuffle-avoidance primitive: prune the
+    big probe side BEFORE a semi/hash join so only plausible matches enter
+    the exchange."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        v = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
+        keep = np.ones(len(v), dtype=bool)
+        pos = _bloom_hashes(v, m_bits, k)
+        for i in range(k):
+            p = pos[i]
+            keep &= (bm[(p >> np.uint64(3)).astype(np.int64)] >> (p & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

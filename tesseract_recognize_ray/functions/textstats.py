@@ -679,3 +679,118 @@ def unigram_logprob(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    num_buckets: int = 32,
+    sample_per_block: int = 32,
+) -> Dataset:
+    """Concat-and-chunk sequence packing (GPT-style training prep): lay every
+    document's whitespace tokens end-to-end in id order as ONE global token
+    stream, cut the stream into fixed ``seq_len`` windows, and emit one row
+    per (window, doc) overlap: (window_id, id, tok_start, tok_end) — the
+    doc-local half-open token span that lands in that window. A training
+    loader can materialize window w by gathering those spans in id order.
+
+    Distributed shape (the text itself never moves):
+      1. one vectorized count pass (doc -> non-empty token count; docs with
+         0 tokens drop out, matching the SQL oracle);
+      2. sampled range partitioning on id (same primitive as
+         global_row_number) so equal-id rows co-locate and bucket order is
+         total — the shuffle payload is (id, count) pairs, ~16 bytes/doc;
+      3. per-bucket token sums -> driver prefix sum -> broadcast base
+         offsets (num_buckets int64s, never data rows);
+      4. one vectorized per-bucket emission (repeat/arange window algebra,
+         no Python loops).
+    Skew note: window assignment is pure arithmetic on offsets, so a hot
+    bucket only ever holds its share of (id,count) pairs, never text."""
+    if seq_len <= 0:
+        raise ValueError("pack_sequences: seq_len must be positive")
+
+    def count_fn(b: pa.Table) -> pa.Table:
+        lists = _ws_token_lists(b.column(text_col))
+        flat = lists.flatten()
+        off = np.asarray(lists.offsets, dtype=np.int64)
+        off = off - off[0]
+        if len(flat) == 0:
+            n = np.zeros(max(len(off) - 1, 0), dtype=np.int64)
+        else:
+            ne = np.asarray(pc.not_equal(flat, ""))
+            csum = np.concatenate([[0], np.cumsum(ne)])
+            n = (csum[off[1:]] - csum[off[:-1]]).astype(np.int64)
+        keep = n > 0
+        return pa.table(
+            {
+                id_col: b.column(id_col).filter(pa.array(keep)),
+                "__n": pa.array(n[keep]),
+            }
+        )
+
+    counts = ds.map_batches(count_fn, batch_format="pyarrow")
+
+    # sampled range splits on id (bounded driver pull: blocks x samples ids)
+    def sample(t: pa.Table) -> pa.Table:
+        idx = np.unique(
+            np.linspace(0, max(len(t) - 1, 0), num=min(sample_per_block, len(t))).astype(np.int64)
+        )
+        return pa.table({id_col: t.column(id_col).take(pa.array(idx))})
+
+    parts = [
+        b[id_col].to_numpy()
+        for b in counts.map_batches(sample, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pandas"
+        )
+    ]
+    samples = np.sort(np.concatenate(parts)) if parts else np.array([])
+    if len(samples) == 0:
+        splits = np.array([])
+    else:
+        qs = np.linspace(0, len(samples) - 1, num=num_buckets + 1).astype(np.int64)[1:-1]
+        splits = np.unique(samples[qs])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = b.column(id_col).to_numpy(zero_copy_only=False)
+        bk = np.searchsorted(splits, v, side="right").astype(np.int32)
+        return b.append_column("__rb", pa.array(bk, pa.int32()))
+
+    bucketed = counts.map_batches(add_bucket, batch_format="pyarrow")
+
+    from tesseract_recognize_ray.functions.relational import grouped_agg
+
+    sums = grouped_agg(bucketed, ["__rb"], [("__n", "sum", "tok")]).to_pandas()
+    sums = sums.sort_values("__rb")
+    base = dict(
+        zip(
+            sums["__rb"].to_numpy(),
+            np.concatenate([[0], np.cumsum(sums["tok"].to_numpy(np.int64))[:-1]]),
+        )
+    )
+    L = np.int64(seq_len)
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        bk = int(g["__rb"].iloc[0])
+        g = g.sort_values(id_col, kind="mergesort")
+        n = g["__n"].to_numpy(np.int64)
+        s = np.cumsum(n) - n + np.int64(base[bk])
+        w0 = s // L
+        reps = (s + n - 1) // L - w0 + 1
+        doc_idx = np.repeat(np.arange(len(g), dtype=np.int64), reps)
+        win = (
+            np.arange(int(reps.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(reps)])[:-1], reps)
+            + w0[doc_idx]
+        )
+        return pd.DataFrame(
+            {
+                "window_id": win,
+                id_col: g[id_col].to_numpy()[doc_idx],
+                "tok_start": np.maximum(win * L - s[doc_idx], 0),
+                "tok_end": np.minimum((win + 1) * L - s[doc_idx], n[doc_idx]),
+            }
+        )
+
+    return bucketed.groupby("__rb").map_groups(emit, batch_format="pandas")
