@@ -2831,6 +2831,17 @@ def _q_doc_lm_score(sf_dir: str):
     return F_text.unigram_logprob(ds, "doc_id", "text", vocab_size=20)
 
 
+def _q_dup_token_spans(sf_dir: str):
+    """Exact duplicate-substring spans (Lee et al. 2022 substring-level
+    dedup): maximal merged spans of 5-token windows that occur more than
+    once anywhere in the corpus. Grouped n-gram count (combiner reduce) ->
+    broadcast dup-set filter in place -> per-doc interval-island merge; the
+    only occurrence-level shuffle carries (doc_id, pos) for duplicated
+    windows."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    return F_dedup.duplicate_token_spans(ds, "doc_id", "text", k=5)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing (GPT-style pretraining prep): all
     documents' whitespace tokens laid end-to-end in doc_id order, cut into
@@ -2941,6 +2952,7 @@ def _q_events_csv_roundtrip(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "dup_token_spans": _q_dup_token_spans,
         "pack_sequences": _q_pack_sequences,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
         "doc_split_counts": _q_doc_split_counts,
@@ -3083,6 +3095,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """
     return {
+        "dup_token_spans": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(toks[i:i+4], ' ') AS ng
+                FROM t, unnest(generate_series(1, len(toks) - 4)) AS u(i)
+            ), d AS (
+                SELECT ng FROM g GROUP BY ng HAVING COUNT(*) > 1
+            ), o AS (
+                SELECT g.doc_id, g.pos FROM g JOIN d USING (ng)
+            ), b AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - LAG(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) <= 5
+                            THEN 0 ELSE 1 END AS brk
+                FROM o
+            ), grp AS (
+                SELECT doc_id, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS gid
+                FROM b
+            )
+            SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 5 AS span_end,
+                   COUNT(*) AS n_dup_ngrams
+            FROM grp GROUP BY doc_id, gid
+        """,
         "pack_sequences": """
             WITH t AS (
                 SELECT doc_id,

@@ -651,3 +651,78 @@ def chunk_dedup(ds: Dataset, id_col: str, text_col: str, n_tokens: int = 20) -> 
         )
 
     return kept.map_batches(unpack, batch_format="pyarrow")
+
+
+def duplicate_token_spans(
+    ds: Dataset, id_col: str, text_col: str, k: int = 5
+) -> Dataset:
+    """Exact duplicate-SUBSTRING detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — substring level, the level
+    doc/paragraph dedup can't see): a k-token window is duplicated when the
+    identical token sequence occurs anywhere else in the corpus (another doc
+    OR another offset of the same doc); overlapping/adjacent duplicated
+    windows merge into maximal spans. Returns one row per maximal span:
+    (id, span_start, span_end, n_dup_ngrams) with 0-based half-open token
+    positions — the spans a curation pipeline would cut out of each doc.
+
+    Distributed shape (the reference point is a single-node suffix array;
+    this is the shuffle-light streaming equivalent for sharded corpora):
+      1. vectorized n-gram+position explode (pure Arrow windowing);
+      2. grouped COUNT per n-gram via the bucketed combiner reduce — the
+         exchange carries one (ngram, partial_count) row per distinct
+         n-gram per block, never per occurrence;
+      3. n-grams with count > 1 broadcast back as a key set (`ray.put`
+         once); the occurrence stream re-derives positions locally and
+         filters in place — no occurrence-level shuffle. At corpus scales
+         where the duplicated-ngram set outgrows a broadcast, swap step 3
+         for the bucketed union semi-merge used by `graph.bfs_hops`'s spill
+         path (same keys, same output);
+      4. per-doc maximal-span merge via `streams.interval_merge` (intervals
+         [pos, pos+k], running-cummax islands) — one hash(id) shuffle of
+         (id, pos) pairs for duplicated windows only.
+    """
+    from .relational import broadcast_semi_join, grouped_agg
+    from .streams import interval_merge
+    from .textstats import flat_ngrams_pos
+
+    def explode(b: pa.Table) -> pa.Table:
+        ng, ridx, pos = flat_ngrams_pos(b.column(text_col), k)
+        return pa.table(
+            {
+                "__ng": ng,
+                id_col: pc.take(b.column(id_col), pa.array(ridx)),
+                "pos": pa.array(pos),
+            }
+        )
+
+    occ = ds.map_batches(explode, batch_format="pyarrow")
+    counts = grouped_agg(occ, ["__ng"], [("__ng", "count", "n")])
+    dup = counts.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n"), 1)), batch_format="pyarrow"
+    )
+    occ_dup = broadcast_semi_join(occ, dup, "__ng", "__ng")
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "s": b.column("pos"),
+                "e": pc.add(b.column("pos"), k),
+            }
+        )
+
+    merged = interval_merge(
+        occ_dup.map_batches(to_iv, batch_format="pyarrow"), id_col, "s", "e"
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "span_start": b.column("island_start"),
+                "span_end": b.column("island_end"),
+                "n_dup_ngrams": b.column("n_rows"),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

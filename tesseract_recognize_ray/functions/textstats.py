@@ -794,3 +794,45 @@ def pack_sequences(
         )
 
     return bucketed.groupby("__rb").map_groups(emit, batch_format="pandas")
+
+
+def flat_ngrams_pos(
+    col: pa.ChunkedArray | pa.Array, n: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Like :func:`flat_ngrams` but also returns each n-gram's 0-based token
+    position within its row, counted over NON-EMPTY tokens only (the position
+    model of ``regexp_extract_all(text, '\\S+')``): empty edge tokens from
+    split_whitespace are removed BEFORE windowing, so positions line up with
+    a SQL tokenizer's and windows never contain ''. Returns
+    (ngram strings, source-row index, token position), all window-aligned."""
+    empty = (
+        pa.array([], pa.string()),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
+    lists = _ws_token_lists(col)
+    flat = lists.flatten()
+    off = np.asarray(lists.offsets, dtype=np.int64)
+    off = off - off[0]
+    ne = np.asarray(pc.not_equal(pc.fill_null(flat, ""), ""))
+    csum = np.concatenate([[0], np.cumsum(ne)]).astype(np.int64)
+    off2 = csum[off]  # per-row boundaries in the empties-removed flat array
+    flat2 = flat.filter(pa.array(ne))
+    ln = len(flat2)
+    if ln < n:
+        return empty
+    m = ln - n + 1
+    valid = np.ones(m, dtype=bool)
+    bounds = off2[1:-1]
+    for j in range(1, n):  # window starting at b-j spans the boundary at b
+        idx = bounds - j
+        idx = idx[(idx >= 0) & (idx < m)]
+        valid[idx] = False
+    if not valid.any():
+        return empty
+    mask = pa.array(valid)
+    parts = [flat2.slice(j, m).filter(mask) for j in range(n)]
+    ngrams = pc.binary_join_element_wise(*parts, " ")
+    row_idx_full = np.repeat(np.arange(len(lists), dtype=np.int64), np.diff(off2))[:m]
+    pos_full = np.arange(m, dtype=np.int64) - off2[row_idx_full]
+    return ngrams, row_idx_full[valid], pos_full[valid]

@@ -123,3 +123,67 @@ def test_split_assign_deterministic_and_complete(ray_session):
     frac_train = (h < 80).mean()
     # the multiplicative hash spreads ids near-uniformly
     assert 0.75 < frac_train < 0.85
+
+
+def test_duplicate_token_spans_planted(ray_session):
+    from tesseract_recognize_ray.functions.dedup import duplicate_token_spans
+
+    # unique filler everywhere except a planted 7-token phrase shared by
+    # docs 1 and 3, and a doc-internal repeat in doc 5
+    phrase = "the quick brown fox jumps over dogs"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 5],
+            "text": [
+                f"u1a u1b u1c {phrase} u1d u1e",
+                "v2a v2b v2c v2d v2e v2f v2g v2h",
+                f"{phrase} w3a w3b w3c",
+                f"x5a {phrase} x5b x5c {phrase}",
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(3)
+    out = (
+        duplicate_token_spans(ds, "doc_id", "text", k=5)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    # doc 2 has no duplicated window at all
+    assert 2 not in set(out["doc_id"])
+    # doc 1: phrase occupies tokens 3..10 -> windows 3,4,5 -> span [3, 10)
+    d1 = out[out["doc_id"] == 1]
+    assert d1[["span_start", "span_end", "n_dup_ngrams"]].values.tolist() == [[3, 10, 3]]
+    # doc 3: phrase at 0..7 -> span [0, 7)
+    d3 = out[out["doc_id"] == 3]
+    assert d3[["span_start", "span_end", "n_dup_ngrams"]].values.tolist() == [[0, 7, 3]]
+    # doc 5: phrase at 1..8 and 10..17; both occurrences duplicated (each
+    # 5-gram occurs >=3 times corpus-wide); gap of 2 tokens does NOT merge
+    d5 = out[out["doc_id"] == 5]
+    assert d5[["span_start", "span_end"]].values.tolist() == [[1, 8], [10, 17]]
+
+
+def test_duplicate_token_spans_adjacent_windows_merge(ray_session):
+    from tesseract_recognize_ray.functions.dedup import duplicate_token_spans
+
+    # two distinct duplicated 3-grams that ABUT in doc 1 (positions 0 and 3,
+    # k=3: intervals [0,3] and [3,6] touch) must merge into one span [0,6)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e f",
+                "a b c q2x q2y",
+                "q3x d e f q3y",
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs)
+    out = (
+        duplicate_token_spans(ds, "doc_id", "text", k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out["doc_id"] == 1]
+    assert d1[["span_start", "span_end", "n_dup_ngrams"]].values.tolist() == [[0, 6, 2]]
