@@ -179,6 +179,32 @@ def _q_window_lag_events(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_event_lead_gap(sf_dir: str):
+    """LEAD window (the lag machinery with shift=-1): per-event exact int64
+    microseconds until the same user's NEXT event — inter-arrival times, the
+    session/traffic-modeling primitive. Each user's last event (no next) is
+    dropped so the column stays exact int64 end-to-end."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = F.window_lag(
+        ds, "user_id", ["ts", "event_id"], "ts", out_col="next_ts", shift=-1
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        valid = b["next_ts"].notna().to_numpy()
+        b = b[valid]
+        cur = b["ts"].to_numpy("datetime64[us]").astype("int64")
+        nxt = b["next_ts"].to_numpy("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(),
+                "gap_us": nxt - cur,
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def _q_events_by_type(sf_dir: str):
     """G-family over the event stream: count / exact-cents sum / min / max."""
     ds = F.load(sf_dir, "events", columns=["event_type", "value"])
@@ -2831,6 +2857,36 @@ def _q_doc_lm_score(sf_dir: str):
     return F_text.unigram_logprob(ds, "doc_id", "text", vocab_size=20)
 
 
+def _q_grouping_sets_lineitem(sf_dir: str):
+    """GROUP BY GROUPING SETS with NON-hierarchical sets — (returnflag,
+    linestatus), (linenumber), grand total — sharing ONE base combiner scan
+    over the union-key leaf; each set re-aggregates the tiny leaf (rollup
+    and cube are wrappers over the same core)."""
+    ds = F.load(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_linenumber", "l_quantity"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        qc = pc.cast(pc.round(pc.multiply(b.column("l_quantity"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "l_linenumber": b.column("l_linenumber"),
+                "qc": qc,
+            }
+        )
+
+    return F.grouping_sets_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        [["l_returnflag", "l_linestatus"], ["l_linenumber"], []],
+        [("qc", "count", "n"), ("qc", "sum", "qty_cents")],
+        keys=["l_returnflag", "l_linestatus", "l_linenumber"],
+    )
+
+
 def _q_dup_token_spans(sf_dir: str):
     """Exact duplicate-substring spans (Lee et al. 2022 substring-level
     dedup): maximal merged spans of 5-token windows that occur more than
@@ -2952,6 +3008,7 @@ def _q_events_csv_roundtrip(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "grouping_sets_lineitem": _q_grouping_sets_lineitem,
         "dup_token_spans": _q_dup_token_spans,
         "pack_sequences": _q_pack_sequences,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
@@ -2966,6 +3023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": _q_anti_join_customers,
         "revenue_by_nation": _q_revenue_by_nation,
         "window_lag_events": _q_window_lag_events,
+        "event_lead_gap": _q_event_lead_gap,
         "latest_event_per_user": _q_latest_event_per_user,
         "cohort_retention": _q_cohort_retention,
         "regr_price_by_qty": _q_regr_price_by_qty,
@@ -3095,6 +3153,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """
     return {
+        "grouping_sets_lineitem": """
+            SELECT l_returnflag, l_linestatus, l_linenumber,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS qty_cents
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_linenumber), ())
+        """,
         "dup_token_spans": """
             WITH t AS (
                 SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
@@ -3202,6 +3269,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value,
                    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
             FROM events
+        """,
+        "event_lead_gap": """
+            SELECT event_id, user_id,
+                   epoch_us(LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                     - epoch_us(ts) AS gap_us
+            FROM events
+            QUALIFY gap_us IS NOT NULL
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, ts, event_type, value

@@ -96,6 +96,10 @@ _BENCH_QUERIES = [
     "doc_lm_score",
     "event_transitions",
     "balanced_doc_sample",
+    "dup_token_spans",
+    "pack_sequences",
+    "bloom_semi_join_lineitem",
+    "doc_split_counts",
 ]
 
 

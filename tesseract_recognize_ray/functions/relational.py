@@ -942,17 +942,36 @@ def window_ntile(
     )
 
 
-def rollup_agg(ds: Dataset, keys: list[str], specs: list[tuple[str, str, str]]) -> Dataset:
-    """GROUP BY ROLLUP(keys): the base table is scanned ONCE into the leaf
-    grouped_agg; every coarser level (k1..k_{i}, …, grand total) then
-    re-aggregates the tiny materialized leaf, with rolled-up key columns
-    emitted as typed nulls. Aggregate fns limited to the re-aggregable set
-    {sum, count, min, max} (count re-reduces by sum)."""
+def grouping_sets_agg(
+    ds: Dataset,
+    sets: list[list[str]],
+    specs: list[tuple[str, str, str]],
+    keys: list[str] | None = None,
+) -> Dataset:
+    """GROUP BY GROUPING SETS(sets): arbitrary grouping-key subsets in one
+    pass. The base table is scanned ONCE into a leaf `grouped_agg` over the
+    union of all set keys; every requested set then re-aggregates the tiny
+    materialized leaf, with absent key columns emitted as typed nulls —
+    ROLLUP and CUBE are thin wrappers over this. Aggregate fns limited to
+    the re-aggregable set {sum, count, min, max} (count re-reduces by sum).
+
+    Scale shape: the only big-data work is the leaf combiner reduce; each
+    grouping set is a re-aggregation of the already-tiny leaf (one row per
+    full key combination), so adding sets costs no extra base scans."""
     for _, fn, _ in specs:
         if fn not in _PARTIAL_FN:
-            raise ValueError(f"rollup_agg: fn {fn!r} is not re-aggregable")
+            raise ValueError(f"grouping_sets_agg: fn {fn!r} is not re-aggregable")
+    if keys is None:
+        keys = []
+        for s in sets:
+            for k in s:
+                if k not in keys:
+                    keys.append(k)
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping_sets_agg: set {s} not within keys {keys}")
     # leaf is one row per key combination — tiny; materialize so schema()
-    # and the per-level re-aggregations don't re-execute the base scan.
+    # and the per-set re-aggregations don't re-execute the base scan.
     leaf = grouped_agg(ds, keys, specs).materialize()
     schema = leaf.schema().base_schema
     aliases = [alias for _, _, alias in specs]
@@ -969,11 +988,12 @@ def rollup_agg(ds: Dataset, keys: list[str], specs: list[tuple[str, str, str]]) 
 
         return fn
 
-    levels = [leaf.map_batches(pad(keys), batch_format="pyarrow")]
-    for i in range(len(keys) - 1, -1, -1):
-        sub = keys[:i]
-        if sub:
-            lvl = grouped_agg(leaf, sub, re_specs)
+    levels = []
+    for sub in sets:
+        if list(sub) == keys:
+            lvl = leaf
+        elif sub:
+            lvl = grouped_agg(leaf, list(sub), re_specs)
         else:  # grand total: constant-key groupby (no driver-side collect)
             lvl = grouped_agg(
                 leaf.map_batches(
@@ -983,62 +1003,30 @@ def rollup_agg(ds: Dataset, keys: list[str], specs: list[tuple[str, str, str]]) 
                 ["__all"],
                 re_specs,
             ).drop_columns(["__all"])
-        levels.append(lvl.map_batches(pad(sub), batch_format="pyarrow"))
+        levels.append(lvl.map_batches(pad(list(sub)), batch_format="pyarrow"))
     out = levels[0]
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def rollup_agg(ds: Dataset, keys: list[str], specs: list[tuple[str, str, str]]) -> Dataset:
+    """GROUP BY ROLLUP(keys): the full key list plus every prefix down to
+    the grand total — `grouping_sets_agg` with prefix sets."""
+    return grouping_sets_agg(
+        ds, [keys[:i] for i in range(len(keys), -1, -1)], specs, keys=keys
+    )
 
 
 def cube_agg(ds: Dataset, keys: list[str], specs: list[tuple[str, str, str]]) -> Dataset:
-    """GROUP BY CUBE(keys): every subset of the grouping keys. Same design
-    as rollup_agg — ONE base scan into the materialized leaf, then each of
-    the 2^k-1 coarser subsets re-aggregates the tiny leaf (re-aggregable
-    fns only: sum/count/min/max)."""
+    """GROUP BY CUBE(keys): every subset of the grouping keys —
+    `grouping_sets_agg` with the full powerset."""
     from itertools import combinations
 
-    for _, fn, _ in specs:
-        if fn not in _PARTIAL_FN:
-            raise ValueError(f"cube_agg: fn {fn!r} is not re-aggregable")
-    leaf = grouped_agg(ds, keys, specs).materialize()
-    schema = leaf.schema().base_schema
-    aliases = [alias for _, _, alias in specs]
-    order = keys + aliases
-    re_specs = [(alias, _PARTIAL_FN[fn], alias) for _, fn, alias in specs]
-
-    def pad(present: list[str]):
-        missing = [k for k in keys if k not in present]
-
-        def fn(b: pa.Table) -> pa.Table:
-            for k in missing:
-                b = b.append_column(k, pa.nulls(b.num_rows, schema.field(k).type))
-            return b.select(order)
-
-        return fn
-
-    levels = [leaf.map_batches(pad(keys), batch_format="pyarrow")]
     subsets = [
-        list(c)
-        for r in range(len(keys) - 1, -1, -1)
-        for c in combinations(keys, r)
+        list(c) for r in range(len(keys), -1, -1) for c in combinations(keys, r)
     ]
-    for sub in subsets:
-        if sub:
-            lvl = grouped_agg(leaf, sub, re_specs)
-        else:
-            lvl = grouped_agg(
-                leaf.map_batches(
-                    lambda b: b.append_column("__all", pa.array(np.zeros(b.num_rows, dtype=np.int8))),
-                    batch_format="pyarrow",
-                ),
-                ["__all"],
-                re_specs,
-            ).drop_columns(["__all"])
-        levels.append(lvl.map_batches(pad(sub), batch_format="pyarrow"))
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl)
-    return out
+    return grouping_sets_agg(ds, subsets, specs, keys=keys)
 
 
 def broadcast_cross_join(big: Dataset, small_df: pd.DataFrame) -> Dataset:

@@ -187,3 +187,42 @@ def test_duplicate_token_spans_adjacent_windows_merge(ray_session):
     )
     d1 = out[out["doc_id"] == 1]
     assert d1[["span_start", "span_end", "n_dup_ngrams"]].values.tolist() == [[0, 6, 2]]
+
+
+def test_grouping_sets_non_hierarchical(ray_session):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y"], 200),
+            "b": rng.integers(0, 3, 200),
+            "c": rng.choice(["p", "q", "r"], 200),
+            "v": rng.integers(0, 100, 200).astype("int64"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    out = F.grouping_sets_agg(
+        ds, [["a", "b"], ["c"], []], [("v", "sum", "sv"), ("v", "count", "n")]
+    ).to_pandas()
+    parts = []
+    for keys in ([["a", "b"], ["c"]]):
+        g = df.groupby(keys, as_index=False).agg(sv=("v", "sum"), n=("v", "count"))
+        parts.append(g)
+    total = pd.DataFrame({"sv": [df["v"].sum()], "n": [len(df)]})
+    want = pd.concat(parts + [total], ignore_index=True)
+    for col in ["a", "b", "c"]:
+        if col not in want:
+            want[col] = None
+    want = want.reindex(columns=["a", "b", "c", "sv", "n"])
+
+    def norm(d):
+        d = d.copy()
+        for col in ["a", "c"]:
+            d[col] = d[col].astype(object).where(d[col].notna(), "~null~").astype(str)
+        d["b"] = d["b"].astype("float64").fillna(-1.0)
+        return (
+            d.sort_values(["a", "b", "c"]).reset_index(drop=True)[
+                ["a", "b", "c", "sv", "n"]
+            ].astype({"sv": "int64", "n": "int64"})
+        )
+
+    pd.testing.assert_frame_equal(norm(out), norm(want))
