@@ -2975,6 +2975,60 @@ def _events_roundtrip_agg(back) -> Any:
     )
 
 
+def _q_approx_user_counts(sf_dir: str):
+    """Count-Min sketch frequency estimates (mergeable fixed-size partials;
+    the raw column never leaves the map stage): per-user event-count
+    estimates for a fixed probe set. Estimates are >= the true counts by
+    construction (rows-only driver check; the error bound is pytest-gated)."""
+    from tesseract_recognize_ray.functions.sketches import (
+        count_min_query,
+        count_min_sketch,
+    )
+
+    ds = F.load(sf_dir, "events", columns=["user_id"])
+    sk = count_min_sketch(ds, "user_id", depth=4, width=4096)
+    probe = pd.Series(np.arange(20, dtype="int64"))
+    return pd.DataFrame(
+        {"user_id": probe, "est_events": count_min_query(sk, probe)}
+    )
+
+
+def _q_partition_pruned_events(sf_dir: str):
+    """Storage-layout-aware scan pruning (the 'prune at the read' 100 TB
+    shape): events written once as hive-partitioned parquet
+    (event_type=<v>/ directories), then read back with a PATH partition
+    filter so non-matching partitions are never opened — the pruned
+    partitions' bytes never leave storage, unlike a post-read filter.
+    Aggregate over the two selected types value-matches the oracle's WHERE."""
+    import shutil
+
+    import ray
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    out = "/tmp/trr_part_events"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = F.load(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ds.write_parquet(out, partition_cols=["event_type"])
+
+    keep = {"click", "purchase"}
+    pf = PathPartitionFilter.of(lambda d: d.get("event_type") in keep, style="hive")
+    back = ray.data.read_parquet(out, partition_filter=pf)
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": pc.cast(b.column("event_type"), pa.string()),
+                "vc": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    return F.grouped_agg(
+        back.map_batches(to_cents, batch_format="pyarrow"),
+        ["event_type"],
+        [("vc", "count", "n"), ("vc", "sum", "value_cents")],
+    )
+
+
 def _q_events_jsonl_roundtrip(sf_dir: str):
     """Source/sink format coverage: events -> partitioned JSONL files under
     /tmp (one file per block — the resumable-sink contract) ->
@@ -3013,6 +3067,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
         "doc_split_counts": _q_doc_split_counts,
+        "approx_user_counts": _q_approx_user_counts,
+        "partition_pruned_events": _q_partition_pruned_events,
         "events_jsonl_roundtrip": _q_events_jsonl_roundtrip,
         "events_csv_roundtrip": _q_events_csv_roundtrip,
         "filter_project": _q_filter_project,
@@ -3225,6 +3281,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    COUNT(*) AS n
             FROM documents GROUP BY 1, 2
+        """,
+        "partition_pruned_events": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY event_type
         """,
         "events_jsonl_roundtrip": _events_roundtrip_sql,
         "events_csv_roundtrip": _events_roundtrip_sql,

@@ -144,3 +144,53 @@ def frequent_terms(
     return topk(summed, "n_min", k, descending=True, tiebreak=["token"]).select_columns(
         ["token", "n_min"]
     )
+
+
+def count_min_sketch(
+    ds: Dataset, col: str, depth: int = 4, width: int = 2048
+) -> np.ndarray:
+    """Count-Min sketch of a column's value frequencies (Cormode &
+    Muthukrishnan 2005): a depth x width int64 counter matrix; query an
+    item's estimate with :func:`count_min_query` (min over rows — never an
+    undercount, overcount ≤ e*N/width with prob 1-e^-depth).
+
+    Scale shape (mergeable-first like the module's other sketches): every
+    batch bincounts its values into ONE fixed-size (depth*width) partial —
+    batch row count never changes the partial's size — the shuffle moves
+    flattened partial rows keyed by cell index, and a groupby-sum reduce
+    yields the global matrix (counters are additive, so partials compose
+    exactly like the 100 TB tree-reduce would). The driver folds depth*width
+    rows, independent of input size."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = _hash64(b[col])
+        mat = np.zeros(depth * width, dtype=np.int64)
+        for d in range(depth):
+            # row-d hash: splitmix-style remix of the base hash, then mod width
+            salt = np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF)
+            hd = (h ^ salt) * np.uint64(0xBF58476D1CE4E5B9)
+            hd ^= hd >> np.uint64(31)
+            cells = (hd % np.uint64(width)).astype(np.int64) + d * width
+            mat += np.bincount(cells, minlength=depth * width)
+        nz = np.nonzero(mat)[0]
+        return pd.DataFrame({"cell": nz.astype("int64"), "cnt": mat[nz]})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    acc = np.zeros(depth * width, dtype=np.int64)
+    for b in parts.iter_batches(batch_size=None, batch_format="pandas"):
+        np.add.at(acc, b["cell"].to_numpy(), b["cnt"].to_numpy())
+    return acc.reshape(depth, width)
+
+
+def count_min_query(sketch: np.ndarray, items: pd.Series) -> np.ndarray:
+    """Frequency estimates for `items` from a count_min_sketch matrix: the
+    min across depth rows (vectorized over the whole probe set)."""
+    depth, width = sketch.shape
+    h = _hash64(items)
+    est = np.full(len(items), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        salt = np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF)
+        hd = (h ^ salt) * np.uint64(0xBF58476D1CE4E5B9)
+        hd ^= hd >> np.uint64(31)
+        est = np.minimum(est, sketch[d, (hd % np.uint64(width)).astype(np.int64)])
+    return est

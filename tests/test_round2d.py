@@ -226,3 +226,29 @@ def test_grouping_sets_non_hierarchical(ray_session):
         )
 
     pd.testing.assert_frame_equal(norm(out), norm(want))
+
+
+def test_count_min_sketch_never_undercounts_and_bounds_error(ray_session):
+    from tesseract_recognize_ray.functions.sketches import (
+        count_min_query,
+        count_min_sketch,
+    )
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: a few heavy hitters + a long tail
+    vals = np.concatenate(
+        [np.repeat(np.arange(10), 500), rng.integers(100, 5_000, size=15_000)]
+    )
+    rng.shuffle(vals)
+    df = pd.DataFrame({"k": vals.astype("int64")})
+    ds = rd.from_pandas(df).repartition(6)
+    sk = count_min_sketch(ds, "k", depth=4, width=2048)
+    assert sk.shape == (4, 2048)
+    assert int(sk[0].sum()) == len(df)  # every row lands once per depth row
+    probe = pd.Series(np.arange(10, dtype="int64"))
+    est = count_min_query(sk, probe)
+    true = df["k"].value_counts()
+    for v, e in zip(probe, est):
+        t = int(true.get(v, 0))
+        assert e >= t  # CM never undercounts
+        assert e - t <= 2 * len(df) // 2048 + 50  # loose e*N/width-style bound
