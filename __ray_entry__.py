@@ -3029,6 +3029,43 @@ def _q_partition_pruned_events(sf_dir: str):
     )
 
 
+def _q_rowgroup_pruned_lineitem(sf_dir: str):
+    """Zone-map (row-group statistics) scan pruning, the sort-then-filter
+    sibling of partition_pruned_events: lineitem is written back SORTED by
+    l_orderkey (each output file covers a narrow key range, so parquet
+    min/max stats become a zone map), then re-read with a pushed-down range
+    filter — pyarrow skips whole files/row groups whose stats exclude the
+    range, so the pruned bytes never leave storage. Aggregate value-matches
+    the oracle's WHERE."""
+    import shutil
+
+    import pyarrow.dataset as pds
+    import ray
+
+    out = "/tmp/trr_sorted_lineitem"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    ds.sort("l_orderkey").write_parquet(out)
+
+    lo, hi = 1000, 5000
+    back = ray.data.read_parquet(
+        out,
+        columns=["l_orderkey", "l_quantity"],
+        filter=(pds.field("l_orderkey") >= lo) & (pds.field("l_orderkey") <= hi),
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        qc = pc.cast(pc.round(pc.multiply(b.column("l_quantity"), 100.0)), pa.int64())
+        return pa.table({"g": pa.nulls(b.num_rows, pa.int8()), "qc": qc})
+
+    agg = F.grouped_agg(
+        back.map_batches(to_cents, batch_format="pyarrow"),
+        ["g"],
+        [("qc", "count", "n"), ("qc", "sum", "qty_cents")],
+    )
+    return agg.drop_columns(["g"])
+
+
 def _q_events_jsonl_roundtrip(sf_dir: str):
     """Source/sink format coverage: events -> partitioned JSONL files under
     /tmp (one file per block — the resumable-sink contract) ->
@@ -3069,6 +3106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_counts": _q_doc_split_counts,
         "approx_user_counts": _q_approx_user_counts,
         "partition_pruned_events": _q_partition_pruned_events,
+        "rowgroup_pruned_lineitem": _q_rowgroup_pruned_lineitem,
         "events_jsonl_roundtrip": _q_events_jsonl_roundtrip,
         "events_csv_roundtrip": _q_events_csv_roundtrip,
         "filter_project": _q_filter_project,
@@ -3289,6 +3327,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('click', 'purchase')
             GROUP BY event_type
+        """,
+        "rowgroup_pruned_lineitem": """
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS qty_cents
+            FROM lineitem
+            WHERE l_orderkey BETWEEN 1000 AND 5000
         """,
         "events_jsonl_roundtrip": _events_roundtrip_sql,
         "events_csv_roundtrip": _events_roundtrip_sql,
