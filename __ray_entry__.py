@@ -2450,6 +2450,55 @@ def _q_part_kcore(sf_dir: str):
     )
 
 
+_LPA_ROUNDS = 3
+
+
+def _q_supplier_communities(sf_dir: str):
+    """Label-propagation community detection (Raghavan et al. 2007, made
+    deterministic: neighbor-label mode, ties to the smallest label) on the
+    supplier co-occurrence graph (suppliers sharing an order), 3 synchronous
+    rounds. Driver-held label vector below the 4M-edge broadcast gate — one
+    shuffle-free Ray job per round; tag-union bucketed merges above it. The
+    oracle unrolls the same rounds as MATERIALIZED CTEs."""
+    from tesseract_recognize_ray.functions.graph import (
+        group_clique_pairs,
+        label_propagation,
+    )
+
+    ds = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    edges = group_clique_pairs(ds, ["l_orderkey"], "l_suppkey")
+    return label_propagation(edges, "src", "dst", rounds=_LPA_ROUNDS, assume_simple=True)
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """
+            WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+            e AS MATERIALIZED (
+                SELECT a.l_suppkey AS u, b.l_suppkey AS v
+                FROM op a JOIN op b USING (l_orderkey)
+                WHERE a.l_suppkey < b.l_suppkey GROUP BY 1, 2
+            ),
+            und AS MATERIALIZED (
+                SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+            ),
+            l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und)"""
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f""",
+            l{r} AS MATERIALIZED (
+                SELECT node, label FROM (
+                    SELECT und.a AS node, l.label, COUNT(*) AS c
+                    FROM und JOIN l{r - 1} l ON und.b = l.node GROUP BY 1, 2
+                ) QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY node ORDER BY c DESC, label ASC) = 1
+            )"""
+        )
+    parts.append(f"\n            SELECT node, label AS community FROM l{_LPA_ROUNDS}")
+    return "".join(parts)
+
+
 def _kcore_oracle() -> str:
     parts = [
         """
@@ -3235,6 +3284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_outliers": _q_event_value_outliers,
         "user_type_pivot": _q_user_type_pivot,
         "part_kcore": _q_part_kcore,
+        "supplier_communities": _q_supplier_communities,
         "user_hourly_fill": _q_user_hourly_fill,
     }
 
@@ -4467,6 +4517,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "part_kcore": _kcore_oracle(),
+        "supplier_communities": _lpa_oracle(),
         "user_hourly_fill": """
             WITH w AS (
                 SELECT user_id, epoch_us(ts) // 3600000000 AS hour_win,

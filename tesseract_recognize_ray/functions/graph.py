@@ -1273,3 +1273,239 @@ def neighbor_jaccard(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _lpa_broadcast(e: Dataset, rounds: int) -> Dataset:
+    """Driver-coordinated synchronous LPA below the edge gate: labels live
+    on the driver as (sorted node ids, label vector), re-broadcast via
+    ray.put each round; every block emits combined (node, neighbor-label)
+    pair counts (bounded by 2x its edge count), the driver folds partials
+    and takes the deterministic mode. ONE Ray job per round, no shuffle —
+    the same shape as _cc_broadcast / _kcore_broadcast."""
+    import ray
+
+    # node id universe: per-block unique endpoints, driver np.unique merge
+    ids_parts = []
+    for b in e.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.array(
+                    np.unique(
+                        np.concatenate(
+                            [
+                                t.column("u").to_numpy(zero_copy_only=False),
+                                t.column("v").to_numpy(zero_copy_only=False),
+                            ]
+                        )
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_size=None, batch_format="pandas"):
+        ids_parts.append(b["node"].to_numpy())
+    ids = np.unique(np.concatenate(ids_parts)) if ids_parts else np.array([], np.int64)
+    labels = ids.copy()
+
+    def _pair_counts(a: np.ndarray, lab: np.ndarray):
+        order = np.lexsort((lab, a))
+        a_s, l_s = a[order], lab[order]
+        new = np.empty(len(a_s), dtype=bool)
+        if len(a_s):
+            new[0] = True
+            new[1:] = (a_s[1:] != a_s[:-1]) | (l_s[1:] != l_s[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(a_s)))
+        return a_s[starts], l_s[starts], cnt.astype(np.int64)
+
+    for _ in range(rounds):
+        ref = ray.put((ids, labels))
+
+        def partial(b: pa.Table, ref=ref) -> pa.Table:
+            ids_, lab_ = ray.get(ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            a = np.concatenate([u, v])
+            nb = np.concatenate([v, u])
+            nb_lab = lab_[np.searchsorted(ids_, nb)]
+            n, l, c = _pair_counts(a, nb_lab)
+            return pa.table({"n": n, "l": l, "c": c})
+
+        ns, ls, cs = [], [], []
+        for b in e.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pandas"
+        ):
+            ns.append(b["n"].to_numpy())
+            ls.append(b["l"].to_numpy())
+            cs.append(b["c"].to_numpy())
+        n = np.concatenate(ns)
+        l = np.concatenate(ls)
+        c = np.concatenate(cs)
+        # merge cross-block duplicates of the same (node, label) pair
+        order = np.lexsort((l, n))
+        n, l, c = n[order], l[order], c[order]
+        new = np.empty(len(n), dtype=bool)
+        new[0] = True
+        new[1:] = (n[1:] != n[:-1]) | (l[1:] != l[:-1])
+        starts = np.flatnonzero(new)
+        seg = np.append(starts, len(n))
+        csum = np.concatenate([[0], np.cumsum(c)])
+        cm = csum[seg[1:]] - csum[seg[:-1]]
+        n, l = n[starts], l[starts]
+        # deterministic mode per node: (count desc, label asc), first per node
+        order = np.lexsort((l, -cm, n))
+        n, l = n[order], l[order]
+        first = np.empty(len(n), dtype=bool)
+        first[0] = True
+        first[1:] = n[1:] != n[:-1]
+        upd_nodes, upd_labels = n[first], l[first]
+        new_labels = labels.copy()
+        new_labels[np.searchsorted(ids, upd_nodes)] = upd_labels
+        if np.array_equal(new_labels, labels):  # fixpoint: further rounds no-op
+            break
+        labels = new_labels
+
+    return rd.from_arrow(pa.table({"node": pa.array(ids), "community": pa.array(labels)}))
+
+
+def label_propagation(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int,
+    num_buckets: int = 64,
+    broadcast_max_edges: int = 4_000_000,
+    assume_simple: bool = False,
+) -> Dataset:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over an undirected simple graph, made fully deterministic: every
+    node starts labeled with its own id; each of `rounds` synchronous
+    iterations relabels every node with the MODE of its neighbors' previous
+    labels, ties broken by the smallest label. Returns (node, community)
+    after exactly `rounds` iterations (mid-oscillation state included — the
+    unrolled SQL oracle replays the same rounds), short-circuiting on a
+    fixpoint.
+
+    Broadcast-or-merge gate, same design as kcore_peel/bfs_hops: below
+    `broadcast_max_edges` the driver holds the label vector and each round
+    is ONE shuffle-free Ray job over the (materialized) edge blocks
+    (_lpa_broadcast). Above it, each round is a tag-union bucketed merge
+    (labels ride to each directed edge's head by stable_bucket(dst) — never
+    Ray's JoinOperator), a combiner (node, label) count, and a per-node
+    deterministic top-1 — three bounded shuffles per round, labels and int64
+    pairs only."""
+    from tesseract_recognize_ray.functions.relational import grouped_agg
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = pc.cast(b.column(src), pa.int64())
+        v = pc.cast(b.column(dst), pa.int64())
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        t = pa.table({"u": lo, "v": hi})
+        return t.filter(pc.less(t.column("u"), t.column("v")))
+
+    if assume_simple:
+        e = edges.map_batches(
+            lambda b: pa.table(
+                {"u": pc.cast(b.column(src), pa.int64()), "v": pc.cast(b.column(dst), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        e = (
+            grouped_agg(
+                edges.map_batches(canon, batch_format="pyarrow"),
+                ["u", "v"],
+                [("u", "count", "__n")],
+            )
+            .drop_columns(["__n"])
+            .materialize()
+        )
+
+    if e.count() <= broadcast_max_edges:
+        return _lpa_broadcast(e, rounds)
+
+    def und(b: pa.Table) -> pa.Table:
+        u = b.column("u").combine_chunks()
+        v = b.column("v").combine_chunks()
+        return pa.table(
+            {"head": pa.concat_arrays([u, v]), "tail": pa.concat_arrays([v, u])}
+        )
+
+    directed = e.map_batches(und, batch_format="pyarrow").materialize()
+    lbl = directed.map_batches(
+        lambda b: pa.table({"node": b.column("head"), "label": b.column("head")}),
+        batch_format="pyarrow",
+    )
+    lbl = grouped_agg(lbl, ["node", "label"], [("node", "count", "__n")]).drop_columns(["__n"])
+
+    for _ in range(rounds):
+        # ride labels to every directed edge keyed by its TAIL (the neighbor)
+        tagged_e = directed.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("tail"),
+                    "a": b.column("head"),
+                    "label": pa.nulls(b.num_rows, pa.int64()),
+                    "__tag": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        tagged_l = lbl.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("node"),
+                    "a": pa.nulls(b.num_rows, pa.int64()),
+                    "label": b.column("label"),
+                    "__tag": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def add_bucket(b: pa.Table) -> pa.Table:
+            return b.append_column("__bucket", pa.array(stable_bucket(b.column("key"), num_buckets)))
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            # nullable int64 -> float64 happens at the arrow->pandas seam;
+            # restore exact int64 so every round's schema is identical
+            m = g[g["__tag"] == 1].set_index("key")["label"]
+            ed = g[g["__tag"] == 0]
+            return pd.DataFrame(
+                {
+                    "node": ed["a"].to_numpy().astype(np.int64),
+                    "label": ed["key"].map(m).to_numpy().astype(np.int64),
+                }
+            )
+
+        pairs = (
+            tagged_e.union(tagged_l)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(attach, batch_format="pandas")
+        )
+        cnt = grouped_agg(pairs, ["node", "label"], [("node", "count", "c")])
+
+        def mode(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["node", "c", "label"], ascending=[True, False, True], kind="mergesort")
+            g = g.drop_duplicates("node")
+            return g[["node", "label"]].astype({"node": "int64", "label": "int64"})
+
+        lbl = (
+            cnt.map_batches(
+                lambda b: b.append_column(
+                    "__bucket", pa.array(stable_bucket(b.column("node"), num_buckets))
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("__bucket")
+            .map_groups(mode, batch_format="pandas")
+            .materialize()
+        )
+
+    return lbl.map_batches(
+        lambda b: pa.table({"node": b.column("node"), "community": b.column("label")}),
+        batch_format="pyarrow",
+    )

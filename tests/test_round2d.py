@@ -252,3 +252,55 @@ def test_count_min_sketch_never_undercounts_and_bounds_error(ray_session):
         t = int(true.get(v, 0))
         assert e >= t  # CM never undercounts
         assert e - t <= 2 * len(df) // 2048 + 50  # loose e*N/width-style bound
+
+
+def _lpa_naive(pairs, rounds):
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for u, v in pairs:
+        if u != v:
+            a, b = min(u, v), max(u, v)
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            cnt = Counter(labels[x] for x in adj[n])
+            new[n] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_naive_both_paths(ray_session):
+    from tesseract_recognize_ray.functions.graph import label_propagation
+
+    rng = np.random.default_rng(9)
+    # two planted communities + random cross edges + dup/reversed edges
+    pairs = []
+    for base in (0, 50):
+        for _ in range(220):
+            u, v = rng.integers(base, base + 30, size=2)
+            pairs.append((int(u), int(v)))
+    for _ in range(6):
+        pairs.append((int(rng.integers(0, 30)), int(rng.integers(50, 80))))
+    pairs += [(v, u) for u, v in pairs[:20]]  # reversed dups
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    df = df[df["src"] != df["dst"]]
+    want = _lpa_naive(list(df.itertuples(index=False)), rounds=3)
+
+    for gate in (4_000_000, 0):  # broadcast path, then forced spill path
+        out = (
+            label_propagation(
+                rd.from_pandas(df).repartition(4),
+                rounds=3,
+                broadcast_max_edges=gate,
+            )
+            .to_pandas()
+            .set_index("node")["community"]
+            .to_dict()
+        )
+        assert out == want, f"gate={gate}"
