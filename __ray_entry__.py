@@ -2936,6 +2936,42 @@ def _q_grouping_sets_lineitem(sf_dir: str):
     )
 
 
+def _q_canonical_prefix_docs(sf_dir: str):
+    """Shared MUTABLE index on raw Ray actors (the documented Dataset-API
+    escape hatch, state/shard_index.py): keep the min-doc_id document per
+    3-token text prefix via sharded offer-min/probe — no shuffle touches
+    the doc rows; only per-batch (key, min-id) partials travel as actor
+    messages, and update order can't change the fixpoint."""
+    from tesseract_recognize_ray.functions.textstats import _ws_token_lists
+    from tesseract_recognize_ray.state.shard_index import canonical_min_keep
+
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prefix3(b: pa.Table) -> pa.Table:
+        lists = _ws_token_lists(b.column("text"))
+        flat = lists.flatten()
+        off = np.asarray(lists.offsets, dtype=np.int64)
+        off = off - off[0]
+        ne = np.asarray(pc.not_equal(pc.fill_null(flat, ""), ""))
+        csum = np.concatenate([[0], np.cumsum(ne)]).astype(np.int64)
+        off2 = csum[off]
+        flat2 = flat.filter(pa.array(ne))
+        k = np.minimum(np.diff(off2), 3)
+        base = np.concatenate([[0], np.cumsum(k)])
+        idx = np.repeat(off2[:-1], k) + (
+            np.arange(int(k.sum()), dtype=np.int64) - np.repeat(base[:-1], k)
+        )
+        toks = flat2.take(pa.array(idx))
+        la = pa.ListArray.from_arrays(pa.array(base, pa.int32()), toks)
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "pfx": pc.binary_join(la, " ")}
+        )
+
+    keyed = ds.map_batches(prefix3, batch_format="pyarrow")
+    kept, _ = canonical_min_keep(keyed, "pfx", "doc_id")
+    return kept.select_columns(["doc_id"])
+
+
 def _q_dup_token_spans(sf_dir: str):
     """Exact duplicate-substring spans (Lee et al. 2022 substring-level
     dedup): maximal merged spans of 5-token windows that occur more than
@@ -3148,6 +3184,7 @@ def _q_events_csv_roundtrip(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "canonical_prefix_docs": _q_canonical_prefix_docs,
         "grouping_sets_lineitem": _q_grouping_sets_lineitem,
         "dup_token_spans": _q_dup_token_spans,
         "pack_sequences": _q_pack_sequences,
@@ -3297,6 +3334,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """
     return {
+        "canonical_prefix_docs": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       array_to_string(
+                           (regexp_extract_all(text, '\\S+'))[1:3], ' ') AS pfx
+                FROM documents
+            ) QUALIFY ROW_NUMBER() OVER (PARTITION BY pfx ORDER BY doc_id) = 1
+        """,
         "grouping_sets_lineitem": """
             SELECT l_returnflag, l_linestatus, l_linenumber,
                    COUNT(*) AS n,

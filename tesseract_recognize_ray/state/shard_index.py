@@ -1,0 +1,159 @@
+"""Sharded mutable key-value index on raw Ray actors — the one stateful
+shape the Dataset API genuinely can't express (a shared index that many
+concurrently-running map tasks read AND write). Everything else in this
+engine is a Dataset transform; this module is the documented escape hatch.
+
+Design (SURVEY.md §2.4 / ray_guide actor patterns):
+  * N `_KeyShard` actors, each owning a disjoint hash slice of the key
+    space (`hashing.stable_bucket` routing — the same fixed-key hash used
+    by every shuffle in this repo, so routing is deterministic and a key
+    always lands on the same shard).
+  * Shards store a key -> min(int64 value) map with commutative,
+    idempotent updates (`offer_min`): update order across concurrent
+    callers CANNOT change the fixpoint, which is what makes a two-phase
+    offer-then-probe pipeline deterministic even though Ray Data schedules
+    blocks in any order.
+  * Actors request `num_cpus=0.05`: the index is memory, not compute — it
+    must not steal scheduling slots from the map stages that call it.
+  * At 100 TB the per-shard dict becomes the bounded resource: shards scale
+    horizontally (num_shards), each holds only its hash slice, and `dump()`
+    spills a shard's contents as an Arrow table for persistence; nodes hold
+    shards, not replicas, so memory is |distinct keys| / N per actor.
+
+Used by `canonical_min_keep`: global min-id-per-key canonical selection in
+two streaming passes with NO shuffle — pass 1 offers per-batch (key, min
+id) partials to the shards, pass 2 keeps rows whose id equals the global
+minimum. The same built index can then decontaminate a SECOND dataset
+(`filter_members`) without rescanning the first — mutable cross-pipeline
+state, which no pure Dataset lineage can provide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from tesseract_recognize_ray.hashing import stable_bucket
+
+
+@ray.remote(num_cpus=0.05)
+class _KeyShard:
+    """One hash slice of the index: key -> min int64 value."""
+
+    def __init__(self) -> None:
+        self._min: dict = {}
+
+    def offer_min(self, keys: list, vals: np.ndarray) -> int:
+        d = self._min
+        for k, v in zip(keys, vals):
+            prev = d.get(k)
+            if prev is None or v < prev:
+                d[k] = v
+        return len(d)
+
+    def get_min(self, keys: list) -> np.ndarray:
+        d = self._min
+        return np.array([d.get(k, -1) for k in keys], dtype=np.int64)
+
+    def size(self) -> int:
+        return len(self._min)
+
+    def dump(self) -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.array(list(self._min.keys()), pa.string()),
+                "value": pa.array(list(self._min.values()), pa.int64()),
+            }
+        )
+
+
+class ShardedMinIndex:
+    """Client handle: routes vectorized offer/lookup calls to shard actors.
+
+    Serializable into map_batches closures (actor handles pickle); every
+    call groups its batch by destination shard so each actor receives ONE
+    message per (batch, shard) pair, not per key."""
+
+    def __init__(self, num_shards: int = 8):
+        self.num_shards = num_shards
+        self._shards = [_KeyShard.remote() for _ in range(num_shards)]
+
+    def _route(self, keys: pd.Series) -> np.ndarray:
+        return stable_bucket(keys, self.num_shards)
+
+    def offer_min(self, keys: pd.Series, vals: np.ndarray) -> None:
+        sh = self._route(keys)
+        refs = []
+        kv = keys.to_numpy()
+        for s in np.unique(sh):
+            m = sh == s
+            refs.append(self._shards[s].offer_min.remote(kv[m].tolist(), vals[m]))
+        ray.get(refs)
+
+    def get_min(self, keys: pd.Series) -> np.ndarray:
+        sh = self._route(keys)
+        out = np.empty(len(keys), dtype=np.int64)
+        kv = keys.to_numpy()
+        pend = []
+        for s in np.unique(sh):
+            m = sh == s
+            pend.append((m, self._shards[s].get_min.remote(kv[m].tolist())))
+        for m, ref in pend:
+            out[m] = ray.get(ref)
+        return out
+
+    def total(self) -> int:
+        return int(sum(ray.get([s.size.remote() for s in self._shards])))
+
+    def dump(self) -> pa.Table:
+        return pa.concat_tables(ray.get([s.dump.remote() for s in self._shards]))
+
+
+def canonical_min_keep(
+    ds: Dataset, key_col: str, id_col: str, num_shards: int = 8
+) -> tuple[Dataset, ShardedMinIndex]:
+    """Keep exactly the min-`id_col` row per distinct `key_col` value via a
+    sharded mutable index — NO shuffle touches the data rows; only (key,
+    min-id) partials (pre-reduced per batch) travel as actor messages.
+
+    Phase 1 (executed eagerly here): every batch offers its per-key min id;
+    offers are commutative+idempotent, so block scheduling order is
+    irrelevant. Phase 2 (returned lazily): re-scan keeps rows whose id
+    equals the global min. Also returns the live index so follow-up
+    pipelines can probe it (`index.get_min`) — e.g. cross-corpus
+    decontamination without rescanning this dataset."""
+    index = ShardedMinIndex(num_shards)
+
+    def offer(b: pd.DataFrame) -> pd.DataFrame:
+        part = b.groupby(key_col, sort=False)[id_col].min()
+        index.offer_min(part.index.to_series(), part.to_numpy().astype(np.int64))
+        return pd.DataFrame({"n": [len(part)]})
+
+    # drain phase 1 fully before anyone can probe
+    for _ in ds.map_batches(offer, batch_format="pandas").iter_batches(
+        batch_size=None, batch_format="pandas"
+    ):
+        pass
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        winners = index.get_min(b[key_col])
+        return b[b[id_col].to_numpy().astype(np.int64) == winners]
+
+    return ds.map_batches(keep, batch_format="pandas"), index
+
+
+def filter_members(
+    ds: Dataset, key_col: str, index: ShardedMinIndex, keep_matches: bool
+) -> Dataset:
+    """Semi/anti filter of a (different) dataset against an already-built
+    index: keep rows whose key is (not) present. The cross-pipeline read
+    path of the mutable index."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        present = index.get_min(b[key_col]) >= 0
+        return b[present if keep_matches else ~present]
+
+    return ds.map_batches(fn, batch_format="pandas")

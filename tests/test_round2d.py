@@ -304,3 +304,39 @@ def test_label_propagation_matches_naive_both_paths(ray_session):
             .to_dict()
         )
         assert out == want, f"gate={gate}"
+
+
+def test_sharded_min_index_canonical_keep_and_cross_filter(ray_session):
+    from tesseract_recognize_ray.state.shard_index import (
+        canonical_min_keep,
+        filter_members,
+    )
+
+    rng = np.random.default_rng(13)
+    # 40 keys, several rows each, ids shuffled across 6 partitions so the
+    # min for a key is usually NOT in the block that offers first
+    rows = []
+    for k in range(40):
+        for i in rng.permutation(rng.integers(1, 6)):
+            rows.append((f"key{k}", int(k * 100 + i)))
+    rng.shuffle(rows)
+    df = pd.DataFrame(rows, columns=["k", "id"])
+    ds = rd.from_pandas(df).repartition(6)
+    kept, index = canonical_min_keep(ds, "k", "id", num_shards=4)
+    got = kept.to_pandas().sort_values("k").reset_index(drop=True)
+    want = (
+        df.sort_values(["k", "id"]).drop_duplicates("k").sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert index.total() == 40
+
+    # cross-pipeline reuse: filter a SECOND dataset against the built index
+    probe = pd.DataFrame({"k": [f"key{i}" for i in range(35, 45)], "x": range(10)})
+    pds2 = rd.from_pandas(probe).repartition(2)
+    inside = filter_members(pds2, "k", index, keep_matches=True).to_pandas()
+    outside = filter_members(pds2, "k", index, keep_matches=False).to_pandas()
+    assert sorted(inside["k"]) == [f"key{i}" for i in range(35, 40)]
+    assert sorted(outside["k"]) == [f"key{i}" for i in range(40, 45)]
+    # dump() round-trips the whole map
+    d = index.dump().to_pandas().sort_values("key").reset_index(drop=True)
+    assert len(d) == 40 and (d["value"].to_numpy() % 100 == want.sort_values("k")["id"].to_numpy() % 100).all()
