@@ -2972,6 +2972,49 @@ def _q_canonical_prefix_docs(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def _q_pareto_parts(sf_dir: str):
+    """Distributed Pareto frontier / SQL skyline (relational.skyline):
+    parts for which no other part is both cheaper-or-equal AND
+    larger-or-equal with one strict — minimize retail price, maximize
+    size. Frontier-of-frontiers merge: per-block local frontier inside
+    map_batches, then one frontier pass over the tiny union; only
+    frontier-sized rows ever leave the scan tasks."""
+    ds = F.load(sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "price_c": pc.cast(pc.round(pc.multiply(b.column("p_retailprice"), 100.0)), pa.int64()),
+                "p_size": b.column("p_size"),
+            }
+        )
+
+    return F.skyline(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["price_c", "p_size"],
+        ["min", "max"],
+    )
+
+
+def _q_nation_customer_names(sf_dir: str):
+    """Ordered group concatenation (relational.grouped_string_agg, SQL
+    string_agg ... ORDER BY): per nation, '|'-joined customer names in
+    custkey order. One bucketed shuffle of the narrow (key, name) pair;
+    nation names attach via broadcast lookup."""
+    cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    agg = F.grouped_string_agg(
+        cust, "c_nationkey", "c_name", sep="|", order_cols=["c_custkey"], out_col="names"
+    )
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j = F.broadcast_lookup_join(agg, nation, "c_nationkey", "n_nationkey")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"n_name": b.column("n_name"), "names": b.column("names")})
+
+    return j.map_batches(project, batch_format="pyarrow")
+
+
 def _q_dup_token_spans(sf_dir: str):
     """Exact duplicate-substring spans (Lee et al. 2022 substring-level
     dedup): maximal merged spans of 5-token windows that occur more than
@@ -3185,6 +3228,8 @@ def _q_events_csv_roundtrip(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "canonical_prefix_docs": _q_canonical_prefix_docs,
+        "pareto_parts": _q_pareto_parts,
+        "nation_customer_names": _q_nation_customer_names,
         "grouping_sets_lineitem": _q_grouping_sets_lineitem,
         "dup_token_spans": _q_dup_token_spans,
         "pack_sequences": _q_pack_sequences,
@@ -3334,6 +3379,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """
     return {
+        "pareto_parts": """
+            WITH p AS (
+                SELECT p_partkey,
+                       CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+                       p_size
+                FROM part
+            )
+            SELECT p_partkey, price_c, p_size FROM p t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p q
+                WHERE q.price_c <= t.price_c AND q.p_size >= t.p_size
+                  AND (q.price_c < t.price_c OR q.p_size > t.p_size)
+            )
+        """,
+        "nation_customer_names": """
+            SELECT n_name,
+                   string_agg(c_name, '|' ORDER BY c_custkey) AS names
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
         "canonical_prefix_docs": """
             SELECT doc_id FROM (
                 SELECT doc_id,

@@ -1602,3 +1602,133 @@ def bloom_prune(ds: Dataset, key: str, bloom_ref, m_bits: int = 1 << 23, k: int 
         return b.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _frontier_mask(vals: np.ndarray) -> np.ndarray:
+    """Boolean mask of Pareto-optimal rows of an (n, k) float64 matrix with
+    every dimension MINIMIZED. Exact SQL NOT-EXISTS dominance: q dominates p
+    iff q <= p on every dim AND q < p on at least one — so duplicate points
+    never dominate each other and all copies of a frontier point survive.
+
+    k == 2 is a vectorized O(n log n) sweep (lexsort, per-equal-x group min,
+    prefix min over strictly-smaller x). k > 2 collects candidates in a
+    near-frontier-first pass (sorted by coordinate sum: a dominator's real
+    sum is strictly smaller, so most dominated rows hit an existing
+    candidate immediately and the candidate list stays frontier-sized),
+    then finishes with an exact O(f^2) pairwise filter over the candidates
+    — the sum sort is a pruning heuristic only, never a correctness
+    dependency (float-sum ties can reorder dominator/dominated)."""
+    n, k = vals.shape
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    if k == 2:
+        a, b = vals[:, 0], vals[:, 1]
+        order = np.lexsort((b, a))
+        sa, sb = a[order], b[order]
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = sa[1:] != sa[:-1]
+        gid = np.cumsum(new_grp) - 1
+        # min b within each equal-a group == b of the group's first row
+        # (lexsort put the smallest b first)
+        grp_min = sb[new_grp][gid]
+        # prefix min of b over all STRICTLY smaller a values
+        run_min = np.minimum.accumulate(sb)
+        first_idx = np.flatnonzero(new_grp)
+        before = np.empty(n, dtype=np.float64)
+        before[gid == 0] = np.inf
+        if len(first_idx) > 1:
+            prev_end = first_idx[1:] - 1
+            before_grp = run_min[prev_end]  # min over groups 0..g-1
+            before[gid > 0] = before_grp[gid[gid > 0] - 1]
+        keep_sorted = (sb == grp_min) & (before > sb)
+        mask = np.zeros(n, dtype=bool)
+        mask[order] = keep_sorted
+        return mask
+    order = np.argsort(vals.sum(axis=1), kind="mergesort")
+    cand: list[np.ndarray] = []
+    cand_idx: list[int] = []
+    for i in order:
+        p = vals[i]
+        if cand:
+            F = np.asarray(cand)
+            if ((F <= p).all(axis=1) & (F < p).any(axis=1)).any():
+                continue
+        cand.append(p)
+        cand_idx.append(i)
+    F = np.asarray(cand)
+    A, B = F[:, None, :], F[None, :, :]
+    dominated = ((B <= A).all(-1) & (B < A).any(-1)).any(axis=1)
+    mask = np.zeros(n, dtype=bool)
+    mask[np.asarray(cand_idx)[~dominated]] = True
+    return mask
+
+
+def skyline(ds: Dataset, cols: list[str], directions: list[str] | None = None) -> Dataset:
+    """Distributed Pareto frontier (SQL skyline: rows for which NO other row
+    is at-least-as-good on every `cols` dimension and strictly better on
+    one; `directions[i]` in {'min','max'} per column, default all 'min').
+
+    Two-level frontier-of-frontiers — the merge is exact because dominance
+    is transitive and block-local: any row dominated globally is dominated
+    by some row of the global frontier, and every global-frontier row
+    survives its own block's local pass. So pass 1 computes each block's
+    frontier inside map_batches (whole-block batches, no shuffle — the
+    frontier is typically tiny vs the block), and pass 2 reduces the
+    union of local frontiers (frontier-sized, not data-sized) in a single
+    task. At 100 TB only per-block frontiers ever leave the scan tasks."""
+    dirs = directions or ["min"] * len(cols)
+    if len(dirs) != len(cols):
+        raise ValueError("skyline: directions must match cols")
+    sign = np.array([1.0 if d == "min" else -1.0 for d in dirs])
+
+    def to_mat(b: pa.Table) -> np.ndarray:
+        m = np.column_stack(
+            [b.column(c).to_numpy(zero_copy_only=False).astype(np.float64) for c in cols]
+        )
+        return m * sign
+
+    def local(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(_frontier_mask(to_mat(b))))
+
+    locals_ = ds.map_batches(local, batch_format="pyarrow", batch_size=None)
+    return locals_.repartition(1).map_batches(local, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_string_agg(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    *,
+    sep: str = "|",
+    order_cols: list[str] | None = None,
+    out_col: str = "agg",
+    num_buckets: int = 64,
+) -> Dataset:
+    """SQL string_agg(value, sep ORDER BY order_cols) per key — ordered
+    group concatenation. One bucketed shuffle (hash(key) % num_buckets
+    int32, same reduce shape as grouped_agg) co-locates each key whole;
+    inside a bucket one mergesort orders every group at once and a single
+    pandas str-join per key emits the row. order_cols must totally order
+    each group for a deterministic result. The concatenation inherently
+    needs every member string, so the shuffle moves the value column — at
+    scale keep value_col narrow (names/ids, not documents)."""
+    from ..hashing import stable_bucket
+
+    order = order_cols or []
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[key, value_col, *order]].copy()
+        batch["__bucket"] = stable_bucket(batch[key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order], kind="mergesort")
+        out = g.groupby(key, sort=False)[value_col].agg(sep.join)
+        return pd.DataFrame({key: out.index, out_col: out.to_numpy()})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(fn, batch_format="pandas")
+    )

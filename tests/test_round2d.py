@@ -340,3 +340,86 @@ def test_sharded_min_index_canonical_keep_and_cross_filter(ray_session):
     # dump() round-trips the whole map
     d = index.dump().to_pandas().sort_values("key").reset_index(drop=True)
     assert len(d) == 40 and (d["value"].to_numpy() % 100 == want.sort_values("k")["id"].to_numpy() % 100).all()
+
+
+def _dominates(q, p) -> bool:
+    return all(a <= b for a, b in zip(q, p)) and any(a < b for a, b in zip(q, p))
+
+
+def _frontier_naive(vals: np.ndarray) -> np.ndarray:
+    return np.array(
+        [not any(_dominates(q, p) for q in vals if q is not p) for p in vals]
+    )
+
+
+def test_frontier_mask_matches_brute_force():
+    from tesseract_recognize_ray.functions.relational import _frontier_mask
+
+    rng = np.random.default_rng(7)
+    for k in (2, 3, 4):
+        for n in (1, 2, 17, 200):
+            # small integer grid forces ties, duplicates and equal-x groups
+            vals = rng.integers(0, 6, size=(n, k)).astype(np.float64)
+            got = _frontier_mask(vals)
+            want = np.array(
+                [
+                    not any(
+                        _dominates(vals[j], vals[i]) for j in range(n) if j != i
+                    )
+                    for i in range(n)
+                ]
+            )
+            assert (got == want).all(), (k, n, np.flatnonzero(got != want))
+
+
+def test_skyline_distributed_matches_naive_and_keeps_duplicates(ray_session):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(500),
+            "a": rng.integers(0, 40, 500),
+            "b": rng.integers(0, 40, 500),
+        }
+    )
+    # plant an exact duplicate of a guaranteed-frontier point: both copies
+    # must survive (equal points never dominate each other)
+    df.loc[498, ["a", "b"]] = [0, 39]
+    df.loc[499, ["a", "b"]] = [0, 39]
+    ds = rd.from_pandas(df).repartition(7)
+    got = (
+        F.skyline(ds, ["a", "b"], ["min", "max"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    vals = np.column_stack([df["a"], -df["b"]]).astype(np.float64)
+    want = df[_frontier_naive(vals)].sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert {498, 499} <= set(got["id"])
+
+
+def test_grouped_string_agg_ordered(ray_session):
+    rng = np.random.default_rng(3)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n),
+            "v": [f"w{i}" for i in range(n)],
+            "o": rng.permutation(n),
+        }
+    )
+    ds = rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(5)
+    got = (
+        F.grouped_string_agg(ds, "k", "v", sep=",", order_cols=["o"], out_col="s")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["k", "o"])
+        .groupby("k")["v"]
+        .agg(",".join)
+        .rename("s")
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
