@@ -1247,8 +1247,11 @@ def _q_returned_revenue_by_customer(sf_dir: str):
     re-aggregate per custkey -> hash join customer -> broadcast nation ->
     global top-20. Revenue exact in int64 cent-percent units."""
     li = F.load(
-        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
-    ).filter(expr="l_returnflag == 'R'")
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R",
+    )
 
     def revenue(b: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
@@ -1260,12 +1263,30 @@ def _q_returned_revenue_by_customer(sf_dir: str):
         li.map_batches(revenue, batch_format="pyarrow"),
         ["l_orderkey"],
         [("rev", "sum", "rev_u")],
+        reduce_blocks=16,
     )
     orders = F.load(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    j1 = F.hash_join(li_agg, orders, on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=8)
-    per_cust = F.grouped_agg(j1, ["o_custkey"], [("rev_u", "sum", "revenue_u")])
+    # bucket_join (one bucketed co-shuffle, explicit schemas keep the lazy
+    # combiner upstream single-execution) — Dataset.join's per-partition
+    # aggregator actors cost ~2s fixed per join at this shape
+    j1 = F.bucket_join(
+        li_agg,
+        orders,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        left_schema=pa.schema({"l_orderkey": pa.int64(), "rev_u": pa.int64()}),
+        reduce_blocks=16,
+    )
+    per_cust = F.grouped_agg(j1, ["o_custkey"], [("rev_u", "sum", "revenue_u")], reduce_blocks=16)
     cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
-    j2 = F.hash_join(per_cust, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=8)
+    j2 = F.bucket_join(
+        per_cust,
+        cust,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        left_schema=pa.schema({"o_custkey": pa.int64(), "revenue_u": pa.int64()}),
+        reduce_blocks=16,
+    )
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     j3 = F.broadcast_lookup_join(j2, nation, "c_nationkey", "n_nationkey")
     # Dataset.join keeps only the LEFT key column -> customer key lives on
@@ -2651,8 +2672,11 @@ def _q_part_neighbor_jaccard(sf_dir: str):
     from tesseract_recognize_ray.functions.graph import group_clique_pairs, neighbor_jaccard
 
     ds = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey", min_count=2)
-    sim = neighbor_jaccard(edges)
+    # reduce_blocks=16: the post-combiner pair stream of a >=2-thresholded
+    # order-basket graph is MBs, and Ray's sort exchange is ~5x faster on
+    # 16 coalesced blocks than on the read's 64 (see grouped_agg docstring)
+    edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey", min_count=2, reduce_blocks=16)
+    sim = neighbor_jaccard(edges, reduce_blocks=16)
     return F.topk(sim, "jaccard", 100, descending=True, tiebreak=["src", "dst"])
 
 

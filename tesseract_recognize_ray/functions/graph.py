@@ -183,9 +183,12 @@ def _pagerank_broadcast(
     lives on the driver and is re-broadcast via ray.put each iteration;
     edges stay distributed and are scanned by a stateless map_batches that
     looks ranks up with a searchsorted against the broadcast id vector.
-    Per iteration: ONE Ray job (edge scan + combiner groupby(dst) sum) and
-    a node-count-sized result pull — no join operator. The caller gates on
-    broadcast_max_nodes; above it the hash-join path runs instead."""
+    Per iteration: ONE Ray job — an edge scan whose blocks each emit a
+    SPARSE per-node contribution partial (unique in-block dst + bincount
+    sum, bounded by min(nodes, block rows)) folded on the driver — no
+    shuffle and no join operator, the same driver-fold shape as
+    _kcore/_cc_broadcast. The caller gates on broadcast_max_nodes; above
+    it the hash-join path runs instead."""
     import ray
 
     nd = nodes.to_pandas()  # gated: at most broadcast_max_nodes rows
@@ -198,8 +201,6 @@ def _pagerank_broadcast(
     ids_ref = ray.put(ids)
     w_ref = ray.put(inv_deg)
 
-    from tesseract_recognize_ray.functions.relational import grouped_agg
-
     for _ in range(iters):
         dang = float(r[dang_mask].sum())
         base = (1.0 - damping) / n + damping * dang / n
@@ -209,16 +210,22 @@ def _pagerank_broadcast(
             ids_l = ray.get(ids_ref)
             si = np.searchsorted(ids_l, b.column("src").to_numpy(zero_copy_only=False))
             c = ray.get(r_ref)[si] * ray.get(w_ref)[si]
-            return pa.table({"dst": b.column("dst"), "c": pa.array(c)})
+            di = np.searchsorted(ids_l, b.column("dst").to_numpy(zero_copy_only=False))
+            uniq, inv = np.unique(di, return_inverse=True)
+            return pa.table(
+                {"di": pa.array(uniq, pa.int64()), "c": pa.array(np.bincount(inv, weights=c))}
+            )
 
-        st = grouped_agg(
-            e.map_batches(contrib, batch_format="pyarrow"),
-            ["dst"],
-            [("c", "sum", "in_mass")],
-        ).to_pandas()
-        r = np.full(n, base)
-        di = np.searchsorted(ids, st["dst"].to_numpy())
-        r[di] = base + damping * st["in_mass"].to_numpy()
+        in_mass = np.zeros(n)
+        for part in e.map_batches(contrib, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            np.add.at(
+                in_mass,
+                part.column("di").to_numpy(zero_copy_only=False),
+                part.column("c").to_numpy(zero_copy_only=False),
+            )
+        r = base + damping * in_mass
 
     return rd.from_arrow(pa.table({"node": pa.array(ids, pa.int64()), "rank": pa.array(r)}))
 
@@ -450,6 +457,7 @@ def group_clique_pairs(
     max_group: int = 256,
     min_count: int = 1,
     count_col: str | None = None,
+    reduce_blocks: int | None = None,
 ) -> Dataset:
     """ALL distinct in-group pairs (src < dst) of nodes sharing a key tuple
     — the candidate-pair shape for pairwise verify stages (edit distance,
@@ -494,7 +502,12 @@ def group_clique_pairs(
     # global distinct — the same pair can arise under different keys
     from tesseract_recognize_ray.functions.relational import grouped_agg
 
-    dd = grouped_agg(pairs, ["src", "dst"], [("src", "count", count_col or "__n")])
+    dd = grouped_agg(
+        pairs,
+        ["src", "dst"],
+        [("src", "count", count_col or "__n")],
+        reduce_blocks=reduce_blocks,
+    )
     if min_count > 1:
         dd = dd.filter(expr=f"{count_col or '__n'} >= {min_count}")
     if count_col:
@@ -1214,6 +1227,7 @@ def neighbor_jaccard(
     max_degree: int = 256,
     min_common: int = 1,
     round_digits: int = 6,
+    reduce_blocks: int | None = None,
 ) -> Dataset:
     """Link-prediction node similarity over an undirected simple edge list
     (src < dst, globally distinct): for every node pair sharing >= min_common
@@ -1236,6 +1250,12 @@ def neighbor_jaccard(
         rev = pa.table({"node": b.column(dst), "nbr": b.column(src)})
         return pa.concat_tables([fwd, rev])
 
+    # two consumers (wedge pairs + degree fold) read the adjacency; without
+    # a checkpoint the whole upstream edge-building lineage executes twice.
+    # The edge list is the contracted, already-thresholded graph — orders of
+    # magnitude smaller than the raw input — so materializing it is the
+    # 100 TB-safe choice too (and the natural resume point).
+    edges = edges.materialize()
     adj = edges.map_batches(symmetrize, batch_format="pyarrow")
     common = group_clique_pairs(
         adj,
@@ -1245,6 +1265,7 @@ def neighbor_jaccard(
         max_group=max_degree,
         min_count=min_common,
         count_col="common",
+        reduce_blocks=reduce_blocks,
     )
     deg = grouped_agg(adj, ["node"], [("nbr", "count", "d")]).to_pandas()
     joined = broadcast_lookup_join(

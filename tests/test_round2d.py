@@ -423,3 +423,43 @@ def test_grouped_string_agg_ordered(ray_session):
         .reset_index()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bucket_join_inner_and_left_matches_pandas(ray_session):
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 400),
+            "k2": rng.integers(0, 3, 400),
+            "lv": np.arange(400, dtype=np.int64) + 2**53,  # beyond float53 mantissa
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(0, 60, 300),
+            "rk2": rng.integers(0, 3, 300),
+            "lv": rng.integers(0, 9, 300),  # collides with a left name -> suffixed
+            "name": [f"n{i}" for i in range(300)],
+        }
+    )
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(3)
+    for how in ("inner", "left"):
+        got = (
+            F.bucket_join(lds, rds, on=("k", "k2"), right_on=("rk", "rk2"), how=how)
+            .to_pandas()
+            .sort_values(["k", "k2", "lv", "lv_r", "name"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(
+                right.rename(columns={"rk": "k", "rk2": "k2", "lv": "lv_r"}),
+                on=["k", "k2"],
+                how=how,
+            )
+            .sort_values(["k", "k2", "lv", "lv_r", "name"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # int64 payload survives exactly (no float round-trip)
+        assert got["lv"].dtype == np.int64 and (got["lv"] >= 2**53).all()
