@@ -137,8 +137,9 @@ def _q_anti_join_customers(sf_dir: str):
     """J-family: broadcast anti join — customers without any high-value
     (totalprice > 300k) order; the filtered key set is broadcast once."""
     cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    orders = F.load(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    big = orders.filter(expr="o_totalprice > 300000").select_columns(["o_custkey"])
+    big = F.load(
+        sf_dir, "orders", columns=["o_custkey"], filter=pc.field("o_totalprice") > 300000
+    )
     return F.broadcast_anti_join(cust, big, "c_custkey", "o_custkey")
 
 
@@ -801,25 +802,28 @@ def _q_shipping_priority(sf_dir: str):
     combiner — the join never sees one row per lineitem), hash-join the two
     aggregates, global top-10 with per-batch prune. Revenue is exact:
     cents x (100 - discount_pct) in int64."""
-    cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
-        expr=f"c_mktsegment == '{_Q3_SEGMENT}'"
-    )
+    # every predicate pushed INTO the scans (row-group pruning + pre-
+    # materialization filtering; see F.load) — no post-read filter stage
     cutoff = pa.scalar(np.datetime64(_Q3_CUTOFF, "us"), pa.timestamp("us"))
-
-    def before_cutoff(b: pa.Table) -> pa.Table:
-        return b.filter(pc.less(pc.cast(b.column("o_orderdate"), pa.timestamp("us")), cutoff))
-
-    orders = F.load(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        before_cutoff, batch_format="pyarrow"
+    cust = F.load(
+        sf_dir,
+        "customer",
+        columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == _Q3_SEGMENT,
+    )
+    orders = F.load(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < cutoff,
     )
     orders = F.broadcast_semi_join(orders, cust, "o_custkey", small_key="c_custkey")
-
-    def after_cutoff(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater(pc.cast(b.column("l_shipdate"), pa.timestamp("us")), cutoff))
-
     li = F.load(
-        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
-    ).map_batches(after_cutoff, batch_format="pyarrow")
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > cutoff,
+    )
 
     def revenue(b: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
@@ -831,10 +835,16 @@ def _q_shipping_priority(sf_dir: str):
         li.map_batches(revenue, batch_format="pyarrow"),
         ["l_orderkey"],
         [("rev", "sum", "revenue_u")],
+        reduce_blocks=16,
     )
-    joined = F.hash_join(
-        li_agg, orders.select_columns(["o_orderkey", "o_orderdate"]),
-        on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=8,
+    joined = F.bucket_join(
+        li_agg,
+        orders.select_columns(["o_orderkey", "o_orderdate"]),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        left_schema=pa.schema({"l_orderkey": pa.int64(), "revenue_u": pa.int64()}),
+        right_schema=pa.schema({"o_orderkey": pa.int64(), "o_orderdate": pa.timestamp("us")}),
+        reduce_blocks=16,
     )
     top = F.topk(joined, "revenue_u", 10, descending=True, tiebreak=["l_orderkey"])
     return top.select_columns(["l_orderkey", "revenue_u", "o_orderdate"])
