@@ -1273,30 +1273,15 @@ def _q_returned_revenue_by_customer(sf_dir: str):
         li.map_batches(revenue, batch_format="pyarrow"),
         ["l_orderkey"],
         [("rev", "sum", "rev_u")],
-        reduce_blocks=16,
     )
     orders = F.load(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    # bucket_join (one bucketed co-shuffle, explicit schemas keep the lazy
-    # combiner upstream single-execution) — Dataset.join's per-partition
-    # aggregator actors cost ~2s fixed per join at this shape
-    j1 = F.bucket_join(
-        li_agg,
-        orders,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-        left_schema=pa.schema({"l_orderkey": pa.int64(), "rev_u": pa.int64()}),
-        reduce_blocks=16,
-    )
-    per_cust = F.grouped_agg(j1, ["o_custkey"], [("rev_u", "sum", "revenue_u")], reduce_blocks=16)
+    # Dataset.join here, not bucket_join: with TWO joins chained the acero
+    # exchange pipelines across stages and measured best-of-3 5.1s vs 5.8s
+    # (bucketed) / 12.6s (bucketed, uncoalesced) at sf0.1
+    j1 = F.hash_join(li_agg, orders, on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=8)
+    per_cust = F.grouped_agg(j1, ["o_custkey"], [("rev_u", "sum", "revenue_u")])
     cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
-    j2 = F.bucket_join(
-        per_cust,
-        cust,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-        left_schema=pa.schema({"o_custkey": pa.int64(), "revenue_u": pa.int64()}),
-        reduce_blocks=16,
-    )
+    j2 = F.hash_join(per_cust, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=8)
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     j3 = F.broadcast_lookup_join(j2, nation, "c_nationkey", "n_nationkey")
     # Dataset.join keeps only the LEFT key column -> customer key lives on
