@@ -2991,6 +2991,38 @@ def _q_canonical_prefix_docs(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def _q_supplier_part_mincost(sf_dir: str):
+    """Bounded multi-source weighted shortest paths (graph.sssp_rounds, 3
+    Bellman-Ford relaxation rounds — ONE driver-folded Ray job per round
+    below the broadcast gate): cheapest int64-cent path cost from the
+    nation-0 supplier set over the undirected supplier<->part graph whose
+    edge weight is the MIN lineitem extendedprice of that (supplier, part)
+    lane. Oracle = 3 chained relax CTEs, exact int64 on both sides."""
+    from tesseract_recognize_ray.functions.graph import sssp_rounds
+
+    li = F.load(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey", "l_extendedprice"])
+
+    def edge(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(b.column("l_suppkey"), pa.int64()),
+                "dst": pc.add(
+                    pa.scalar(1_000_000, pa.int64()), pc.cast(b.column("l_partkey"), pa.int64())
+                ),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()),
+            }
+        )
+
+    edges = F.grouped_agg(
+        li.map_batches(edge, batch_format="pyarrow"),
+        ["src", "dst"],
+        [("cents", "min", "w")],
+        reduce_blocks=16,
+    )
+    seeds = F.load(sf_dir, "supplier", columns=["s_suppkey"], filter=pc.field("s_nationkey") == 0)
+    return sssp_rounds(edges, seeds, rounds=3)
+
+
 def _q_pareto_parts(sf_dir: str):
     """Distributed Pareto frontier / SQL skyline (relational.skyline):
     parts for which no other part is both cheaper-or-equal AND
@@ -3248,6 +3280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
+        "supplier_part_mincost": _q_supplier_part_mincost,
         "nation_customer_names": _q_nation_customer_names,
         "grouping_sets_lineitem": _q_grouping_sets_lineitem,
         "dup_token_spans": _q_dup_token_spans,
@@ -3398,6 +3431,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """
     return {
+        "supplier_part_mincost": """
+            WITH base AS (
+                SELECT CAST(l_suppkey AS BIGINT) AS u,
+                       CAST(1000000 + l_partkey AS BIGINT) AS v,
+                       MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS w
+                FROM lineitem GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT u, v, w FROM base
+                UNION ALL
+                SELECT v AS u, u AS v, w FROM base
+            ),
+            d0 AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+                FROM supplier WHERE s_nationkey = 0
+            ),
+            d1 AS (
+                SELECT node, MIN(dist) AS dist FROM (
+                    SELECT node, dist FROM d0
+                    UNION ALL
+                    SELECT e.v AS node, d0.dist + e.w AS dist FROM d0 JOIN e ON e.u = d0.node
+                ) GROUP BY node
+            ),
+            d2 AS (
+                SELECT node, MIN(dist) AS dist FROM (
+                    SELECT node, dist FROM d1
+                    UNION ALL
+                    SELECT e.v AS node, d1.dist + e.w AS dist FROM d1 JOIN e ON e.u = d1.node
+                ) GROUP BY node
+            ),
+            d3 AS (
+                SELECT node, MIN(dist) AS dist FROM (
+                    SELECT node, dist FROM d2
+                    UNION ALL
+                    SELECT e.v AS node, d2.dist + e.w AS dist FROM d2 JOIN e ON e.u = d2.node
+                ) GROUP BY node
+            )
+            SELECT node, dist FROM d3
+        """,
         "pareto_parts": """
             WITH p AS (
                 SELECT p_partkey,

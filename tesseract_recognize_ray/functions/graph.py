@@ -1530,3 +1530,121 @@ def label_propagation(
         lambda b: pa.table({"node": b.column("node"), "community": b.column("label")}),
         batch_format="pyarrow",
     )
+
+
+def sssp_rounds(
+    edges: Dataset,
+    seeds: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    *,
+    rounds: int = 4,
+    broadcast_max_nodes: int = 2_000_000,
+) -> Dataset:
+    """Bounded multi-source weighted shortest paths — `rounds` synchronous
+    Bellman-Ford relaxations over an undirected graph with non-negative
+    int64 edge weights. Returns (node, dist) for every node reached within
+    `rounds` edges of the seed set; after r rounds dist is exact for all
+    min-cost paths of <= r edges (the SQL-unrollable contract the DuckDB
+    oracle mirrors as r chained relax CTEs — exact int64 arithmetic on
+    both sides, so results value-match bit-for-bit).
+
+    Broadcast-or-distributed gate, same design as ``pagerank``/``bfs_hops``:
+    while the reached set fits broadcast_max_nodes the driver owns the
+    (sorted ids, dist) vectors and each round is ONE Ray job — every edge
+    block emits a SPARSE per-target min partial (searchsorted lookup +
+    np.minimum.at, bounded by min(reached, block rows)) that the driver
+    folds; no shuffle, no join. Past the gate the distance table spills to
+    a distributed Dataset and each round is a bucket_join(dist, edges) +
+    candidate union + combiner groupby(node) min — distances and edges
+    stay distributed and the driver sees only per-round row counts."""
+    import ray
+
+    from tesseract_recognize_ray.functions.relational import bucket_join, grouped_agg
+
+    def sym(b: pa.Table) -> pa.Table:
+        u = pc.cast(b.column(src), pa.int64()).combine_chunks()
+        v = pc.cast(b.column(dst), pa.int64()).combine_chunks()
+        w = pc.cast(b.column(weight), pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "eu": pa.concat_arrays([u, v]),
+                "ev": pa.concat_arrays([v, u]),
+                "w": pa.concat_arrays([w, w]),
+            }
+        )
+
+    e = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    ids = np.unique(seeds.to_pandas().iloc[:, 0].to_numpy().astype(np.int64))
+    dist = np.zeros(len(ids), dtype=np.int64)
+    dist_ds: Dataset | None = None
+
+    for _ in range(rounds):
+        if dist_ds is None and len(ids) <= broadcast_max_nodes:
+            ids_ref = ray.put(ids)
+            dist_ref = ray.put(dist)
+
+            def relax(b: pa.Table, ids_ref=ids_ref, dist_ref=dist_ref) -> pa.Table:
+                ids_l, dist_l = ray.get(ids_ref), ray.get(dist_ref)
+                eu = b.column("eu").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(ids_l, eu)
+                ok = (pos < len(ids_l)) & (ids_l[np.minimum(pos, len(ids_l) - 1)] == eu)
+                nd = dist_l[pos[ok]] + b.column("w").to_numpy(zero_copy_only=False)[ok]
+                tgt = b.column("ev").to_numpy(zero_copy_only=False)[ok]
+                uniq, inv = np.unique(tgt, return_inverse=True)
+                m = np.full(len(uniq), np.iinfo(np.int64).max)
+                np.minimum.at(m, inv, nd)
+                return pa.table({"node": pa.array(uniq, pa.int64()), "nd": pa.array(m, pa.int64())})
+
+            pn, pd_ = [], []
+            for part in e.map_batches(relax, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            ):
+                pn.append(part.column("node").to_numpy(zero_copy_only=False))
+                pd_.append(part.column("nd").to_numpy(zero_copy_only=False))
+            alln = np.concatenate(pn) if pn else np.empty(0, dtype=np.int64)
+            if len(alln):
+                bn, inv = np.unique(alln, return_inverse=True)
+                bd = np.full(len(bn), np.iinfo(np.int64).max)
+                np.minimum.at(bd, inv, np.concatenate(pd_))
+                all_ids = np.union1d(ids, bn)
+                all_dist = np.full(len(all_ids), np.iinfo(np.int64).max)
+                all_dist[np.searchsorted(all_ids, ids)] = dist
+                pos = np.searchsorted(all_ids, bn)
+                np.minimum.at(all_dist, pos, bd)
+                ids, dist = all_ids, all_dist
+            if len(ids) > broadcast_max_nodes:
+                dist_ds = rd.from_arrow(
+                    pa.table({"node": pa.array(ids, pa.int64()), "dist": pa.array(dist, pa.int64())})
+                ).materialize()
+            continue
+        if dist_ds is None:
+            dist_ds = rd.from_arrow(
+                pa.table({"node": pa.array(ids, pa.int64()), "dist": pa.array(dist, pa.int64())})
+            ).materialize()
+        j = bucket_join(
+            dist_ds,
+            e,
+            on=("node",),
+            right_on=("eu",),
+            left_schema=pa.schema({"node": pa.int64(), "dist": pa.int64()}),
+            right_schema=pa.schema({"eu": pa.int64(), "ev": pa.int64(), "w": pa.int64()}),
+        )
+
+        def cand(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b.column("ev"),
+                    "dist": pc.add(b.column("dist"), b.column("w")),
+                }
+            )
+
+        merged = dist_ds.union(j.map_batches(cand, batch_format="pyarrow"))
+        dist_ds = grouped_agg(merged, ["node"], [("dist", "min", "dist")]).materialize()
+
+    if dist_ds is not None:
+        return dist_ds
+    return rd.from_arrow(
+        pa.table({"node": pa.array(ids, pa.int64()), "dist": pa.array(dist, pa.int64())})
+    )

@@ -463,3 +463,42 @@ def test_bucket_join_inner_and_left_matches_pandas(ray_session):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         # int64 payload survives exactly (no float round-trip)
         assert got["lv"].dtype == np.int64 and (got["lv"] >= 2**53).all()
+
+
+def _sssp_naive(edges: list[tuple[int, int, int]], seeds: list[int], rounds: int) -> dict:
+    INF = float("inf")
+    sym = edges + [(v, u, w) for u, v, w in edges]
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v, w in sym:
+            if u in dist and dist[u] + w < nxt.get(v, INF):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_rounds_matches_naive_both_paths(ray_session):
+    from tesseract_recognize_ray.functions.graph import sssp_rounds
+
+    rng = np.random.default_rng(21)
+    n = 60
+    edges = [
+        (int(u), int(v), int(w))
+        for u, v, w in zip(
+            rng.integers(0, n, 150), rng.integers(0, n, 150), rng.integers(1, 50, 150)
+        )
+        if u != v
+    ]
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst", "w"])).repartition(4)
+    seeds = [0, 7, 13]
+    sds = rd.from_pandas(pd.DataFrame({"s": seeds}))
+    want = _sssp_naive(edges, seeds, rounds=3)
+    for gate in (2_000_000, 1):  # broadcast path, then forced distributed spill
+        got = (
+            sssp_rounds(eds, sds, rounds=3, broadcast_max_nodes=gate)
+            .to_pandas()
+            .set_index("node")["dist"]
+            .to_dict()
+        )
+        assert got == want, f"gate={gate}"
