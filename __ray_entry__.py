@@ -2337,7 +2337,7 @@ def _q_copurchase_triangles(sf_dir: str):
     )
 
     ds = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey")
+    edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey", reduce_blocks=16)
     # clique pairs are already canonical (src < dst) and globally distinct
     n = enumerate_triangles(edges, "src", "dst", assume_simple=True).count()
     return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
@@ -2353,7 +2353,7 @@ def _q_part_bfs_hops(sf_dir: str):
     from tesseract_recognize_ray.functions.graph import bfs_hops, group_clique_pairs
 
     ds = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey", min_count=2).materialize()
+    edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey", min_count=2, reduce_blocks=16).materialize()
 
     def seed_filter(b: pa.Table) -> pa.Table:
         # src % 500 == 0 (integer ids are non-negative, so trunc-div is floor)
@@ -2460,7 +2460,7 @@ def _q_part_kcore(sf_dir: str):
     from tesseract_recognize_ray.functions.graph import group_clique_pairs, kcore_peel
 
     ds = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey")
+    edges = group_clique_pairs(ds, ["l_orderkey"], "l_partkey", reduce_blocks=16)
     return kcore_peel(
         edges, "src", "dst", k=_KCORE_K, rounds=_KCORE_ROUNDS, assume_simple=True
     )
@@ -2482,7 +2482,7 @@ def _q_supplier_communities(sf_dir: str):
     )
 
     ds = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    edges = group_clique_pairs(ds, ["l_orderkey"], "l_suppkey")
+    edges = group_clique_pairs(ds, ["l_orderkey"], "l_suppkey", reduce_blocks=16)
     return label_propagation(edges, "src", "dst", rounds=_LPA_ROUNDS, assume_simple=True)
 
 

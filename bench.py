@@ -100,6 +100,10 @@ _BENCH_QUERIES = [
     "pack_sequences",
     "bloom_semi_join_lineitem",
     "doc_split_counts",
+    "canonical_prefix_docs",
+    "pareto_parts",
+    "nation_customer_names",
+    "supplier_part_mincost",
 ]
 
 
