@@ -502,3 +502,16 @@ def test_sssp_rounds_matches_naive_both_paths(ray_session):
             .to_dict()
         )
         assert got == want, f"gate={gate}"
+
+
+def test_load_scan_filter_matches_post_filter(ray_session):
+    import pyarrow.compute as pc
+
+    sf = "/root/testdata/sf0.001"
+    pushed = F.load(sf, "orders", columns=["o_orderkey"], filter=pc.field("o_totalprice") > 100000)
+    plain = F.load(sf, "orders", columns=["o_orderkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 100000"
+    )
+    a = sorted(pushed.to_pandas()["o_orderkey"])
+    b = sorted(plain.to_pandas()["o_orderkey"])
+    assert a == b and len(a) > 0
