@@ -137,3 +137,30 @@ def test_fill_sentinel_words_no_sentinels_remain(sentinel_mask, seed):
     for i, s in enumerate(sentinel_mask):
         if not s:
             assert tuple(out.loc[i, ["x0", "y0", "x1", "y1"]]) == tuple(w.loc[i, ["x0", "y0", "x1", "y1"]])
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=5).flatmap(
+        lambda k: st.lists(
+            st.tuples(*[st.integers(min_value=0, max_value=7)] * k),
+            min_size=1,
+            max_size=80,
+        )
+    )
+)
+def test_frontier_mask_is_exact_dominance_complement(rows):
+    """skyline's per-block kernel: kept set == rows not strictly dominated
+    (NOT-EXISTS semantics: duplicates never dominate each other), for any
+    dimensionality — the same invariant the DuckDB oracle checks at sf0.01."""
+    from tesseract_recognize_ray.functions.relational import _frontier_mask
+
+    vals = np.array(rows, dtype=np.float64)
+    got = _frontier_mask(vals)
+    for i in range(len(vals)):
+        dominated = any(
+            (vals[j] <= vals[i]).all() and (vals[j] < vals[i]).any()
+            for j in range(len(vals))
+            if j != i
+        )
+        assert got[i] == (not dominated), (i, vals[i])
