@@ -2828,6 +2828,41 @@ def _q_event_global_ordinals(sf_dir: str):
     return out.drop_columns(["ts"])
 
 
+def _q_event_value_deciles(sf_dir: str):
+    """GLOBAL NTILE(10) (equal-frequency binning over the whole table, the
+    feature-binning prep step): exact SQL NTILE semantics — first n%10
+    buckets one row larger — computed from the distributed global ordinal
+    (sampled range partitioning + broadcast prefix offsets; no single-node
+    sort) and the O(1) total count."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    n = cents.count()
+    ordered = F.global_row_number(cents, ["cents", "event_id"], out_col="__ord")
+    k = 10
+    small, big = n // k, n % k  # first `big` buckets hold small+1 rows
+
+    def ntile(b: pa.Table) -> pa.Table:
+        r = pc.subtract(b.column("__ord"), pa.scalar(1, pa.int64())).to_numpy(
+            zero_copy_only=False
+        )  # 0-based rank
+        cut = big * (small + 1)
+        d = np.where(r < cut, r // (small + 1), big + (r - cut) // max(small, 1))
+        return pa.table(
+            {"event_id": b.column("event_id"), "decile": pa.array(d + 1, pa.int64())}
+        )
+
+    return ordered.map_batches(ntile, batch_format="pyarrow")
+
+
 def _q_lineitem_checksum(sf_dir: str):
     """Order-independent table checksum (the 100 TB source-vs-sink audit
     primitive): per-row Horner polynomial hash of the 4 line-identity keys
@@ -3281,6 +3316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
+        "event_value_deciles": _q_event_value_deciles,
         "nation_customer_names": _q_nation_customer_names,
         "grouping_sets_lineitem": _q_grouping_sets_lineitem,
         "dup_token_spans": _q_dup_token_spans,
@@ -3431,6 +3467,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """
     return {
+        "event_value_deciles": """
+            SELECT event_id,
+                   NTILE(10) OVER (
+                       ORDER BY CAST(ROUND(value * 100) AS BIGINT), event_id
+                   ) AS decile
+            FROM events
+        """,
         "supplier_part_mincost": """
             WITH base AS (
                 SELECT CAST(l_suppkey AS BIGINT) AS u,
