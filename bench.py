@@ -104,6 +104,7 @@ _BENCH_QUERIES = [
     "pareto_parts",
     "nation_customer_names",
     "supplier_part_mincost",
+    "event_value_deciles",
 ]
 
 
