@@ -2844,7 +2844,10 @@ def _q_event_value_deciles(sf_dir: str):
             }
         )
 
-    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    # materialize the narrow projection ONCE: count() + global_row_number's
+    # three passes (sample, bucket counts, numbering) would otherwise
+    # re-execute the scan lineage four times
+    cents = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
     n = cents.count()
     ordered = F.global_row_number(cents, ["cents", "event_id"], out_col="__ord")
     k = 10

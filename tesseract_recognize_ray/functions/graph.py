@@ -471,10 +471,9 @@ def group_clique_pairs(
     threshold costs no extra shuffle."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        key = pd.util.hash_pandas_object(
-            batch.select(key_cols).to_pandas(), index=False
-        ).to_numpy()
-        bk = (key % np.uint64(num_buckets)).astype(np.int32)
+        from tesseract_recognize_ray.hashing import stable_bucket_table
+
+        bk = stable_bucket_table(batch, key_cols, num_buckets)
         return batch.append_column("__bucket", pa.array(bk, pa.int32()))
 
     def cliques(df: pd.DataFrame) -> pd.DataFrame:
@@ -537,10 +536,9 @@ def group_star_edges(
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        key = pd.util.hash_pandas_object(
-            batch.select(key_cols).to_pandas(), index=False
-        ).to_numpy()
-        bk = (key % np.uint64(num_buckets)).astype(np.int32)
+        from tesseract_recognize_ray.hashing import stable_bucket_table
+
+        bk = stable_bucket_table(batch, key_cols, num_buckets)
         return batch.append_column("__bucket", pa.array(bk, pa.int32()))
 
     def stars(df: pd.DataFrame) -> pd.DataFrame:
@@ -1576,7 +1574,16 @@ def sssp_rounds(
         )
 
     e = edges.map_batches(sym, batch_format="pyarrow").materialize()
-    ids = np.unique(seeds.to_pandas().iloc[:, 0].to_numpy().astype(np.int64))
+    sdf = seeds.to_pandas()  # an all-empty Ray dataset is also SCHEMALESS
+    ids = (
+        np.unique(sdf.iloc[:, 0].to_numpy().astype(np.int64))
+        if len(sdf.columns) and len(sdf)
+        else np.empty(0, dtype=np.int64)
+    )
+    if len(ids) == 0:  # empty seed set: empty typed result, no relax jobs
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "dist": pa.array([], pa.int64())})
+        )
     dist = np.zeros(len(ids), dtype=np.int64)
     dist_ds: Dataset | None = None
 

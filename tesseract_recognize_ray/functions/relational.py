@@ -44,7 +44,7 @@ def load(
     downstream map_batches; production corpora with many input files
     don't need it. ``filter`` is a pyarrow expression pushed INTO the scan
     (row-group statistics pruning + pre-materialization row filtering):
-    measured ~2x faster warm than read-then-Dataset.filter on a 25%%
+    measured ~2x faster warm than read-then-Dataset.filter on a 25-percent
     selectivity predicate, and the predicate column itself never needs to
     be in ``columns``."""
     return rd.read_parquet(
@@ -119,10 +119,9 @@ def grouped_agg(
         red_specs = [(alias, _PARTIAL_FN[fn]) for col, fn, alias in expanded]
 
         def add_bucket(t: pa.Table) -> pa.Table:
-            h = pd.util.hash_pandas_object(
-                t.select(keys).to_pandas(), index=False
-            ).to_numpy()
-            bk = (h % np.uint64(64)).astype(np.int32)
+            from tesseract_recognize_ray.hashing import stable_bucket_table
+
+            bk = stable_bucket_table(t, keys, 64)
             return t.append_column("__bucket", pa.array(bk, pa.int32()))
 
         def reduce_bucket(t: pa.Table) -> pa.Table:
@@ -1311,15 +1310,20 @@ def grouped_string_agg(
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[[key, value_col, *order]].copy()
-        batch = batch[batch[value_col].notna()]
         batch["__bucket"] = stable_bucket(batch[key], num_buckets)
         return batch
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
+        # SQL string_agg: NULL VALUES are skipped inside a group, but the
+        # GROUP itself survives (all-NULL group -> NULL result), and a NULL
+        # key is a group like any other (dropna=False)
         g = g.copy()
-        g[value_col] = g[value_col].astype(str)
+        nn = g[value_col].notna()
+        g.loc[nn, value_col] = g.loc[nn, value_col].astype(str)
         g = g.sort_values([key, *(order or [value_col])], kind="mergesort")
-        out = g.groupby(key, sort=False)[value_col].agg(sep.join)
+        out = g.groupby(key, sort=False, dropna=False)[value_col].agg(
+            lambda s: sep.join(s.dropna()) if s.notna().any() else None
+        )
         return pd.DataFrame({key: out.index, out_col: out.to_numpy()})
 
     return (
@@ -1652,8 +1656,10 @@ def bloom_prune(ds: Dataset, key: str, bloom_ref, m_bits: int = 1 << 23, k: int 
 
 
 def _frontier_mask(vals: np.ndarray) -> np.ndarray:
-    """Boolean mask of Pareto-optimal rows of an (n, k) float64 matrix with
-    every dimension MINIMIZED. Exact SQL NOT-EXISTS dominance: q dominates p
+    """Boolean mask of Pareto-optimal rows of an (n, k) float64 OR int64
+    matrix (int64 stays exact beyond 2^53; a wrapped int sum in the k>2
+    pre-sort only perturbs the pruning heuristic, never the exact final
+    pairwise filter) with every dimension MINIMIZED. Exact SQL NOT-EXISTS dominance: q dominates p
     iff q <= p on every dim AND q < p on at least one — so duplicate points
     never dominate each other and all copies of a frontier point survive.
 
@@ -1727,11 +1733,16 @@ def skyline(ds: Dataset, cols: list[str], directions: list[str] | None = None) -
     dirs = directions or ["min"] * len(cols)
     if len(dirs) != len(cols):
         raise ValueError("skyline: directions must match cols")
-    sign = np.array([1.0 if d == "min" else -1.0 for d in dirs])
 
     def to_mat(b: pa.Table) -> np.ndarray:
+        # integer dims stay int64 end-to-end (dominance on exact-cents
+        # columns beyond 2^53 must not blur through float64); any float
+        # dim switches the whole matrix to float64
+        all_int = all(pa.types.is_integer(b.column(c).type) for c in cols)
+        dt = np.int64 if all_int else np.float64
+        sign = np.array([1 if d == "min" else -1 for d in dirs], dtype=dt)
         m = np.column_stack(
-            [b.column(c).to_numpy(zero_copy_only=False).astype(np.float64) for c in cols]
+            [b.column(c).to_numpy(zero_copy_only=False).astype(dt) for c in cols]
         )
         return m * sign
 
@@ -1826,17 +1837,23 @@ def bucket_join(
     keys = list(on)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            t.select(keys).to_pandas(), index=False
-        ).to_numpy()
-        bk = (h % np.uint64(num_buckets)).astype(np.int32)
+        from tesseract_recognize_ray.hashing import stable_bucket_table
+
+        bk = stable_bucket_table(t, keys, num_buckets)
         return t.append_column("__bucket", pa.array(bk, pa.int32()))
 
     def join_bucket(t: pa.Table) -> pa.Table:
         side = t.column("__side")
         lf = t.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
-        rf = t.filter(pc.equal(side, 1)).select(keys + out_r_cols).to_pandas()
-        out = lf.merge(rf, on=keys, how=how)
+        # SQL equi-join semantics: NULL never equals NULL — drop null-key
+        # build rows IN ARROW so pandas merge can't match NaN against NaN
+        # (left null-key rows then simply stay unmatched, correct for both
+        # inner and left)
+        rt = t.filter(pc.equal(side, 1)).select(keys + out_r_cols)
+        keep = pc.is_valid(rt.column(keys[0]))
+        for k in keys[1:]:
+            keep = pc.and_(keep, pc.is_valid(rt.column(k)))
+        out = lf.merge(rt.filter(keep).to_pandas(), on=keys, how=how)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     tagged = tagged.map_batches(add_bucket, batch_format="pyarrow")

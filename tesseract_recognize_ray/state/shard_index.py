@@ -58,6 +58,10 @@ class _KeyShard:
         d = self._min
         return np.array([d.get(k, -1) for k in keys], dtype=np.int64)
 
+    def contains(self, keys: list) -> np.ndarray:
+        d = self._min
+        return np.fromiter((k in d for k in keys), dtype=bool, count=len(keys))
+
     def size(self) -> int:
         return len(self._min)
 
@@ -105,6 +109,20 @@ class ShardedMinIndex:
             out[m] = ray.get(ref)
         return out
 
+    def contains(self, keys: pd.Series) -> np.ndarray:
+        """Membership mask — the presence test filter_members uses (unlike
+        get_min's -1 sentinel it cannot be confused by negative values)."""
+        sh = self._route(keys)
+        out = np.empty(len(keys), dtype=bool)
+        kv = keys.to_numpy()
+        pend = []
+        for s in np.unique(sh):
+            m = sh == s
+            pend.append((m, self._shards[s].contains.remote(kv[m].tolist())))
+        for m, ref in pend:
+            out[m] = ray.get(ref)
+        return out
+
     def total(self) -> int:
         return int(sum(ray.get([s.size.remote() for s in self._shards])))
 
@@ -128,7 +146,11 @@ def canonical_min_keep(
     index = ShardedMinIndex(num_shards)
 
     def offer(b: pd.DataFrame) -> pd.DataFrame:
-        part = b.groupby(key_col, sort=False)[id_col].min()
+        # dropna=False: SQL's PARTITION BY keeps the NULL group; keys are
+        # canonicalized to None (a singleton — NaN dict keys are identity-
+        # unstable) so routing and shard lookups stay consistent
+        keyed = b[key_col].where(b[key_col].notna(), None)
+        part = b.assign(**{key_col: keyed}).groupby(key_col, sort=False, dropna=False)[id_col].min()
         index.offer_min(part.index.to_series(), part.to_numpy().astype(np.int64))
         return pd.DataFrame({"n": [len(part)]})
 
@@ -139,7 +161,8 @@ def canonical_min_keep(
         pass
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
-        winners = index.get_min(b[key_col])
+        keyed = b[key_col].where(b[key_col].notna(), None)
+        winners = index.get_min(keyed)
         return b[b[id_col].to_numpy().astype(np.int64) == winners]
 
     return ds.map_batches(keep, batch_format="pandas"), index
@@ -153,7 +176,8 @@ def filter_members(
     path of the mutable index."""
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
-        present = index.get_min(b[key_col]) >= 0
+        keyed = b[key_col].where(b[key_col].notna(), None)
+        present = index.contains(keyed)
         return b[present if keep_matches else ~present]
 
     return ds.map_batches(fn, batch_format="pandas")

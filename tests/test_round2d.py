@@ -515,3 +515,68 @@ def test_load_scan_filter_matches_post_filter(ray_session):
     a = sorted(pushed.to_pandas()["o_orderkey"])
     b = sorted(plain.to_pandas()["o_orderkey"])
     assert a == b and len(a) > 0
+
+
+def test_bucket_join_null_keys_route_consistently_and_never_match(ray_session):
+    # one left block carries a null key (int64 -> float64 pandas coercion
+    # trap): the non-null key must still meet its right row, and null keys
+    # must match NOTHING (SQL equi-join), not each other
+    left = pd.DataFrame({"k": pd.array([5, None, 9], dtype="Int64"), "lv": [1, 2, 3]})
+    right = pd.DataFrame({"rk": pd.array([5, None], dtype="Int64"), "w": [10, 20]})
+    lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(2)
+    rds = rd.from_arrow(pa.Table.from_pandas(right))
+    inner = (
+        F.bucket_join(lds, rds, on=("k",), right_on=("rk",), how="inner")
+        .to_pandas()
+        .sort_values("lv")
+    )
+    assert inner["lv"].tolist() == [1] and inner["w"].tolist() == [10]
+    left_j = (
+        F.bucket_join(lds, rds, on=("k",), right_on=("rk",), how="left")
+        .to_pandas()
+        .sort_values("lv")
+    )
+    assert left_j["lv"].tolist() == [1, 2, 3]
+    assert left_j["w"].fillna(-1).tolist() == [10, -1, -1]
+
+
+def test_grouped_string_agg_null_semantics(ray_session):
+    df = pd.DataFrame(
+        {"k": ["a", "a", "b", None], "v": ["x", None, None, "z"]}
+    )
+    out = (
+        F.grouped_string_agg(rd.from_pandas(df).repartition(2), "k", "v", out_col="s")
+        .to_pandas()
+    )
+    got = {k: v for k, v in zip(out["k"], out["s"])}
+    # group a: null value skipped; group b survives with NULL; null key kept
+    assert got["a"] == "x"
+    assert pd.isna(got["b"])
+    nullkey = out[out["k"].isna()]["s"].tolist()
+    assert nullkey == ["z"]
+
+
+def test_skyline_exact_beyond_float53(ray_session):
+    base = 2**53
+    df = pd.DataFrame(
+        {
+            "id": [0, 1],
+            # row 1 is strictly dominated, but the two a-values collide in
+            # float64 — int64 path must still see the difference
+            "a": np.array([base, base + 1], dtype=np.int64),
+            "b": np.array([5, 5], dtype=np.int64),
+        }
+    )
+    out = F.skyline(rd.from_pandas(df), ["a", "b"]).to_pandas()
+    assert out["id"].tolist() == [0]
+
+
+def test_sssp_empty_seed_set(ray_session):
+    from tesseract_recognize_ray.functions.graph import sssp_rounds
+
+    eds = rd.from_pandas(pd.DataFrame({"src": [1, 2], "dst": [2, 3], "w": [1, 1]}))
+    seeds = rd.from_pandas(pd.DataFrame({"s": pd.Series([], dtype="int64")}))
+    out = sssp_rounds(eds, seeds, rounds=2).to_pandas()
+    # Ray 2.49 drops the schema of any all-empty dataset (known pitfall),
+    # so only emptiness — not column names — is assertable here
+    assert len(out) == 0
