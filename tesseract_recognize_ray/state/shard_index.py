@@ -129,6 +129,31 @@ class ShardedMinIndex:
     def dump(self) -> pa.Table:
         return pa.concat_tables(ray.get([s.dump.remote() for s in self._shards]))
 
+    def save(self, path: str) -> int:
+        """Persist the whole map as one parquet file (key, value); returns
+        row count. Pair with ``load`` for cross-RUN state: a later pipeline
+        run restores the index and keeps deduplicating against it without
+        rescanning earlier corpora."""
+        import pyarrow.parquet as pq
+
+        t = self.dump()
+        pq.write_table(t, path)
+        return t.num_rows
+
+    @classmethod
+    def load(cls, path: str, num_shards: int = 8) -> "ShardedMinIndex":
+        """Restore a saved index into fresh shard actors (keys re-route via
+        the same stable hash, so a different num_shards is fine)."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        idx = cls(num_shards)
+        if t.num_rows:
+            keys = t.column("key").to_pandas()
+            keys = keys.where(keys.notna(), None)
+            idx.offer_min(keys, t.column("value").to_numpy(zero_copy_only=False).astype(np.int64))
+        return idx
+
 
 def canonical_min_keep(
     ds: Dataset, key_col: str, id_col: str, num_shards: int = 8

@@ -580,3 +580,23 @@ def test_sssp_empty_seed_set(ray_session):
     # Ray 2.49 drops the schema of any all-empty dataset (known pitfall),
     # so only emptiness — not column names — is assertable here
     assert len(out) == 0
+
+
+def test_shard_index_save_load_roundtrip(ray_session, tmp_path):
+    from tesseract_recognize_ray.state.shard_index import (
+        ShardedMinIndex,
+        canonical_min_keep,
+        filter_members,
+    )
+
+    df = pd.DataFrame({"k": ["a", "a", "b", "c"], "id": [5, 3, 7, 1]})
+    _, index = canonical_min_keep(rd.from_pandas(df), "k", "id", num_shards=3)
+    p = str(tmp_path / "idx.parquet")
+    assert index.save(p) == 3
+    # restore into a DIFFERENT shard count: routing must still resolve
+    idx2 = ShardedMinIndex.load(p, num_shards=5)
+    assert idx2.total() == 3
+    probe = rd.from_pandas(pd.DataFrame({"k": ["a", "b", "x"]}))
+    inside = filter_members(probe, "k", idx2, keep_matches=True).to_pandas()
+    assert sorted(inside["k"]) == ["a", "b"]
+    assert idx2.get_min(pd.Series(["a", "b", "c"])).tolist() == [3, 7, 1]
