@@ -1343,6 +1343,7 @@ def _q_events_in_type_windows(sf_dir: str):
         us.map_batches(with_day, batch_format="pyarrow"),
         ["event_type", "d"],
         [("ts_us", "min", "lo"), ("ts_us", "max", "hi")],
+        reduce_blocks=16,  # (type, day) partials: enum x days, reducer-sized
     )
 
     def rename_iv(b: pa.Table) -> pa.Table:
@@ -1358,6 +1359,10 @@ def _q_events_in_type_windows(sf_dir: str):
         "lo",
         "hi",
         cell=21_600_000_000,
+        point_schema=pa.schema({"event_id": pa.int64(), "ts_us": pa.int64()}),
+        interval_schema=pa.schema(
+            {"itype": pa.string(), "d": pa.int64(), "lo": pa.int64(), "hi": pa.int64()}
+        ),
     )
 
     def project(b: pa.Table) -> pa.Table:
