@@ -144,8 +144,11 @@ def _q_anti_join_customers(sf_dir: str):
 
 
 def _q_revenue_by_nation(sf_dir: str):
-    """J+G: hash join (two big sides) + broadcast dim lookup + grouped agg.
-    orders ⋈ customer on custkey (hash-partitioned), nation broadcast."""
+    """J+G: pre-aggregated join + broadcast dim lookup + re-aggregate.
+    Revenue and order count fold to one row per custkey BEFORE the join
+    (map-side combiner), so the customer join moves |customers| rows, not
+    |orders|; a bucket_join co-shuffle co-locates the two aggregates and
+    nation names broadcast."""
     orders = F.load(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def to_cents(b: pa.Table) -> pa.Table:
@@ -156,15 +159,29 @@ def _q_revenue_by_nation(sf_dir: str):
             }
         )
 
-    orders = orders.map_batches(to_cents, batch_format="pyarrow")
+    per_cust = F.grouped_agg(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("price_cents", "sum", "sum_c"), ("price_cents", "count", "n_c")],
+        reduce_blocks=16,
+    )
     cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    joined = F.hash_join(orders, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=8)
+    joined = F.bucket_join(
+        per_cust,
+        cust,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        left_schema=pa.schema(
+            {"o_custkey": pa.int64(), "sum_c": pa.int64(), "n_c": pa.int64()}
+        ),
+        reduce_blocks=16,
+    )
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     joined = F.broadcast_lookup_join(joined, nation, "c_nationkey", "n_nationkey")
     return F.grouped_agg(
         joined,
         ["n_name"],
-        [("price_cents", "sum", "revenue_cents"), ("price_cents", "count", "n_orders")],
+        [("sum_c", "sum", "revenue_cents"), ("n_c", "sum", "n_orders")],
     )
 
 
