@@ -2914,7 +2914,8 @@ def _q_kmeans_clusters(sf_dir: str):
     final cluster, replayed exactly by an unrolled-CTE DuckDB oracle."""
     from tesseract_recognize_ray.functions.similarity import kmeans_lloyd
 
-    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # materialize once: iters+2 passes over the same parquet otherwise
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     return kmeans_lloyd(ds, "vec_id", "embedding", k=8, iters=3)
 
 
@@ -2962,7 +2963,9 @@ def _q_semantic_dedup(sf_dir: str):
     >= 0.9 — the whole chain replayed by the k-means CTEs + one self-join."""
     from tesseract_recognize_ray.functions.similarity import semantic_dedup
 
-    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # materialize once: the Lloyd loop + assignment make iters+2 passes and
+    # each would otherwise re-decode the parquet (measured 5.4s -> 3.4s)
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     return semantic_dedup(ds, "vec_id", "embedding", k=8, iters=3, threshold=0.9)
 
 
