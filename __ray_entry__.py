@@ -2888,6 +2888,65 @@ def _q_event_value_deciles(sf_dir: str):
     return ordered.map_batches(ntile, batch_format="pyarrow")
 
 
+def _q_event_value_mad(sf_dir: str):
+    """Robust per-group dispersion: median absolute deviation of exact cents
+    per event_type (relational.grouped_mad — both medians inside one
+    bucketed group pass; np.median interpolation == DuckDB's mad())."""
+    ds = F.load(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    return F.grouped_mad(
+        ds.map_batches(to_cents, batch_format="pyarrow"), "event_type", "cents", out_col="mad_cents"
+    )
+
+
+def _q_event_type_share(sf_dir: str):
+    """Partition-less window (SUM() OVER ()): each event type's exact-cents
+    total and its e9-rounded share of the GLOBAL total — one combiner
+    aggregate, grand total folded on the driver (a scalar), shares attached
+    in a stateless map."""
+    ds = F.load(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    per_type = F.grouped_agg(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ["event_type"],
+        [("cents", "sum", "total_cents")],
+    ).materialize()  # two consumers: the scalar fold and the share map
+    total = sum(
+        int(b.column("total_cents").to_numpy(zero_copy_only=False).sum())
+        for b in per_type.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+    def share(b: pa.Table) -> pa.Table:
+        s = pc.round(
+            pc.divide(pc.cast(b.column("total_cents"), pa.float64()), float(total)), ndigits=9
+        )
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "total_cents": b.column("total_cents"),
+                "share": s,
+            }
+        )
+
+    return per_type.map_batches(share, batch_format="pyarrow")
+
+
 def _q_lineitem_checksum(sf_dir: str):
     """Order-independent table checksum (the 100 TB source-vs-sink audit
     primitive): per-row Horner polynomial hash of the 4 line-identity keys
@@ -3345,6 +3404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
         "event_value_deciles": _q_event_value_deciles,
+        "event_value_mad": _q_event_value_mad,
+        "event_type_share": _q_event_type_share,
         "nation_customer_names": _q_nation_customer_names,
         "grouping_sets_lineitem": _q_grouping_sets_lineitem,
         "dup_token_spans": _q_dup_token_spans,
@@ -3495,6 +3556,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """
     return {
+        "event_value_mad": """
+            SELECT event_type,
+                   mad(CAST(ROUND(value * 100) AS BIGINT)) AS mad_cents
+            FROM events GROUP BY event_type
+        """,
+        "event_type_share": """
+            WITH t AS (
+                SELECT event_type,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type, total_cents,
+                   ROUND(CAST(total_cents AS DOUBLE)
+                         / CAST(SUM(total_cents) OVER () AS DOUBLE), 9) AS share
+            FROM t
+        """,
         "event_value_deciles": """
             SELECT event_id,
                    NTILE(10) OVER (

@@ -1883,3 +1883,35 @@ def bucket_join(
     return tagged.groupby("__bucket").map_groups(
         lambda t: join_bucket(t.drop_columns(["__bucket"])), batch_format="pyarrow"
     )
+
+
+def grouped_mad(
+    ds: Dataset, key: str, value_col: str, *, out_col: str = "mad", num_buckets: int = 64
+) -> Dataset:
+    """Per-group median absolute deviation — SQL mad(): median(|x -
+    median(x)|), NULLs ignored, even-count medians interpolated (np.median
+    == DuckDB's interpolating median on the same values, so results
+    value-match bit-for-bit on integer inputs). One bucketed shuffle
+    co-locates each group whole (same bounded-group assumption as
+    grouped_median); both medians compute inside the group, nothing else
+    moves."""
+    from ..hashing import stable_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[key, value_col]].copy()
+        batch["__bucket"] = stable_bucket(batch[key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k, sub in g.groupby(key, sort=False, dropna=False):
+            v = sub[value_col].dropna().to_numpy(dtype=np.float64)
+            m = float(np.median(np.abs(v - np.median(v)))) if len(v) else float("nan")
+            out.append((k, m))
+        return pd.DataFrame(out, columns=[key, out_col])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(fn, batch_format="pandas")
+    )

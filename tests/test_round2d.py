@@ -600,3 +600,20 @@ def test_shard_index_save_load_roundtrip(ray_session, tmp_path):
     inside = filter_members(probe, "k", idx2, keep_matches=True).to_pandas()
     assert sorted(inside["k"]) == ["a", "b"]
     assert idx2.get_min(pd.Series(["a", "b", "c"])).tolist() == [3, 7, 1]
+
+
+def test_grouped_mad_matches_numpy_and_ignores_nulls(ray_session):
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 5, 200), "v": rng.integers(-50, 50, 200).astype(float)}
+    )
+    df.loc[::7, "v"] = np.nan  # SQL aggregates ignore NULLs
+    got = (
+        F.grouped_mad(rd.from_pandas(df).repartition(4), "k", "v", out_col="m")
+        .to_pandas()
+        .set_index("k")["m"]
+        .to_dict()
+    )
+    for k, sub in df.groupby("k"):
+        v = sub["v"].dropna().to_numpy()
+        assert got[k] == float(np.median(np.abs(v - np.median(v)))), k
