@@ -163,7 +163,6 @@ def _q_revenue_by_nation(sf_dir: str):
         orders.map_batches(to_cents, batch_format="pyarrow"),
         ["o_custkey"],
         [("price_cents", "sum", "sum_c"), ("price_cents", "count", "n_c")],
-        reduce_blocks=16,
     )
     cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     joined = F.bucket_join(
@@ -174,8 +173,7 @@ def _q_revenue_by_nation(sf_dir: str):
         left_schema=pa.schema(
             {"o_custkey": pa.int64(), "sum_c": pa.int64(), "n_c": pa.int64()}
         ),
-        reduce_blocks=16,
-    )
+    )  # no reduce_blocks: per-custkey streams are DATA-sized, not reducer-sized
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     joined = F.broadcast_lookup_join(joined, nation, "c_nationkey", "n_nationkey")
     return F.grouped_agg(

@@ -1143,6 +1143,12 @@ def grid_range_join(
         t = batch.take(pa.array(idx))
         return t.append_column("__cell_i", pa.array(lo_c[idx] + offs, pa.int64()))
 
+    if (point_schema is None) != (interval_schema is None):
+        raise ValueError(
+            "grid_range_join: pass BOTH point_schema and interval_schema or "
+            "neither — a half-specified pair would silently fall back to the "
+            "double-executing Dataset.join path"
+        )
     p = points.map_batches(add_cell, batch_format="pyarrow")
     r = intervals.map_batches(replicate, batch_format="pyarrow")
     if point_schema is not None and interval_schema is not None:
@@ -1325,14 +1331,15 @@ def grouped_string_agg(
     concatenation inherently needs every member string, so the shuffle
     moves the value column — at scale keep value_col narrow (names/ids,
     not documents)."""
-    from ..hashing import stable_bucket
-
     order = order_cols or []
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[[key, value_col, *order]].copy()
-        batch["__bucket"] = stable_bucket(batch[key], num_buckets)
-        return batch
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # Arrow-side routing: null-safe, dtype-canonical (see stable_bucket_table)
+        from ..hashing import stable_bucket_table
+
+        batch = batch.select([key, value_col, *order])
+        bk = stable_bucket_table(batch, [key], num_buckets)
+        return batch.append_column("__bucket", pa.array(bk, pa.int32()))
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         # SQL string_agg: NULL VALUES are skipped inside a group, but the
@@ -1348,7 +1355,7 @@ def grouped_string_agg(
         return pd.DataFrame({key: out.index, out_col: out.to_numpy()})
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(fn, batch_format="pandas")
     )
@@ -1895,12 +1902,14 @@ def grouped_mad(
     co-locates each group whole (same bounded-group assumption as
     grouped_median); both medians compute inside the group, nothing else
     moves."""
-    from ..hashing import stable_bucket
+    from ..hashing import stable_bucket_table
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[[key, value_col]].copy()
-        batch["__bucket"] = stable_bucket(batch[key], num_buckets)
-        return batch
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # Arrow-side routing (stable_bucket_table): an int key column with
+        # nulls in some batch must not re-route through pandas float coercion
+        batch = batch.select([key, value_col])
+        bk = stable_bucket_table(batch, [key], num_buckets)
+        return batch.append_column("__bucket", pa.array(bk, pa.int32()))
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -1911,7 +1920,7 @@ def grouped_mad(
         return pd.DataFrame(out, columns=[key, out_col])
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(fn, batch_format="pandas")
     )

@@ -66,11 +66,15 @@ class _KeyShard:
         return len(self._min)
 
     def dump(self) -> pa.Table:
+        # key type INFERRED (string or int keys both live in the dict);
+        # forcing pa.string() would crash save() for integer key domains
+        keys = list(self._min.keys())
+        try:
+            karr = pa.array(keys)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            karr = pa.array([None if k is None else str(k) for k in keys], pa.string())
         return pa.table(
-            {
-                "key": pa.array(list(self._min.keys()), pa.string()),
-                "value": pa.array(list(self._min.values()), pa.int64()),
-            }
+            {"key": karr, "value": pa.array(list(self._min.values()), pa.int64())}
         )
 
 
@@ -127,7 +131,11 @@ class ShardedMinIndex:
         return int(sum(ray.get([s.size.remote() for s in self._shards])))
 
     def dump(self) -> pa.Table:
-        return pa.concat_tables(ray.get([s.dump.remote() for s in self._shards]))
+        parts = ray.get([s.dump.remote() for s in self._shards])
+        nonempty = [t for t in parts if t.num_rows]  # empty shards infer a
+        if not nonempty:  # null key type that would poison the concat
+            return pa.table({"key": pa.array([], pa.string()), "value": pa.array([], pa.int64())})
+        return pa.concat_tables(nonempty)
 
     def save(self, path: str) -> int:
         """Persist the whole map as one parquet file (key, value); returns

@@ -617,3 +617,17 @@ def test_grouped_mad_matches_numpy_and_ignores_nulls(ray_session):
     for k, sub in df.groupby("k"):
         v = sub["v"].dropna().to_numpy()
         assert got[k] == float(np.median(np.abs(v - np.median(v)))), k
+
+
+def test_shard_index_int_keys_save_load(ray_session, tmp_path):
+    from tesseract_recognize_ray.state.shard_index import (
+        ShardedMinIndex,
+        canonical_min_keep,
+    )
+
+    df = pd.DataFrame({"k": [10, 10, 20], "id": [4, 2, 9]})
+    _, index = canonical_min_keep(rd.from_pandas(df), "k", "id", num_shards=4)
+    p = str(tmp_path / "int_idx.parquet")
+    assert index.save(p) == 2  # integer key domain persists without a crash
+    idx2 = ShardedMinIndex.load(p, num_shards=2)
+    assert idx2.get_min(pd.Series([10, 20])).tolist() == [2, 9]
