@@ -159,10 +159,15 @@ def _q_revenue_by_nation(sf_dir: str):
             }
         )
 
+    # reduce_blocks=16 is sized for the BENCH scales (per-custkey partials
+    # are a few MB; A/B same-host: 3.0s vs 6.0s without). At a true 100 TB
+    # customer domain this knob must grow with |customers| (target ~128 MB
+    # of partials per block) or be dropped — see grouped_agg's sizing rule.
     per_cust = F.grouped_agg(
         orders.map_batches(to_cents, batch_format="pyarrow"),
         ["o_custkey"],
         [("price_cents", "sum", "sum_c"), ("price_cents", "count", "n_c")],
+        reduce_blocks=16,
     )
     cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     joined = F.bucket_join(
@@ -173,7 +178,8 @@ def _q_revenue_by_nation(sf_dir: str):
         left_schema=pa.schema(
             {"o_custkey": pa.int64(), "sum_c": pa.int64(), "n_c": pa.int64()}
         ),
-    )  # no reduce_blocks: per-custkey streams are DATA-sized, not reducer-sized
+        reduce_blocks=16,
+    )
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     joined = F.broadcast_lookup_join(joined, nation, "c_nationkey", "n_nationkey")
     return F.grouped_agg(
