@@ -2951,6 +2951,44 @@ def _q_event_type_share(sf_dir: str):
     return per_type.map_batches(share, batch_format="pyarrow")
 
 
+def _q_approx_users_by_type(sf_dir: str):
+    """Grouped HyperLogLog (sketches.hll_grouped_distinct, p=12 -> ~1.6%
+    std error): approximate distinct users per event type — register
+    partials, never raw user ids, cross the shuffle. Approximate by design
+    -> rows-only check; the estimate-vs-exact bound is pytest-gated."""
+    from tesseract_recognize_ray.functions.sketches import hll_grouped_distinct
+
+    ds = F.load(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_grouped_distinct(ds, "event_type", "user_id", p=12)
+
+
+def _q_first_event_per_user_day(sf_dir: str):
+    """Windowed first-per-key compaction (keep_latest ascending, composite
+    (user, day) key): each user's FIRST event of every UTC day — QUALIFY
+    ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts, event_id)=1.
+    The shuffle moves at most one candidate row per (user, day) per block."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def with_day(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_us": us,
+                "d": pc.cast(pc.divide(us, 86_400_000_000), pa.int64()),
+            }
+        )
+
+    out = F.keep_latest(
+        ds.map_batches(with_day, batch_format="pyarrow"),
+        ["user_id", "d"],
+        ["ts_us", "event_id"],
+        ascending=True,
+    )
+    return out.select_columns(["user_id", "d", "event_id"])
+
+
 def _q_lineitem_checksum(sf_dir: str):
     """Order-independent table checksum (the 100 TB source-vs-sink audit
     primitive): per-row Horner polynomial hash of the 4 line-identity keys
@@ -3409,6 +3447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_mincost": _q_supplier_part_mincost,
         "event_value_deciles": _q_event_value_deciles,
         "event_value_mad": _q_event_value_mad,
+        "approx_users_by_type": _q_approx_users_by_type,
+        "first_event_per_user_day": _q_first_event_per_user_day,
         "event_type_share": _q_event_type_share,
         "nation_customer_names": _q_nation_customer_names,
         "grouping_sets_lineitem": _q_grouping_sets_lineitem,
@@ -3560,6 +3600,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """
     return {
+        "first_event_per_user_day": """
+            SELECT user_id,
+                   epoch_us(ts) // 86400000000 AS d,
+                   event_id
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id, epoch_us(ts) // 86400000000
+                ORDER BY ts, event_id
+            ) = 1
+        """,
         "event_value_mad": """
             SELECT event_type,
                    mad(CAST(ROUND(value * 100) AS BIGINT)) AS mad_cents

@@ -1363,30 +1363,34 @@ def grouped_string_agg(
 
 def keep_latest(
     ds: Dataset,
-    key: str,
+    key: "str | list[str]",
     order_cols: list[str],
     *,
+    ascending: bool = False,
     num_buckets: int = 64,
 ) -> Dataset:
-    """Latest-row-per-key dedup — SQL ``QUALIFY ROW_NUMBER() OVER (PARTITION
-    BY key ORDER BY order_cols DESC) = 1`` (the canonical "current state of
-    every entity" compaction over an event log). Scale shape: a per-batch
-    prune keeps ONE candidate row per key per block (sort desc +
+    """Extremal-row-per-key dedup — SQL ``QUALIFY ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY order_cols DESC) = 1`` (ascending=True gives
+    the FIRST row instead — windowed first-event compaction). `key` may be
+    a composite (list), e.g. (user, day-window). Scale shape: a per-batch
+    prune keeps ONE candidate row per key per block (sort +
     drop_duplicates — the map-side combiner), then a bucketed shuffle on
     hash(key) resolves the global winner, so the shuffle moves at most one
     row per key per block, never the full table. ``order_cols`` must totally
     order each key's rows (include a unique tiebreak such as the event id) or
     the winner at ties is partition-dependent."""
-    from ..hashing import stable_bucket
+    from ..hashing import stable_bucket_table
+
+    keys = [key] if isinstance(key, str) else list(key)
 
     def prune(b: pd.DataFrame) -> pd.DataFrame:
-        return b.sort_values(order_cols, ascending=False, kind="mergesort").drop_duplicates(
-            key, keep="first"
+        return b.sort_values(order_cols, ascending=ascending, kind="mergesort").drop_duplicates(
+            keys, keep="first"
         )
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = prune(b)
-        b["__bucket"] = stable_bucket(b[key], num_buckets)
+        b["__bucket"] = stable_bucket_table(pa.Table.from_pandas(b[keys]), keys, num_buckets)
         return b
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:

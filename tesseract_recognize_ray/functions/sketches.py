@@ -194,3 +194,74 @@ def count_min_query(sketch: np.ndarray, items: pd.Series) -> np.ndarray:
         hd ^= hd >> np.uint64(31)
         est = np.minimum(est, sketch[d, (hd % np.uint64(width)).astype(np.int64)])
     return est
+
+
+def hll_grouped_distinct(
+    ds: Dataset,
+    key: str,
+    col: str,
+    p: int = 12,
+    *,
+    out_col: str = "approx_distinct",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-group approximate COUNT(DISTINCT col) — the grouped HyperLogLog
+    (standard error ~1.04/sqrt(2^p); p=12 -> ~1.6%). The scale primitive
+    for per-domain/per-language cardinality dashboards where exact distinct
+    per group would shuffle every raw value.
+
+    Scale shape: each batch emits at most 2^p (key, register, rank) rows
+    PER KEY IN THE BATCH (locally maximized — the raw column never leaves
+    the map stage); one bucketed shuffle co-locates each key's register
+    summaries; inside the bucket a vectorized (key, reg) max and a per-key
+    fold produce the estimate (with the standard small-range linear
+    counting correction). Register partials are max-mergeable, so block
+    order and partitioning cannot change the estimate."""
+    from tesseract_recognize_ray.hashing import stable_bucket_table
+
+    m = 1 << p
+    tail_bits = 64 - p
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[[key, col]][b[col].notna()]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {key: d[key], "reg": pd.Series(dtype="int64"), "rank": pd.Series(dtype="int64")}
+            )
+        h = _hash64(d[col])
+        reg = (h >> np.uint64(tail_bits)).astype(np.int64)
+        tail = h & np.uint64((1 << tail_bits) - 1)
+        bl = np.zeros(len(tail), dtype=np.int64)
+        nz = tail > 0
+        bl[nz] = np.floor(np.log2(tail[nz].astype(np.float64))).astype(np.int64) + 1
+        rank = tail_bits - bl + 1
+        df = pd.DataFrame({key: d[key].to_numpy(), "reg": reg, "rank": rank})
+        return df.groupby([key, "reg"], as_index=False, dropna=False)["rank"].max()
+
+    def add_bucket(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        bk = stable_bucket_table(t, [key], num_buckets)
+        return t.append_column("__bucket", pa.array(bk, pa.int32()))
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def est_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        mx = g.groupby([key, "reg"], sort=False, dropna=False, as_index=False)["rank"].max()
+        out = []
+        for k, sub in mx.groupby(key, sort=False, dropna=False):
+            M = np.zeros(m, dtype=np.float64)
+            M[sub["reg"].to_numpy()] = sub["rank"].to_numpy()
+            est = alpha * m * m / np.sum(np.exp2(-M))
+            zeros = m - len(sub)
+            if est <= 2.5 * m and zeros > 0:
+                est = m * np.log(m / zeros)
+            out.append((k, int(round(est))))
+        return pd.DataFrame(out, columns=[key, out_col])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: est_bucket(g.drop(columns="__bucket")), batch_format="pandas")
+    )

@@ -631,3 +631,53 @@ def test_shard_index_int_keys_save_load(ray_session, tmp_path):
     assert index.save(p) == 2  # integer key domain persists without a crash
     idx2 = ShardedMinIndex.load(p, num_shards=2)
     assert idx2.get_min(pd.Series([10, 20])).tolist() == [2, 9]
+
+
+def test_hll_grouped_distinct_error_bound_and_partition_invariance(ray_session):
+    from tesseract_recognize_ray.functions.sketches import hll_grouped_distinct
+
+    rng = np.random.default_rng(17)
+    frames = []
+    truth = {}
+    for g, n in (("a", 5000), ("b", 700), ("c", 37)):
+        vals = rng.choice(10**9, size=n, replace=False)
+        truth[g] = n
+        frames.append(pd.DataFrame({"g": g, "v": np.repeat(vals, 2)}))  # dups too
+    df = pd.concat(frames).sample(frac=1, random_state=0).reset_index(drop=True)
+    ests = {}
+    for parts in (3, 11):  # estimate must not depend on partitioning
+        out = (
+            hll_grouped_distinct(rd.from_pandas(df).repartition(parts), "g", "v", p=12)
+            .to_pandas()
+            .set_index("g")["approx_distinct"]
+            .to_dict()
+        )
+        for g, n in truth.items():
+            assert abs(out[g] - n) / n < 0.08, (g, out[g], n)  # ~5 sigma at p=12
+        ests[parts] = out
+    assert ests[3] == ests[11]
+
+
+def test_keep_latest_composite_key_ascending(ray_session):
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 10, 300),
+            "d": rng.integers(0, 4, 300),
+            "t": rng.permutation(300),
+            "id": np.arange(300),
+        }
+    )
+    got = (
+        F.keep_latest(rd.from_pandas(df).repartition(5), ["u", "d"], ["t", "id"], ascending=True)
+        .to_pandas()
+        .sort_values(["u", "d"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["t", "id"])
+        .drop_duplicates(["u", "d"], keep="first")
+        .sort_values(["u", "d"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
