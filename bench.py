@@ -105,6 +105,10 @@ _BENCH_QUERIES = [
     "nation_customer_names",
     "supplier_part_mincost",
     "event_value_deciles",
+    "event_value_mad",
+    "event_type_share",
+    "approx_users_by_type",
+    "first_event_per_user_day",
 ]
 
 
