@@ -3595,8 +3595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     _events_roundtrip_sql = """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(event_id) AS sum_event_id,
-                   SUM(user_id) AS sum_user_id
+                   CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+                   CAST(SUM(user_id) AS BIGINT) AS sum_user_id
             FROM events GROUP BY event_type
         """
     return {
@@ -3621,7 +3621,7 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
                 FROM events GROUP BY event_type
             )
-            SELECT event_type, total_cents,
+            SELECT event_type, CAST(total_cents AS BIGINT) AS total_cents,
                    ROUND(CAST(total_cents AS DOUBLE)
                          / CAST(SUM(total_cents) OVER () AS DOUBLE), 9) AS share
             FROM t
