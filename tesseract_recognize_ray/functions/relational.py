@@ -1378,26 +1378,38 @@ def keep_latest(
     hash(key) resolves the global winner, so the shuffle moves at most one
     row per key per block, never the full table. ``order_cols`` must totally
     order each key's rows (include a unique tiebreak such as the event id) or
-    the winner at ties is partition-dependent."""
+    the winner at ties is partition-dependent.
+
+    Fully Arrow-side (no pandas seam): a nullable-int key column stays
+    int64-with-nulls through prune, bucket hash and final resolve, so the
+    same key can never hash into two buckets via float64 coercion (ADVICE
+    r02). Prune = stable sort_by(order_cols) + ordered group_by "first"
+    with skip_nulls=False (null VALUES in the winning row are kept)."""
     from ..hashing import stable_bucket_table
 
     keys = [key] if isinstance(key, str) else list(key)
+    direction = "ascending" if ascending else "descending"
 
-    def prune(b: pd.DataFrame) -> pd.DataFrame:
-        return b.sort_values(order_cols, ascending=ascending, kind="mergesort").drop_duplicates(
-            keys, keep="first"
+    def prune_t(b: pa.Table) -> pa.Table:
+        cols = b.column_names
+        s = b.sort_by([(c, direction) for c in order_cols])  # stable, nulls last
+        others = [c for c in cols if c not in keys]
+        g = pa.TableGroupBy(s, keys, use_threads=False).aggregate(
+            [(c, "first", pc.ScalarAggregateOptions(skip_nulls=False)) for c in others]
         )
+        g = g.rename_columns(keys + others)  # strip the _first suffixes
+        return g.select(cols)
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = prune(b)
-        b["__bucket"] = stable_bucket_table(pa.Table.from_pandas(b[keys]), keys, num_buckets)
-        return b
+    def add_bucket(b: pa.Table) -> pa.Table:
+        b = prune_t(b)
+        bk = stable_bucket_table(b, keys, num_buckets)
+        return b.append_column("__bucket", pa.array(bk, pa.int32()))
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        return prune(g.drop(columns="__bucket"))
+    def fn(g: pa.Table) -> pa.Table:
+        return prune_t(g.drop_columns(["__bucket"]))
 
-    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
-        fn, batch_format="pandas"
+    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby("__bucket").map_groups(
+        fn, batch_format="pyarrow"
     )
 
 

@@ -36,7 +36,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from tesseract_recognize_ray.hashing import stable_bucket
+from tesseract_recognize_ray.hashing import stable_bucket_table
 
 
 @ray.remote(num_cpus=0.05)
@@ -78,51 +78,88 @@ class _KeyShard:
         )
 
 
+def _canon_keys(values) -> pa.Array:
+    """Canonicalize a key column to an Arrow array with identity-stable
+    values: nulls become Arrow nulls (never NaN), and a float column whose
+    non-null values are all integral is cast back to int64 — reversing the
+    pandas seam where an int64 column that carries nulls in SOME batches
+    arrives float64 (so key 5 would otherwise enter the dict as 5.0 in one
+    batch and 5 in another, and route to two different shards)."""
+    if isinstance(values, pa.ChunkedArray):
+        arr = values.combine_chunks()
+    elif isinstance(values, pa.Array):
+        arr = values
+    else:
+        s = values if isinstance(values, pd.Series) else pd.Series(values)
+        arr = pa.Array.from_pandas(s)  # NaN -> null for float dtypes
+    if pa.types.is_floating(arr.type):
+        import pyarrow.compute as pc
+
+        valid = pc.drop_null(arr)
+        if len(valid) == 0 or pc.all(pc.equal(valid, pc.floor(valid))).as_py():
+            try:
+                arr = pc.cast(arr, pa.int64())
+            except pa.ArrowInvalid:
+                pass  # out of int64 range: keep float keys as-is
+    return arr
+
+
 class ShardedMinIndex:
     """Client handle: routes vectorized offer/lookup calls to shard actors.
 
     Serializable into map_batches closures (actor handles pickle); every
     call groups its batch by destination shard so each actor receives ONE
-    message per (batch, shard) pair, not per key."""
+    message per (batch, shard) pair, not per key. Keys are canonicalized
+    Arrow-side (``_canon_keys``) and routed via ``stable_bucket_table`` so a
+    nullable-int key hashes identically in null-carrying and null-free
+    batches; dict keys on the shards are Python int/str/None (to_pylist),
+    never NaN."""
 
     def __init__(self, num_shards: int = 8):
         self.num_shards = num_shards
         self._shards = [_KeyShard.remote() for _ in range(num_shards)]
 
-    def _route(self, keys: pd.Series) -> np.ndarray:
-        return stable_bucket(keys, self.num_shards)
+    def _route(self, keys: pa.Array) -> np.ndarray:
+        return stable_bucket_table(pa.table({"k": keys}), ["k"], self.num_shards)
 
-    def offer_min(self, keys: pd.Series, vals: np.ndarray) -> None:
-        sh = self._route(keys)
+    def offer_min(self, keys, vals: np.ndarray) -> None:
+        karr = _canon_keys(keys)
+        sh = self._route(karr)
+        kv = karr.to_pylist()
         refs = []
-        kv = keys.to_numpy()
         for s in np.unique(sh):
             m = sh == s
-            refs.append(self._shards[s].offer_min.remote(kv[m].tolist(), vals[m]))
+            refs.append(
+                self._shards[s].offer_min.remote(
+                    [kv[i] for i in np.flatnonzero(m)], vals[m]
+                )
+            )
         ray.get(refs)
 
-    def get_min(self, keys: pd.Series) -> np.ndarray:
-        sh = self._route(keys)
-        out = np.empty(len(keys), dtype=np.int64)
-        kv = keys.to_numpy()
+    def get_min(self, keys) -> np.ndarray:
+        karr = _canon_keys(keys)
+        sh = self._route(karr)
+        out = np.empty(len(karr), dtype=np.int64)
+        kv = karr.to_pylist()
         pend = []
         for s in np.unique(sh):
             m = sh == s
-            pend.append((m, self._shards[s].get_min.remote(kv[m].tolist())))
+            pend.append((m, self._shards[s].get_min.remote([kv[i] for i in np.flatnonzero(m)])))
         for m, ref in pend:
             out[m] = ray.get(ref)
         return out
 
-    def contains(self, keys: pd.Series) -> np.ndarray:
+    def contains(self, keys) -> np.ndarray:
         """Membership mask — the presence test filter_members uses (unlike
         get_min's -1 sentinel it cannot be confused by negative values)."""
-        sh = self._route(keys)
-        out = np.empty(len(keys), dtype=bool)
-        kv = keys.to_numpy()
+        karr = _canon_keys(keys)
+        sh = self._route(karr)
+        out = np.empty(len(karr), dtype=bool)
+        kv = karr.to_pylist()
         pend = []
         for s in np.unique(sh):
             m = sh == s
-            pend.append((m, self._shards[s].contains.remote(kv[m].tolist())))
+            pend.append((m, self._shards[s].contains.remote([kv[i] for i in np.flatnonzero(m)])))
         for m, ref in pend:
             out[m] = ray.get(ref)
         return out
@@ -157,9 +194,11 @@ class ShardedMinIndex:
         t = pq.read_table(path)
         idx = cls(num_shards)
         if t.num_rows:
-            keys = t.column("key").to_pandas()
-            keys = keys.where(keys.notna(), None)
-            idx.offer_min(keys, t.column("value").to_numpy(zero_copy_only=False).astype(np.int64))
+            # pass the Arrow column straight through — offer_min canonicalizes
+            idx.offer_min(
+                t.column("key"),
+                t.column("value").to_numpy(zero_copy_only=False).astype(np.int64),
+            )
         return idx
 
 
@@ -178,27 +217,30 @@ def canonical_min_keep(
     decontamination without rescanning this dataset."""
     index = ShardedMinIndex(num_shards)
 
-    def offer(b: pd.DataFrame) -> pd.DataFrame:
-        # dropna=False: SQL's PARTITION BY keeps the NULL group; keys are
-        # canonicalized to None (a singleton — NaN dict keys are identity-
-        # unstable) so routing and shard lookups stay consistent
-        keyed = b[key_col].where(b[key_col].notna(), None)
-        part = b.assign(**{key_col: keyed}).groupby(key_col, sort=False, dropna=False)[id_col].min()
-        index.offer_min(part.index.to_series(), part.to_numpy().astype(np.int64))
-        return pd.DataFrame({"n": [len(part)]})
+    def offer(b: pa.Table) -> pa.Table:
+        # pyarrow batch format: a nullable-int key column stays int64-with-
+        # nulls end to end (the pandas seam would coerce it to float64 in
+        # null-carrying batches and split one key across two shards). Arrow
+        # group_by keeps the null group, matching SQL PARTITION BY.
+        part = b.select([key_col, id_col]).group_by(key_col).aggregate([(id_col, "min")])
+        index.offer_min(
+            part.column(key_col),
+            part.column(f"{id_col}_min").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table({"n": pa.array([len(part)], pa.int64())})
 
     # drain phase 1 fully before anyone can probe
-    for _ in ds.map_batches(offer, batch_format="pandas").iter_batches(
-        batch_size=None, batch_format="pandas"
+    for _ in ds.map_batches(offer, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
     ):
         pass
 
-    def keep(b: pd.DataFrame) -> pd.DataFrame:
-        keyed = b[key_col].where(b[key_col].notna(), None)
-        winners = index.get_min(keyed)
-        return b[b[id_col].to_numpy().astype(np.int64) == winners]
+    def keep(b: pa.Table) -> pa.Table:
+        winners = index.get_min(b.column(key_col))
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids == winners))
 
-    return ds.map_batches(keep, batch_format="pandas"), index
+    return ds.map_batches(keep, batch_format="pyarrow"), index
 
 
 def filter_members(
@@ -208,9 +250,8 @@ def filter_members(
     index: keep rows whose key is (not) present. The cross-pipeline read
     path of the mutable index."""
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        keyed = b[key_col].where(b[key_col].notna(), None)
-        present = index.contains(keyed)
-        return b[present if keep_matches else ~present]
+    def fn(b: pa.Table) -> pa.Table:
+        present = index.contains(b.column(key_col))
+        return b.filter(pa.array(present if keep_matches else ~present))
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")

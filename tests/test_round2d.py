@@ -342,6 +342,53 @@ def test_sharded_min_index_canonical_keep_and_cross_filter(ray_session):
     assert len(d) == 40 and (d["value"].to_numpy() % 100 == want.sort_values("k")["id"].to_numpy() % 100).all()
 
 
+def test_sharded_min_index_nullable_int_keys_across_batches(ray_session):
+    """A nullable Int64 key column whose nulls are concentrated in SOME
+    batches must still route each key to ONE shard: the pandas seam coerces
+    null-carrying batches to float64 (key 5 -> 5.0) while null-free batches
+    stay int64, so a dtype-sensitive hash would split the same key across
+    shards and elect two 'canonical' winners (ADVICE r02, shard_index)."""
+    from tesseract_recognize_ray.state.shard_index import (
+        ShardedMinIndex,
+        canonical_min_keep,
+        filter_members,
+    )
+
+    # batch 1 carries the nulls (float64 after a pandas seam), batch 2 is
+    # null-free (int64); keys 5 and 7 appear in BOTH
+    t1 = pa.table(
+        {"k": pa.array([5, None, 7, None], pa.int64()), "id": pa.array([50, 90, 71, 91], pa.int64())}
+    )
+    t2 = pa.table({"k": pa.array([5, 7, 9], pa.int64()), "id": pa.array([51, 70, 92], pa.int64())})
+    ds = rd.from_arrow([t1, t2])
+    kept, index = canonical_min_keep(ds, "k", "id", num_shards=4)
+    got = kept.to_pandas().sort_values("id").reset_index(drop=True)
+    # one winner per key incl. the NULL group: 5->50, 7->70, 9->92, NULL->90
+    assert got["id"].tolist() == [50, 70, 90, 92]
+    assert index.total() == 4
+
+    # probing with a float-coerced pandas series (5.0/7.0/NaN) must hit the
+    # same shards the int offers landed on
+    probe = pd.Series([5, 7, None, 11], dtype="float64")
+    assert index.contains(probe).tolist() == [True, True, True, False]
+    assert index.get_min(pd.Series([5.0, 7.0])).tolist() == [50, 70]
+
+    # and a second dataset with a NULL-free int column filters correctly
+    pds2 = rd.from_arrow(pa.table({"k": pa.array([5, 11], pa.int64())}))
+    inside = filter_members(pds2, "k", index, keep_matches=True).to_pandas()
+    assert inside["k"].tolist() == [5]
+
+    # persistence round-trip keeps int key identity (no str()/float drift)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "idx.parquet")
+        index.save(p)
+        idx2 = ShardedMinIndex.load(p, num_shards=3)
+        assert idx2.get_min(pd.Series([5, 7], dtype="Int64")).tolist() == [50, 70]
+        assert idx2.contains(pd.Series([None], dtype="Int64")).tolist() == [True]
+
+
 def _dominates(q, p) -> bool:
     return all(a <= b for a, b in zip(q, p)) and any(a < b for a, b in zip(q, p))
 
@@ -681,3 +728,34 @@ def test_keep_latest_composite_key_ascending(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_keep_latest_nullable_int_key_no_duplicate_winners(ray_session):
+    """Nullable-int key split across null-carrying and null-free blocks must
+    elect exactly ONE winner per key (the pandas seam used to float64-coerce
+    the key in null-carrying blocks and split it across buckets — ADVICE r02)."""
+    t1 = pa.table(
+        {
+            "k": pa.array([5, None, 5], pa.int64()),
+            "t": pa.array([10, 20, 30], pa.int64()),
+            "v": pa.array(["a", "b", None], pa.string()),
+        }
+    )
+    t2 = pa.table(
+        {
+            "k": pa.array([5, 7], pa.int64()),
+            "t": pa.array([40, 50], pa.int64()),
+            "v": pa.array(["d", "e"], pa.string()),
+        }
+    )
+    out = (
+        F.keep_latest(rd.from_arrow([t1, t2]), "k", ["t"])
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    # winners: NULL->t=20, 5->t=40 (ONE row, not one per dtype), 7->t=50
+    assert out["t"].tolist() == [20, 40, 50]
+    # a winning row with a NULL value column must be kept as-is, not skipped
+    out2 = F.keep_latest(rd.from_arrow([t1]), "k", ["t"]).to_pandas()
+    assert out2.loc[out2["t"] == 30, "v"].isna().all()
