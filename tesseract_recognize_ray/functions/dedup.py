@@ -695,7 +695,13 @@ def duplicate_token_spans(
             }
         )
 
-    occ = ds.map_batches(explode, batch_format="pyarrow")
+    # materialize: occ feeds BOTH the count reduce and the dup-filter scan;
+    # unmaterialized, Ray re-executes the full-corpus explode twice (no
+    # lineage cache). occ carries (ngram, id, pos) only — never doc text —
+    # so the pinned size is ~k tokens/occurrence; at corpus scales where
+    # that outgrows the object store, drop this materialize and pay the
+    # second explode pass instead (compute-vs-store tradeoff).
+    occ = ds.map_batches(explode, batch_format="pyarrow").materialize()
     counts = grouped_agg(occ, ["__ng"], [("__ng", "count", "n")])
     dup = counts.map_batches(
         lambda b: b.filter(pc.greater(b.column("n"), 1)), batch_format="pyarrow"

@@ -1325,6 +1325,15 @@ def _lpa_broadcast(e: Dataset, rounds: int) -> Dataset:
         ids_parts.append(b["node"].to_numpy())
     ids = np.unique(np.concatenate(ids_parts)) if ids_parts else np.array([], np.int64)
     labels = ids.copy()
+    if len(ids) == 0:
+        # empty edge set (e.g. a threshold filtered every pair away): return
+        # an empty typed result instead of letting the per-round
+        # np.concatenate([]) raise — mirrors sssp_rounds' empty-seed guard
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "community": pa.array([], pa.int64())}
+            )
+        )
 
     def _pair_counts(a: np.ndarray, lab: np.ndarray):
         order = np.lexsort((lab, a))

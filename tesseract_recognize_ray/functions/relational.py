@@ -1729,16 +1729,20 @@ def _frontier_mask(vals: np.ndarray) -> np.ndarray:
         # min b within each equal-a group == b of the group's first row
         # (lexsort put the smallest b first)
         grp_min = sb[new_grp][gid]
-        # prefix min of b over all STRICTLY smaller a values
+        # prefix min of b over all STRICTLY smaller a values — kept in the
+        # INPUT dtype (int64 stays exact beyond 2^53; a float64 staging
+        # array here would collide distinct large ints and false-drop);
+        # the first x-group has no predecessor, masked explicitly instead
+        # of via an infinity sentinel
         run_min = np.minimum.accumulate(sb)
         first_idx = np.flatnonzero(new_grp)
-        before = np.empty(n, dtype=np.float64)
-        before[gid == 0] = np.inf
+        no_prev = gid == 0
+        before = np.zeros(n, dtype=sb.dtype)
         if len(first_idx) > 1:
             prev_end = first_idx[1:] - 1
             before_grp = run_min[prev_end]  # min over groups 0..g-1
             before[gid > 0] = before_grp[gid[gid > 0] - 1]
-        keep_sorted = (sb == grp_min) & (before > sb)
+        keep_sorted = (sb == grp_min) & (no_prev | (before > sb))
         mask = np.zeros(n, dtype=bool)
         mask[order] = keep_sorted
         return mask

@@ -730,7 +730,11 @@ def pack_sequences(
             }
         )
 
-    counts = ds.map_batches(count_fn, batch_format="pyarrow")
+    # materialize: the (id, count) stream has THREE consumers (split sample,
+    # per-bucket sums, final emit) and Ray has no lineage cache — without
+    # this the full-corpus tokenize pass runs three times. Pinned payload is
+    # ~16 bytes/doc, never text.
+    counts = ds.map_batches(count_fn, batch_format="pyarrow").materialize()
 
     # sampled range splits on id (bounded driver pull: blocks x samples ids)
     def sample(t: pa.Table) -> pa.Table:

@@ -306,6 +306,19 @@ def test_label_propagation_matches_naive_both_paths(ray_session):
         assert out == want, f"gate={gate}"
 
 
+def test_label_propagation_empty_edges_returns_empty_typed(ray_session):
+    """An edge set that filters down to nothing (e.g. a min_count threshold
+    killing every pair) must return an empty (node, community) result, not
+    crash on np.concatenate([]) (ADVICE r02)."""
+    from tesseract_recognize_ray.functions.graph import label_propagation
+
+    empty = pd.DataFrame({"src": pd.Series([], dtype="int64"), "dst": pd.Series([], dtype="int64")})
+    out = label_propagation(rd.from_pandas(empty), rounds=3)
+    # Ray 2.49 to_pandas() drops columns on 0-row datasets; schema() keeps them
+    assert out.count() == 0
+    assert out.schema().names == ["node", "community"]
+
+
 def test_sharded_min_index_canonical_keep_and_cross_filter(ray_session):
     from tesseract_recognize_ray.state.shard_index import (
         canonical_min_keep,
@@ -417,6 +430,39 @@ def test_frontier_mask_matches_brute_force():
                 ]
             )
             assert (got == want).all(), (k, n, np.flatnonzero(got != want))
+
+
+def test_frontier_mask_k2_int64_exact_beyond_2pow53():
+    """The k==2 sweep's prefix-min staging must stay int64: two distinct
+    b values beyond 2^53 that collide in float64 must not cause a false
+    drop on the b dimension (ADVICE r02 — the prior test only exercised
+    dimension a)."""
+    from tesseract_recognize_ray.functions.relational import _frontier_mask
+
+    big = 2**53
+    # group a=0 has b=big (frontier); group a=1 has b=big+1 — in float64
+    # big and big+1 are EQUAL, so a float `before` would see before==sb and
+    # keep the dominated-free row, but big+2/big+3 style collisions flip
+    # the other way; cover both directions explicitly
+    vals = np.array(
+        [
+            [0, big + 1],  # frontier (smallest a)
+            [1, big],  # frontier: b strictly smaller than group 0's min
+            [2, big],  # dominated by row 1 (a larger, b equal)
+            [3, big + 1],  # dominated by rows 0/1
+        ],
+        dtype=np.int64,
+    )
+    got = _frontier_mask(vals)
+    assert got.tolist() == [True, True, False, False]
+    # and the float64-collision direction: before=big+1 vs sb=big must
+    # still register as strictly greater (it wouldn't in float64)
+    vals2 = np.array([[0, big + 1], [1, big]], dtype=np.int64)
+    assert _frontier_mask(vals2).tolist() == [True, True]
+    # brute-force cross-check on a random >2^53 grid
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 4, size=(60, 2)).astype(np.int64) + big
+    assert (_frontier_mask(v) == _frontier_naive(v)).all()
 
 
 def test_skyline_distributed_matches_naive_and_keeps_duplicates(ray_session):
