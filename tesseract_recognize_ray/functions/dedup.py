@@ -160,21 +160,31 @@ def minhash_lsh_pairs(
     the band id — grouping on the band alone puts 1/bands of ALL signatures
     in one group (unbounded at corpus scale); with the composite key each of
     the lsh_groups groups holds ~1/lsh_groups of the banded rows, and a
-    group never splits an LSH bucket (same (band, bh) -> same group)."""
+    group never splits an LSH bucket (same (band, bh) -> same group). The
+    band exchange ships (id, band, bh, group) ONLY — ~24 bytes/row, never
+    the signature (which would multiply the payload x bands; VERDICT r02
+    #4): est_jaccard is a pure function of the two full signatures, so it is
+    attached AFTER pair dedupe from a signature lookup pruned to pair
+    participants (driver memory is O(|candidate pairs|), which the caller
+    materializes as output anyway)."""
     if num_perm % bands:
         raise ValueError(
             f"num_perm ({num_perm}) must be divisible by bands ({bands}); the "
             "banding scheme uses every signature component exactly once"
         )
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(ds, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency)
+    # materialize: consumed by the banding pass AND the est-attach lookup
+    # (no lineage cache in Ray); pinned payload is (id, 8*num_perm bytes)
+    sigs = minhash_signatures(
+        ds, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency
+    ).materialize()
     _FNV = np.uint64(1099511628211)
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        """(id, sig) rows -> (id, band, bh, group, sig_bytes) — one row per
-        (id, band). Band hashes are a vectorized polynomial hash over the
-        band's components (equal chunks hash equal; a collision only adds a
-        false candidate, which the est_jaccard filter removes)."""
+        """(id, sig) rows -> (id, band, bh, group) — one row per (id, band).
+        Band hashes are a vectorized polynomial hash over the band's
+        components (equal chunks hash equal; a collision only adds a false
+        candidate, which the est_jaccard filter removes)."""
         n = len(batch)
         if n == 0:
             return pd.DataFrame(
@@ -183,7 +193,6 @@ def minhash_lsh_pairs(
                     "band": pd.Series(dtype="int32"),
                     "bh": pd.Series(dtype="int64"),
                     "__g": pd.Series(dtype="int32"),
-                    "__sig": pd.Series(dtype="object"),
                 }
             )
         ids = batch["__id"].to_numpy()
@@ -195,42 +204,33 @@ def minhash_lsh_pairs(
                 bh = bh * _FNV + cube[:, :, j]
             band_ids = np.tile(np.arange(bands, dtype=np.uint64), n)
             grp = (band_ids * np.uint64(0x9E3779B97F4A7C15) + bh.reshape(-1)) % np.uint64(lsh_groups)
-        sig_bytes = np.repeat(np.array([s.tobytes() for s in sig], dtype=object), bands)
         return pd.DataFrame(
             {
                 "__id": np.repeat(ids, bands),
                 "band": band_ids.astype(np.int32),
                 "bh": bh.reshape(-1).view(np.int64),
                 "__g": grp.astype(np.int32),
-                "__sig": sig_bytes,
             }
         )
 
     banded = sigs.map_batches(explode_bands, batch_format="pandas")
 
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One shuffle group = many whole LSH buckets: vectorized pairwise
-        signature agreement per bucket (numpy triu broadcast)."""
+        """One shuffle group = many whole LSH buckets: emit candidate id
+        pairs per bucket (sorted ids -> id_a < id_b); no signature payload."""
         frames = []
         for _key, grp in g.groupby(["band", "bh"], sort=False):
             if len(grp) < 2:
                 continue
             truncated = len(grp) > max_bucket
-            grp = grp.sort_values("__id", kind="mergesort").head(max_bucket)
-            ids = grp["__id"].to_numpy()
-            sigs_ = np.stack([np.frombuffer(s, dtype=np.int64) for s in grp["__sig"].tolist()])
+            ids = np.sort(grp["__id"].to_numpy(), kind="mergesort")[:max_bucket]
             ii, jj = np.triu_indices(len(ids), k=1)
-            est = (sigs_[ii] == sigs_[jj]).mean(axis=1)
-            if min_est > 0.0:
-                keep = est >= min_est
-                ii, jj, est = ii[keep], jj[keep], est[keep]
             frames.append(
                 pd.DataFrame(
                     {
                         "id_a": ids[ii],
                         "id_b": ids[jj],
-                        "est_jaccard": est,
-                        "bucket_truncated": np.full(len(est), truncated),
+                        "bucket_truncated": np.full(len(ii), truncated),
                     }
                 )
             )
@@ -239,25 +239,55 @@ def minhash_lsh_pairs(
                 {
                     "id_a": pd.Series(dtype="object"),
                     "id_b": pd.Series(dtype="object"),
-                    "est_jaccard": pd.Series(dtype="float64"),
                     "bucket_truncated": pd.Series(dtype="bool"),
                 }
             )
         return pd.concat(frames, ignore_index=True)
 
-    pairs = banded.groupby("__g").map_groups(group_pairs, batch_format="pandas")
-    # a pair can surface from several bands -> dedupe, keep best estimate;
-    # the truncation flag survives if ANY contributing bucket was truncated
-    from .relational import grouped_agg
+    raw_pairs = banded.groupby("__g").map_groups(group_pairs, batch_format="pandas")
+    # a pair can surface from several bands -> dedupe; the truncation flag
+    # survives if ANY contributing bucket was truncated
+    from .relational import _key_filter, grouped_agg
 
-    return grouped_agg(
-        pairs,
+    pairs = grouped_agg(
+        raw_pairs,
         ["id_a", "id_b"],
-        [
-            ("est_jaccard", "max", "est_jaccard"),
-            ("bucket_truncated", "max", "bucket_truncated"),
-        ],
-    )
+        [("bucket_truncated", "max", "bucket_truncated")],
+    ).materialize()
+
+    # est attach: prune the signature table to pair participants (one is_in
+    # scan, no shuffle), pull the pruned lookup to the driver, broadcast it
+    # once. est_jaccard is deterministic per (sig_a, sig_b) regardless of
+    # which bucket surfaced the pair, so post-dedupe attach is exactly
+    # equivalent to the old per-bucket computation.
+    part_ids: set = set()
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        part_ids.update(b.column("id_a").to_pylist())
+        part_ids.update(b.column("id_b").to_pylist())
+    sig_map: dict = {}
+    if part_ids:
+        flt = _key_filter(sigs, "__id", ray.put(pa.array(list(part_ids))), keep_matches=True)
+        for b in flt.iter_batches(batch_size=65536, batch_format="pandas"):
+            for i, s in zip(b["__id"].tolist(), b["__sig"].tolist()):
+                sig_map[i] = np.asarray(s, dtype=np.int64).tobytes()
+    map_ref = ray.put(sig_map)
+
+    def attach_est(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            batch = batch.copy()
+            batch["est_jaccard"] = pd.Series(dtype="float64")
+            return batch[["id_a", "id_b", "est_jaccard", "bucket_truncated"]]
+        m = ray.get(map_ref)
+        sa = np.stack([np.frombuffer(m[i], dtype=np.int64) for i in batch["id_a"].tolist()])
+        sb = np.stack([np.frombuffer(m[i], dtype=np.int64) for i in batch["id_b"].tolist()])
+        est = (sa == sb).mean(axis=1)
+        out = batch.copy()
+        out["est_jaccard"] = est
+        if min_est > 0.0:
+            out = out[out["est_jaccard"].to_numpy() >= min_est]
+        return out[["id_a", "id_b", "est_jaccard", "bucket_truncated"]]
+
+    return pairs.map_batches(attach_est, batch_format="pandas")
 
 
 def verify_jaccard_pairs(

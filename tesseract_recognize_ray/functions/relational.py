@@ -178,10 +178,33 @@ def collect_key_set(ds: Dataset, key: str) -> set:
     return out
 
 
+def collect_key_array(ds: Dataset, key: str) -> pa.Array:
+    """Distinct non-null keys of a SMALL dataset as ONE Arrow array —
+    the broadcast payload for semi/anti joins. Built once on the driver so
+    probe tasks never re-materialize a Python set into Arrow per batch
+    (VERDICT r02 #3: at 10^7 keys x thousands of batches that conversion
+    was real CPU)."""
+    chunks = [
+        b.column(key).drop_null().combine_chunks()
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if len(b)
+    ]
+    if not chunks:
+        return pa.array([], pa.string())
+    return pc.unique(pa.chunked_array(chunks))
+
+
 def _key_filter(ds: Dataset, key: str, keys_ref, keep_matches: bool) -> Dataset:
+    """Probe-side filter against a broadcast key ARRAY: `keys_ref` holds a
+    ready-to-use pa.Array in the object store (zero-copy read per task),
+    so the per-batch work is exactly one pc.is_in kernel call."""
+
     def fn(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
-        mask = pc.is_in(batch.column(key), value_set=pa.array(list(ks)))
+        if len(ks) == 0:  # typed is_in would raise on the placeholder type
+            mask = pa.array(np.zeros(len(batch), dtype=bool))
+        else:
+            mask = pc.is_in(batch.column(key), value_set=ks)
         if not keep_matches:
             mask = pc.invert(mask)
         return batch.filter(mask)
@@ -190,14 +213,14 @@ def _key_filter(ds: Dataset, key: str, keys_ref, keep_matches: bool) -> Dataset:
 
 
 def broadcast_semi_join(big: Dataset, small: Dataset, key: str, small_key: str | None = None) -> Dataset:
-    """Rows of `big` whose key appears in `small` (key set broadcast once)."""
-    keys = collect_key_set(small, small_key or key)
+    """Rows of `big` whose key appears in `small` (key array broadcast once)."""
+    keys = collect_key_array(small, small_key or key)
     return _key_filter(big, key, ray.put(keys), keep_matches=True)
 
 
 def broadcast_anti_join(big: Dataset, small: Dataset, key: str, small_key: str | None = None) -> Dataset:
     """Rows of `big` whose key does NOT appear in `small`."""
-    keys = collect_key_set(small, small_key or key)
+    keys = collect_key_array(small, small_key or key)
     return _key_filter(big, key, ray.put(keys), keep_matches=False)
 
 
