@@ -207,10 +207,21 @@ def build_tables(
     n_docs: int,
     multipage_frac: float = 0.07,
     rotate_frac: float = 0.05,
+    media_encoding: str = "raw",
 ) -> dict[str, pa.Table]:
     """Render docs [start, start+n_docs) into the four corpus tables.
     Deterministic given (rng state, start, n_docs) — the unit of work for
-    both the sequential generator and the Ray-sharded one."""
+    both the sequential generator and the Ray-sharded one.
+
+    media_encoding: payload format for the media `bytes` column —
+      "raw"   (default) 8-byte-header fixture blobs (byte-identical to the
+              pre-codec corpora);
+      "png"   single-page media as real PNG, multi-page as uncompressed
+              TIFF (PNG has no pages);
+      "tiff"  everything as uncompressed TIFF (single- or multi-IFD);
+      "mixed" deterministic per-media rng choice among the three.
+    Decode dispatch is on magic bytes (imagecodecs.iter_page_images), so
+    golden spans are encoding-independent."""
     doc_ids: list[str] = []
     doc_spans: list[list[dict]] = []
     media_rows = {"media_ref": [], "bytes": [], "width": [], "height": [], "kind": [], "n_pages": []}
@@ -238,7 +249,7 @@ def build_tables(
                 mkind = "tiff_multi" if multi else "page"
                 if not multi and rng.random() < 0.15:
                     mkind = "pdf"  # same raster encoding; exercises kind dispatch (M1)
-                blobs, tot_h, max_w = [], 0, 0
+                blobs, page_imgs, tot_h, max_w = [], [], 0, 0
                 pad = None
                 if rng.random() < 0.3:  # skewed size distribution (FIXTURES.md §2)
                     pad = (
@@ -248,6 +259,7 @@ def build_tables(
                 for p in range(n_pages):
                     pg = render_page(rng, rotate=(rng.random() < rotate_frac), pad_to=pad if p == 0 else None)
                     blobs.append(encode_raster(pg.img))
+                    page_imgs.append(pg.img)
                     ph, pw = pg.img.shape
                     tot_h += ph
                     max_w = max(max_w, pw)
@@ -267,8 +279,24 @@ def build_tables(
                         lay["scale"].append(pg.scale)
                         lay["rotation_k"].append(pg.rotation_k)
                         lay["text"].append(ln.text)
+                enc = media_encoding
+                if enc == "mixed":  # rng draw only on non-raw corpora: keeps
+                    # the default corpora byte-identical to pre-codec rounds
+                    enc = ("raw", "png", "tiff")[int(rng.integers(0, 3))]
+                if enc == "png":
+                    from tesseract_recognize_ray.imagecodecs import encode_png_gray, encode_tiff_gray
+
+                    payload = (
+                        encode_png_gray(page_imgs[0]) if n_pages == 1 else encode_tiff_gray(page_imgs)
+                    )
+                elif enc == "tiff":
+                    from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
+
+                    payload = encode_tiff_gray(page_imgs)
+                else:
+                    payload = b"".join(blobs)
                 media_rows["media_ref"].append(media_ref)
-                media_rows["bytes"].append(b"".join(blobs))
+                media_rows["bytes"].append(payload)
                 media_rows["width"].append(max_w)
                 media_rows["height"].append(tot_h)
                 media_rows["kind"].append(mkind)
@@ -331,13 +359,15 @@ def generate_corpus(
     seed: int = SEED,
     multipage_frac: float = 0.07,
     rotate_frac: float = 0.05,
+    media_encoding: str = "raw",
 ) -> dict[str, str]:
     """Write docs/media/golden_spans/golden_layout parquet under out_dir.
 
-    Returns {table_name: path}. Byte-stable for a given (n_docs, seed)."""
+    Returns {table_name: path}. Byte-stable for a given (n_docs, seed,
+    media_encoding)."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
-    tables = build_tables(rng, 0, n_docs, multipage_frac, rotate_frac)
+    tables = build_tables(rng, 0, n_docs, multipage_frac, rotate_frac, media_encoding)
     paths = {}
     for name, tbl in tables.items():
         p = os.path.join(out_dir, f"{name}.parquet")

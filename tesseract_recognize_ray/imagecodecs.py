@@ -1,0 +1,305 @@
+"""From-scratch PNG and uncompressed-TIFF codecs (stdlib zlib + numpy).
+
+The reference front end decodes real image formats via leptonica's pixRead
+(`/root/reference/tesseract-recognize.cc:514-531`); this environment has no
+PIL/cv2, so the engine previously read only its own raw fixture blobs
+(FIXTURES.md §2). This module closes that gap with pure-public-knowledge
+implementations of the two formats a scanned-document corpus actually uses:
+
+* **PNG** (RFC 2083 / W3C PNG spec): chunk parse -> zlib inflate -> per-row
+  unfilter -> grayscale luma. Supported: bit depth 8 for color types
+  0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), plus bit depth
+  1 gray (bilevel scans). Filters 0/1/2 are fully vectorized (None/Up are
+  single numpy adds; Sub is a per-channel cumsum); filters 3/4 (Average/
+  Paeth) carry a true sequential dependency and fall back to a per-pixel
+  row loop — correct, documented as the slow path. Interlaced (Adam7)
+  images are rejected explicitly.
+* **TIFF** baseline, compression=1 (uncompressed): II/MM byte orders, the
+  multi-page IFD chain (reference S2 multi-page semantics,
+  `tesseract-recognize.cc:455-487`), 8-bit gray, 8-bit RGB (luma-converted)
+  and 1-bit bilevel, PhotometricInterpretation 0/1 (WhiteIsZero inverted).
+
+Encoders (gray-8 PNG, single+multi-page gray-8 TIFF) exist so fixtures and
+tests can round-trip real encoded media deterministically: PNG uses filter 0
+rows and one zlib stream (zlib output is deterministic per level), TIFF
+writes one strip per page.
+
+Alpha is composited over WHITE (paper background), matching how a document
+pipeline rasterizes transparency. RGB->gray uses the ITU-R BT.601 integer
+luma ((299R + 587G + 114B + 500) // 1000), the same weights leptonica's
+pixConvertRGBToGrayFast approximates.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_CT_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def sniff_format(buf) -> str:
+    """'png' | 'tiff' | 'raw' by magic bytes (raw = the 8-byte-header
+    fixture format, FIXTURES.md §2)."""
+    head = bytes(memoryview(buf)[:8])
+    if head[:8] == PNG_SIG:
+        return "png"
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    return "raw"
+
+
+# --------------------------------------------------------------------- PNG
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.uint8)
+
+
+def _over_white(v: np.ndarray, a: np.ndarray) -> np.ndarray:
+    v32 = v.astype(np.uint32)
+    a32 = a.astype(np.uint32)
+    return ((v32 * a32 + 255 * (255 - a32) + 127) // 255).astype(np.uint8)
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering. raw is h x (1+stride) filter-prefixed
+    rows; returns (h, stride) uint8. Filters 0/1/2 vectorized; 3/4 looped."""
+    rows = raw.reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = data[y]
+        if f == 0:
+            line = cur.copy()
+        elif f == 1:  # Sub: per-byte-position cumsum over pixel groups
+            line = cur.astype(np.int64).reshape(-1, bpp).cumsum(axis=0) % 256
+            line = line.astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            line = cur + prev  # uint8 wraparound is the spec's mod 256
+        elif f == 3:  # Average — sequential in the left operand
+            line = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth — sequential in the left operand
+            line = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                line[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {f}")
+        out[y] = line
+        prev = line
+    return out
+
+
+def decode_png(buf) -> np.ndarray:
+    """PNG bytes -> (h, w) uint8 grayscale (alpha over white, RGB luma)."""
+    mv = memoryview(buf)
+    if bytes(mv[:8]) != PNG_SIG:
+        raise ValueError("PNG: bad signature")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    n = len(mv)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", mv[pos : pos + 4])
+        ctype = bytes(mv[pos + 4 : pos + 8])
+        body = mv[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC (integrity is the transport's job here)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(bytes(body))
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    w, h, depth, ct, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: unknown compression/filter method")
+    if interlace != 0:
+        raise ValueError("PNG: Adam7 interlace not supported")
+    if ct not in _CT_CHANNELS:
+        raise ValueError(f"PNG: unsupported color type {ct}")
+    ch = _CT_CHANNELS[ct]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if depth == 8:
+        stride = w * ch
+        px = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    elif depth == 1 and ct == 0:
+        stride = (w + 7) // 8
+        packed = _unfilter(raw, h, stride, 1)
+        bits = np.unpackbits(packed, axis=1)[:, :w]
+        px = (bits * np.uint8(255)).reshape(h, w, 1)
+    else:
+        raise ValueError(f"PNG: unsupported bit depth {depth} for color type {ct}")
+    if ct == 0:
+        return px[:, :, 0]
+    if ct == 2:
+        return _luma(px)
+    if ct == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        return _luma(plte[px[:, :, 0]])
+    if ct == 4:
+        return _over_white(px[:, :, 0], px[:, :, 1])
+    return _over_white(_luma(px[:, :, :3]), px[:, :, 3])  # ct == 6
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(img: np.ndarray, *, level: int = 6) -> bytes:
+    """(h, w) uint8 -> 8-bit grayscale PNG (filter 0 rows, one IDAT)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    filtered = np.concatenate([np.zeros((h, 1), dtype=np.uint8), img], axis=1)
+    idat = zlib.compress(filtered.tobytes(), level)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+# -------------------------------------------------------------------- TIFF
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_ifd(mv: memoryview, off: int, bo: str):
+    (count,) = struct.unpack_from(bo + "H", mv, off)
+    tags = {}
+    for i in range(count):
+        tag, typ, n = struct.unpack_from(bo + "HHI", mv, off + 2 + 12 * i)
+        vpos = off + 2 + 12 * i + 8
+        size = _TYPE_SIZE.get(typ, 1) * n
+        if size > 4:
+            (vpos,) = struct.unpack_from(bo + "I", mv, vpos)
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is not None:
+            tags[tag] = list(struct.unpack_from(bo + fmt * n, mv, vpos))
+    (nxt,) = struct.unpack_from(bo + "I", mv, off + 2 + 12 * count)
+    return tags, nxt
+
+
+def iter_tiff_pages(buf):
+    """Yield (h, w) uint8 grayscale per IFD page of an uncompressed TIFF."""
+    mv = memoryview(buf)
+    head = bytes(mv[:4])
+    if head == b"II*\x00":
+        bo = "<"
+    elif head == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("TIFF: bad magic")
+    (off,) = struct.unpack_from(bo + "I", mv, 4)
+    while off:
+        tags, off = _read_ifd(mv, off, bo)
+        w = tags[256][0]
+        h = tags[257][0]
+        comp = tags.get(259, [1])[0]
+        if comp != 1:
+            raise ValueError(f"TIFF: compression {comp} not supported (baseline uncompressed only)")
+        photo = tags.get(262, [1])[0]
+        spp = tags.get(277, [1])[0]
+        bits = tags.get(258, [1])[0]
+        offsets = tags[273]
+        counts = tags.get(279, [((w * bits + 7) // 8) * h * spp])
+        data = b"".join(bytes(mv[o : o + c]) for o, c in zip(offsets, counts))
+        if bits == 8 and spp == 1:
+            img = np.frombuffer(data, dtype=np.uint8, count=w * h).reshape(h, w).copy()
+        elif bits == 8 and spp >= 3:
+            px = np.frombuffer(data, dtype=np.uint8, count=w * h * spp).reshape(h, w, spp)
+            img = _luma(px[:, :, :3])
+        elif bits == 1 and spp == 1:
+            stride = (w + 7) // 8
+            packed = np.frombuffer(data, dtype=np.uint8, count=h * stride).reshape(h, stride)
+            img = (np.unpackbits(packed, axis=1)[:, :w] * np.uint8(255)).copy()
+        else:
+            raise ValueError(f"TIFF: unsupported bits={bits} samples={spp}")
+        if photo == 0:  # WhiteIsZero
+            img = np.uint8(255) - img
+        yield img
+
+
+def encode_tiff_gray(pages: "list[np.ndarray]") -> bytes:
+    """Gray-8 uncompressed TIFF, one strip per page, little-endian, with the
+    multi-page IFD chain the reference expands (tesseract-recognize.cc:455-487)."""
+    if not pages:
+        raise ValueError("TIFF: need at least one page")
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", 0)  # patched to first IFD offset below
+    ifd_ptr_pos = 4
+    for img in pages:
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        h, w = img.shape
+        data_off = len(out)
+        out += img.tobytes()
+        if len(out) % 2:
+            out += b"\x00"  # IFDs must be word-aligned
+        ifd_off = len(out)
+        struct.pack_into("<I", out, ifd_ptr_pos, ifd_off)
+        entries = [
+            (256, 4, 1, w),  # ImageWidth
+            (257, 4, 1, h),  # ImageLength
+            (258, 3, 1, 8),  # BitsPerSample
+            (259, 3, 1, 1),  # Compression: none
+            (262, 3, 1, 1),  # Photometric: BlackIsZero
+            (273, 4, 1, data_off),  # StripOffsets
+            (277, 3, 1, 1),  # SamplesPerPixel
+            (278, 4, 1, h),  # RowsPerStrip
+            (279, 4, 1, w * h),  # StripByteCounts
+        ]
+        out += struct.pack("<H", len(entries))
+        for tag, typ, n, v in entries:
+            out += struct.pack("<HHII", tag, typ, n, v)
+        ifd_ptr_pos = len(out)
+        out += struct.pack("<I", 0)  # next-IFD pointer (patched by next page)
+    return bytes(out)
+
+
+# ------------------------------------------------------------ unified entry
+def iter_page_images(buf):
+    """Yield (page_index, (h, w) uint8 image) from ANY supported payload:
+    PNG (single page), uncompressed TIFF (IFD chain = pages), or the raw
+    8-byte-header fixture format (concatenated blobs = pages). This is the
+    M1 input-type dispatch (tesseract-recognize.cc:362-368) performed on
+    magic bytes instead of file extensions — a Lance/parquet binary column
+    has no filename."""
+    fmt = sniff_format(buf)
+    if fmt == "png":
+        yield 0, decode_png(buf)
+        return
+    if fmt == "tiff":
+        for p, img in enumerate(iter_tiff_pages(buf)):
+            yield p, img
+        return
+    mv = memoryview(buf)
+    off, p, n = 0, 0, len(mv)
+    while off < n:
+        w = int.from_bytes(mv[off : off + 4], "little")
+        h = int.from_bytes(mv[off + 4 : off + 8], "little")
+        yield p, np.frombuffer(mv, dtype=np.uint8, offset=off + 8, count=w * h).reshape(h, w)
+        off += 8 + w * h
+        p += 1

@@ -13,15 +13,22 @@ a self-describing single-page raster blob. Mirrors:
   * input-type dispatch M1  — `:362-368` (regex on filename; here the typed
     `kind` column plays that role)
 
-Pixel payloads stay as encoded bytes (8-byte header + raw u8 rows,
-FIXTURES.md §2); downstream stages view them zero-copy via np.frombuffer.
-``est_cost = width*height`` feeds the skew-aware batching in SURVEY.md §4.
+Input payloads may be PNG, uncompressed TIFF (multi-page IFD chain) or the
+raw fixture format — dispatched on magic bytes by `imagecodecs.
+iter_page_images` (the reference's pixRead front door,
+tesseract-recognize.cc:514-531). Output pixel payloads are NORMALIZED to
+the raw format (8-byte header + u8 rows, FIXTURES.md §2) so every
+downstream stage views them zero-copy via np.frombuffer regardless of the
+source encoding. ``est_cost = width*height`` feeds the skew-aware batching
+in SURVEY.md §4.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from tesseract_recognize_ray.imagecodecs import iter_page_images
 
 PAGE_SCHEMA = pa.schema(
     [
@@ -64,14 +71,17 @@ def make_decode_pages(page_set: list[int] | None = None):
         out = {k: [] for k in ("media_ref", "page", "n_pages", "pixels", "width", "height", "est_cost")}
         for ref, blob, n_pages in zip(refs, blobs, n_pages_col):
             seen = 0
-            for p, page_blob, w, h in _iter_page_blobs(memoryview(blob)):
+            for p, img in iter_page_images(memoryview(blob)):
                 seen += 1
                 if pset is not None and p not in pset:
                     continue
+                h, w = img.shape
                 out["media_ref"].append(ref)
                 out["page"].append(p)
                 out["n_pages"].append(n_pages)
-                out["pixels"].append(bytes(page_blob))
+                out["pixels"].append(
+                    np.uint32(w).tobytes() + np.uint32(h).tobytes() + img.tobytes()
+                )
                 out["width"].append(w)
                 out["height"].append(h)
                 out["est_cost"].append(w * h)

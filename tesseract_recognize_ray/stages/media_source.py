@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 
 from .. import ocr_core as oc
 from ..glyphs import GLYPH_PITCH
-from .decode import _iter_page_blobs
+from tesseract_recognize_ray.imagecodecs import iter_page_images
 from .recognize import REC_COLUMNS, REC_SCHEMA
 
 MEDIA_COLUMNS = ["media_ref", "bytes", "kind", "n_pages"]
@@ -178,11 +178,13 @@ class MediaPathReader:
 
     def _process_media(self, emit, ref: str, n_pages: int, buf: memoryview) -> None:
         seen = 0
-        for p, blob, w, h in _iter_page_blobs(buf):
+        # magic-byte dispatch (PNG / uncompressed TIFF / raw fixture blobs):
+        # raw pages stay zero-copy frombuffer views; encoded formats decode
+        # once per page here, inside the actor (imagecodecs module docstring)
+        for p, img in iter_page_images(buf):
             seen += 1
             if self.pset is not None and p not in self.pset:
                 continue
-            img = np.frombuffer(blob, dtype=np.uint8, offset=8, count=w * h).reshape(h, w)
             k_up, s, bands = oc.analyse_orientation_u8(img)
             up = np.rot90(img, k_up) if k_up else img
             for b in bands:
