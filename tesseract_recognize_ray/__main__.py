@@ -40,6 +40,19 @@ def _write_and_count(ds, output: str) -> int:
     return rows
 
 
+def _xml_dataset(path: str):
+    """--xml input: a (doc_id, xml) parquet path, or ``-`` = ONE PAGE XML
+    document read from stdin — the reference's stdin entry point
+    (tesseract-recognize.cc:402-406)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    if path == "-":
+        text = sys.stdin.read()
+        return rd.from_arrow(pa.table({"doc_id": pa.array(["stdin"]), "xml": pa.array([text])}))
+    return rd.read_parquet(path, columns=["doc_id", "xml"])
+
+
 def build_config(args) -> "PipelineConfig":
     from .config import PipelineConfig
 
@@ -60,7 +73,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="tesseract_recognize_ray")
     ap.add_argument("--docs", help="interleaved docs parquet file or directory")
     ap.add_argument("--media", required=True, help="media parquet file or directory")
-    ap.add_argument("--xml", help="PAGE XML parquet (doc_id, xml): the re-recognition entry point (§3.2)")
+    ap.add_argument("--xml", help="PAGE XML parquet (doc_id, xml), or '-' to read ONE XML document "
+                    "from stdin (reference stdin path): the re-recognition entry point (§3.2)")
     ap.add_argument("--inplace", action="store_true",
                     help="with --xml: write the UPDATED XML documents (H2 write-back) instead of flat rows")
     ap.add_argument("--selection-level", choices=["region", "line", "word"], default="region",
@@ -101,11 +115,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"ran={len(res['ran'])} skipped={len(res['skipped'])} -> {args.output}", file=sys.stderr)
             return 0 if (res["ran"] or res["skipped"]) else 1
         if args.xml:
-            import ray.data as rd
-
             from .pipelines.rerecognize import rerecognize_inplace, rerecognize_pagexml
 
-            xml_ds = rd.read_parquet(args.xml, columns=["doc_id", "xml"])
+            xml_ds = _xml_dataset(args.xml)
             fn = rerecognize_inplace if args.inplace else rerecognize_pagexml
             ds = fn(xml_ds, args.media, cfg, level=args.selection_level, image_override=args.image)
             return 0 if _write_and_count(ds, args.output) > 0 else 1

@@ -420,7 +420,7 @@ def semantic_dedup(
     ds: Dataset,
     id_col: str,
     vec_col: str,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 3,
     threshold: float = 0.9,
     round_digits: int = 6,
@@ -440,9 +440,14 @@ def semantic_dedup(
     Pairwise work is confined within clusters — at web scale SemDeDup runs
     with k ~ sqrt(N) (10^5+ clusters), so per-cluster O(n^2/k^2) stays
     bounded and the groupby has high key cardinality; the per-cluster
-    matmul walks column chunks so peak memory is O(n x 1024), not O(n^2)."""
+    matmul walks column chunks so peak memory is O(n x 1024), not O(n^2).
+    k defaults to max(8, ceil(sqrt(N))) — the SemDeDup operating point — via
+    one count() pass (pass k explicitly to skip it, and ALWAYS pass it when
+    an external oracle must replay the same clustering)."""
     import ray
 
+    if k is None:
+        k = max(8, int(np.ceil(np.sqrt(max(ds.count(), 1)))))
     cents = _kmeans_centroids(ds, id_col, vec_col, k, iters, round_digits)
     c_ref = ray.put(cents)
 

@@ -173,3 +173,38 @@ def test_inplace_with_image_override_patches(ray_session, tiny_corpus):
     assert overridden != row["xml"]  # NOT a silent passthrough
     a, b = parse_pagexml(plain), parse_pagexml(overridden)
     assert sorted(a[a.level == "line"]["text"]) == sorted(b[b.level == "line"]["text"])
+
+
+def test_cli_stdin_xml(ray_session, tiny_corpus, tmp_path):
+    """`--xml -` reads ONE PAGE XML document from stdin (the reference's
+    stdin entry point, tesseract-recognize.cc:402-406). Runs the CLI as a
+    subprocess because main() owns its own Ray session."""
+    import subprocess
+    import sys as _sys
+
+    xml = extract_pagexml(tiny_corpus["docs"], tiny_corpus["media"]).to_pandas()
+    doc_xml = xml["xml"].iloc[0]
+    out_dir = str(tmp_path / "stdin_out")
+    proc = subprocess.run(
+        [
+            _sys.executable,
+            "-m",
+            "tesseract_recognize_ray",
+            "--xml",
+            "-",
+            "--media",
+            tiny_corpus["media"],
+            "-o",
+            out_dir,
+            "--num-cpus",
+            "2",
+        ],
+        input=doc_xml.encode(),
+        capture_output=True,
+        timeout=300,
+        env={**__import__("os").environ, "RAY_ADDRESS": "local"},
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    got = pq.read_table(out_dir).to_pandas()
+    assert len(got) > 0 and (got["doc_id"] == "stdin").all()
+    assert got["text"].notna().all()
