@@ -158,7 +158,10 @@ def _scaling_docs(sf_dir: str) -> int:
 def _cfg(cpus: int):
     from tesseract_recognize_ray.config import PipelineConfig
 
-    return PipelineConfig(recognize_concurrency=_pool(cpus), decode_batch_size=16)
+    # assemble_coalesce=16: the bench span stream is ~7 MB over 150 blocks —
+    # reducer-sized (see config.py sizing note; same-host A/B 8.0-9.6s vs
+    # 13.8-14.1s at 6k docs / 32 CPUs)
+    return PipelineConfig(recognize_concurrency=_pool(cpus), decode_batch_size=16, assemble_coalesce=16)
 
 
 def run_flagship(sf_dir: str, num_cpus: int, repeats: int = 1, n_docs: int | None = None) -> dict:

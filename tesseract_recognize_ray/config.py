@@ -41,6 +41,16 @@ class PipelineConfig:
     # skew handling (§4) lives in the fused source's byte-balanced splits
     # (stages/media_source.media_splits_by_cost) — est_cost proxy = bytes
     assemble_buckets: int = 64  # reassembly-shuffle partitions (crc32(doc_id) % P)
+    # Pre-shuffle coalesce for the reassembly exchange: sort-exchange cost in
+    # Ray 2.49 scales with INPUT BLOCK COUNT, not bytes, and the span stream
+    # (text rows, no pixels) is tiny relative to its block count after the
+    # union. None = no coalesce (the scale-safe default). Set ONLY when the
+    # span stream is known reducer-sized: right-size to ~bytes/256MB blocks —
+    # at 100 TB the span stream is ~corpus-text-sized and must NOT be forced
+    # through 16 blocks (same growth rule as grouped_agg's reduce_blocks).
+    # Measured same-host A/B (6k docs, 32 CPUs): 16 -> 8.0-9.6s vs None ->
+    # 13.8-14.1s wall.
+    assemble_coalesce: int | None = None
     quarantine: bool = False  # poison-row quarantine: bad media -> error row
     # (deviation from the reference's abort-on-failure when True, SURVEY.md §4)
 

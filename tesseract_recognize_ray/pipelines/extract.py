@@ -153,6 +153,10 @@ def _assemble_tail(docs: Dataset, rec: Dataset, cfg: PipelineConfig, join_strate
     # vectorized assemble per bucket (amortizes per-group overhead ~1000x vs
     # groupby(doc_id); same correctness — all rows of a doc share a bucket)
     bucketed = all_spans.map_batches(add_doc_bucket(cfg.assemble_buckets), batch_format="pyarrow")
+    if cfg.assemble_coalesce:
+        # see config.assemble_coalesce: exchange cost ~ input block count;
+        # only set when the span stream is known reducer-sized
+        bucketed = bucketed.repartition(cfg.assemble_coalesce)
     return bucketed.groupby("__bucket").map_groups(assemble_bucket, batch_format="pandas")
 
 
