@@ -3440,8 +3440,199 @@ def _q_events_csv_roundtrip(sf_dir: str):
     return _events_roundtrip_agg(ray.data.read_csv(out))
 
 
+def _q_rolling_min_events(sf_dir: str):
+    """Sliding-extremum window: per-user rolling MIN of the last 3 event
+    values (exact cents), ordered by (ts, event_id) — unlike the rolling sum
+    an extremum has no inverse, so the per-bucket kernel is the grouped
+    monotonic-deque rolling min (functions/relational.py
+    window_rolling_extremum); same single hash(user) bucket exchange."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "value_cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    out = F.window_rolling_extremum(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        "value_cents",
+        _ROLL_W,
+        kind="min",
+        out_col="roll_min_cents",
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["event_id", "user_id", "roll_min_cents"]].astype("int64")
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_scaled_event_values(sf_dir: str):
+    """Per-group min-max feature scaling (ML preprocessing): scaled =
+    (v - min) / (max - min) within each event_type, NULL for a constant
+    group. Group extrema reduce to 5 rows via grouped_agg, broadcast once;
+    one vectorized map scales every row — no second shuffle."""
+    import ray
+
+    ds = F.load(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    ext = F.grouped_agg(
+        cents, ["event_type"], [("cents", "min", "mn"), ("cents", "max", "mx")]
+    ).to_pandas()
+    ref = ray.put(
+        {
+            t: (int(mn), int(mx))
+            for t, mn, mx in zip(ext["event_type"], ext["mn"], ext["mx"])
+        }
+    )
+
+    def scale(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        mn = b["event_type"].map(lambda t: m[t][0]).to_numpy(np.float64)
+        mx = b["event_type"].map(lambda t: m[t][1]).to_numpy(np.float64)
+        v = b["cents"].to_numpy(np.float64)
+        rng_ = mx - mn
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scaled = np.round((v - mn) / rng_, 6)
+        scaled = np.where(rng_ == 0, np.nan, scaled)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "scaled": scaled,
+            }
+        )
+
+    return cents.map_batches(scale, batch_format="pandas")
+
+
+def _q_ts_inversions_by_user(sf_dir: str):
+    """Data-quality assertion: per user, how many events arrive with a
+    timestamp EARLIER than the previous event in event_id order (late /
+    out-of-order arrivals). One window_lag bucket exchange + a grouped sum;
+    users with zero inversions are kept (COUNT semantics, not EXISTS)."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    lagged = F.window_lag(ds, "user_id", ["event_id"], "ts", out_col="__prev")
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        inv = (b["ts"] < b["__prev"]).fillna(False).astype("int64")
+        return pd.DataFrame({"user_id": b["user_id"].astype("int64"), "inv": inv})
+
+    flags = lagged.map_batches(flag, batch_format="pandas")
+    return F.grouped_agg(flags, ["user_id"], [("inv", "sum", "n_inversions")])
+
+
+def _q_snm_dup_pairs(sf_dir: str):
+    """Sorted-neighborhood dedup (Hernandez & Stolfo merge/purge): order docs
+    by (text, doc_id), compare each with its next 2 neighbors, keep pairs
+    with character-set jaccard >= 0.5 (byte-level sets = DuckDB jaccard()).
+    A third candidate-generation family next to MinHash-LSH banding and
+    embedding-LSH: zero hash collisions, one global order instead of b band
+    shuffles (functions/dedup.py snm_dup_pairs)."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=8)
+    return F_dedup.snm_dup_pairs(ds, "doc_id", "text", window=3, threshold=0.5)
+
+
+def _q_q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape (international shipping volume): supplier-nation x
+    customer-nation x ship-year revenue over two ship years, all distinct
+    nation pairs. Scale shape: the shipdate filter is pushed into the scan;
+    supplier/customer/nation dimensions broadcast (at a true 100 TB customer
+    domain swap the customer attach for a hash join — same gate rule as
+    broadcast_lookup_join everywhere else); lineitem folds to one partial
+    per (orderkey, year) BEFORE the single big co-shuffle with orders."""
+    import pyarrow.dataset as pds_
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")[
+        ["s_suppkey", "n_name"]
+    ].rename(columns={"n_name": "supp_nation"})
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ].rename(columns={"n_name": "cust_nation"})
+
+    line = F.load(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pds_.field("l_shipdate") >= pd.Timestamp("1995-01-01"))
+        & (pds_.field("l_shipdate") <= pd.Timestamp("1996-12-31 23:59:59")),
+    )
+    line = F.broadcast_lookup_join(line, supp, "l_suppkey", "s_suppkey")
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        disc_c = np.round(b["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "supp_nation": b["supp_nation"],
+                "l_year": pd.DatetimeIndex(b["l_shipdate"]).year.astype("int64"),
+                "rev_u": price_c * (100 - disc_c),
+            }
+        )
+
+    partial = F.grouped_agg(
+        line.map_batches(rev, batch_format="pandas"),
+        ["l_orderkey", "supp_nation", "l_year"],
+        [("rev_u", "sum", "rev_u")],
+        reduce_blocks=16,
+    )
+    orders = F.load(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders_n = F.broadcast_lookup_join(orders, cust, "o_custkey", "c_custkey").select_columns(
+        ["o_orderkey", "cust_nation"]
+    )
+    joined = F.bucket_join(
+        partial,
+        orders_n,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        left_schema=pa.schema(
+            {
+                "l_orderkey": pa.int64(),
+                "supp_nation": pa.string(),
+                "l_year": pa.int64(),
+                "rev_u": pa.int64(),
+            }
+        ),
+        right_schema=pa.schema({"o_orderkey": pa.int64(), "cust_nation": pa.string()}),
+        reduce_blocks=16,
+    )
+    joined = joined.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b.column("supp_nation"), b.column("cust_nation")))),
+        batch_format="pyarrow",
+    )
+    return F.grouped_agg(
+        joined, ["supp_nation", "cust_nation", "l_year"], [("rev_u", "sum", "revenue_u")]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "rolling_min_events": _q_rolling_min_events,
+        "scaled_event_values": _q_scaled_event_values,
+        "ts_inversions_by_user": _q_ts_inversions_by_user,
+        "snm_dup_pairs": _q_snm_dup_pairs,
+        "q7_volume_shipping": _q_q7_volume_shipping,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -3600,6 +3791,66 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """
     return {
+        "rolling_min_events": """
+            SELECT event_id, user_id,
+                   MIN(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS roll_min_cents
+            FROM events
+        """,
+        "scaled_event_values": """
+            SELECT event_id, event_type,
+                   ROUND(CAST(CAST(ROUND(value * 100) AS BIGINT) - mn AS DOUBLE)
+                         / CAST(NULLIF(mx - mn, 0) AS DOUBLE), 6) AS scaled
+            FROM (
+                SELECT event_id, event_type, value,
+                       MIN(CAST(ROUND(value * 100) AS BIGINT))
+                           OVER (PARTITION BY event_type) AS mn,
+                       MAX(CAST(ROUND(value * 100) AS BIGINT))
+                           OVER (PARTITION BY event_type) AS mx
+                FROM events
+            )
+        """,
+        "ts_inversions_by_user": """
+            SELECT user_id,
+                   CAST(COALESCE(SUM(CASE WHEN ts < prev_ts THEN 1 END), 0) AS BIGINT)
+                       AS n_inversions
+            FROM (
+                SELECT user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+                FROM events
+            )
+            GROUP BY user_id
+        """,
+        "snm_dup_pairs": """
+            WITH s AS (
+                SELECT doc_id, text,
+                       ROW_NUMBER() OVER (ORDER BY text, doc_id) AS r
+                FROM documents WHERE length(text) >= 1
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(jaccard(a.text, b.text), 6) AS jac
+            FROM s a JOIN s b ON b.r - a.r BETWEEN 1 AND 2
+            WHERE ROUND(jaccard(a.text, b.text), 6) >= 0.5
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_u
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+              AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                                   AND TIMESTAMP '1996-12-31 23:59:59'
+            GROUP BY 1, 2, 3
+        """,
         "first_event_per_user_day": """
             SELECT user_id,
                    epoch_us(ts) // 86400000000 AS d,

@@ -762,3 +762,116 @@ def duplicate_token_spans(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def snm_dup_pairs(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 3,
+    threshold: float = 0.5,
+    num_buckets: int = 64,
+    round_digits: int = 6,
+) -> Dataset:
+    """Sorted-neighborhood near-duplicate pairs (Hernandez & Stolfo 1995's
+    merge/purge method — the classic alternative to LSH banding): rows are
+    globally ordered by (text, id) and each row is compared with its next
+    ``window - 1`` neighbors in that order; similarity is character-SET
+    jaccard (exactly DuckDB's ``jaccard()``), so the whole operator is
+    SQL-replayable. Returns (id_a, id_b, jac) with id_a the earlier row in
+    sort order and jac rounded to round_digits, filtered to >= threshold.
+    Empty texts are dropped (DuckDB's jaccard errors on them).
+
+    Scale shape: global order via sampled range partitioning
+    (global_row_number — no single-node sort); the neighbor exchange ships
+    (ordinal, id, charset) x window where charset is the row's sorted
+    UNIQUE characters (bounded by the alphabet, never the text); each pair
+    forms exactly once, in its anchor ordinal's group."""
+    from .relational import global_row_number
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.utf8_length(pc.coalesce(b.column(text_col), "")), 1)
+        b = b.filter(keep)
+        return pa.table({id_col: b.column(id_col), text_col: b.column(text_col)})
+
+    numbered = global_row_number(
+        ds.map_batches(project, batch_format="pyarrow"), [text_col, id_col], out_col="__r"
+    )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "__t": pd.Series(dtype="int64"),
+                    "__r": pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype="object"),
+                    "__cs": pd.Series(dtype="object"),
+                }
+            )
+        # UTF-8 BYTE sets, not codepoints: DuckDB's jaccard() compares byte
+        # sets ('aé' vs 'aéz' -> 0.75), so multibyte text must match it
+        cs = np.array(
+            [bytes(sorted(set(t.encode("utf-8")))) for t in b[text_col].tolist()], dtype=object
+        )
+        r = b["__r"].to_numpy(np.int64)
+        ids = b[id_col].to_numpy()
+        ts, rs, outid, outcs = [], [], [], []
+        for i in range(window):
+            t = r - i  # row r participates in anchor groups r-(window-1)..r
+            m = t >= 1
+            ts.append(t[m])
+            rs.append(r[m])
+            outid.append(ids[m])
+            outcs.append(cs[m])
+        return pd.DataFrame(
+            {
+                "__t": np.concatenate(ts),
+                "__r": np.concatenate(rs),
+                id_col: np.concatenate(outid),
+                "__cs": np.concatenate(outcs),
+            }
+        )
+
+    from ..hashing import stable_bucket
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = stable_bucket(b["__t"], num_buckets)
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        anchors = g[g["__r"] == g["__t"]][["__t", id_col, "__cs"]].rename(
+            columns={id_col: "id_a", "__cs": "__cs_a"}
+        )
+        followers = g[g["__r"] != g["__t"]][["__t", "__r", id_col, "__cs"]].rename(
+            columns={id_col: "id_b", "__cs": "__cs_b"}
+        )
+        m = followers.merge(anchors, on="__t", how="inner").sort_values(
+            ["__t", "__r"], kind="mergesort"
+        )
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="object"),
+                    "id_b": pd.Series(dtype="object"),
+                    "jac": pd.Series(dtype="float64"),
+                }
+            )
+        jac = np.empty(len(m), dtype=np.float64)
+        for i, (a, b_) in enumerate(zip(m["__cs_a"].tolist(), m["__cs_b"].tolist())):
+            sa, sb = set(a), set(b_)
+            jac[i] = len(sa & sb) / len(sa | sb)
+        jac = np.round(jac, round_digits)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {"id_a": m["id_a"].to_numpy()[keep], "id_b": m["id_b"].to_numpy()[keep], "jac": jac[keep]}
+        )
+
+    return (
+        numbered.map_batches(explode, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )

@@ -479,6 +479,46 @@ def window_rolling_sum(
     )
 
 
+def window_rolling_extremum(
+    ds: Dataset,
+    part_key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    *,
+    kind: str = "min",
+    out_col: str = "rolling_min",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-key sliding MIN/MAX over the last `window` rows — SQL
+    ``MIN(v) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)``. Unlike the rolling sum (cumsum minus its
+    shifted self) an extremum has no inverse, so the per-bucket kernel is
+    pandas' C-implemented grouped rolling min/max (monotonic-deque,
+    O(rows)); the shuffle shape is identical to window_rolling_sum: one
+    hash(key) bucket exchange, all rows of a key co-located."""
+    if kind not in ("min", "max"):
+        raise ValueError("window_rolling_extremum: kind must be 'min' or 'max'")
+    from ..hashing import stable_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = stable_bucket(batch[part_key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values([part_key, *order_cols], kind="mergesort")
+        r = g.groupby(part_key, sort=False)[value_col].rolling(window, min_periods=1)
+        vals = (r.min() if kind == "min" else r.max()).to_numpy()
+        # rolling preserves group-major row order and g is already sorted
+        # key-major, so positions align 1:1
+        g[out_col] = vals.astype(g[value_col].dtype)
+        return g
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
 def window_range_sum(
     ds: Dataset,
     part_key: str,

@@ -805,3 +805,73 @@ def test_keep_latest_nullable_int_key_no_duplicate_winners(ray_session):
     # a winning row with a NULL value column must be kept as-is, not skipped
     out2 = F.keep_latest(rd.from_arrow([t1]), "k", ["t"]).to_pandas()
     assert out2.loc[out2["t"] == 30, "v"].isna().all()
+
+
+def test_window_rolling_extremum_matches_pandas(ray_session):
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, 400),
+            "t": rng.permutation(400),
+            "id": np.arange(400),
+            "v": rng.integers(-50, 50, 400).astype("int64"),
+        }
+    )
+    for kind in ("min", "max"):
+        got = (
+            F.window_rolling_extremum(
+                rd.from_pandas(df).repartition(5), "k", ["t", "id"], "v", 3, kind=kind, out_col="rm"
+            )
+            .to_pandas()
+            .sort_values(["k", "t", "id"])
+            .reset_index(drop=True)
+        )
+        s = df.sort_values(["k", "t", "id"])
+        r = s.groupby("k", sort=False)["v"].rolling(3, min_periods=1)
+        want = (r.min() if kind == "min" else r.max()).to_numpy().astype("int64")
+        want_df = s.reset_index(drop=True).assign(rm=want).sort_values(["k", "t", "id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+
+
+def test_snm_dup_pairs_planted_neighbors(ray_session):
+    """Sorted-neighborhood candidates: two near-identical texts are adjacent
+    in sort order and must pair with byte-set jaccard; distant texts must
+    not pair with anything above threshold."""
+    from tesseract_recognize_ray.functions.dedup import snm_dup_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(6)],
+            "text": [
+                "the quick brown fox jumps",
+                "the quick brown fox jumped",  # near-dup of row 0, sorts adjacent
+                "zzzz 000",  # disjoint charset tail
+                "mnopq rstuv",
+                "",  # dropped (DuckDB jaccard errors on empty)
+                "the quick brown fox jumps!",  # also near row 0/1
+            ],
+        }
+    )
+    out = (
+        snm_dup_pairs(rd.from_pandas(docs).repartition(3), "doc_id", "text", window=3, threshold=0.5)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert ("d0", "d1") in pairs or ("d1", "d0") in pairs
+    assert not any("d4" in p for pair in pairs for p in pair)
+    # jaccard value matches the byte-set definition for a known pair
+    def bjac(a, b):
+        sa, sb = set(a.encode()), set(b.encode())
+        return round(len(sa & sb) / len(sa | sb), 6)
+
+    for _, row in out.iterrows():
+        ta = docs.set_index("doc_id")["text"][row["id_a"]]
+        tb = docs.set_index("doc_id")["text"][row["id_b"]]
+        assert abs(row["jac"] - bjac(ta, tb)) < 1e-9
+        assert row["jac"] >= 0.5
+    # id_a must be the EARLIER row in (text, id) sort order
+    order = docs[docs["text"] != ""].sort_values(["text", "doc_id"])["doc_id"].tolist()
+    pos = {d: i for i, d in enumerate(order)}
+    assert all(pos[a] < pos[b] and pos[b] - pos[a] <= 2 for a, b in pairs)
