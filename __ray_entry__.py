@@ -304,7 +304,7 @@ def _q_ann_ivf(sf_dir: str):
     qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
-    res = F_sim.ivf_topk(ds, "vec_id", "embedding", queries, k=_ANN_K, n_centroids=32, nprobe=12, replicas=2)
+    res = F_sim.ivf_topk(ds, "vec_id", "embedding", queries, k=_ANN_K, n_centroids=32, nprobe=16, replicas=2)
     res["rank"] = res.groupby("query_idx").cumcount() + 1
     return res[["query_idx", "vec_id", "rank"]].astype({"query_idx": "int64", "vec_id": "int64", "rank": "int64"})
 
@@ -331,7 +331,7 @@ def _q_ann_ivf_indexed(sf_dir: str):
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
-    res = ivf_topk_indexed(idx_dir, "vec_id", queries, k=_ANN_K, nprobe=12)
+    res = ivf_topk_indexed(idx_dir, "vec_id", queries, k=_ANN_K, nprobe=16)
     res["rank"] = res.groupby("query_idx").cumcount() + 1
     return res[["query_idx", "vec_id", "rank"]].astype({"query_idx": "int64", "vec_id": "int64", "rank": "int64"})
 

@@ -109,6 +109,11 @@ _BENCH_QUERIES = [
     "event_type_share",
     "approx_users_by_type",
     "first_event_per_user_day",
+    "rolling_min_events",
+    "scaled_event_values",
+    "ts_inversions_by_user",
+    "snm_dup_pairs",
+    "q7_volume_shipping",
 ]
 
 
@@ -202,7 +207,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
 def ivf_recall_for(sf_dir: str) -> float:
     """Recall of the IVF path vs exact brute force on the bench queries
-    (n_centroids=32, nprobe=12, replicas=2 — the ann_ivf query's operating point)."""
+    (n_centroids=32, nprobe=16, replicas=2 — the ann_ivf query's operating point:
+    nprobe 12->16 lifted sf0.1 recall 0.90-0.94 -> 0.98 for ~1/3 more cell reads)."""
     import numpy as np
     import pandas as pd
 
@@ -214,7 +220,7 @@ def ivf_recall_for(sf_dir: str) -> float:
     q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     exact = F_sim.brute_force_topk(ds, "vec_id", "embedding", q, k=10)
-    approx = F_sim.ivf_topk(ds, "vec_id", "embedding", q, k=10, n_centroids=32, nprobe=12, replicas=2)
+    approx = F_sim.ivf_topk(ds, "vec_id", "embedding", q, k=10, n_centroids=32, nprobe=16, replicas=2)
     return round(F_sim.ivf_recall(approx, exact, 10), 4)
 
 
