@@ -219,7 +219,12 @@ def build_tables(
       "png"   single-page media as real PNG, multi-page as uncompressed
               TIFF (PNG has no pages);
       "tiff"  everything as uncompressed TIFF (single- or multi-IFD);
-      "mixed" deterministic per-media rng choice among the three.
+      "jpeg"  single-page media as baseline JPEG q95 (mode drawn among
+              gray / ycbcr444 / ycbcr420 to exercise every decode path;
+              lossless-for-binarization on the bilevel glyph pages, so
+              golden spans still hold), multi-page as TIFF (JPEG has no
+              page chain);
+      "mixed" deterministic per-media rng choice among the four.
     Decode dispatch is on magic bytes (imagecodecs.iter_page_images), so
     golden spans are encoding-independent."""
     doc_ids: list[str] = []
@@ -282,8 +287,18 @@ def build_tables(
                 enc = media_encoding
                 if enc == "mixed":  # rng draw only on non-raw corpora: keeps
                     # the default corpora byte-identical to pre-codec rounds
-                    enc = ("raw", "png", "tiff")[int(rng.integers(0, 3))]
-                if enc == "png":
+                    enc = ("raw", "png", "tiff", "jpeg")[int(rng.integers(0, 4))]
+                if enc == "jpeg":
+                    if n_pages == 1:
+                        from tesseract_recognize_ray.jpegcodec import encode_jpeg_gray
+
+                        mode = ("gray", "ycbcr444", "ycbcr420")[int(rng.integers(0, 3))]
+                        payload = encode_jpeg_gray(page_imgs[0], quality=95, mode=mode)
+                    else:
+                        from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
+
+                        payload = encode_tiff_gray(page_imgs)
+                elif enc == "png":
                     from tesseract_recognize_ray.imagecodecs import encode_png_gray, encode_tiff_gray
 
                     payload = (

@@ -14,6 +14,9 @@ implementations of the two formats a scanned-document corpus actually uses:
   Paeth) carry a true sequential dependency and fall back to a per-pixel
   row loop — correct, documented as the slow path. Interlaced (Adam7)
   images are rejected explicitly.
+* **JPEG** baseline sequential (ITU-T T.81) lives in the sibling
+  `jpegcodec` module and is dispatched from `sniff_format`/
+  `iter_page_images` here.
 * **TIFF** baseline, compression=1 (uncompressed): II/MM byte orders, the
   multi-page IFD chain (reference S2 multi-page semantics,
   `tesseract-recognize.cc:455-487`), 8-bit gray, 8-bit RGB (luma-converted)
@@ -43,13 +46,15 @@ _CT_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_format(buf) -> str:
-    """'png' | 'tiff' | 'raw' by magic bytes (raw = the 8-byte-header
-    fixture format, FIXTURES.md §2)."""
+    """'png' | 'tiff' | 'jpeg' | 'raw' by magic bytes (raw = the
+    8-byte-header fixture format, FIXTURES.md §2)."""
     head = bytes(memoryview(buf)[:8])
     if head[:8] == PNG_SIG:
         return "png"
     if head[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if head[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "raw"
 
 
@@ -282,14 +287,19 @@ def encode_tiff_gray(pages: "list[np.ndarray]") -> bytes:
 # ------------------------------------------------------------ unified entry
 def iter_page_images(buf):
     """Yield (page_index, (h, w) uint8 image) from ANY supported payload:
-    PNG (single page), uncompressed TIFF (IFD chain = pages), or the raw
-    8-byte-header fixture format (concatenated blobs = pages). This is the
-    M1 input-type dispatch (tesseract-recognize.cc:362-368) performed on
-    magic bytes instead of file extensions — a Lance/parquet binary column
-    has no filename."""
+    PNG (single page), baseline JPEG (single page), uncompressed TIFF (IFD
+    chain = pages), or the raw 8-byte-header fixture format (concatenated
+    blobs = pages). This is the M1 input-type dispatch
+    (tesseract-recognize.cc:362-368) performed on magic bytes instead of
+    file extensions — a Lance/parquet binary column has no filename."""
     fmt = sniff_format(buf)
     if fmt == "png":
         yield 0, decode_png(buf)
+        return
+    if fmt == "jpeg":
+        from tesseract_recognize_ray.jpegcodec import decode_jpeg
+
+        yield 0, decode_jpeg(buf)
         return
     if fmt == "tiff":
         for p, img in enumerate(iter_tiff_pages(buf)):

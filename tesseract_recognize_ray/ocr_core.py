@@ -243,21 +243,22 @@ def detect_upright_k(img: np.ndarray) -> int:
 
 
 # --------------------------------------------------------------------------
-# uint8 bilevel fast path: projection profiles straight off the raw page via
-# one sum pass — no page-sized bool temporary. Exact for bilevel rasters
-# (values {0, 255}); gray pixels would count fractionally, which only ever
-# *adds* ink to a profile bin (safe for run detection).
+# uint8 fast path: projection profiles off the raw page via a bit-7 shift
+# ((v >> 7) == 1 iff v >= BIN_THRESHOLD == 128), so the profiles agree with
+# binarize() EXACTLY for every gray value. The earlier w - rowsum/255 trick
+# counted near-white pixels fractionally, which turned lossy-codec noise
+# (254-valued JPEG ringing on white paper) into phantom line bands.
 # --------------------------------------------------------------------------
 
 
 def find_lines_u8(img: np.ndarray) -> tuple[int, list[LineBand]]:
-    """find_lines for a uint8 page without materializing an ink mask:
-    ink-per-row = w - rowsum/255 (one memory pass over the page; per-band
+    """find_lines for a uint8 page without materializing a bool ink mask:
+    ink-per-row = w - sum(img >> 7) (one u8 temp + one sum pass; per-band
     column profiles touch only the band's rows)."""
     h, w = img.shape
     if h == 0 or w == 0:
         return 1, []
-    rowprof = w - (img.sum(axis=1, dtype=np.int64) // 255)
+    rowprof = w - (img >> 7).sum(axis=1, dtype=np.int64)
     bands = runs_1d(rowprof, merge_gap=LINE_MERGE_GAP)
     if not bands:
         return 1, []
@@ -271,8 +272,8 @@ def find_lines_u8(img: np.ndarray) -> tuple[int, list[LineBand]]:
             block += 1
             line = 0
         prev_end = y1
-        colsum = img[y0:y1].sum(axis=0, dtype=np.int64)
-        cols = np.flatnonzero(colsum < 255 * (y1 - y0))
+        colbg = (img[y0:y1] >> 7).sum(axis=0, dtype=np.int64)
+        cols = np.flatnonzero(colbg < (y1 - y0))
         out.append(
             LineBand(block=block, line=line, y0=int(y0), y1=int(y1), x0=int(cols[0]), x1=int(cols[-1]) + 1)
         )
