@@ -3626,6 +3626,205 @@ def _q_q7_volume_shipping(sf_dir: str):
     )
 
 
+def _q_q19_discount_revenue(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicate): revenue
+    over an OR-of-ANDs join predicate. Scale shape: the part side collapses
+    to a broadcast partkey -> (qty_lo, qty_hi) interval map (only parts
+    passing their branch's brand+size conjunct enter it), the lineitem scan
+    pushes the quantity ENVELOPE [1, 40] into the parquet reader, and each
+    batch resolves the disjunction vectorized — the exchange ships one
+    int64 partial per batch."""
+    import pyarrow.dataset as pds_
+    import ray
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    branches = [("Brand#1", 1, 10, 1, 20), ("Brand#2", 1, 20, 10, 30), ("Brand#3", 1, 30, 20, 40)]
+    lo = {}
+    hi = {}
+    for brand, smn, smx, qmn, qmx in branches:
+        sel = part[(part["p_brand"] == brand) & part["p_size"].between(smn, smx)]
+        for k in sel["p_partkey"]:
+            lo[int(k)] = qmn
+            hi[int(k)] = qmx
+    ref = ray.put((pd.Series(lo, dtype="float64"), pd.Series(hi, dtype="float64")))
+
+    line = F.load(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pds_.field("l_quantity") >= 1) & (pds_.field("l_quantity") <= 40),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lo_s, hi_s = ray.get(ref)
+        pk = b["l_partkey"]
+        qlo = pk.map(lo_s).to_numpy(np.float64)
+        qhi = pk.map(hi_s).to_numpy(np.float64)
+        q = b["l_quantity"].to_numpy(np.float64)
+        mask = ~np.isnan(qlo) & (q >= qlo) & (q <= qhi)
+        price_c = np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        disc_c = np.round(b["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        rev = int((price_c[mask] * (100 - disc_c[mask])).sum())
+        return pd.DataFrame({"rev_u": pd.Series([rev], dtype="int64")})
+
+    parts = line.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"revenue_u": pd.Series([int(parts["rev_u"].sum())], dtype="int64")})
+
+
+def _q_q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): of all 'PROMO'-part revenue
+    ordered by ASIA-region customers in 1995-96, the share supplied by
+    NATION_7, per order year. Scale shape: part filter -> broadcast partkey
+    set; supplier nation attach broadcast; lineitem folds to one partial per
+    (orderkey, is_target) before the single co-shuffle with the date-pruned
+    orders side (customer/nation/region dims broadcast — at a true 100 TB
+    customer domain swap that attach for a hash join). Exact integer cents
+    end-to-end; the share divides two exact int64 sums."""
+    import pyarrow.dataset as pds_
+    import ray
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk_ref = ray.put(set(part.loc[part["p_type"] == "PROMO", "p_partkey"].astype(int)))
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")[
+        ["s_suppkey", "n_name"]
+    ].rename(columns={"n_name": "supp_nation"})
+
+    line = F.load(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        pks = ray.get(pk_ref)
+        b = b[b["l_partkey"].isin(pks)]
+        price_c = np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        disc_c = np.round(b["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "l_suppkey": b["l_suppkey"].astype("int64"),
+                "rev_u": price_c * (100 - disc_c),
+            }
+        )
+
+    folded = F.broadcast_lookup_join(
+        line.map_batches(fold, batch_format="pandas"), supp, "l_suppkey", "s_suppkey"
+    )
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "is_target": (b["supp_nation"] == "NATION_7").astype("int64"),
+                "rev_u": b["rev_u"].astype("int64"),
+            }
+        )
+
+    partial = F.grouped_agg(
+        folded.map_batches(flag, batch_format="pandas"),
+        ["l_orderkey", "is_target"],
+        [("rev_u", "sum", "rev_u")],
+        reduce_blocks=16,
+    )
+
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    asia_keys = set(asia.loc[asia["r_name"] == "ASIA", "n_nationkey"].astype(int))
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust = cust[cust["c_nationkey"].isin(asia_keys)][["c_custkey"]]
+    orders = F.load(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pds_.field("o_orderdate") >= pd.Timestamp("1995-01-01"))
+        & (pds_.field("o_orderdate") <= pd.Timestamp("1996-12-31 23:59:59")),
+    )
+    orders_n = F.broadcast_lookup_join(orders, cust, "o_custkey", "c_custkey")
+
+    def oyear(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_year": pd.DatetimeIndex(b["o_orderdate"]).year.astype("int64"),
+            }
+        )
+
+    joined = F.bucket_join(
+        partial,
+        orders_n.map_batches(oyear, batch_format="pandas"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        left_schema=pa.schema(
+            {"l_orderkey": pa.int64(), "is_target": pa.int64(), "rev_u": pa.int64()}
+        ),
+        right_schema=pa.schema({"o_orderkey": pa.int64(), "o_year": pa.int64()}),
+        reduce_blocks=16,
+    )
+
+    def split(b: pa.Table) -> pa.Table:
+        tgt = pc.if_else(pc.equal(b.column("is_target"), 1), b.column("rev_u"), pa.scalar(0, pa.int64()))
+        return pa.table({"o_year": b.column("o_year"), "num_u": tgt, "den_u": b.column("rev_u")})
+
+    sums = F.grouped_agg(
+        joined.map_batches(split, batch_format="pyarrow"),
+        ["o_year"],
+        [("num_u", "sum", "num_u"), ("den_u", "sum", "den_u")],
+    ).to_pandas()
+    sums = sums.sort_values("o_year").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "o_year": sums["o_year"].astype("int64"),
+            "mkt_share": np.round(
+                sums["num_u"].to_numpy(np.float64) / sums["den_u"].to_numpy(np.float64), 6
+            ),
+        }
+    )
+
+
+_COV_DIMS = 8
+
+
+def _q_embedding_covariance(sf_dir: str):
+    """Distributed covariance (PCA building block): one streaming pass of
+    per-block (n, sum, X^T X) Gram partials — d + d^2 floats per BLOCK, the
+    d x d fold on the driver — emitted as the upper triangle over the first
+    8 coordinates. The oracle replays it with DuckDB covar_pop over a dim
+    pair lattice (functions/similarity.py embedding_moments)."""
+    ds = F.load(sf_dir, "embeddings", columns=["embedding"])
+    cov = F_sim.embedding_covariance(ds, "embedding", dims=_COV_DIMS)
+    iu = np.triu_indices(_COV_DIMS)
+    return pd.DataFrame(
+        {
+            "i": iu[0].astype("int64"),
+            "j": iu[1].astype("int64"),
+            "cov": cov[iu].astype(np.float64),
+        }
+    )
+
+
+def _q_embedding_pca(sf_dir: str):
+    """Distributed PCA over the full 64-dim embedding table (tall-skinny
+    layout: the corpus never moves, only block-level Gram partials; the
+    64 x 64 eigendecomposition runs on the driver). Emits the top-8
+    components' eigenvalue + explained-variance ratio; pytest cross-checks
+    the whole decomposition against exact numpy PCA on the materialized
+    matrix (no SQL oracle — DuckDB has no eigensolver)."""
+    ds = F.load(sf_dir, "embeddings", columns=["embedding"])
+    n, s, sq = F_sim.embedding_moments(ds, "embedding")
+    w, comp, mean = F_sim.pca_from_moments(n, s, sq, k=8)
+    total_var = float(np.trace(sq / n - np.outer(s / n, s / n)))
+    return pd.DataFrame(
+        {
+            "component": np.arange(len(w), dtype=np.int64),
+            "eigenvalue": np.round(w, 9),
+            "explained": np.round(w / total_var, 9),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -3633,6 +3832,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_inversions_by_user": _q_ts_inversions_by_user,
         "snm_dup_pairs": _q_snm_dup_pairs,
         "q7_volume_shipping": _q_q7_volume_shipping,
+        "q19_discount_revenue": _q_q19_discount_revenue,
+        "q8_market_share": _q_q8_market_share,
+        "embedding_covariance": _q_embedding_covariance,
+        "embedding_pca": _q_embedding_pca,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -3850,6 +4053,55 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01'
                                    AND TIMESTAMP '1996-12-31 23:59:59'
             GROUP BY 1, 2, 3
+        """,
+        "q19_discount_revenue": """
+            SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_u
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "q8_market_share": """
+            WITH l AS (
+                SELECT l_orderkey,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_u,
+                       n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                WHERE p_type = 'PROMO'
+            ), o AS (
+                SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year
+                FROM orders
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation ON n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name = 'ASIA'
+                  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                      AND TIMESTAMP '1996-12-31 23:59:59'
+            )
+            SELECT o_year,
+                   ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                                       THEN rev_u ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(rev_u) AS DOUBLE), 6) AS mkt_share
+            FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+            GROUP BY o_year
+        """,
+        "embedding_covariance": """
+            WITH d AS (SELECT CAST(i AS BIGINT) AS i FROM range(8) t(i)),
+                 p AS (SELECT a.i AS i, b.i AS j FROM d a JOIN d b ON a.i <= b.i)
+            SELECT p.i AS i, p.j AS j,
+                   covar_pop(CAST(list_extract(e.embedding, p.i + 1) AS DOUBLE),
+                             CAST(list_extract(e.embedding, p.j + 1) AS DOUBLE)) AS cov
+            FROM embeddings e CROSS JOIN p
+            GROUP BY p.i, p.j
         """,
         "first_event_per_user_day": """
             SELECT user_id,

@@ -488,3 +488,102 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(mark, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------- PCA family
+def embedding_moments(
+    ds: Dataset, vec_col: str, dims: int | None = None
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Streaming first+second moments of an embedding column: each block
+    contributes ONE (n, sum_x, X^T X) partial — d + d^2 float64s regardless
+    of row count — and the d x d fold happens on the driver (d is model
+    dimension, 10^2..10^4: tiny next to the corpus, and the partial count is
+    the block count, not the row count). Returns (n, sum (d,), sumsq (d,d)).
+
+    dims: restrict to the first `dims` coordinates (cheap marginal moments)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):  # empty blocks drop schema in Ray 2.49; emit nothing
+            return pd.DataFrame({"__n": pd.Series([], dtype="int64"), "__sum": [], "__sq": []})
+        mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        if dims is not None:
+            mat = mat[:, :dims]
+        return pd.DataFrame(
+            {
+                "__n": [np.int64(mat.shape[0])],
+                "__sum": [mat.sum(axis=0)],
+                "__sq": [(mat.T @ mat).reshape(-1)],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts) or "__n" not in parts.columns:
+        raise ValueError("embedding_moments: empty dataset")
+    n = int(parts["__n"].sum())
+    if n == 0:
+        raise ValueError("embedding_moments: empty dataset")
+    s = np.stack(parts["__sum"].to_numpy()).sum(axis=0)
+    d = s.shape[0]
+    sq = np.stack(parts["__sq"].to_numpy()).sum(axis=0).reshape(d, d)
+    return n, s, sq
+
+
+def embedding_covariance(ds: Dataset, vec_col: str, dims: int | None = None) -> np.ndarray:
+    """Population covariance matrix of the embedding column (one streaming
+    pass, driver fold of per-block Gram partials)."""
+    n, s, sq = embedding_moments(ds, vec_col, dims)
+    mean = s / n
+    return sq / n - np.outer(mean, mean)
+
+
+def pca_components(
+    ds: Dataset, vec_col: str, k: int, dims: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA: one moments pass (see embedding_moments), then a
+    d x d eigendecomposition ON THE DRIVER — the classic tall-skinny layout
+    where n >> d makes X^T X the only thing worth shipping. Returns
+    (eigvals desc (k,), components (k, d) rows = eigvectors, mean (d,)).
+
+    Deterministic sign convention: each component is flipped so its
+    largest-|coordinate| entry is positive (np.linalg.eigh sign is
+    otherwise arbitrary and platform-dependent)."""
+    n, s, sq = embedding_moments(ds, vec_col, dims)
+    return pca_from_moments(n, s, sq, k)
+
+
+def pca_from_moments(
+    n: int, s: np.ndarray, sq: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pure driver-side tail of pca_components (exposed so callers that
+    already hold the moments never re-scan the corpus)."""
+    mean = s / n
+    cov = sq / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    w = w[order]
+    comp = v[:, order].T
+    flip = np.sign(comp[np.arange(len(comp)), np.abs(comp).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    return w, comp * flip[:, None], mean
+
+
+def pca_project(
+    ds: Dataset, id_col: str, vec_col: str, components: np.ndarray, mean: np.ndarray
+) -> Dataset:
+    """Project every embedding onto fixed PCA components: components+mean are
+    broadcast once via ray.put, each batch is one centered matmul. Output
+    (id, pc0..pc{k-1}) — k scalar columns, not a list, so downstream scans
+    can prune individual components."""
+    cref = ray.put((np.asarray(components, dtype=np.float64), np.asarray(mean, dtype=np.float64)))
+    d = int(np.asarray(mean).shape[0])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        comp, mu = ray.get(cref)
+        mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)[:, :d]
+        proj = (mat - mu) @ comp.T
+        out = {id_col: b[id_col].to_numpy()}
+        for i in range(comp.shape[0]):
+            out[f"pc{i}"] = proj[:, i]
+        return pd.DataFrame(out)
+
+    return ds.map_batches(project, batch_format="pandas")
