@@ -3825,6 +3825,312 @@ def _q_embedding_pca(sf_dir: str):
     )
 
 
+def _q_q13_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution, zero-order
+    customers included): per-customer order counts fold map-side, the
+    distribution groupby runs over the customer-sized aggregate, and the
+    zero bucket is closed-form (|customer| - |customers with orders|) — no
+    outer join ever touches row-level data."""
+    orders = F.load(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = F.grouped_agg(orders, ["o_custkey"], [("o_custkey", "count", "n_orders")])
+    dist = (
+        F.grouped_agg(per_cust, ["n_orders"], [("n_orders", "count", "n_customers")])
+        .to_pandas()
+        .astype("int64")
+    )
+    total_cust = F.load(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = total_cust - int(dist["n_customers"].sum())
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"n_orders": [0], "n_customers": [zero]})], ignore_index=True
+        )
+    return dist.sort_values("n_orders").reset_index(drop=True).astype("int64")
+
+
+def _q_q14_promo_share(sf_dir: str):
+    """TPC-H Q14 shape (promotion revenue share per ship-month): the part
+    type collapses to ONE broadcast promo-partkey set, lineitem folds to a
+    (ym, promo_u, total_u) partial per batch — the only exchange is the
+    months-sized grouped_agg. Exact integer cents; the share divides two
+    exact int64 sums."""
+    import ray
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    promo_ref = ray.put(
+        np.sort(part.loc[part["p_type"] == "PROMO", "p_partkey"].to_numpy(np.int64))
+    )
+    line = F.load(
+        sf_dir, "lineitem", columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        promo = ray.get(promo_ref)
+        d = pd.DatetimeIndex(b["l_shipdate"])
+        ym = (d.year * 100 + d.month).to_numpy(np.int64)
+        price_c = np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        disc_c = np.round(b["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        is_promo = np.isin(b["l_partkey"].to_numpy(np.int64), promo)
+        return pd.DataFrame(
+            {"ym": ym, "promo_u": np.where(is_promo, rev, 0), "total_u": rev}
+        )
+
+    sums = F.grouped_agg(
+        line.map_batches(fold, batch_format="pandas"),
+        ["ym"],
+        [("promo_u", "sum", "promo_u"), ("total_u", "sum", "total_u")],
+    ).to_pandas()
+    sums = sums.sort_values("ym").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "ym": sums["ym"].astype("int64"),
+            "promo_share": np.round(
+                100.0 * sums["promo_u"].to_numpy(np.float64) / sums["total_u"].to_numpy(np.float64),
+                6,
+            ),
+        }
+    )
+
+
+_Q15_Q_START = "1996-01-01"
+_Q15_Q_END = "1996-04-01"
+
+
+def _q_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (top supplier by quarterly revenue, ties kept): the
+    revenue view folds map-side to one partial per (suppkey, batch), the
+    grouped_agg output is supplier-sized, and the MAX + equality filter +
+    name attach all run on that tiny aggregate — the classic
+    aggregate-then-argmax two-pass, never a window over row-level data."""
+    import pyarrow.dataset as pds_
+
+    line = F.load(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pds_.field("l_shipdate") >= pd.Timestamp(_Q15_Q_START))
+        & (pds_.field("l_shipdate") < pd.Timestamp(_Q15_Q_END)),
+    )
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        disc_c = np.round(b["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {"l_suppkey": b["l_suppkey"].astype("int64"), "rev_u": price_c * (100 - disc_c)}
+        )
+
+    per_supp = F.grouped_agg(
+        line.map_batches(fold, batch_format="pandas"), ["l_suppkey"], [("rev_u", "sum", "rev_u")]
+    ).to_pandas()
+    top = per_supp[per_supp["rev_u"] == per_supp["rev_u"].max()]
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    out = top.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    return pd.DataFrame(
+        {
+            "s_suppkey": out["s_suppkey"].astype("int64"),
+            "s_name": out["s_name"],
+            "total_revenue_u": out["rev_u"].astype("int64"),
+        }
+    ).sort_values("s_suppkey").reset_index(drop=True)
+
+
+_Q18_QTY_THRESHOLD = 200
+
+
+def _q_q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): per-order quantity folds
+    map-side (the HAVING filter runs on the aggregate, which is
+    orders-sized, BEFORE any join), the surviving keys broadcast-prune the
+    orders scan, and the customer name attaches from a broadcast lookup.
+    Quantity sums are exact int64 (testdata quantities are integral)."""
+    line = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "qty": pc.cast(pc.round(b.column("l_quantity")), pa.int64()),
+            }
+        )
+
+    per_order = F.grouped_agg(
+        line.map_batches(to_int, batch_format="pyarrow"), ["l_orderkey"], [("qty", "sum", "total_qty")]
+    )
+
+    def keep_big(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("total_qty"), _Q18_QTY_THRESHOLD))
+
+    # consumed twice (semi-join key set + the final attach join) and Ray has
+    # no lineage cache — materialize the HAVING survivors once (keys+qty
+    # only, a small fraction of the orders-sized aggregate)
+    big = per_order.map_batches(keep_big, batch_format="pyarrow").materialize()
+    orders = F.load(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    hits = F.broadcast_semi_join(orders, big, "o_orderkey", "l_orderkey")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    named = F.broadcast_lookup_join(hits, cust, "o_custkey", "c_custkey")
+    joined = F.bucket_join(
+        named,
+        big,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+        left_schema=pa.schema(
+            {
+                "o_orderkey": pa.int64(),
+                "o_custkey": pa.int64(),
+                "o_orderdate": pa.timestamp("us"),
+                "o_totalprice": pa.float64(),
+                "c_name": pa.string(),
+            }
+        ),
+        right_schema=pa.schema({"l_orderkey": pa.int64(), "total_qty": pa.int64()}),
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_name": b["c_name"],
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_orderdate": b["o_orderdate"],
+                "totalprice_cents": np.round(
+                    b["o_totalprice"].to_numpy(np.float64) * 100.0
+                ).astype(np.int64),
+                "total_qty": b["total_qty"].astype("int64"),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
+def _q_monthly_revenue_growth(sf_dir: str):
+    """Month-over-month growth: the distributed part is ONE months-sized
+    grouped_agg (map-side cents fold); the LAG + pct-change window runs on
+    the driver over the ~tens-of-rows aggregate — the right altitude for a
+    window over an aggregate whose domain is bounded by the calendar. First
+    month (no predecessor) is excluded, keeping the result NULL-free."""
+    orders = F.load(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DatetimeIndex(b["o_orderdate"])
+        return pd.DataFrame(
+            {
+                "ym": (d.year * 100 + d.month).to_numpy(np.int64),
+                "cents": np.round(b["o_totalprice"].to_numpy(np.float64) * 100.0).astype(np.int64),
+            }
+        )
+
+    rev = (
+        F.grouped_agg(
+            orders.map_batches(fold, batch_format="pandas"), ["ym"], [("cents", "sum", "revenue_cents")]
+        )
+        .to_pandas()
+        .sort_values("ym")
+        .reset_index(drop=True)
+    )
+    prev = rev["revenue_cents"].shift(1)
+    out = pd.DataFrame(
+        {
+            "ym": rev["ym"].astype("int64"),
+            "revenue_cents": rev["revenue_cents"].astype("int64"),
+            "growth_pct": np.round(
+                100.0 * (rev["revenue_cents"] - prev) / prev, 6
+            ),
+        }
+    )
+    return out[prev.notna().to_numpy()].reset_index(drop=True)
+
+
+def _q_user_cum_distinct_types(sf_dir: str):
+    """Windowed cumulative DISTINCT count (no direct SQL form — rewritten
+    as first-occurrence flag + running sum): per user, how many distinct
+    event types seen up to and including each event, ordered by
+    (ts, event_id). One bucketed exchange co-locates each user; both the
+    flag and the cumsum are vectorized per bucket."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    out = F.window_cum_distinct(
+        ds, "user_id", ["ts", "event_id"], "event_type", out_col="cum_types"
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["event_id", "user_id", "cum_types"]].astype("int64")
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q_distinctive_terms_by_lang(sf_dir: str):
+    """Per-language distinctive vocabulary: log-likelihood ratio (Dunning
+    1993 G²) of each (lang, token) 2x2 contingency vs the rest of the
+    corpus, top-5 per language. Scale shape: (lang, token) counts from the
+    vectorized grouped term-count combiner; token totals are a second
+    token-domain aggregate joined back on the token (hash join — the token
+    domain is corpus-vocabulary-sized, never broadcast); language totals
+    (|langs| rows) broadcast; G² is computed vectorized per batch and only
+    (lang, token, g2) reaches the per-group top-k prune."""
+    ds = F.load(sf_dir, "documents", columns=["lang", "text"], num_blocks=16)
+    counts = F_text.grouped_term_counts(ds, "lang", "text").materialize()
+    tok_tot = F.grouped_agg(counts, ["token"], [("n", "sum", "n_tok")])
+    lang_tot = (
+        F.grouped_agg(counts, ["lang"], [("n", "sum", "n_lang")]).to_pandas()
+    )
+    grand = int(lang_tot["n_lang"].sum())
+    lang_map = dict(zip(lang_tot["lang"], lang_tot["n_lang"].astype(int)))
+    joined = F.bucket_join(
+        counts,
+        tok_tot,
+        on=("token",),
+        right_on=("token",),
+        left_schema=pa.schema({"lang": pa.string(), "token": pa.string(), "n": pa.int64()}),
+        right_schema=pa.schema({"token": pa.string(), "n_tok": pa.int64()}),
+    )
+
+    def g2(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["n"].to_numpy(np.float64)
+        row = np.array([lang_map[x] for x in b["lang"]], dtype=np.float64)
+        col = b["n_tok"].to_numpy(np.float64)
+        n = float(grand)
+        bb = row - a
+        c = col - a
+        d = n - row - col + a
+
+        def term(x, e):
+            return np.where(x > 0, x * np.log(np.where(x > 0, x, 1.0) / e), 0.0)
+
+        g = 2.0 * (
+            term(a, row * col / n)
+            + term(bb, row * (n - col) / n)
+            + term(c, (n - row) * col / n)
+            + term(d, (n - row) * (n - col) / n)
+        )
+        # distinctive = OVER-represented in the language (a > expected)
+        g = np.where(a * n > row * col, g, 0.0)
+        return pd.DataFrame({"lang": b["lang"], "token": b["token"], "g2": np.round(g, 6)})
+
+    scored = joined.map_batches(g2, batch_format="pandas")
+    return F.grouped_topk(scored, "lang", "g2", 5, descending=True, tiebreak=["token"])
+
+
+def _q_ppjoin_dup_pairs(sf_dir: str):
+    """Prefix-filtered set-similarity self-join (SSJoin/PPJoin family) over
+    3-word shingle sets at Jaccard >= 0.6 — lossless blocking (pigeonhole
+    prefix bound), exact verification via two-sided hash join
+    (functions/dedup.py prefix_filter_jaccard_pairs)."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    pairs = F_dedup.prefix_filter_jaccard_pairs(
+        ds, "doc_id", "text", threshold=0.6, shingle_w=3
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": b["id_a"].astype("int64"),
+                "id_b": b["id_b"].astype("int64"),
+                "jac": b["jac"].astype("float64"),
+            }
+        )
+
+    return pairs.map_batches(project, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -3836,6 +4142,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": _q_q8_market_share,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_pca": _q_embedding_pca,
+        "q13_order_count_distribution": _q_q13_order_count_distribution,
+        "q14_promo_share": _q_q14_promo_share,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q18_large_volume_customers": _q_q18_large_volume_customers,
+        "monthly_revenue_growth": _q_monthly_revenue_growth,
+        "user_cum_distinct_types": _q_user_cum_distinct_types,
+        "distinctive_terms_by_lang": _q_distinctive_terms_by_lang,
+        "ppjoin_dup_pairs": _q_ppjoin_dup_pairs,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -4093,6 +4407,147 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(SUM(rev_u) AS DOUBLE), 6) AS mkt_share
             FROM l JOIN o ON o.o_orderkey = l.l_orderkey
             GROUP BY o_year
+        """,
+        "q13_order_count_distribution": """
+            SELECT CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+                  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+                  GROUP BY c_custkey)
+            GROUP BY 1
+        """,
+        "q14_promo_share": """
+            SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+                   ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(rev_u) AS DOUBLE), 6) AS promo_share
+            FROM (SELECT l_partkey, l_shipdate,
+                         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_u
+                  FROM lineitem) l
+            JOIN part ON p_partkey = l_partkey
+            GROUP BY ym
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+                       AS total_revenue_u
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue_u
+            FROM r JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_revenue_u = (SELECT MAX(total_revenue_u) FROM r)
+        """,
+        "q18_large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 200
+            )
+            SELECT c_name, CAST(o_custkey AS BIGINT) AS o_custkey, o_orderkey,
+                   o_orderdate,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+                   total_qty
+            FROM big
+            JOIN orders ON o_orderkey = big.l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+        """,
+        "monthly_revenue_growth": """
+            WITH m AS (
+                SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+                FROM orders GROUP BY ym
+            )
+            SELECT ym, revenue_cents,
+                   ROUND(100.0 * (revenue_cents - prev) / prev, 6) AS growth_pct
+            FROM (SELECT ym, revenue_cents,
+                         LAG(revenue_cents) OVER (ORDER BY ym) AS prev FROM m)
+            WHERE prev IS NOT NULL
+        """,
+        "user_cum_distinct_types": """
+            SELECT event_id, user_id,
+                   CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                                      ORDER BY ts, event_id) = 1
+                              THEN 1 ELSE 0 END AS is_first
+                  FROM events)
+        """,
+        "distinctive_terms_by_lang": """
+            WITH c AS (
+                SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS token
+                      FROM documents)
+                GROUP BY lang, token
+            ), tok AS (
+                SELECT token, CAST(SUM(n) AS BIGINT) AS n_tok FROM c GROUP BY token
+            ), lng AS (
+                SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM c GROUP BY lang
+            ), tot AS (
+                SELECT CAST(SUM(n) AS DOUBLE) AS n FROM c
+            ), scored AS (
+                SELECT c.lang, c.token,
+                       ROUND(CASE WHEN CAST(c.n AS DOUBLE) * tot.n
+                                       > CAST(lng.n_lang AS DOUBLE) * tok.n_tok
+                             THEN 2.0 * (
+                                  CASE WHEN c.n > 0 THEN c.n * ln(c.n /
+                                       (CAST(lng.n_lang AS DOUBLE) * tok.n_tok / tot.n))
+                                       ELSE 0.0 END
+                                + CASE WHEN lng.n_lang - c.n > 0
+                                       THEN (lng.n_lang - c.n) * ln((lng.n_lang - c.n) /
+                                            (CAST(lng.n_lang AS DOUBLE) * (tot.n - tok.n_tok) / tot.n))
+                                       ELSE 0.0 END
+                                + CASE WHEN tok.n_tok - c.n > 0
+                                       THEN (tok.n_tok - c.n) * ln((tok.n_tok - c.n) /
+                                            ((tot.n - lng.n_lang) * CAST(tok.n_tok AS DOUBLE) / tot.n))
+                                       ELSE 0.0 END
+                                + CASE WHEN tot.n - lng.n_lang - tok.n_tok + c.n > 0
+                                       THEN (tot.n - lng.n_lang - tok.n_tok + c.n)
+                                            * ln((tot.n - lng.n_lang - tok.n_tok + c.n) /
+                                                 ((tot.n - lng.n_lang) * (tot.n - tok.n_tok) / tot.n))
+                                       ELSE 0.0 END)
+                             ELSE 0.0 END, 6) AS g2
+                FROM c JOIN tok USING (token) JOIN lng USING (lang) CROSS JOIN tot
+            )
+            SELECT lang, token, g2 FROM scored
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY g2 DESC, token) <= 5
+        """,
+        "ppjoin_dup_pairs": """
+            WITH tok AS (
+                SELECT doc_id, w, i FROM (
+                    SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w,
+                           generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS i
+                    FROM documents)
+            ), sh AS (
+                SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+                FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY lead(w, 2) OVER win IS NOT NULL
+            ), sets AS (
+                SELECT doc_id, list_sort(list(DISTINCT s)) AS ts FROM sh GROUP BY doc_id
+            ), sized AS (
+                SELECT doc_id, ts, len(ts) AS n FROM sets WHERE len(ts) > 0
+            ), pref AS (
+                SELECT doc_id, unnest(ts[1 : n - CAST(CEIL(0.6 * n) AS BIGINT) + 1]) AS tok
+                FROM sized
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            ), verif AS (
+                SELECT c.id_a, c.id_b,
+                       ROUND(CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+                             / (x.n + y.n - len(list_intersect(x.ts, y.ts))), 6) AS jac
+                FROM cand c
+                JOIN sized x ON x.doc_id = c.id_a
+                JOIN sized y ON y.doc_id = c.id_b
+            )
+            SELECT id_a, id_b, jac FROM verif WHERE jac >= 0.6
         """,
         "embedding_covariance": """
             WITH d AS (SELECT CAST(i AS BIGINT) AS i FROM range(8) t(i)),

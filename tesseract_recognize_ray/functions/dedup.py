@@ -875,3 +875,169 @@ def snm_dup_pairs(
         .groupby("__bucket")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.6,
+    shingle_w: int = 3,
+    max_bucket: int = 256,
+    num_groups: int = 256,
+    round_digits: int = 6,
+) -> Dataset:
+    """All-pairs set-similarity self-join via PREFIX FILTERING (Chaudhuri
+    et al. 2006 SSJoin / Bayardo et al. 2007 all-pairs / Xiao et al. 2008
+    PPJoin — public literature): each document's set is its DISTINCT
+    ``shingle_w``-word shingles under a global total order; a document of
+    set size n emits only its first ``n - ceil(t*n) + 1`` shingles, and by
+    the pigeonhole bound any pair with Jaccard >= t MUST collide on at
+    least one emitted shingle, so same-shingle grouping is a LOSSLESS
+    blocking scheme (false candidates are removed by exact verification,
+    true pairs can never be missed). Word shingles (not raw tokens) keep
+    the blocking discriminative even on small vocabularies where every
+    document shares most single words. Returns (id_a, id_b, jac >= t),
+    id_a < id_b, jac = exact distinct-shingle-set Jaccard rounded to
+    round_digits. Documents with fewer than shingle_w tokens have an empty
+    shingle set and are excluded (matching SQL's empty-set drop).
+
+    Scale shape: the candidate exchange ships (shingle_hash:int64, id)
+    ONLY — prefix shingles, never suffixes, never text; pair generation
+    groups on hash(shingle) % num_groups (many whole shingle-buckets per
+    group, same composite-key shape as minhash_lsh_pairs), hot shingles
+    are truncated at max_bucket with an explicit bucket_truncated flag
+    (no-silent-caps rule); verification hash-joins the deduped pairs back
+    to the docs table twice, so no text set is ever broadcast. Hash
+    collisions between distinct shingles only ADD candidates (verification
+    removes them)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+
+    def prefix_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        """(id, text) -> (shingle_hash, id, group) for PREFIX shingles only."""
+        out_h: list[np.ndarray] = []
+        out_id: list[np.ndarray] = []
+        ids = batch[id_col].to_numpy()
+        for i, text in enumerate(batch[text_col].tolist()):
+            toks = (text or "").split()
+            if len(toks) < shingle_w:
+                continue
+            sh = sorted({" ".join(toks[j : j + shingle_w]) for j in range(len(toks) - shingle_w + 1)})
+            n = len(sh)
+            p = n - int(np.ceil(threshold * n)) + 1
+            h = _text_hash64(sh[:p])
+            out_h.append(h)
+            out_id.append(np.repeat(ids[i : i + 1], p))
+        if not out_h:
+            return pd.DataFrame(
+                {
+                    "sh": pd.Series(dtype="int64"),
+                    "__id": pd.Series(dtype=batch[id_col].dtype),
+                    "__g": pd.Series(dtype="int32"),
+                }
+            )
+        h = np.concatenate(out_h)
+        return pd.DataFrame(
+            {
+                "sh": h.view(np.int64),
+                "__id": np.concatenate(out_id),
+                "__g": (h % np.uint64(num_groups)).astype(np.int32),
+            }
+        )
+
+    exploded = ds.map_batches(prefix_rows, batch_format="pandas")
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _key, grp in g.groupby("sh", sort=False):
+            if len(grp) < 2:
+                continue
+            truncated = len(grp) > max_bucket
+            ids = np.sort(grp["__id"].to_numpy(), kind="mergesort")[:max_bucket]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            frames.append(
+                pd.DataFrame(
+                    {"id_a": ids[ii], "id_b": ids[jj], "bucket_truncated": np.full(len(ii), truncated)}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="object"),
+                    "id_b": pd.Series(dtype="object"),
+                    "bucket_truncated": pd.Series(dtype="bool"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    from .relational import bucket_join, grouped_agg
+
+    pairs = grouped_agg(
+        exploded.groupby("__g").map_groups(group_pairs, batch_format="pandas"),
+        ["id_a", "id_b"],
+        [("bucket_truncated", "max", "bucket_truncated")],
+    )
+
+    # exact verification: two-sided hash join against the docs table (the
+    # verify_jaccard_pairs_joined shape) with WORD-shingle sets. bucket_join
+    # (not Dataset.join): a sparse candidate set with fewer keys than hash
+    # partitions crashes Ray 2.49's acero join on zero-column empty
+    # partitions, and the bucketed exchange has no such seam.
+    _sch = ds.schema()  # Ray Schema wrapper: names/types, not pa.Schema
+
+    def _pa_t(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    _types = dict(zip(_sch.names, _sch.types))
+    idt, txt = _pa_t(_types[id_col]), _pa_t(_types[text_col])
+
+    def rename(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({f"__{side}_id": b.column(id_col), f"__{side}_text": b.column(text_col)})
+
+        return fn
+
+    a_side = ds.map_batches(rename("a"), batch_format="pyarrow")
+    b_side = ds.map_batches(rename("b"), batch_format="pyarrow")
+    j = bucket_join(
+        pairs,
+        a_side,
+        on=("id_a",),
+        right_on=("__a_id",),
+        left_schema=pa.schema({"id_a": idt, "id_b": idt, "bucket_truncated": pa.bool_()}),
+        right_schema=pa.schema({"__a_id": idt, "__a_text": txt}),
+    )
+    j = bucket_join(
+        j,
+        b_side,
+        on=("id_b",),
+        right_on=("__b_id",),
+        left_schema=pa.schema(
+            {"id_a": idt, "id_b": idt, "bucket_truncated": pa.bool_(), "__a_text": txt}
+        ),
+        right_schema=pa.schema({"__b_id": idt, "__b_text": txt}),
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        def wset(t: str) -> set:
+            toks = (t or "").split()
+            return {" ".join(toks[j : j + shingle_w]) for j in range(len(toks) - shingle_w + 1)}
+
+        jac = []
+        for x, y in zip(batch["__a_text"], batch["__b_text"]):
+            sa, sb = wset(x), wset(y)
+            u = len(sa | sb)
+            jac.append(round(len(sa & sb) / u, round_digits) if u else 1.0)
+        batch = batch.copy()
+        batch["jac"] = jac
+        batch = batch[batch["jac"] >= threshold]
+        return batch[["id_a", "id_b", "jac"]]
+
+    return j.map_batches(score, batch_format="pandas")

@@ -603,6 +603,39 @@ def window_cumsum(
     )
 
 
+def window_cum_distinct(
+    ds: Dataset,
+    part_key: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum_distinct",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-key CUMULATIVE DISTINCT COUNT of value_col in order_cols order —
+    SQL has no COUNT(DISTINCT) OVER, so this is the canonical rewrite:
+    flag each row that is the FIRST occurrence of its (key, value) pair in
+    order, then running-sum the flag. Same bucketed shape as window_cumsum:
+    hash(key) % num_buckets co-locates each key whole, ONE vectorized pass
+    per bucket (sort -> duplicated() -> grouped cumsum), no per-key
+    dispatch. Requires order_cols to be a total order within each key
+    (ties would make "first" ambiguous on both engine and oracle)."""
+    from ..hashing import stable_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = stable_bucket(batch[part_key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values([part_key, *order_cols], kind="mergesort")
+        first = (~g.duplicated([part_key, value_col], keep="first")).astype("int64")
+        g[out_col] = first.groupby(g[part_key], sort=False).cumsum()
+        return g
+
+    return ds.map_batches(add_bucket, batch_format="pandas").groupby("__bucket").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
 def grouped_median(ds: Dataset, key: str, value_col: str, out_col: str = "median") -> Dataset:
     """Exact per-group median. Partitioning assumption (documented per the
     brief's custom-operator rule): groupby(key) co-locates each group whole,

@@ -71,3 +71,89 @@ def test_moments_empty_raises(ray_session):
     ds = ray.data.from_pandas(df)
     with pytest.raises(ValueError, match="empty"):
         F_sim.embedding_moments(ds, "embedding")
+
+
+# ------------------------------------------------- window_cum_distinct
+def test_window_cum_distinct_matches_pandas(ray_session):
+    from tesseract_recognize_ray.functions import relational as F
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n),
+            "o": rng.permutation(n),
+            "v": rng.integers(0, 6, n).astype(str),
+        }
+    )
+    ds = ray.data.from_pandas(df.copy()).repartition(9)
+    out = (
+        F.window_cum_distinct(ds, "k", ["o"], "v", out_col="cd")
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    exp = (
+        want.groupby("k", sort=False)["v"]
+        .apply(lambda s: (~s.duplicated()).cumsum())
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(out["cd"].to_numpy(), exp.to_numpy())
+
+
+# ------------------------------------------- prefix_filter_jaccard_pairs
+def _wshingles(t, w=3):
+    toks = t.split()
+    return {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+
+
+def test_prefix_filter_lossless_vs_brute_force(ray_session):
+    """Prefix blocking must find EXACTLY the brute-force all-pairs result
+    at the threshold (losslessness is the operator's core guarantee)."""
+    from tesseract_recognize_ray.functions import dedup as F_dedup
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+    docs = list(base)
+    for i in range(10):  # planted near-dups: perturb one word
+        toks = base[i].split()
+        toks[5] = "zz"
+        docs.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+    t = 0.6
+    ds = ray.data.from_pandas(df.copy()).repartition(5)
+    got = (
+        F_dedup.prefix_filter_jaccard_pairs(ds, "doc_id", "text", threshold=t, shingle_w=3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # brute force over all pairs
+    sets = {int(r.doc_id): _wshingles(r.text) for r in df.itertuples()}
+    exp = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = len(sets[a] | sets[b])
+            j = round(len(sets[a] & sets[b]) / u, 6) if u else 1.0
+            if j >= t:
+                exp.append((a, b, j))
+    exp_df = pd.DataFrame(exp, columns=["id_a", "id_b", "jac"])
+    assert len(got) == len(exp_df) and len(got) >= 10
+    pd.testing.assert_frame_equal(
+        got.astype({"id_a": "int64", "id_b": "int64"}), exp_df, check_dtype=False
+    )
+
+
+def test_prefix_filter_short_docs_excluded(ray_session):
+    from tesseract_recognize_ray.functions import dedup as F_dedup
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["a b", "a b", "x y z q", "x y z q"]})
+    out = F_dedup.prefix_filter_jaccard_pairs(
+        ray.data.from_pandas(df), "doc_id", "text", threshold=0.5, shingle_w=3
+    ).to_pandas()
+    # docs 1/2 have no 3-shingles -> excluded; 3/4 identical -> jac 1.0
+    assert out[["id_a", "id_b"]].values.tolist() == [[3, 4]]
+    assert out["jac"].iloc[0] == 1.0
