@@ -3983,6 +3983,10 @@ def _q_q18_large_volume_customers(sf_dir: str):
             }
         ),
         right_schema=pa.schema({"l_orderkey": pa.int64(), "total_qty": pa.int64()}),
+        # both sides are HAVING-survivor-sized (the qty filter keeps ~6% of
+        # orders) — coalesce the exchange input; at 100 TB this knob scales
+        # with the survivor count, not the corpus (grouped_agg docstring rule)
+        reduce_blocks=16,
     )
 
     def project(b: pd.DataFrame) -> pd.DataFrame:

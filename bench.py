@@ -114,6 +114,18 @@ _BENCH_QUERIES = [
     "ts_inversions_by_user",
     "snm_dup_pairs",
     "q7_volume_shipping",
+    "q19_discount_revenue",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "monthly_revenue_growth",
+    "user_cum_distinct_types",
+    "distinctive_terms_by_lang",
+    "ppjoin_dup_pairs",
+    "embedding_covariance",
+    "embedding_pca",
 ]
 
 
