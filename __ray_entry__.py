@@ -4135,6 +4135,154 @@ def _q_ppjoin_dup_pairs(sf_dir: str):
     return pairs.map_batches(project, batch_format="pandas")
 
 
+_RRF_K = 60
+
+
+def _q_rrf_doc_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval lists:
+    BM25 top-20 for the fixed term set and the unigram-LM fluency top-20
+    (avg micro-logprob per token). Each ranker runs in its own distributed
+    pass (compact per-doc stats, never the text); the fusion itself is a
+    driver-side fold over 20+20 rows. fused = Σ 1/(K + rank), missing-list
+    docs contribute 0; top-10 by (fused desc, doc_id)."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    bm = F_text.bm25_top_docs(ds, "doc_id", "text", _BM25_TERMS, k=20).to_pandas()
+    bm = bm.sort_values(["bm25", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    bm["r"] = np.arange(1, len(bm) + 1)
+
+    lm = F_text.unigram_logprob(ds, "doc_id", "text", vocab_size=20)
+
+    def avg_lp(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("n_tokens"), 0))
+        avg = pc.divide(
+            pc.cast(b.column("lp_micro"), pa.float64()), pc.cast(b.column("n_tokens"), pa.float64())
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "avg_lp": avg})
+
+    fl = F.topk(
+        lm.map_batches(avg_lp, batch_format="pyarrow"), "avg_lp", 20, descending=True, tiebreak=["doc_id"]
+    ).to_pandas()
+    fl = fl.sort_values(["avg_lp", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    fl["r"] = np.arange(1, len(fl) + 1)
+
+    fused: dict[int, float] = {}
+    for df in (bm, fl):
+        for doc, r in zip(df["doc_id"].astype(int), df["r"]):
+            fused[doc] = fused.get(doc, 0.0) + 1.0 / (_RRF_K + int(r))
+    out = pd.DataFrame(
+        {"doc_id": list(fused.keys()), "rrf": np.round(list(fused.values()), 6)}
+    ).sort_values(["rrf", "doc_id"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+def _q_winsorized_event_values(sf_dir: str):
+    """Per-group winsorization (feature-engineering clip at p05/p95): the
+    exact per-type interpolated quantiles come from the bounded-group
+    quantile pass (|types| rows), broadcast as plain floats; the clip is one
+    vectorized pass. DuckDB's quantile_cont interpolator is replicated
+    bit-for-bit (grouped_quantile_cont docstring)."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+    lo = F.grouped_quantile_cont(cents, "event_type", "cents", 0.05, out_col="lo").to_pandas()
+    hi = F.grouped_quantile_cont(cents, "event_type", "cents", 0.95, out_col="hi").to_pandas()
+    bounds = {
+        t: (l, h)
+        for t, l, h in zip(lo["event_type"], lo["lo"], hi.set_index("event_type").loc[lo["event_type"], "hi"])
+    }
+
+    def clip(b: pd.DataFrame) -> pd.DataFrame:
+        lo_a = np.array([bounds[t][0] for t in b["event_type"]])
+        hi_a = np.array([bounds[t][1] for t in b["event_type"]])
+        w = np.minimum(np.maximum(b["cents"].to_numpy(np.float64), lo_a), hi_a)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "w_cents": np.round(w, 6),
+            }
+        )
+
+    return cents.map_batches(clip, batch_format="pandas")
+
+
+def _q_event_type_daily_drift(sf_dir: str):
+    """Distribution-drift monitor: Jensen-Shannon divergence between the
+    event-type distributions of consecutive days. The distributed part is
+    ONE (day, type) count aggregate (map-side combiner, days x |types|
+    rows); the JSD fold runs on the driver over that tiny table — the right
+    altitude for a calendar-bounded result. Natural log, round 6."""
+    ds = F.load(sf_dir, "events", columns=["ts", "event_type"])
+
+    def day_type(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(b.column("ts"), pa.int64()), 86400000000)
+        return pa.table({"d": d, "event_type": b.column("event_type")})
+
+    counts = (
+        F.grouped_agg(
+            ds.map_batches(day_type, batch_format="pyarrow"),
+            ["d", "event_type"],
+            [("event_type", "count", "n")],
+        )
+        .to_pandas()
+        .astype({"d": "int64", "n": "int64"})
+    )
+    piv = counts.pivot_table(index="d", columns="event_type", values="n", fill_value=0, aggfunc="sum")
+    piv = piv.sort_index()
+    tot = piv.sum(axis=1).to_numpy(np.float64)
+    probs = piv.to_numpy(np.float64) / tot[:, None]
+    days = piv.index.to_numpy()
+    rows = []
+    for i in range(len(days) - 1):
+        if days[i + 1] != days[i] + 1:
+            continue
+        p, q = probs[i], probs[i + 1]
+        m = 0.5 * (p + q)
+        pt = np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0) / m), 0.0)
+        qt = np.where(q > 0, q * np.log(np.where(q > 0, q, 1.0) / m), 0.0)
+        rows.append((int(days[i]), int(days[i + 1]), round(0.5 * pt.sum() + 0.5 * qt.sum(), 6)))
+    return pd.DataFrame(rows, columns=["day_a", "day_b", "jsd"]).astype(
+        {"day_a": "int64", "day_b": "int64", "jsd": "float64"}
+    )
+
+
+def _q_source_precedence_dedup(sf_dir: str):
+    """Multi-source coalesce: among byte-identical documents arriving from
+    several sources, keep the row from the highest-precedence (lexically
+    smallest) source, doc_id tiebreak — the curated-over-crawl rule of
+    LLM corpus assembly. Scale shape: exact_dedup's hash trick + the
+    keep_latest map-side one-row-per-key-per-block prune; the shuffle moves
+    (hash, source, doc_id) triples, never the text."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = F_dedup._text_hash64(batch.column("text").to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "__h": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    kept = F.keep_latest(hashed, "__h", ["source", "doc_id"], ascending=True)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"), "source": b["source"]})
+
+    return kept.map_batches(project, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4154,6 +4302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cum_distinct_types": _q_user_cum_distinct_types,
         "distinctive_terms_by_lang": _q_distinctive_terms_by_lang,
         "ppjoin_dup_pairs": _q_ppjoin_dup_pairs,
+        "rrf_doc_fusion": _q_rrf_doc_fusion,
+        "winsorized_event_values": _q_winsorized_event_values,
+        "event_type_daily_drift": _q_event_type_daily_drift,
+        "source_precedence_dedup": _q_source_precedence_dedup,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -4552,6 +4704,116 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sized y ON y.doc_id = c.id_b
             )
             SELECT id_a, id_b, jac FROM verif WHERE jac >= 0.6
+        """,
+        "rrf_doc_fusion": """
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+            stats AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                       SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                FROM dl
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tok WHERE token IN ('query', 'table', 'spark', 'window')
+                GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+            scored AS (
+                SELECT tf.doc_id,
+                       SUM(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+                GROUP BY tf.doc_id
+            ),
+            bm AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS r
+                FROM (SELECT doc_id, score FROM scored WHERE score > 0
+                      ORDER BY score DESC, doc_id ASC LIMIT 20)
+            ),
+            counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+            tot AS (SELECT SUM(n) AS t FROM counts),
+            vocab AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 20),
+            lp AS (SELECT v.token,
+                          CAST(ROUND(LOG10(v.n / tot.t) * 1e6) AS BIGINT) AS lp
+                   FROM vocab v, tot),
+            flr AS (SELECT CAST(ROUND(LOG10(0.5 / t) * 1e6) AS BIGINT) AS flp FROM tot),
+            per_doc AS (
+                SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                       CAST(SUM(COALESCE(lp.lp, flr.flp)) AS BIGINT) AS lp_micro
+                FROM tok tk LEFT JOIN lp USING (token) CROSS JOIN flr
+                GROUP BY tk.doc_id
+            ),
+            fl AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY CAST(lp_micro AS DOUBLE) / n_tokens DESC,
+                                          doc_id) AS r
+                FROM per_doc WHERE n_tokens > 0
+                QUALIFY ROW_NUMBER() OVER (ORDER BY CAST(lp_micro AS DOUBLE) / n_tokens DESC,
+                                           doc_id) <= 20
+            )
+            SELECT doc_id, ROUND(SUM(1.0 / (60 + r)), 6) AS rrf
+            FROM (SELECT * FROM bm UNION ALL SELECT * FROM fl)
+            GROUP BY doc_id
+            ORDER BY rrf DESC, doc_id ASC LIMIT 10
+        """,
+        "winsorized_event_values": """
+            WITH e AS (
+                SELECT event_id, event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), b AS (
+                SELECT event_type,
+                       quantile_cont(cents, 0.05) AS lo,
+                       quantile_cont(cents, 0.95) AS hi
+                FROM e GROUP BY event_type
+            )
+            SELECT event_id, e.event_type,
+                   ROUND(LEAST(GREATEST(CAST(cents AS DOUBLE), lo), hi), 6) AS w_cents
+            FROM e JOIN b USING (event_type)
+        """,
+        "event_type_daily_drift": """
+            WITH c AS (
+                SELECT epoch_us(ts) // 86400000000 AS d, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ), tot AS (
+                SELECT d, SUM(n) AS nd FROM c GROUP BY d
+            ), p AS (
+                SELECT c.d, c.event_type, CAST(n AS DOUBLE) / nd AS p
+                FROM c JOIN tot USING (d)
+            ), days AS (
+                SELECT d FROM tot a
+                WHERE EXISTS (SELECT 1 FROM tot b WHERE b.d = a.d + 1)
+            ), types AS (SELECT DISTINCT event_type FROM c),
+            grid AS (SELECT days.d, types.event_type FROM days CROSS JOIN types),
+            j AS (
+                SELECT g.d, COALESCE(pa.p, 0) AS p, COALESCE(pb.p, 0) AS q
+                FROM grid g
+                LEFT JOIN p pa ON pa.d = g.d AND pa.event_type = g.event_type
+                LEFT JOIN p pb ON pb.d = g.d + 1 AND pb.event_type = g.event_type
+            )
+            SELECT CAST(d AS BIGINT) AS day_a, CAST(d + 1 AS BIGINT) AS day_b,
+                   ROUND(0.5 * SUM(CASE WHEN p > 0
+                                        THEN p * ln(p / (0.5 * (p + q))) ELSE 0 END)
+                         + 0.5 * SUM(CASE WHEN q > 0
+                                          THEN q * ln(q / (0.5 * (p + q))) ELSE 0 END),
+                         6) AS jsd
+            FROM j GROUP BY d
+        """,
+        "source_precedence_dedup": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY text ORDER BY source, doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1
         """,
         "embedding_covariance": """
             WITH d AS (SELECT CAST(i AS BIGINT) AS i FROM range(8) t(i)),

@@ -126,6 +126,10 @@ _BENCH_QUERIES = [
     "ppjoin_dup_pairs",
     "embedding_covariance",
     "embedding_pca",
+    "rrf_doc_fusion",
+    "winsorized_event_values",
+    "event_type_daily_drift",
+    "source_precedence_dedup",
 ]
 
 
