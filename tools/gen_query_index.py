@@ -13,7 +13,7 @@ queries = mod.queries()
 oracled = set(mod.oracle_sql().keys())
 
 lines = [
-    "### 8.1 Driver-contract query index (round 2 final)",
+    "### 8.1 Driver-contract query index (round 3)",
     "",
     "Every `queries()` key, its one-line semantics (from the function's",
     "docstring), and whether the driver value-matches it against a DuckDB",
