@@ -4283,6 +4283,67 @@ def _q_source_precedence_dedup(sf_dir: str):
     return kept.map_batches(project, batch_format="pandas")
 
 
+def _q_copartitioned_revenue_join(sf_dir: str):
+    """Zero-shuffle co-partitioned join (Hive/Spark bucketing re-expressed
+    as hive-partitioned parquet): orders and lineitem are bucket-written
+    ONCE by the same stable hash of the order key (cached — the 100 TB
+    deal is pay-at-ingest, join-for-free), then revenue per order priority
+    is computed by per-bucket local merges with NO exchange; each bucket
+    task folds its join output to |priorities| partial rows before
+    anything leaves the task."""
+    import os
+
+    import ray
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/trr_copart_{sf_name}"
+    if not (os.path.isdir(f"{base}/orders") and os.path.isdir(f"{base}/lineitem")):
+        F.write_bucketed(
+            F.load(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
+            f"{base}/orders",
+            ["o_orderkey"],
+            num_buckets=16,
+        )
+        line = F.load(
+            sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            price_c = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
+            disc_c = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64())
+            return pa.table(
+                {
+                    "o_orderkey": b.column("l_orderkey"),
+                    "rev_u": pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)),
+                }
+            )
+
+        F.write_bucketed(
+            line.map_batches(to_cents, batch_format="pyarrow"),
+            f"{base}/lineitem",
+            ["o_orderkey"],
+            num_buckets=16,
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", sort=False)["rev_u"].sum().reset_index()
+        return g.rename(columns={"rev_u": "revenue_u"})
+
+    joined = F.copartitioned_join(
+        f"{base}/orders",
+        f"{base}/lineitem",
+        ["o_orderkey"],
+        num_buckets=16,
+        columns_left=["o_orderkey", "o_orderpriority"],
+        columns_right=["o_orderkey", "rev_u"],
+        fold=fold,
+    )
+    out = F.grouped_agg(joined, ["o_orderpriority"], [("revenue_u", "sum", "revenue_u")]).to_pandas()
+    return out.sort_values("o_orderpriority").reset_index(drop=True).astype(
+        {"revenue_u": "int64"}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4306,6 +4367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_event_values": _q_winsorized_event_values,
         "event_type_daily_drift": _q_event_type_daily_drift,
         "source_precedence_dedup": _q_source_precedence_dedup,
+        "copartitioned_revenue_join": _q_copartitioned_revenue_join,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -4807,6 +4869,14 @@ def oracle_sql() -> dict[str, str]:
                                           THEN q * ln(q / (0.5 * (p + q))) ELSE 0 END),
                          6) AS jsd
             FROM j GROUP BY d
+        """,
+        "copartitioned_revenue_join": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_u
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "source_precedence_dedup": """
             SELECT doc_id, source FROM (

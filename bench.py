@@ -130,6 +130,7 @@ _BENCH_QUERIES = [
     "winsorized_event_values",
     "event_type_daily_drift",
     "source_precedence_dedup",
+    "copartitioned_revenue_join",
 ]
 
 

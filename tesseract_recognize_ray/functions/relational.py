@@ -2040,3 +2040,72 @@ def grouped_mad(
         .groupby("__bucket")
         .map_groups(fn, batch_format="pandas")
     )
+
+
+def write_bucketed(
+    ds: Dataset, out_dir: str, keys: list[str], num_buckets: int = 16
+) -> None:
+    """Hive-write a table CO-PARTITIONED by a stable hash of the join keys:
+    `out_dir/__bucket=i/...`. Two tables written with the same (keys domain,
+    num_buckets) are join-aligned — bucket i of one can only match bucket i
+    of the other — which is what copartitioned_join exploits to run an
+    equi-join with ZERO exchange. The 100 TB pattern: pay the partitioning
+    once at ingest, join many times for free (Hive/Spark bucketing,
+    re-expressed as a hive-partitioned parquet layout)."""
+    from tesseract_recognize_ray.hashing import stable_bucket_table
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bk = stable_bucket_table(t, keys, num_buckets)
+        return t.append_column("__bucket", pa.array(bk, pa.int32()))
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["__bucket"]
+    )
+
+
+def copartitioned_join(
+    dir_left: str,
+    dir_right: str,
+    on: list[str],
+    *,
+    num_buckets: int = 16,
+    columns_left: list[str] | None = None,
+    columns_right: list[str] | None = None,
+    how: str = "inner",
+    fold=None,
+) -> Dataset:
+    """ZERO-SHUFFLE equi-join of two write_bucketed tables: each task reads
+    bucket i's fragment from BOTH directories and merges locally — no
+    exchange, no broadcast, parallelism = num_buckets (size num_buckets so
+    one bucket pair fits a worker's heap; at 100 TB that is thousands of
+    buckets, each a few GB). `fold(joined_df) -> df` optionally combines
+    each bucket's join output BEFORE it leaves the task (map-side
+    aggregation fused into the join — the usual consumer shape), so only
+    fold partials cross task boundaries. Missing bucket directories (hive
+    skips empty partitions) behave as empty sides."""
+    import os
+
+    import ray.data as rd
+
+    def join_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for i in b["bucket"]:
+            dl = os.path.join(dir_left, f"__bucket={int(i)}")
+            dr = os.path.join(dir_right, f"__bucket={int(i)}")
+            if not (os.path.isdir(dl) and os.path.isdir(dr)):
+                if how == "inner" or not os.path.isdir(dl):
+                    continue
+            lf = pd.read_parquet(dl, columns=columns_left)
+            rf = (
+                pd.read_parquet(dr, columns=columns_right)
+                if os.path.isdir(dr)
+                else pd.DataFrame({c: [] for c in (columns_right or on)})
+            )
+            out = lf.merge(rf, on=on, how=how)
+            frames.append(fold(out) if fold is not None else out)
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
+
+    ids = rd.from_items([{"bucket": i} for i in range(num_buckets)]).repartition(num_buckets)
+    return ids.map_batches(join_bucket, batch_format="pandas", batch_size=1)

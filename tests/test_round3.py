@@ -157,3 +157,43 @@ def test_prefix_filter_short_docs_excluded(ray_session):
     # docs 1/2 have no 3-shingles -> excluded; 3/4 identical -> jac 1.0
     assert out[["id_a", "id_b"]].values.tolist() == [[3, 4]]
     assert out["jac"].iloc[0] == 1.0
+
+
+# --------------------------------------------- co-partitioned bucket join
+def test_copartitioned_join_matches_pandas(ray_session, tmp_path):
+    from tesseract_recognize_ray.functions import relational as F
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": rng.integers(0, 200, 500), "a": rng.integers(0, 9, 500)})
+    right = pd.DataFrame({"k": rng.integers(50, 260, 800), "b": rng.integers(0, 9, 800)})
+    dl, dr = str(tmp_path / "l"), str(tmp_path / "r")
+    F.write_bucketed(ray.data.from_pandas(left.copy()).repartition(4), dl, ["k"], num_buckets=8)
+    F.write_bucketed(ray.data.from_pandas(right.copy()).repartition(4), dr, ["k"], num_buckets=8)
+    got = (
+        F.copartitioned_join(dl, dr, ["k"], num_buckets=8,
+                             columns_left=["k", "a"], columns_right=["k", "b"])
+        .to_pandas()
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    want = left.merge(right, on="k").sort_values(["k", "a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_copartitioned_join_fold_combines_in_task(ray_session, tmp_path):
+    from tesseract_recognize_ray.functions import relational as F
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "g": ["x", "x", "y", "y"]})
+    right = pd.DataFrame({"k": [1, 2, 3, 9], "v": [10, 20, 30, 99]})
+    dl, dr = str(tmp_path / "l"), str(tmp_path / "r")
+    F.write_bucketed(ray.data.from_pandas(left), dl, ["k"], num_buckets=4)
+    F.write_bucketed(ray.data.from_pandas(right), dr, ["k"], num_buckets=4)
+
+    def fold(df):
+        return df.groupby("g", sort=False)["v"].sum().reset_index()
+
+    parts = F.copartitioned_join(
+        dl, dr, ["k"], num_buckets=4, fold=fold
+    ).to_pandas()
+    total = parts.groupby("g")["v"].sum().sort_index()
+    assert total.to_dict() == {"x": 30, "y": 30}
