@@ -4344,6 +4344,39 @@ def _q_copartitioned_revenue_join(sf_dir: str):
     )
 
 
+def _q_skew_split_brand_revenue(sf_dir: str):
+    """Skew-splitting hybrid join (functions/relational.py skew_split_join):
+    revenue per part brand — lineitem folds to (partkey, rev_u) map-side,
+    the probe's hottest partkeys (per-block count partials, never rows)
+    take a broadcast map-side merge while the cold remainder takes the
+    bucketed exchange; output identical to a plain join, so the split is
+    pure execution strategy and the SQL oracle is the plain join."""
+    line = F.load(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "rev_u": pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)),
+            }
+        )
+
+    part = F.load(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = F.skew_split_join(
+        line.map_batches(fold, batch_format="pyarrow"),
+        part,
+        "l_partkey",
+        "p_partkey",
+        hot_keys=16,
+        big_schema=pa.schema({"l_partkey": pa.int64(), "rev_u": pa.int64()}),
+        small_schema=pa.schema({"p_partkey": pa.int64(), "p_brand": pa.string()}),
+    )
+    out = F.grouped_agg(joined, ["p_brand"], [("rev_u", "sum", "revenue_u")]).to_pandas()
+    return out.sort_values("p_brand").reset_index(drop=True).astype({"revenue_u": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4368,6 +4401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_daily_drift": _q_event_type_daily_drift,
         "source_precedence_dedup": _q_source_precedence_dedup,
         "copartitioned_revenue_join": _q_copartitioned_revenue_join,
+        "skew_split_brand_revenue": _q_skew_split_brand_revenue,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -4869,6 +4903,14 @@ def oracle_sql() -> dict[str, str]:
                                           THEN q * ln(q / (0.5 * (p + q))) ELSE 0 END),
                          6) AS jsd
             FROM j GROUP BY d
+        """,
+        "skew_split_brand_revenue": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_u
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY p_brand
         """,
         "copartitioned_revenue_join": """
             SELECT o_orderpriority,

@@ -131,6 +131,7 @@ _BENCH_QUERIES = [
     "event_type_daily_drift",
     "source_precedence_dedup",
     "copartitioned_revenue_join",
+    "skew_split_brand_revenue",
 ]
 
 

@@ -2109,3 +2109,114 @@ def copartitioned_join(
 
     ids = rd.from_items([{"bucket": i} for i in range(num_buckets)]).repartition(num_buckets)
     return ids.map_batches(join_bucket, batch_format="pandas", batch_size=1)
+
+
+def skew_split_join(
+    big: Dataset,
+    small: Dataset,
+    on: str,
+    right_on: str | None = None,
+    *,
+    how: str = "inner",
+    hot_keys: int = 32,
+    num_buckets: int = 64,
+    big_schema: "pa.Schema | None" = None,
+    small_schema: "pa.Schema | None" = None,
+    reduce_blocks: int | None = None,
+) -> Dataset:
+    """Skew-splitting hybrid equi-join: the probe side's hottest keys are
+    detected from per-block count partials (each block ships at most
+    4*hot_keys (key, n) rows — never the data), the small side's rows for
+    those keys are broadcast once via ray.put and joined MAP-SIDE (hot rows
+    never enter an exchange — the rows that would have formed the oversized
+    shuffle partitions), and only the COLD remainder goes through the
+    bucketed exchange. Output is identical to a plain join for any hot-key
+    choice — the split is purely an execution strategy, so the same query
+    stays SQL-replayable. `how` in {'inner', 'left'}.
+
+    Partitioning assumptions (documented per the custom-operator rule): the
+    small side holds a BOUNDED number of rows per hot key (they are pulled
+    to the driver and broadcast — dimension-table shape), and per-block
+    top-count pruning can miss a key that is globally hot but block-diffuse
+    (it then simply joins on the cold path: slower, never wrong)."""
+    if how not in ("inner", "left"):
+        raise ValueError("skew_split_join: how must be 'inner' or 'left'")
+    right_on = right_on or on
+    bs = big_schema if big_schema is not None else _ray_schema_to_arrow(big.schema())
+    ss = small_schema if small_schema is not None else _ray_schema_to_arrow(small.schema())
+    small_payload = [c for c in ss.names if c != right_on]
+    collide = set(small_payload) & set(bs.names)
+    if collide:
+        raise ValueError(f"skew_split_join: small payload columns collide with big: {collide}")
+
+    # 1. hot-key detection: per-block pruned count partials
+    prune = 4 * hot_keys
+
+    def block_counts(b: pa.Table) -> pa.Table:
+        vc = b.column(on).value_counts()
+        t = pa.table({on: vc.field("values"), "__n": vc.field("counts")})
+        t = t.filter(pc.is_valid(t.column(on)))  # null keys never join
+        if t.num_rows > prune:
+            idx = pc.select_k_unstable(t, prune, [("__n", "descending")])
+            t = t.take(idx)
+        return t
+
+    totals = grouped_agg(
+        big.map_batches(block_counts, batch_format="pyarrow"), [on], [("__n", "sum", "__n")]
+    )
+    top = topk(totals, "__n", hot_keys, descending=True, tiebreak=[on]).to_pandas()
+    hot_vals = pa.array(top[on].tolist(), bs.field(on).type)
+
+    # 2. hot path: broadcast the small side's hot rows, merge map-side
+    def split_small(keep: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b.column(right_on), value_set=hot_vals)
+            return b.filter(m if keep else pc.and_not(pc.is_valid(b.column(right_on)), m))
+
+        return fn
+
+    small_hot = small.map_batches(split_small(True), batch_format="pyarrow").to_pandas()
+    small_hot = small_hot.rename(columns={right_on: on})
+    hot_ref = ray.put(small_hot)
+
+    def split_big(keep: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.fill_null(pc.is_in(b.column(on), value_set=hot_vals), False)
+            return b.filter(m if keep else pc.invert(m))
+
+        return fn
+
+    def merge_hot(b: pd.DataFrame) -> pd.DataFrame:
+        return b.merge(ray.get(hot_ref), on=on, how=how)
+
+    hot_joined = big.map_batches(split_big(True), batch_format="pyarrow").map_batches(
+        merge_hot, batch_format="pandas"
+    )
+
+    # 3. cold path: bucketed exchange join of the remainders
+    cold_joined = bucket_join(
+        big.map_batches(split_big(False), batch_format="pyarrow"),
+        small.map_batches(split_small(False), batch_format="pyarrow"),
+        on=(on,),
+        right_on=(right_on,),
+        how=how,
+        num_buckets=num_buckets,
+        left_schema=bs,
+        right_schema=ss,
+        reduce_blocks=reduce_blocks,
+    )
+    return hot_joined.union(cold_joined)
+
+
+def _ray_schema_to_arrow(sch) -> pa.Schema:
+    """Ray Schema wrapper -> pa.Schema (numpy/object dtypes become Arrow)."""
+
+    def _pa_t(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    return pa.schema({n: _pa_t(t) for n, t in zip(sch.names, sch.types)})

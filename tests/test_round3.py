@@ -197,3 +197,44 @@ def test_copartitioned_join_fold_combines_in_task(ray_session, tmp_path):
     ).to_pandas()
     total = parts.groupby("g")["v"].sum().sort_index()
     assert total.to_dict() == {"x": 30, "y": 30}
+
+
+# ------------------------------------------------------- skew_split_join
+def test_skew_split_join_matches_pandas_inner_and_left(ray_session):
+    from tesseract_recognize_ray.functions import relational as F
+
+    rng = np.random.default_rng(13)
+    # zipf-skewed probe keys: key 0 is ~40% of rows
+    keys = rng.zipf(1.3, 4000) % 50
+    big = pd.DataFrame({"k": keys.astype(np.int64), "a": rng.integers(0, 100, 4000)})
+    small = pd.DataFrame({"kk": np.arange(0, 40, dtype=np.int64), "pay": np.arange(40) * 10})
+    bds = ray.data.from_pandas(big.copy()).repartition(8)
+    sds = ray.data.from_pandas(small.copy()).repartition(3)
+    got = (
+        F.skew_split_join(bds, sds, "k", "kk", hot_keys=4, num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "a", "pay"])
+        .reset_index(drop=True)
+    )
+    want = (
+        big.merge(small.rename(columns={"kk": "k"}), on="k")
+        .sort_values(["k", "a", "pay"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # left join keeps unmatched probe rows (keys 40-49)
+    got_l = F.skew_split_join(bds, sds, "k", "kk", how="left", hot_keys=4, num_buckets=8).to_pandas()
+    assert len(got_l) == len(big.merge(small.rename(columns={"kk": "k"}), on="k", how="left"))
+    assert got_l["pay"].isna().sum() == int((big["k"] >= 40).sum())
+
+
+def test_skew_split_join_null_keys_never_match(ray_session):
+    from tesseract_recognize_ray.functions import relational as F
+
+    big = pd.DataFrame({"k": pd.array([1, 1, None, 2], dtype="Int64"), "a": [1, 2, 3, 4]})
+    small = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"), "p": [7, 9]})
+    out = F.skew_split_join(
+        ray.data.from_pandas(big), ray.data.from_pandas(small), "k", hot_keys=2, num_buckets=4
+    ).to_pandas()
+    assert sorted(out["a"].tolist()) == [1, 2]
+    assert set(out["p"].astype(int)) == {7}
