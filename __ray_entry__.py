@@ -4120,7 +4120,9 @@ def _q_ppjoin_dup_pairs(sf_dir: str):
     (functions/dedup.py prefix_filter_jaccard_pairs)."""
     ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
     pairs = F_dedup.prefix_filter_jaccard_pairs(
-        ds, "doc_id", "text", threshold=0.6, shingle_w=3
+        ds, "doc_id", "text", threshold=0.6, shingle_w=3,
+        # candidate set is ~0.04% of all pairs at bench scale — reducer-sized
+        verify_reduce_blocks=16,
     )
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
@@ -4364,8 +4366,12 @@ def _q_skew_split_brand_revenue(sf_dir: str):
         )
 
     part = F.load(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    # skew_split_join consumes the probe THREE times (hot-key counts, hot
+    # split, cold split) and Ray has no lineage cache: materialize the
+    # folded projection once — two int64 columns, 16 B/row, spill-safe
+    folded = line.map_batches(fold, batch_format="pyarrow").materialize()
     joined = F.skew_split_join(
-        line.map_batches(fold, batch_format="pyarrow"),
+        folded,
         part,
         "l_partkey",
         "p_partkey",

@@ -887,6 +887,7 @@ def prefix_filter_jaccard_pairs(
     max_bucket: int = 256,
     num_groups: int = 256,
     round_digits: int = 6,
+    verify_reduce_blocks: int | None = None,
 ) -> Dataset:
     """All-pairs set-similarity self-join via PREFIX FILTERING (Chaudhuri
     et al. 2006 SSJoin / Bayardo et al. 2007 all-pairs / Xiao et al. 2008
@@ -998,8 +999,21 @@ def prefix_filter_jaccard_pairs(
     _types = dict(zip(_sch.names, _sch.types))
     idt, txt = _pa_t(_types[id_col]), _pa_t(_types[text_col])
 
+    # prune BOTH text sides to pair PARTICIPANTS before any exchange: the
+    # candidate set is materialized output anyway (bounded), so the ids pull
+    # to the driver and broadcast as one Arrow array; the verify joins then
+    # ship |participants| texts instead of |corpus| texts — at corpus scale
+    # the candidate fraction is what makes the verify affordable
+    pairs = pairs.materialize()
+    part_ids: set = set()
+    for pb in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        part_ids.update(pb.column("id_a").to_pylist())
+        part_ids.update(pb.column("id_b").to_pylist())
+    ids_ref = ray.put(pa.array(list(part_ids), idt))
+
     def rename(side: str):
         def fn(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_in(b.column(id_col), value_set=ray.get(ids_ref)))
             return pa.table({f"__{side}_id": b.column(id_col), f"__{side}_text": b.column(text_col)})
 
         return fn
@@ -1013,6 +1027,10 @@ def prefix_filter_jaccard_pairs(
         right_on=("__a_id",),
         left_schema=pa.schema({"id_a": idt, "id_b": idt, "bucket_truncated": pa.bool_()}),
         right_schema=pa.schema({"__a_id": idt, "__a_text": txt}),
+        # both join sides are participant-pruned (candidate-sized): callers
+        # that know the candidate set is reducer-sized pass
+        # verify_reduce_blocks to coalesce the two exchanges
+        reduce_blocks=verify_reduce_blocks,
     )
     j = bucket_join(
         j,
@@ -1023,6 +1041,7 @@ def prefix_filter_jaccard_pairs(
             {"id_a": idt, "id_b": idt, "bucket_truncated": pa.bool_(), "__a_text": txt}
         ),
         right_schema=pa.schema({"__b_id": idt, "__b_text": txt}),
+        reduce_blocks=verify_reduce_blocks,
     )
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:

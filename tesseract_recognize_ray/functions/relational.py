@@ -2138,7 +2138,9 @@ def skew_split_join(
     small side holds a BOUNDED number of rows per hot key (they are pulled
     to the driver and broadcast — dimension-table shape), and per-block
     top-count pruning can miss a key that is globally hot but block-diffuse
-    (it then simply joins on the cold path: slower, never wrong)."""
+    (it then simply joins on the cold path: slower, never wrong). The probe
+    is consumed THREE times (counts, hot split, cold split) — pass a
+    materialized or cheap-to-rescan dataset (Ray has no lineage cache)."""
     if how not in ("inner", "left"):
         raise ValueError("skew_split_join: how must be 'inner' or 'left'")
     right_on = right_on or on
@@ -2161,8 +2163,15 @@ def skew_split_join(
             t = t.take(idx)
         return t
 
+    # the count-partial stream is at most prune x blocks rows (pruned per
+    # block) — reducer-sized, so coalesce its exchange; at extreme block
+    # counts (100 TB: millions of blocks) raise the coalesce target with
+    # the block count (grouped_agg docstring rule)
     totals = grouped_agg(
-        big.map_batches(block_counts, batch_format="pyarrow"), [on], [("__n", "sum", "__n")]
+        big.map_batches(block_counts, batch_format="pyarrow"),
+        [on],
+        [("__n", "sum", "__n")],
+        reduce_blocks=16,
     )
     top = topk(totals, "__n", hot_keys, descending=True, tiebreak=[on]).to_pandas()
     hot_vals = pa.array(top[on].tolist(), bs.field(on).type)
