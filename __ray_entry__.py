@@ -4383,6 +4383,131 @@ def _q_skew_split_brand_revenue(sf_dir: str):
     return out.sort_values("p_brand").reset_index(drop=True).astype({"revenue_u": "int64"})
 
 
+def _q_q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue change): pure filter + global sum —
+    every predicate pushed into the parquet scan (row-group pruning), one
+    int64 micro-unit partial per batch crosses to the driver. The canonical
+    'is the scan path lean' probe."""
+    import pyarrow.dataset as pds_
+
+    line = F.load(
+        sf_dir,
+        "lineitem",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pds_.field("l_shipdate") >= pd.Timestamp("1996-01-01"))
+        & (pds_.field("l_shipdate") < pd.Timestamp("1997-01-01"))
+        & (pds_.field("l_discount") >= 0.05)
+        & (pds_.field("l_discount") <= 0.07)
+        & (pds_.field("l_quantity") < 24),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64())
+        s = pc.sum(pc.multiply(price_c, disc_c)).as_py() or 0
+        return pa.table({"rev_u": pa.array([s], pa.int64())})
+
+    parts = line.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue_u": pd.Series([int(parts["rev_u"].sum())], dtype="int64")})
+
+
+def _q_q16_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape (supplier variety per part group, with supplier
+    exclusion): the exclusion list (negative account balance — the
+    'complaints' proxy) and the partkey -> (brand, size) map both collapse
+    to broadcasts; lineitem reduces to DISTINCT (brand, size, suppkey)
+    triples via the per-block distinct combiner, then a tiny grouped
+    count. No row-level join ever runs."""
+    import ray
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+    excl = set(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].astype(int))
+    pmap_ref = ray.put(
+        (
+            part.set_index("p_partkey")["p_brand"],
+            part.set_index("p_partkey")["p_size"].astype("int64"),
+            np.sort(np.fromiter(excl, dtype=np.int64, count=len(excl))),
+        )
+    )
+    line = F.load(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        brand_s, size_s, excl_a = ray.get(pmap_ref)
+        keep = ~np.isin(b["l_suppkey"].to_numpy(np.int64), excl_a)
+        b = b[keep]
+        pk = b["l_partkey"]
+        return pd.DataFrame(
+            {
+                "p_brand": pk.map(brand_s).to_numpy(),
+                "p_size": pk.map(size_s).to_numpy(np.int64),
+                "l_suppkey": b["l_suppkey"].astype("int64"),
+            }
+        )
+
+    triples = F.distinct_on(line.map_batches(attach, batch_format="pandas"), ["p_brand", "p_size", "l_suppkey"])
+    out = F.grouped_agg(
+        triples, ["p_brand", "p_size"], [("l_suppkey", "count", "supplier_cnt")]
+    ).to_pandas()
+    return out.sort_values(["p_brand", "p_size"]).reset_index(drop=True).astype(
+        {"p_size": "int64", "supplier_cnt": "int64"}
+    )
+
+
+_Q17_BRAND = "Brand#1"
+
+
+def _q_q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue — the correlated
+    subquery rewritten as aggregate + re-join): pass 1 folds per-partkey
+    (sum_qty, n) for the brand's parts (combiner -> parts-sized aggregate,
+    pulled and broadcast as 0.2*avg thresholds); pass 2 re-scans the
+    brand's lineitems and sums the price of rows under their part's
+    threshold. Two scans — inherent to the self-referential predicate —
+    but the exchange moves only the parts-sized aggregate."""
+    import ray
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_keys = np.sort(part.loc[part["p_brand"] == _Q17_BRAND, "p_partkey"].to_numpy(np.int64))
+    keys_ref = ray.put(brand_keys)
+    line = F.load(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def fold_qty(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        b = b[np.isin(b["l_partkey"].to_numpy(np.int64), keys)]
+        return pd.DataFrame(
+            {
+                "l_partkey": b["l_partkey"].astype("int64"),
+                "qty": np.round(b["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+                "n": np.ones(len(b), dtype=np.int64),
+            }
+        )
+
+    folded = line.map_batches(fold_qty, batch_format="pandas")
+    agg = F.grouped_agg(
+        folded, ["l_partkey"], [("qty", "sum", "sum_qty"), ("n", "sum", "n")], reduce_blocks=16
+    ).to_pandas()
+    thr = pd.Series(
+        0.2 * (agg["sum_qty"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64)),
+        index=agg["l_partkey"].astype(int),
+    )
+    thr_ref = ray.put(thr)
+
+    def small_rev(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        lim = b["l_partkey"].map(t).to_numpy(np.float64)
+        q = b["l_quantity"].to_numpy(np.float64)
+        mask = ~np.isnan(lim) & (q < lim)
+        price_c = np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame({"c": pd.Series([int(price_c[mask].sum())], dtype="int64")})
+
+    parts = line.map_batches(small_rev, batch_format="pandas").to_pandas()
+    total_c = int(parts["c"].sum())
+    return pd.DataFrame(
+        {"avg_yearly": pd.Series([round(total_c / 7.0, 6)], dtype="float64")}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4408,6 +4533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_precedence_dedup": _q_source_precedence_dedup,
         "copartitioned_revenue_join": _q_copartitioned_revenue_join,
         "skew_split_brand_revenue": _q_skew_split_brand_revenue,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q16_supplier_variety": _q_q16_supplier_variety,
+        "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -4909,6 +5037,40 @@ def oracle_sql() -> dict[str, str]:
                                           THEN q * ln(q / (0.5 * (p + q))) ELSE 0 END),
                          6) AS jsd
             FROM j GROUP BY d
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_u
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q16_supplier_variety": """
+            SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+        """,
+        "q17_small_quantity_revenue": """
+            WITH l AS (
+                SELECT l_partkey, l_quantity,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#1'
+            ), a AS (
+                SELECT l_partkey,
+                       0.2 * (CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+                              / COUNT(*)) AS thr
+                FROM l GROUP BY l_partkey
+            )
+            SELECT ROUND(CAST(SUM(price_c) AS DOUBLE) / 7.0, 6) AS avg_yearly
+            FROM l JOIN a USING (l_partkey)
+            WHERE l_quantity < thr
         """,
         "skew_split_brand_revenue": """
             SELECT p_brand,

@@ -132,6 +132,9 @@ _BENCH_QUERIES = [
     "source_precedence_dedup",
     "copartitioned_revenue_join",
     "skew_split_brand_revenue",
+    "q6_forecast_revenue",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
 ]
 
 
