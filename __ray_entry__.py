@@ -4508,6 +4508,17 @@ def _q_q17_small_quantity_revenue(sf_dir: str):
     )
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge learning (tokenizer training prep): one
+    corpus pass collapses to the (word, count) vocabulary, 30 merges learned
+    with deterministic lex tie-breaks (functions/textstats.py
+    bpe_train_merges; both the driver-fold and distributed-iteration paths
+    are pytest-verified against a naive reference — no SQL oracle: the
+    algorithm is iterative)."""
+    ds = F.load(sf_dir, "documents", columns=["text"], num_blocks=16)
+    return F_text.bpe_train_merges(ds, "text", 30)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4536,6 +4547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": _q_q6_forecast_revenue,
         "q16_supplier_variety": _q_q16_supplier_variety,
         "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
+        "bpe_merges": _q_bpe_merges,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,

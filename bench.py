@@ -135,6 +135,7 @@ _BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q16_supplier_variety",
     "q17_small_quantity_revenue",
+    "bpe_merges",
 ]
 
 

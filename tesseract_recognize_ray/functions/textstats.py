@@ -840,3 +840,116 @@ def flat_ngrams_pos(
     row_idx_full = np.repeat(np.arange(len(lists), dtype=np.int64), np.diff(off2))[:m]
     pos_full = np.arange(m, dtype=np.int64) - off2[row_idx_full]
     return ngrams, row_idx_full[valid], pos_full[valid]
+
+
+def bpe_train_merges(
+    ds: Dataset,
+    text_col: str,
+    num_merges: int,
+    *,
+    driver_vocab_gate: int = 2_000_000,
+) -> pd.DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016 — public
+    literature): learn `num_merges` byte-pair merges over the corpus.
+    Pair statistics are a pure function of the (word, count) VOCABULARY, so
+    the corpus collapses to one distributed term-count aggregate (the only
+    full-data pass — text never crosses an exchange after it); symbols are
+    the word's characters (no end-of-word marker). Ties in pair frequency
+    break to the lexicographically smallest pair — deterministic across
+    partitionings on both paths.
+
+    Below `driver_vocab_gate` distinct words the merge loop folds on the
+    driver (the broadcast-gate pattern the graph family uses — each of the
+    k iterations is a dict pass over the vocab). Above it, each iteration
+    re-applies the learned merges over the vocab-table Dataset and
+    re-counts weighted pairs through a grouped aggregate (O(k) exchanges of
+    (pair, count) partials; merges-so-far broadcast per iteration).
+    Returns a DataFrame (rank, left, right, pair_count)."""
+    vocab_ds = term_counts(ds, text_col).materialize()
+    n_vocab = vocab_ds.count()
+
+    def _best(pairs: dict) -> tuple:
+        best_n = max(pairs.values())
+        return min(p for p, n in pairs.items() if n == best_n), best_n
+
+    merges: list[tuple[str, str, int]] = []
+    if n_vocab <= driver_vocab_gate:
+        vocab: dict[tuple, int] = {}
+        for b in vocab_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for w, n in zip(b.column("token").to_pylist(), b.column("n").to_pylist()):
+                vocab[tuple(w)] = vocab.get(tuple(w), 0) + int(n)
+        for _ in range(num_merges):
+            pairs: dict = {}
+            for sym, n in vocab.items():
+                for a, bch in zip(sym, sym[1:]):
+                    pairs[(a, bch)] = pairs.get((a, bch), 0) + n
+            if not pairs:
+                break
+            (pa_, pb_), n_best = _best(pairs)
+            merges.append((pa_, pb_, n_best))
+            merged = pa_ + pb_
+            new_vocab: dict = {}
+            for sym, n in vocab.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == pa_ and sym[i + 1] == pb_:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                t = tuple(out)
+                new_vocab[t] = new_vocab.get(t, 0) + n
+            vocab = new_vocab
+    else:
+        from .relational import grouped_agg, topk
+
+        for _ in range(num_merges):
+            done = list(merges)
+
+            def count_pairs(b: pd.DataFrame) -> pd.DataFrame:
+                pairs: dict = {}
+                for w, n in zip(b["token"], b["n"]):
+                    sym = list(w)
+                    for ma, mb, _n in done:
+                        out, i, merged = [], 0, ma + mb
+                        while i < len(sym):
+                            if i + 1 < len(sym) and sym[i] == ma and sym[i + 1] == mb:
+                                out.append(merged)
+                                i += 2
+                            else:
+                                out.append(sym[i])
+                                i += 1
+                        sym = out
+                    for a, bch in zip(sym, sym[1:]):
+                        pairs[(a, bch)] = pairs.get((a, bch), 0) + int(n)
+                if not pairs:
+                    return pd.DataFrame(
+                        {"a": pd.Series(dtype="object"), "b": pd.Series(dtype="object"),
+                         "n": pd.Series(dtype="int64")}
+                    )
+                ks = list(pairs)
+                return pd.DataFrame(
+                    {"a": [k[0] for k in ks], "b": [k[1] for k in ks],
+                     "n": np.fromiter(pairs.values(), dtype=np.int64, count=len(ks))}
+                )
+
+            totals = grouped_agg(
+                vocab_ds.map_batches(count_pairs, batch_format="pandas"),
+                ["a", "b"],
+                [("n", "sum", "n")],
+                reduce_blocks=16,
+            )
+            top = topk(totals, "n", 1, descending=True, tiebreak=["a", "b"]).to_pandas()
+            if not len(top):
+                break
+            merges.append((top["a"][0], top["b"][0], int(top["n"][0])))
+
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(merges), dtype=np.int64),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+            "pair_count": np.array([m[2] for m in merges], dtype=np.int64),
+        }
+    )

@@ -238,3 +238,49 @@ def test_skew_split_join_null_keys_never_match(ray_session):
     ).to_pandas()
     assert sorted(out["a"].tolist()) == [1, 2]
     assert set(out["p"].astype(int)) == {7}
+
+
+# ------------------------------------------------------- BPE merge training
+def _naive_bpe(texts, k):
+    vocab = {}
+    for t in texts:
+        for w in t.split():
+            key = tuple(w)
+            vocab[key] = vocab.get(key, 0) + 1
+    merges = []
+    for _ in range(k):
+        pairs = {}
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        best_n = max(pairs.values())
+        a, b = min(p for p, n in pairs.items() if n == best_n)
+        merges.append((a, b, best_n))
+        nv = {}
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + n
+        vocab = nv
+    return merges
+
+
+def test_bpe_train_both_paths_match_reference(ray_session):
+    from tesseract_recognize_ray.functions import textstats as F_text
+
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(60)]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(5)
+    want = _naive_bpe(texts, 12)
+    got_driver = F_text.bpe_train_merges(ds, "text", 12)
+    got_dist = F_text.bpe_train_merges(ds, "text", 12, driver_vocab_gate=0)
+    for got, label in ((got_driver, "driver"), (got_dist, "distributed")):
+        assert len(got) == len(want), label
+        assert list(zip(got["left"], got["right"], got["pair_count"])) == want, label
