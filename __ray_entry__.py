@@ -4519,6 +4519,43 @@ def _q_bpe_merges(sf_dir: str):
     return F_text.bpe_train_merges(ds, "text", 30)
 
 
+def _q_image_phash_near_dups(sf_dir: str):
+    """Multimodal near-duplicate image pairs: 64-bit aHash on the actor
+    pool, then pigeonhole hamming banding (max_hamming+1 bands — any pair
+    within distance 4 must agree exactly on one band), participant-pruned
+    verification. Rows-only (images are not SQL-expressible); the banding
+    operator is pytest-verified lossless vs brute force."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.multimodal import phash_near_dups
+
+    paths = _corpus()
+    ds = rd.read_parquet(paths["media"], columns=["media_ref", "bytes", "n_pages"]).filter(
+        expr="n_pages == 1"
+    )
+    out = phash_near_dups(ds, "media_ref", max_hamming=4)
+    return out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_simhash_near_dups(sf_dir: str):
+    """SimHash near-duplicate pairs at hamming <= 3 (Charikar 2002 + the
+    pigeonhole band blocking): 64-bit sign-sum fingerprints per doc, 4-band
+    exact-agreement candidates, popcount verification. Rows-only (the
+    fingerprint is not SQL-expressible); banding pytest-verified lossless."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    hashed = F_dedup.simhash64(ds, "doc_id", "text")
+
+    def to_int(b: pd.DataFrame) -> pd.DataFrame:
+        # simhash64 emits hex (uint64-portable); banding wants int64 bits
+        h = np.array([int(s, 16) for s in b["simhash"]], dtype=np.uint64).view(np.int64)
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"), "sh": h})
+
+    out = F_dedup.hamming_near_dups(
+        hashed.map_batches(to_int, batch_format="pandas"), "doc_id", "sh", max_hamming=3
+    )
+    return out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4548,6 +4585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_variety": _q_q16_supplier_variety,
         "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
         "bpe_merges": _q_bpe_merges,
+        "image_phash_near_dups": _q_image_phash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,

@@ -136,6 +136,7 @@ _BENCH_QUERIES = [
     "q16_supplier_variety",
     "q17_small_quantity_revenue",
     "bpe_merges",
+    "simhash_near_dups",
 ]
 
 

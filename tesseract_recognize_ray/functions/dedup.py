@@ -1060,3 +1060,116 @@ def prefix_filter_jaccard_pairs(
         return batch[["id_a", "id_b", "jac"]]
 
     return j.map_batches(score, batch_format="pandas")
+
+
+def hamming_near_dups(
+    hashed: Dataset,
+    id_col: str,
+    hash_col: str,
+    *,
+    max_hamming: int = 4,
+    num_groups: int = 256,
+    max_bucket: int = 256,
+) -> Dataset:
+    """Near-duplicate pairs under HAMMING distance over a 64-bit hash
+    column (simhash / perceptual-hash outputs): split the 64 bits into
+    ``max_hamming + 1`` bands — by pigeonhole, any pair within distance
+    max_hamming agrees EXACTLY on at least one band — group on
+    (band, band_bits), emit candidate pairs per bucket, dedupe, verify
+    popcount(xor) <= max_hamming. Lossless blocking, same shape as MinHash
+    banding. Returns (id_a, id_b, hamming, bucket_truncated).
+
+    Scale shape: the band exchange ships (id, band, bits, group) only —
+    ~28 B/row; hot buckets (e.g. the all-black-image hash) truncate at
+    max_bucket with an explicit flag; verification pulls ONLY pair
+    participants' hashes (bounded by the candidate set, which is the
+    operator's output anyway)."""
+    bands = max_hamming + 1
+    if bands > 64:
+        raise ValueError("max_hamming must be < 64")
+    hashed = hashed.materialize()  # banding pass + participant lookup
+    widths = [64 // bands + (1 if i < 64 % bands else 0) for i in range(bands)]
+    shifts = np.cumsum([0] + widths[:-1]).astype(np.uint64)
+    masks = np.array([(1 << w) - 1 for w in widths], dtype=np.uint64)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame(
+                {"__id": pd.Series(dtype="object"), "band": pd.Series(dtype="int32"),
+                 "bits": pd.Series(dtype="int64"), "__g": pd.Series(dtype="int32")}
+            )
+        h = batch[hash_col].to_numpy(np.int64).view(np.uint64)
+        bits = (h[:, None] >> shifts[None, :]) & masks[None, :]
+        band_ids = np.tile(np.arange(bands, dtype=np.uint64), n)
+        with np.errstate(over="ignore"):
+            grp = (band_ids * np.uint64(0x9E3779B97F4A7C15) + bits.reshape(-1)) % np.uint64(num_groups)
+        return pd.DataFrame(
+            {
+                "__id": np.repeat(batch[id_col].to_numpy(), bands),
+                "band": band_ids.astype(np.int32),
+                "bits": bits.reshape(-1).view(np.int64),
+                "__g": grp.astype(np.int32),
+            }
+        )
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _key, grp in g.groupby(["band", "bits"], sort=False):
+            if len(grp) < 2:
+                continue
+            truncated = len(grp) > max_bucket
+            ids = np.sort(grp["__id"].to_numpy(), kind="mergesort")[:max_bucket]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            frames.append(
+                pd.DataFrame(
+                    {"id_a": ids[ii], "id_b": ids[jj],
+                     "bucket_truncated": np.full(len(ii), truncated)}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="object"), "id_b": pd.Series(dtype="object"),
+                 "bucket_truncated": pd.Series(dtype="bool")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    from .relational import _key_filter, grouped_agg
+
+    banded = hashed.map_batches(explode, batch_format="pandas")
+    pairs = grouped_agg(
+        banded.groupby("__g").map_groups(group_pairs, batch_format="pandas"),
+        ["id_a", "id_b"],
+        [("bucket_truncated", "max", "bucket_truncated")],
+    ).materialize()
+
+    part_ids: set = set()
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        part_ids.update(b.column("id_a").to_pylist())
+        part_ids.update(b.column("id_b").to_pylist())
+    hash_map: dict = {}
+    if part_ids:
+        flt = _key_filter(hashed, id_col, ray.put(pa.array(list(part_ids))), keep_matches=True)
+        for b in flt.iter_batches(batch_size=65536, batch_format="pandas"):
+            hash_map.update(zip(b[id_col].tolist(), b[hash_col].astype("int64").tolist()))
+    map_ref = ray.put(hash_map)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            batch = batch.copy()
+            batch["hamming"] = pd.Series(dtype="int64")
+            return batch[["id_a", "id_b", "hamming", "bucket_truncated"]]
+        m = ray.get(map_ref)
+        ha = np.array([m[i] for i in batch["id_a"]], dtype=np.int64).view(np.uint64)
+        hb = np.array([m[i] for i in batch["id_b"]], dtype=np.int64).view(np.uint64)
+        x = ha ^ hb
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        out = batch.copy()
+        out["hamming"] = ham
+        out = out[out["hamming"] <= max_hamming]
+        return out[["id_a", "id_b", "hamming", "bucket_truncated"]]
+
+    return pairs.map_batches(verify, batch_format="pandas")

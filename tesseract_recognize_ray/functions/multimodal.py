@@ -306,3 +306,21 @@ def phash_dups(
         .groupby("__bucket")
         .map_groups(groups, batch_format="pandas")
     )
+
+
+def phash_near_dups(
+    ds: Dataset,
+    id_col: str,
+    *,
+    max_hamming: int = 4,
+    concurrency=(1, 8),
+) -> Dataset:
+    """Perceptual NEAR-duplicate image pairs (hamming distance <=
+    max_hamming over the 64-bit aHash): hash on the actor pool (pixels
+    never leave it), then the generic hamming-band blocking
+    (dedup.hamming_near_dups — pigeonhole over max_hamming+1 bands,
+    lossless, participant-pruned verification)."""
+    from .dedup import hamming_near_dups
+
+    hashed = image_phash(ds, concurrency=concurrency)
+    return hamming_near_dups(hashed, id_col, "phash", max_hamming=max_hamming)

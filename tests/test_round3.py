@@ -284,3 +284,39 @@ def test_bpe_train_both_paths_match_reference(ray_session):
     for got, label in ((got_driver, "driver"), (got_dist, "distributed")):
         assert len(got) == len(want), label
         assert list(zip(got["left"], got["right"], got["pair_count"])) == want, label
+
+
+# ---------------------------------------------------- hamming_near_dups
+def test_hamming_near_dups_lossless_vs_brute_force(ray_session):
+    from tesseract_recognize_ray.functions import dedup as F_dedup
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 2**63 - 1, 40, dtype=np.int64)
+    # planted near-dups: flip 1-4 random bits of the first 12 hashes
+    extra = []
+    for i in range(12):
+        h = np.uint64(base[i].view(np.uint64) if hasattr(base[i], "view") else np.uint64(base[i]))
+        h = np.uint64(base[i])
+        for b in rng.choice(64, rng.integers(1, 5), replace=False):
+            h = h ^ np.uint64(1 << int(b))
+        extra.append(np.int64(h.view(np.int64) if hasattr(h, "view") else h))
+    hashes = np.concatenate([base, np.array(extra, dtype=np.int64)])
+    df = pd.DataFrame({"img": np.arange(len(hashes), dtype=np.int64), "h": hashes})
+    got = (
+        F_dedup.hamming_near_dups(
+            ray.data.from_pandas(df.copy()).repartition(5), "img", "h", max_hamming=4
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    exp = []
+    hv = hashes.view(np.uint64)
+    for i in range(len(hv)):
+        for j in range(i + 1, len(hv)):
+            d = int(bin(int(hv[i] ^ hv[j])).count("1"))
+            if d <= 4:
+                exp.append((i, j, d))
+    assert len(exp) >= 12
+    assert [tuple(r) for r in got[["id_a", "id_b", "hamming"]].astype(int).values] == exp
