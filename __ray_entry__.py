@@ -4556,6 +4556,25 @@ def _q_simhash_near_dups(sf_dir: str):
     return out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_ann_pq(sf_dir: str):
+    """Similarity search, compressed path: product-quantization ANN
+    (Jégou et al. 2011) — seeded per-subspace codebooks from a bounded
+    sample, the corpus encoded ONCE to 8 uint8 bytes/vector (16:1 vs
+    float32x64; only the code table is scanned at query time), ADC
+    table-lookup scoring with per-block prune. Approximate by design —
+    rows-only; recall + determinism pytest-gated."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
+    queries_m = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
+    ds = ds.materialize()  # consumed by train-sample, encode, and re-rank
+    books = F_sim.train_pq_codebooks(ds, "embedding", m=16, ksub=256)
+    codes = F_sim.pq_encode(ds, "vec_id", "embedding", books)
+    res = F_sim.pq_topk_rerank(ds, codes, "vec_id", "embedding", books, queries_m, k=_ANN_K, shortlist=10 * _ANN_K)
+    res["rank"] = res.groupby("query_idx").cumcount() + 1
+    return res[["query_idx", "vec_id", "rank"]].astype("int64")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4587,6 +4606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "image_phash_near_dups": _q_image_phash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
+        "ann_pq": _q_ann_pq,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,

@@ -137,6 +137,7 @@ _BENCH_QUERIES = [
     "q17_small_quantity_revenue",
     "bpe_merges",
     "simhash_near_dups",
+    "ann_pq",
 ]
 
 
@@ -247,6 +248,28 @@ def ivf_recall_for(sf_dir: str) -> float:
     return round(F_sim.ivf_recall(approx, exact, 10), 4)
 
 
+def pq_recall_for(sf_dir: str) -> float:
+    """Recall of the product-quantization + exact-rerank path (m=16,
+    ksub=256, shortlist=10k — the ann_pq query's operating point) vs exact
+    brute force on the same queries."""
+    import numpy as np
+    import pandas as pd
+
+    from tesseract_recognize_ray.functions import relational as F
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb[emb["vec_id"] < 5].sort_values("vec_id")
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = F_sim.brute_force_topk(ds, "vec_id", "embedding", q, k=10)
+    ds = ds.materialize()
+    books = F_sim.train_pq_codebooks(ds, "embedding", m=16, ksub=256)
+    codes = F_sim.pq_encode(ds, "vec_id", "embedding", books)
+    approx = F_sim.pq_topk_rerank(ds, codes, "vec_id", "embedding", books, q, k=10, shortlist=100)
+    return round(F_sim.ivf_recall(approx, exact, 10), 4)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="fresh runs at num_cpus=4 and 16 + efficiency")
@@ -314,11 +337,13 @@ def main() -> None:
     flagship = run_flagship(SF_DIR, args.num_cpus, repeats=2)  # best-of-2: host has tenancy noise
     queries = run_queries(SF_DIR)
     recall = ivf_recall_for(SF_DIR)
+    pq_recall = pq_recall_for(SF_DIR)
     print(json.dumps({
         "metric": "documents/sec end-to-end (decode->segment->recognize->span-assemble), span-sequence-exact",
         "value": flagship["sec"], "unit": "sec",
         "queries": queries, "sf": _sf_name(SF_DIR), "num_cpus": args.num_cpus,
         "ann_ivf_recall": recall,
+        "ann_pq_recall": pq_recall,
         "flagship": flagship,
     }))
     ray.shutdown()

@@ -587,3 +587,120 @@ def pca_project(
         return pd.DataFrame(out)
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+# ------------------------------------------------- product quantization
+def train_pq_codebooks(
+    ds: Dataset, vec_col: str, *, m: int = 8, ksub: int = 32, seed: int = 42, iters: int = 12
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011 — public
+    literature): split the (L2-normalized) vector into m subspaces and run
+    a seeded Lloyd k-means with ksub centroids in each, over a BOUNDED
+    deterministic sample (64 x ksub vectors held on the driver — training
+    cost is independent of corpus size). Returns (m, ksub, d/m) float64."""
+    n_sample = ksub * 64
+    frac = min(1.0, n_sample / max(1, ds.count()))
+    sample = ds.random_sample(frac, seed=seed).take_all()
+    vecs = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample]))
+    d = vecs.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        x = vecs[:, s * dsub : (s + 1) * dsub]
+        c = x[:ksub].copy()
+        for _ in range(iters):
+            a = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+            for j in range(ksub):
+                mj = a == j
+                if mj.any():
+                    c[j] = x[mj].mean(0)
+        books[s] = c
+    return books
+
+
+def pq_encode(ds: Dataset, id_col: str, vec_col: str, codebooks: np.ndarray) -> Dataset:
+    """Encode every vector to m uint8 code bytes (nearest sub-centroid per
+    subspace, codebooks broadcast once): the corpus compresses 4·d/m : 1 —
+    a 64-dim float32 vector becomes 8 bytes — and ONLY the (id, code)
+    table is ever scanned at query time. Vectorized: one (n, ksub)
+    distance matrix per subspace per batch."""
+    m, ksub, dsub = codebooks.shape
+    if ksub > 256:
+        raise ValueError("ksub must fit uint8")
+    cref = ray.put(np.asarray(codebooks, dtype=np.float64))
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        books = ray.get(cref)
+        v = _normalize(np.stack(b[vec_col].to_numpy()).astype(np.float64))
+        codes = np.zeros((len(v), m), dtype=np.uint8)
+        for s in range(m):
+            x = v[:, s * dsub : (s + 1) * dsub]
+            d2 = (x**2).sum(1)[:, None] - 2.0 * (x @ books[s].T) + (books[s] ** 2).sum(1)[None, :]
+            codes[:, s] = d2.argmin(1).astype(np.uint8)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), "code": [c.tobytes() for c in codes]})
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def pq_topk(
+    codes: Dataset, id_col: str, codebooks: np.ndarray, queries: np.ndarray, k: int = 10
+) -> pd.DataFrame:
+    """Asymmetric-distance (ADC) top-k over a pq_encode'd corpus: each
+    query precomputes an (m, ksub) subspace distance table ONCE (broadcast),
+    every batch scores its rows with pure table-lookup sums over the m code
+    bytes — no float vectors are read at query time — and prunes to k before
+    the driver merge. Approximate by construction; ranking ties break by id.
+    Returns (query_idx, vec_id, adist) sorted by (query_idx, adist, id)."""
+    m, ksub, dsub = codebooks.shape
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    tables = np.zeros((q.shape[0], m, ksub))
+    for s in range(m):
+        xq = q[:, s * dsub : (s + 1) * dsub]
+        tables[:, s, :] = (
+            (xq**2).sum(1)[:, None] - 2.0 * (xq @ codebooks[s].T) + (codebooks[s] ** 2).sum(1)[None, :]
+        )
+    tref = ray.put(tables)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        tabs = ray.get(tref)
+        ids = b[id_col].to_numpy()
+        cm = np.frombuffer(b"".join(b["code"]), dtype=np.uint8).reshape(len(ids), m)
+        rows = []
+        kk = min(k, len(ids))
+        for qi in range(tabs.shape[0]):
+            ad = tabs[qi, np.arange(m)[None, :], cm].sum(1)
+            idx = np.lexsort((ids, ad))[:kk]
+            rows.append(pd.DataFrame({"query_idx": qi, "vec_id": ids[idx], "adist": ad[idx]}))
+        return pd.concat(rows, ignore_index=True)
+
+    cand = codes.map_batches(score, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["query_idx", "adist", "vec_id"], kind="mergesort")
+    return cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+
+
+def pq_topk_rerank(
+    ds: Dataset,
+    codes: Dataset,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    shortlist: int = 100,
+) -> pd.DataFrame:
+    """PQ with exact re-ranking (the production ANN shape): the ADC code
+    scan selects a `shortlist` per query (compressed table only), then ONE
+    participant-pruned pass over the float table re-scores the union
+    shortlist exactly — at most |queries| x shortlist vectors are ever read
+    at full precision, independent of corpus size. Output contract matches
+    brute_force_topk (query_idx, vec_id, cosine)."""
+    import pyarrow as pa
+
+    from .relational import _key_filter
+
+    short = pq_topk(codes, id_col, codebooks, queries, k=shortlist)
+    ids = pa.array(pd.unique(short["vec_id"]))
+    pruned = _key_filter(ds, id_col, ray.put(ids), keep_matches=True)
+    return brute_force_topk(pruned, id_col, vec_col, queries, k=k)

@@ -320,3 +320,50 @@ def test_hamming_near_dups_lossless_vs_brute_force(ray_session):
                 exp.append((i, j, d))
     assert len(exp) >= 12
     assert [tuple(r) for r in got[["id_a", "id_b", "hamming"]].astype(int).values] == exp
+
+
+# ------------------------------------------------- product quantization
+def test_pq_roundtrip_recall_and_determinism(ray_session):
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    rng = np.random.default_rng(41)
+    # clustered cloud: PQ should retrieve same-cluster neighbours
+    centers = rng.normal(size=(10, 32)) * 4.0
+    mat = np.repeat(centers, 50, axis=0) + rng.normal(size=(500, 32)) * 0.3
+    df = pd.DataFrame({"vec_id": np.arange(500, dtype=np.int64), "embedding": list(mat.astype(np.float32))})
+    ds = ray.data.from_pandas(df.copy()).repartition(6)
+    books = F_sim.train_pq_codebooks(ds, "embedding", m=8, ksub=16)
+    assert books.shape == (8, 16, 4)
+    codes = F_sim.pq_encode(ds, "vec_id", "embedding", books).materialize()
+    row = codes.take(1)[0]
+    assert len(row["code"]) == 8
+    q = mat[:5].astype(np.float64)
+    approx = F_sim.pq_topk(codes, "vec_id", books, q, k=10)
+    exact = F_sim.brute_force_topk(ds, "vec_id", "embedding", q, k=10)
+    rec = F_sim.ivf_recall(
+        approx.rename(columns={"adist": "cosine"}), exact, k=10
+    )
+    assert rec >= 0.6, rec
+    # determinism: re-encode + re-query reproduces exactly
+    approx2 = F_sim.pq_topk(codes, "vec_id", books, q, k=10)
+    pd.testing.assert_frame_equal(
+        approx.reset_index(drop=True), approx2.reset_index(drop=True)
+    )
+
+
+def test_pq_rerank_recovers_exact_topk(ray_session):
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    rng = np.random.default_rng(43)
+    mat = rng.normal(size=(400, 32))
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype=np.int64), "embedding": list(mat.astype(np.float32))})
+    ds = ray.data.from_pandas(df.copy()).repartition(6).materialize()
+    books = F_sim.train_pq_codebooks(ds, "embedding", m=8, ksub=64)
+    codes = F_sim.pq_encode(ds, "vec_id", "embedding", books).materialize()
+    q = mat[:4].astype(np.float64)
+    exact = F_sim.brute_force_topk(ds, "vec_id", "embedding", q, k=5)
+    rr = F_sim.pq_topk_rerank(ds, codes, "vec_id", "embedding", books, q, k=5, shortlist=80)
+    # on random data the 80-shortlist nearly always contains the true top-5;
+    # recall must be >= the raw-ADC path and typically 1.0
+    rec = F_sim.ivf_recall(rr, exact, 5)
+    assert rec >= 0.9, rec
