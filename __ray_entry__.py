@@ -4575,6 +4575,49 @@ def _q_ann_pq(sf_dir: str):
     return res[["query_idx", "vec_id", "rank"]].astype("int64")
 
 
+_LOGREG_FEATURES = ["f_len", "f_tokens", "f_avg_tok", "f_digit"]
+
+
+def _q_doc_quality_logreg(sf_dir: str):
+    """Distributed quality-classifier training (functions/ml.py): full-batch
+    logistic regression predicting lang=='en' from four cheap text features
+    — each of the 40 passes ships ONE (d+1)-float gradient partial per
+    block, parameters broadcast per pass; features materialized once.
+    Rows-only (iterative — not SQL); the trainer is pytest-verified
+    bit-close against a single-process reference of the same algorithm.
+    (On this synthetic corpus the text stats carry ~no language signal, so
+    the learned coefficients honestly land near zero with the intercept at
+    the class-prior logit — the separability pytest is the learning
+    check.)"""
+    from tesseract_recognize_ray.functions import ml as F_ml
+
+    ds = F.load(sf_dir, "documents", columns=["lang", "text", "n_chars"], num_blocks=16)
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("")
+        n_tok = texts.str.split().str.len().to_numpy(np.float64)
+        n_chr = b["n_chars"].to_numpy(np.float64)
+        digits = texts.str.count(r"\d").to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "f_len": n_chr,
+                "f_tokens": n_tok,
+                "f_avg_tok": n_chr / np.maximum(n_tok, 1.0),
+                "f_digit": digits / np.maximum(n_chr, 1.0),
+                "y": (b["lang"] == "en").astype("int64"),
+            }
+        )
+
+    fds = ds.map_batches(feats, batch_format="pandas").materialize()
+    model = F_ml.logreg_train(fds, _LOGREG_FEATURES, "y", iters=40, lr=0.5, l2=1e-3)
+    return pd.DataFrame(
+        {
+            "feature": _LOGREG_FEATURES + ["__intercept__"],
+            "coef": np.round(np.append(model["coef"], model["intercept"]), 6),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4607,6 +4650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_near_dups": _q_image_phash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_pq": _q_ann_pq,
+        "doc_quality_logreg": _q_doc_quality_logreg,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,

@@ -138,6 +138,7 @@ _BENCH_QUERIES = [
     "bpe_merges",
     "simhash_near_dups",
     "ann_pq",
+    "doc_quality_logreg",
 ]
 
 
