@@ -4618,6 +4618,33 @@ def _q_doc_quality_logreg(sf_dir: str):
     )
 
 
+_ANN_FILTER_LABEL = 2
+
+
+def _q_ann_filtered(sf_dir: str):
+    """Filtered vector search (the predicate + top-k idiom every vector
+    store exposes): exact cosine top-k among rows with label == 2 — the
+    label predicate is pushed INTO the parquet scan (row-group pruning +
+    never decoding non-matching vectors), then the standard broadcast-query
+    brute-force prune. Integer ranks only, fully SQL-oracled."""
+    import pyarrow.dataset as pds_
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
+    queries_m = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy()
+    ds = F.load(
+        sf_dir,
+        "embeddings",
+        columns=["vec_id", "embedding"],
+        filter=pds_.field("label") == _ANN_FILTER_LABEL,
+    )
+    res = F_sim.brute_force_topk(ds, "vec_id", "embedding", queries_m, k=_ANN_K)
+    res["query_id"] = qids[res["query_idx"].to_numpy()]
+    res["rank"] = res.groupby("query_idx").cumcount() + 1
+    return res[["query_id", "vec_id", "rank"]].astype("int64")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4651,6 +4678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_pq": _q_ann_pq,
         "doc_quality_logreg": _q_doc_quality_logreg,
+        "ann_filtered": _q_ann_filtered,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -5152,6 +5180,24 @@ def oracle_sql() -> dict[str, str]:
                                           THEN q * ln(q / (0.5 * (p + q))) ELSE 0 END),
                          6) AS jsd
             FROM j GROUP BY d
+        """,
+        "ann_filtered": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 5
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cosine
+                FROM q CROSS JOIN embeddings e
+                WHERE e.label = 2
+            ),
+            r AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
         """,
         "q6_forecast_revenue": """
             SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)

@@ -139,6 +139,7 @@ _BENCH_QUERIES = [
     "simhash_near_dups",
     "ann_pq",
     "doc_quality_logreg",
+    "ann_filtered",
 ]
 
 
