@@ -2096,11 +2096,13 @@ def copartitioned_join(
                 if how == "inner" or not os.path.isdir(dl):
                     continue
             lf = pd.read_parquet(dl, columns=columns_left)
-            rf = (
-                pd.read_parquet(dr, columns=columns_right)
-                if os.path.isdir(dr)
-                else pd.DataFrame({c: [] for c in (columns_right or on)})
-            )
+            if os.path.isdir(dr):
+                rf = pd.read_parquet(dr, columns=columns_right)
+            else:
+                # typed empty right side: key columns must carry the LEFT
+                # key dtypes or pandas refuses the int64-vs-object merge
+                rf = pd.DataFrame({c: pd.Series(dtype=lf[c].dtype) if c in on else pd.Series(dtype="object")
+                                   for c in (columns_right or on)})
             out = lf.merge(rf, on=on, how=how)
             frames.append(fold(out) if fold is not None else out)
         if not frames:

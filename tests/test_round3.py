@@ -401,3 +401,19 @@ def test_logreg_matches_single_process_reference(ray_session):
     scored = F_ml.logreg_predict(ds, [f"f{i}" for i in range(d)], model).to_pandas()
     acc = ((scored["p"] > 0.5).astype(int) == scored["y"]).mean()
     assert acc > 0.8, acc
+
+
+def test_copartitioned_join_left_with_missing_right_buckets(ray_session, tmp_path):
+    from tesseract_recognize_ray.functions import relational as F
+
+    left = pd.DataFrame({"k": np.arange(20, dtype=np.int64), "a": np.arange(20)})
+    right = pd.DataFrame({"k": np.array([0, 1], dtype=np.int64), "b": [5, 6]})
+    dl, dr = str(tmp_path / "l"), str(tmp_path / "r")
+    F.write_bucketed(ray.data.from_pandas(left), dl, ["k"], num_buckets=8)
+    F.write_bucketed(ray.data.from_pandas(right), dr, ["k"], num_buckets=8)  # most buckets empty
+    out = F.copartitioned_join(
+        dl, dr, ["k"], num_buckets=8, how="left",
+        columns_left=["k", "a"], columns_right=["k", "b"],
+    ).to_pandas()
+    assert len(out) == 20
+    assert out["b"].notna().sum() == 2
