@@ -4645,6 +4645,37 @@ def _q_ann_filtered(sf_dir: str):
     return res[["query_id", "vec_id", "rank"]].astype("int64")
 
 
+_LATE_US = 1_800_000_000  # 30 min allowed lateness
+
+
+def _q_late_event_flags(sf_dir: str):
+    """Streaming watermark simulation over the batch table: the watermark
+    is the running MAX event-time in ARRIVAL order (event_id) — a
+    distributed global prefix scan (relational.global_cummax: sampled
+    range partitioning, per-range max fold, broadcast prefix seed) — and
+    an event is late when it trails the watermark by more than the allowed
+    lateness. Exact int64 epoch-µs end-to-end."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "ts"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b.column("event_id"), "ts_us": pc.cast(b.column("ts"), pa.int64())}
+        )
+
+    wm = F.global_cummax(ds.map_batches(to_us, batch_format="pyarrow"), ["event_id"], "ts_us", out_col="wm_us")
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "wm_us": b["wm_us"].astype("int64"),
+                "late": (b["wm_us"] - b["ts_us"] > _LATE_US).astype("int64"),
+            }
+        )
+
+    return wm.map_batches(flag, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4679,6 +4710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": _q_ann_pq,
         "doc_quality_logreg": _q_doc_quality_logreg,
         "ann_filtered": _q_ann_filtered,
+        "late_event_flags": _q_late_event_flags,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -5180,6 +5212,15 @@ def oracle_sql() -> dict[str, str]:
                                           THEN q * ln(q / (0.5 * (p + q))) ELSE 0 END),
                          6) AS jsd
             FROM j GROUP BY d
+        """,
+        "late_event_flags": """
+            SELECT event_id,
+                   MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                           ROWS UNBOUNDED PRECEDING) AS wm_us,
+                   CAST(MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                                ROWS UNBOUNDED PRECEDING)
+                        - epoch_us(ts) > 1800000000 AS BIGINT) AS late
+            FROM events
         """,
         "ann_filtered": """
             WITH q AS (

@@ -140,6 +140,7 @@ _BENCH_QUERIES = [
     "ann_pq",
     "doc_quality_logreg",
     "ann_filtered",
+    "late_event_flags",
 ]
 
 

@@ -618,7 +618,10 @@ def window_cum_distinct(
     hash(key) % num_buckets co-locates each key whole, ONE vectorized pass
     per bucket (sort -> duplicated() -> grouped cumsum), no per-key
     dispatch. Requires order_cols to be a total order within each key
-    (ties would make "first" ambiguous on both engine and oracle)."""
+    (ties would make "first" ambiguous on both engine and oracle). NULL
+    values count as ONE distinct value (pandas duplicated() semantics) —
+    SQL COUNT(DISTINCT) would skip them; pre-filter nulls for SQL parity
+    on nullable value columns."""
     from ..hashing import stable_bucket
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -2231,3 +2234,70 @@ def _ray_schema_to_arrow(sch) -> pa.Schema:
             return pa.string()
 
     return pa.schema({n: _pa_t(t) for n, t in zip(sch.names, sch.types)})
+
+
+def global_cummax(
+    ds: Dataset,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cummax",
+    num_buckets: int = 64,
+    sample_per_block: int = 32,
+) -> Dataset:
+    """Distributed PREFIX SCAN: running max of value_col over a GLOBAL
+    total order — SQL ``MAX(v) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)``. The streaming-watermark primitive (max event-time seen so
+    far in arrival order). Shape: sampled range partitioning on the leading
+    order column (global_row_number's machinery — no single-node sort),
+    ONE tiny per-range max aggregate whose driver fold yields each range's
+    PREFIX max (ranges are ordered), then a per-range sort + running max
+    seeded with the broadcast prefix. order_cols must totally order rows
+    (unique tiebreak) and the leading column's equal values never split
+    across ranges (searchsorted boundary property)."""
+    first = order_cols[0]
+
+    def sample(b: pa.Table) -> pa.Table:
+        col = b.column(first)
+        n = len(col)
+        idx = np.unique(np.linspace(0, max(n - 1, 0), num=min(sample_per_block, n)).astype(np.int64))
+        return pa.table({first: col.take(pa.array(idx))})
+
+    parts = [
+        b[first].to_numpy()
+        for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(batch_size=None, batch_format="pandas")
+    ]
+    samples = np.sort(np.concatenate(parts)) if parts else np.array([])
+    if len(samples) == 0:
+        splits = np.array([])
+    else:
+        qs = np.linspace(0, len(samples) - 1, num=num_buckets + 1).astype(np.int64)[1:-1]
+        splits = np.unique(samples[qs])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = b.column(first).to_numpy(zero_copy_only=False)
+        bk = np.searchsorted(splits, v, side="right").astype(np.int32)
+        return b.append_column("__rb", pa.array(bk, pa.int32()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    # per-range max -> ordered driver fold -> prefix max BEFORE each range.
+    # The fold stays in the column's NATIVE dtype: int64 values beyond 2^53
+    # must never round-trip through float64 (sentinel = iinfo.min / -inf)
+    rmax = grouped_agg(bucketed, ["__rb"], [(value_col, "max", "__m")]).to_pandas()
+    rmax = rmax.sort_values("__rb")
+    ids = rmax["__rb"].to_numpy()
+    mvals = rmax["__m"].to_numpy()
+    is_int = np.issubdtype(mvals.dtype, np.integer)
+    sentinel = np.iinfo(np.int64).min if is_int else -np.inf
+    pref_vals = np.concatenate([[sentinel], np.maximum.accumulate(mvals)[:-1]])
+    prefix = dict(zip(ids.tolist(), pref_vals.tolist()))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        bk = int(g["__rb"].iloc[0])
+        g = g.drop(columns="__rb").sort_values(order_cols, kind="mergesort")
+        v = g[value_col].to_numpy()
+        run = np.maximum.accumulate(v)
+        g[out_col] = np.maximum(run, v.dtype.type(prefix.get(bk, sentinel)))
+        return g
+
+    return bucketed.groupby("__rb").map_groups(scan, batch_format="pandas")

@@ -417,3 +417,28 @@ def test_copartitioned_join_left_with_missing_right_buckets(ray_session, tmp_pat
     ).to_pandas()
     assert len(out) == 20
     assert out["b"].notna().sum() == 2
+
+
+# ------------------------------------------------------- global_cummax
+def test_global_cummax_matches_pandas_incl_big_ints(ray_session):
+    from tesseract_recognize_ray.functions import relational as F
+
+    rng = np.random.default_rng(61)
+    n = 5000
+    big = (1 << 60)
+    df = pd.DataFrame(
+        {
+            "o": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(big, big + 10**6, n, dtype=np.int64),  # > 2^53: float64 would round
+        }
+    )
+    ds = ray.data.from_pandas(df.copy()).repartition(9)
+    out = (
+        F.global_cummax(ds, ["o"], "v", out_col="wm", num_buckets=8)
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values("o").reset_index(drop=True)["v"].cummax().to_numpy()
+    np.testing.assert_array_equal(out["wm"].to_numpy(), want)
+    assert out["wm"].dtype == np.int64
