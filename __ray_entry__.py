@@ -4676,6 +4676,32 @@ def _q_late_event_flags(sf_dir: str):
     return wm.map_batches(flag, batch_format="pandas")
 
 
+def _q_running_revenue_total(sf_dir: str):
+    """Global running revenue total in (orderdate, orderkey) order — the
+    distributed prefix-sum scan (relational.global_cumsum: range-partition
+    on the order column, exact int64 prefix offsets, per-range local
+    cumsum). The classic 'cumulative bookings' report, exact cents."""
+    ds = F.load(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "d_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64()),
+            }
+        )
+
+    out = F.global_cumsum(
+        ds.map_batches(prep, batch_format="pyarrow"), ["d_us", "o_orderkey"], "cents", out_col="run_cents"
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["o_orderkey", "run_cents"]].astype("int64")
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4711,6 +4737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_logreg": _q_doc_quality_logreg,
         "ann_filtered": _q_ann_filtered,
         "late_event_flags": _q_late_event_flags,
+        "running_revenue_total": _q_running_revenue_total,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -5212,6 +5239,13 @@ def oracle_sql() -> dict[str, str]:
                                           THEN q * ln(q / (0.5 * (p + q))) ELSE 0 END),
                          6) AS jsd
             FROM j GROUP BY d
+        """,
+        "running_revenue_total": """
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        OVER (ORDER BY epoch_us(o_orderdate), o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+            FROM orders
         """,
         "late_event_flags": """
             SELECT event_id,

@@ -141,6 +141,7 @@ _BENCH_QUERIES = [
     "doc_quality_logreg",
     "ann_filtered",
     "late_event_flags",
+    "running_revenue_total",
 ]
 
 

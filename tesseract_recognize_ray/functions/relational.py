@@ -2301,3 +2301,60 @@ def global_cummax(
         return g
 
     return bucketed.groupby("__rb").map_groups(scan, batch_format="pandas")
+
+
+def global_cumsum(
+    ds: Dataset,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+    num_buckets: int = 64,
+    sample_per_block: int = 32,
+) -> Dataset:
+    """Distributed prefix SUM over a global total order — SQL ``SUM(v)
+    OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``. Same
+    range-partitioned scan shape as global_cummax: per-range sums fold to
+    exact int64 prefix offsets on the driver (one value per range — never
+    float64), each range then cumsums locally seeded with its prefix.
+    order_cols must totally order rows; leading-column ties never split
+    across ranges."""
+    first = order_cols[0]
+
+    def sample(b: pa.Table) -> pa.Table:
+        col = b.column(first)
+        n = len(col)
+        idx = np.unique(np.linspace(0, max(n - 1, 0), num=min(sample_per_block, n)).astype(np.int64))
+        return pa.table({first: col.take(pa.array(idx))})
+
+    parts = [
+        b[first].to_numpy()
+        for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(batch_size=None, batch_format="pandas")
+    ]
+    samples = np.sort(np.concatenate(parts)) if parts else np.array([])
+    if len(samples) == 0:
+        splits = np.array([])
+    else:
+        qs = np.linspace(0, len(samples) - 1, num=num_buckets + 1).astype(np.int64)[1:-1]
+        splits = np.unique(samples[qs])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = b.column(first).to_numpy(zero_copy_only=False)
+        bk = np.searchsorted(splits, v, side="right").astype(np.int32)
+        return b.append_column("__rb", pa.array(bk, pa.int32()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    rsum = grouped_agg(bucketed, ["__rb"], [(value_col, "sum", "__s")]).to_pandas()
+    rsum = rsum.sort_values("__rb")
+    sums = rsum["__s"].to_numpy()
+    zero = sums.dtype.type(0)
+    pref_vals = np.concatenate([[zero], np.cumsum(sums)[:-1]])
+    prefix = dict(zip(rsum["__rb"].to_numpy().tolist(), pref_vals.tolist()))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        bk = int(g["__rb"].iloc[0])
+        g = g.drop(columns="__rb").sort_values(order_cols, kind="mergesort")
+        v = g[value_col].to_numpy()
+        g[out_col] = np.cumsum(v) + v.dtype.type(prefix.get(bk, 0))
+        return g
+
+    return bucketed.groupby("__rb").map_groups(scan, batch_format="pandas")

@@ -442,3 +442,19 @@ def test_global_cummax_matches_pandas_incl_big_ints(ray_session):
     want = df.sort_values("o").reset_index(drop=True)["v"].cummax().to_numpy()
     np.testing.assert_array_equal(out["wm"].to_numpy(), want)
     assert out["wm"].dtype == np.int64
+
+
+def test_global_cumsum_matches_pandas(ray_session):
+    from tesseract_recognize_ray.functions import relational as F
+
+    rng = np.random.default_rng(67)
+    n = 4000
+    df = pd.DataFrame({"o": rng.permutation(n).astype(np.int64), "v": rng.integers(-100, 100, n).astype(np.int64)})
+    out = (
+        F.global_cumsum(ray.data.from_pandas(df.copy()).repartition(7), ["o"], "v", num_buckets=8)
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values("o").reset_index(drop=True)["v"].cumsum().to_numpy()
+    np.testing.assert_array_equal(out["running_total"].to_numpy(), want)
