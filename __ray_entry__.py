@@ -4702,6 +4702,30 @@ def _q_running_revenue_total(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_user_value_p90_approx(sf_dir: str):
+    """Per-USER approximate p50/p90 of event value — the unbounded-key-
+    domain quantile path (sketches.grouped_histogram_quantile): per-key
+    state is <= nbins bin counts REGARDLESS of group size, so a hot user
+    never has to fit one worker (the exact grouped_quantile family's
+    documented bound). Error <= one bin width, deterministic; rows-only
+    (approximate by construction, bin-width bound pytest-gated)."""
+    from tesseract_recognize_ray.functions import sketches as F_sk
+
+    ds = F.load(sf_dir, "events", columns=["user_id", "value"])
+    out = F_sk.grouped_histogram_quantile(ds, "user_id", "value", [0.5, 0.9], nbins=1024)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "q": b["q"].astype("float64"),
+                "value": np.round(b["value"].to_numpy(np.float64), 6),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4738,6 +4762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered": _q_ann_filtered,
         "late_event_flags": _q_late_event_flags,
         "running_revenue_total": _q_running_revenue_total,
+        "user_value_p90_approx": _q_user_value_p90_approx,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,

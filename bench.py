@@ -142,6 +142,7 @@ _BENCH_QUERIES = [
     "ann_filtered",
     "late_event_flags",
     "running_revenue_total",
+    "user_value_p90_approx",
 ]
 
 

@@ -265,3 +265,66 @@ def hll_grouped_distinct(
         .groupby("__bucket")
         .map_groups(lambda g: est_bucket(g.drop(columns="__bucket")), batch_format="pandas")
     )
+
+
+def grouped_histogram_quantile(
+    ds: Dataset, key: str, col: str, qs: list[float], nbins: int = 1024, num_buckets: int = 64
+) -> Dataset:
+    """PER-GROUP approximate quantiles for UNBOUNDED key domains — the
+    scale path the exact grouped_quantile_* family documents itself out of
+    (those co-locate each group whole, so a hot key's rows must fit one
+    worker). Here per-key state is AT MOST nbins bin counts regardless of
+    group size: one global Min/Max pass fixes shared bin edges, each block
+    emits (key, bin, n) partials (one vectorized pandas groupby), a
+    bucketed exchange merges them, and the per-key quantile fold walks
+    ≤nbins rows. Error ≤ one bin width = (max-min)/nbins, deterministic
+    (exact counts, exact extremes). Output: (key, q, value)."""
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    stats = ds.aggregate(_Min(col), _Max(col))
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    from .relational import grouped_agg
+
+    if hi == lo:
+        def const(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({key: b[key], "__one": np.ones(len(b), dtype=np.int64)})
+
+        keys = grouped_agg(ds.map_batches(const, batch_format="pandas"), [key], [("__one", "sum", "__n")])
+
+        def emit_const(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({key: [g[key].iloc[0]] * len(qs), "q": qs, "value": [lo] * len(qs)})
+
+        return keys.groupby(key).map_groups(emit_const, batch_format="pandas")
+    w = (hi - lo) / nbins
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        bins = np.minimum(((v[ok] - lo) / w).astype(np.int64), nbins - 1)
+        df = pd.DataFrame({key: b[key].to_numpy()[ok], "bin": bins})
+        g = df.groupby([key, "bin"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    merged = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"), [key, "bin"], [("n", "sum", "n")]
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bin")
+        b = g["bin"].to_numpy()
+        n = g["n"].to_numpy(np.float64)
+        c = np.cumsum(n)
+        total = c[-1]
+        vals = []
+        for q in qs:
+            target = q * total
+            i = int(np.searchsorted(c, target, side="left"))
+            i = min(i, len(b) - 1)
+            prev = c[i - 1] if i else 0.0
+            frac = (target - prev) / n[i] if n[i] else 0.0
+            vals.append(lo + (b[i] + min(frac, 1.0)) * w)
+        return pd.DataFrame({key: [g[key].iloc[0]] * len(qs), "q": qs, "value": vals})
+
+    return merged.groupby(key).map_groups(fold, batch_format="pandas")

@@ -458,3 +458,28 @@ def test_global_cumsum_matches_pandas(ray_session):
     )
     want = df.sort_values("o").reset_index(drop=True)["v"].cumsum().to_numpy()
     np.testing.assert_array_equal(out["running_total"].to_numpy(), want)
+
+
+# ------------------------------------------- grouped histogram quantile
+def test_grouped_hist_quantile_within_bin_width(ray_session):
+    from tesseract_recognize_ray.functions import sketches as F_sk
+
+    rng = np.random.default_rng(71)
+    n = 20000
+    df = pd.DataFrame({"k": rng.integers(0, 25, n), "v": rng.normal(100, 30, n)})
+    ds = ray.data.from_pandas(df.copy()).repartition(8)
+    out = F_sk.grouped_histogram_quantile(ds, "k", "v", [0.5, 0.9], nbins=512).to_pandas()
+    assert len(out) == 25 * 2
+    w = (df["v"].max() - df["v"].min()) / 512
+    for (k, q), grp in out.groupby(["k", "q"]):
+        approx = grp["value"].iloc[0]
+        exact = df.loc[df["k"] == k, "v"].quantile(q)
+        assert abs(approx - exact) <= w + 1e-9, (k, q, approx, exact)
+
+
+def test_grouped_hist_quantile_constant_column(ray_session):
+    from tesseract_recognize_ray.functions import sketches as F_sk
+
+    df = pd.DataFrame({"k": [1, 1, 2], "v": [7.0, 7.0, 7.0]})
+    out = F_sk.grouped_histogram_quantile(ray.data.from_pandas(df), "k", "v", [0.5]).to_pandas()
+    assert sorted(out["value"]) == [7.0, 7.0]
