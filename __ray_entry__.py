@@ -4299,7 +4299,15 @@ def _q_copartitioned_revenue_join(sf_dir: str):
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     base = f"/tmp/trr_copart_{sf_name}"
-    if not (os.path.isdir(f"{base}/orders") and os.path.isdir(f"{base}/lineitem")):
+    marker = f"{base}/_SUCCESS"
+    if not os.path.isfile(marker):
+        # a partial prior write (crash between the two write_bucketed calls)
+        # must not survive: Ray's write_parquet APPENDS uniquely-named files
+        # into an existing dir, so re-running over leftovers would silently
+        # double-count — wipe and rebuild, then mark success atomically
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
         F.write_bucketed(
             F.load(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
             f"{base}/orders",
@@ -4326,6 +4334,8 @@ def _q_copartitioned_revenue_join(sf_dir: str):
             ["o_orderkey"],
             num_buckets=16,
         )
+        with open(marker, "w") as fh:
+            fh.write("ok")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("o_orderpriority", sort=False)["rev_u"].sum().reset_index()
@@ -4594,6 +4604,11 @@ def _q_doc_quality_logreg(sf_dir: str):
     ds = F.load(sf_dir, "documents", columns=["lang", "text", "n_chars"], num_blocks=16)
 
     def feats(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):  # empty-block schema-loss guard (Ray 2.49)
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="float64") for c in _LOGREG_FEATURES}
+                | {"y": pd.Series([], dtype="int64")}
+            )
         texts = b["text"].fillna("")
         n_tok = texts.str.split().str.len().to_numpy(np.float64)
         n_chr = b["n_chars"].to_numpy(np.float64)

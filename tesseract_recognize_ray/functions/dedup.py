@@ -39,6 +39,46 @@ def _text_hash64(texts: list[str]) -> np.ndarray:
     )
 
 
+def _bucket_pairs_fn(group_cols, max_bucket: int, id_col: str = "__id"):
+    """Shared bucket->candidate-pair emitter for the blocking family
+    (MinHash bands, prefix-filter shingles, hamming bands): per bucket,
+    sorted ids -> id_a < id_b upper-triangle pairs, buckets beyond
+    max_bucket truncated with an explicit flag (no-silent-caps rule)."""
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _key, grp in g.groupby(group_cols, sort=False):
+            if len(grp) < 2:
+                continue
+            truncated = len(grp) > max_bucket
+            ids = np.sort(grp[id_col].to_numpy(), kind="mergesort")[:max_bucket]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            frames.append(
+                pd.DataFrame(
+                    {"id_a": ids[ii], "id_b": ids[jj],
+                     "bucket_truncated": np.full(len(ii), truncated)}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="object"), "id_b": pd.Series(dtype="object"),
+                 "bucket_truncated": pd.Series(dtype="bool")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return group_pairs
+
+
+def _pair_participant_ids(pairs: Dataset) -> set:
+    """All ids appearing in a (id_a, id_b) pair Dataset — the bounded set a
+    verify stage prunes its lookups to (the pairs ARE the operator output)."""
+    ids: set = set()
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids.update(b.column("id_a").to_pylist())
+        ids.update(b.column("id_b").to_pylist())
+    return ids
+
+
 def exact_dedup(ds: Dataset, id_col: str, text_col: str) -> Dataset:
     """Keep the smallest id per distinct text. Returns a Dataset with the
     surviving ids (column name = id_col). Equivalent SQL:
@@ -215,34 +255,7 @@ def minhash_lsh_pairs(
 
     banded = sigs.map_batches(explode_bands, batch_format="pandas")
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One shuffle group = many whole LSH buckets: emit candidate id
-        pairs per bucket (sorted ids -> id_a < id_b); no signature payload."""
-        frames = []
-        for _key, grp in g.groupby(["band", "bh"], sort=False):
-            if len(grp) < 2:
-                continue
-            truncated = len(grp) > max_bucket
-            ids = np.sort(grp["__id"].to_numpy(), kind="mergesort")[:max_bucket]
-            ii, jj = np.triu_indices(len(ids), k=1)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "id_a": ids[ii],
-                        "id_b": ids[jj],
-                        "bucket_truncated": np.full(len(ii), truncated),
-                    }
-                )
-            )
-        if not frames:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series(dtype="object"),
-                    "id_b": pd.Series(dtype="object"),
-                    "bucket_truncated": pd.Series(dtype="bool"),
-                }
-            )
-        return pd.concat(frames, ignore_index=True)
+    group_pairs = _bucket_pairs_fn(["band", "bh"], max_bucket)
 
     raw_pairs = banded.groupby("__g").map_groups(group_pairs, batch_format="pandas")
     # a pair can surface from several bands -> dedupe; the truncation flag
@@ -260,10 +273,7 @@ def minhash_lsh_pairs(
     # once. est_jaccard is deterministic per (sig_a, sig_b) regardless of
     # which bucket surfaced the pair, so post-dedupe attach is exactly
     # equivalent to the old per-bucket computation.
-    part_ids: set = set()
-    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        part_ids.update(b.column("id_a").to_pylist())
-        part_ids.update(b.column("id_b").to_pylist())
+    part_ids = _pair_participant_ids(pairs)
     sig_map: dict = {}
     if part_ids:
         flt = _key_filter(sigs, "__id", ray.put(pa.array(list(part_ids))), keep_matches=True)
@@ -950,28 +960,7 @@ def prefix_filter_jaccard_pairs(
 
     exploded = ds.map_batches(prefix_rows, batch_format="pandas")
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _key, grp in g.groupby("sh", sort=False):
-            if len(grp) < 2:
-                continue
-            truncated = len(grp) > max_bucket
-            ids = np.sort(grp["__id"].to_numpy(), kind="mergesort")[:max_bucket]
-            ii, jj = np.triu_indices(len(ids), k=1)
-            frames.append(
-                pd.DataFrame(
-                    {"id_a": ids[ii], "id_b": ids[jj], "bucket_truncated": np.full(len(ii), truncated)}
-                )
-            )
-        if not frames:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series(dtype="object"),
-                    "id_b": pd.Series(dtype="object"),
-                    "bucket_truncated": pd.Series(dtype="bool"),
-                }
-            )
-        return pd.concat(frames, ignore_index=True)
+    group_pairs = _bucket_pairs_fn("sh", max_bucket)
 
     from .relational import bucket_join, grouped_agg
 
@@ -986,18 +975,10 @@ def prefix_filter_jaccard_pairs(
     # (not Dataset.join): a sparse candidate set with fewer keys than hash
     # partitions crashes Ray 2.49's acero join on zero-column empty
     # partitions, and the bucketed exchange has no such seam.
-    _sch = ds.schema()  # Ray Schema wrapper: names/types, not pa.Schema
+    from .relational import _ray_schema_to_arrow
 
-    def _pa_t(t) -> pa.DataType:
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(np.dtype(t))
-        except (TypeError, pa.ArrowNotImplementedError):
-            return pa.string()
-
-    _types = dict(zip(_sch.names, _sch.types))
-    idt, txt = _pa_t(_types[id_col]), _pa_t(_types[text_col])
+    _sch = _ray_schema_to_arrow(ds.schema())
+    idt, txt = _sch.field(id_col).type, _sch.field(text_col).type
 
     # prune BOTH text sides to pair PARTICIPANTS before any exchange: the
     # candidate set is materialized output anyway (bounded), so the ids pull
@@ -1113,26 +1094,7 @@ def hamming_near_dups(
             }
         )
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _key, grp in g.groupby(["band", "bits"], sort=False):
-            if len(grp) < 2:
-                continue
-            truncated = len(grp) > max_bucket
-            ids = np.sort(grp["__id"].to_numpy(), kind="mergesort")[:max_bucket]
-            ii, jj = np.triu_indices(len(ids), k=1)
-            frames.append(
-                pd.DataFrame(
-                    {"id_a": ids[ii], "id_b": ids[jj],
-                     "bucket_truncated": np.full(len(ii), truncated)}
-                )
-            )
-        if not frames:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="object"), "id_b": pd.Series(dtype="object"),
-                 "bucket_truncated": pd.Series(dtype="bool")}
-            )
-        return pd.concat(frames, ignore_index=True)
+    group_pairs = _bucket_pairs_fn(["band", "bits"], max_bucket)
 
     from .relational import _key_filter, grouped_agg
 
@@ -1143,10 +1105,7 @@ def hamming_near_dups(
         [("bucket_truncated", "max", "bucket_truncated")],
     ).materialize()
 
-    part_ids: set = set()
-    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        part_ids.update(b.column("id_a").to_pylist())
-        part_ids.update(b.column("id_b").to_pylist())
+    part_ids = _pair_participant_ids(pairs)
     hash_map: dict = {}
     if part_ids:
         flt = _key_filter(hashed, id_col, ray.put(pa.array(list(part_ids))), keep_matches=True)

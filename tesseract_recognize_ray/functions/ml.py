@@ -49,6 +49,8 @@ def logreg_train(
     d = len(feature_cols)
 
     def moments(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):  # empty blocks drop schema in Ray 2.49 — emit nothing
+            return pd.DataFrame({"n": pd.Series([], dtype="int64"), "s": [], "sq": []})
         x = b[feature_cols].to_numpy(np.float64)
         return pd.DataFrame(
             {"n": [np.int64(len(x))], "s": [x.sum(0)], "sq": [(x * x).sum(0)]}
@@ -74,6 +76,8 @@ def logreg_train(
         wref = ray.put((w, mean, std))
 
         def grad(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):  # empty-block schema-loss guard (Ray 2.49)
+                return pd.DataFrame({"g": [], "loss": pd.Series([], dtype="float64")})
             wv, mu, sd = ray.get(wref)
             x = (b[feature_cols].to_numpy(np.float64) - mu) / sd
             y = b[label_col].to_numpy(np.float64)

@@ -1632,6 +1632,41 @@ def grouped_skew_kurt(
 
 
 # -------------------------------------------------- global ordering / audit
+def _range_bucketed(
+    ds: Dataset, first: str, num_buckets: int, sample_per_block: int
+) -> Dataset:
+    """Shared sampled-range-partition step for the global-order primitives
+    (global_row_number / global_cummax / global_cumsum): sample up to
+    sample_per_block leading-key values per block, derive split points on
+    the driver, tag every row with its int32 range bucket ``__rb`` via one
+    vectorized searchsorted. side='right' keeps equal leading keys in ONE
+    bucket — the boundary property all three scans rely on."""
+
+    def sample(b: pa.Table) -> pa.Table:
+        col = b.column(first)
+        n = len(col)
+        idx = np.unique(np.linspace(0, max(n - 1, 0), num=min(sample_per_block, n)).astype(np.int64))
+        return pa.table({first: col.take(pa.array(idx))})
+
+    parts = [
+        b[first].to_numpy()
+        for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(batch_size=None, batch_format="pandas")
+    ]
+    samples = np.sort(np.concatenate(parts)) if parts else np.array([])
+    if len(samples) == 0:
+        splits = np.array([])
+    else:
+        qs = np.linspace(0, len(samples) - 1, num=num_buckets + 1).astype(np.int64)[1:-1]
+        splits = np.unique(samples[qs])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = b.column(first).to_numpy(zero_copy_only=False)
+        bk = np.searchsorted(splits, v, side="right").astype(np.int32)
+        return b.append_column("__rb", pa.array(bk, pa.int32()))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
 def global_row_number(
     ds: Dataset,
     order_cols: list[str],
@@ -1659,31 +1694,7 @@ def global_row_number(
     lineage re-executes, so feed it a cheap scan (read->project), not an
     expensive pipeline. Heavy skew on a single first-key value lands that
     value in one bucket (documented partitioning assumption)."""
-    first = order_cols[0]
-
-    def sample(b: pa.Table) -> pa.Table:
-        col = b.column(first)
-        n = len(col)
-        idx = np.unique(np.linspace(0, max(n - 1, 0), num=min(sample_per_block, n)).astype(np.int64))
-        return pa.table({first: col.take(pa.array(idx))})
-
-    parts = [
-        b[first].to_numpy()
-        for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(batch_size=None, batch_format="pandas")
-    ]
-    samples = np.sort(np.concatenate(parts)) if parts else np.array([])
-    if len(samples) == 0:
-        splits = np.array([])
-    else:
-        qs = np.linspace(0, len(samples) - 1, num=num_buckets + 1).astype(np.int64)[1:-1]
-        splits = np.unique(samples[qs])
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        v = b.column(first).to_numpy(zero_copy_only=False)
-        bk = np.searchsorted(splits, v, side="right").astype(np.int32)
-        return b.append_column("__rb", pa.array(bk, pa.int32()))
-
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    bucketed = _range_bucketed(ds, order_cols[0], num_buckets, sample_per_block)
 
     counts = grouped_agg(bucketed, ["__rb"], [("__rb", "count", "n")]).to_pandas()
     counts = counts.sort_values("__rb")
@@ -2085,10 +2096,15 @@ def copartitioned_join(
     each bucket's join output BEFORE it leaves the task (map-side
     aggregation fused into the join — the usual consumer shape), so only
     fold partials cross task boundaries. Missing bucket directories (hive
-    skips empty partitions) behave as empty sides."""
+    skips empty partitions) behave as empty sides. `how` in
+    {'inner', 'left'} — right/outer would need the empty-LEFT-dir path the
+    skip logic does not implement."""
     import os
 
     import ray.data as rd
+
+    if how not in ("inner", "left"):
+        raise ValueError("copartitioned_join: how must be 'inner' or 'left'")
 
     def join_bucket(b: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -2190,6 +2206,13 @@ def skew_split_join(
         return fn
 
     small_hot = small.map_batches(split_small(True), batch_format="pyarrow").to_pandas()
+    if set(ss.names) - set(small_hot.columns):
+        # zero hot rows on the small side: Ray 2.49 drops the empty
+        # dataset's schema entirely — rebuild a TYPED empty frame or the
+        # broadcast merge loses its key column
+        small_hot = pa.Table.from_arrays(
+            [pa.array([], f.type) for f in ss], schema=ss
+        ).to_pandas()
     small_hot = small_hot.rename(columns={right_on: on})
     hot_ref = ray.put(small_hot)
 
@@ -2200,8 +2223,20 @@ def skew_split_join(
 
         return fn
 
+    # for how='left', unmatched rows make pandas coerce int64 payload to
+    # float64 NaN in whichever path has them — normalize BOTH paths'
+    # integer payload columns to nullable Int64 so every union block
+    # carries the same Arrow type (int64 with nulls), never a float/int mix
+    int_payload = [c for c in small_payload if pa.types.is_integer(ss.field(c).type)]
+
+    def _stabilize(df: pd.DataFrame) -> pd.DataFrame:
+        if how == "left":
+            for c in int_payload:
+                df[c] = df[c].astype("Int64")
+        return df
+
     def merge_hot(b: pd.DataFrame) -> pd.DataFrame:
-        return b.merge(ray.get(hot_ref), on=on, how=how)
+        return _stabilize(b.merge(ray.get(hot_ref), on=on, how=how))
 
     hot_joined = big.map_batches(split_big(True), batch_format="pyarrow").map_batches(
         merge_hot, batch_format="pandas"
@@ -2219,6 +2254,8 @@ def skew_split_join(
         right_schema=ss,
         reduce_blocks=reduce_blocks,
     )
+    if how == "left":
+        cold_joined = cold_joined.map_batches(_stabilize, batch_format="pandas")
     return hot_joined.union(cold_joined)
 
 
@@ -2254,31 +2291,7 @@ def global_cummax(
     seeded with the broadcast prefix. order_cols must totally order rows
     (unique tiebreak) and the leading column's equal values never split
     across ranges (searchsorted boundary property)."""
-    first = order_cols[0]
-
-    def sample(b: pa.Table) -> pa.Table:
-        col = b.column(first)
-        n = len(col)
-        idx = np.unique(np.linspace(0, max(n - 1, 0), num=min(sample_per_block, n)).astype(np.int64))
-        return pa.table({first: col.take(pa.array(idx))})
-
-    parts = [
-        b[first].to_numpy()
-        for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(batch_size=None, batch_format="pandas")
-    ]
-    samples = np.sort(np.concatenate(parts)) if parts else np.array([])
-    if len(samples) == 0:
-        splits = np.array([])
-    else:
-        qs = np.linspace(0, len(samples) - 1, num=num_buckets + 1).astype(np.int64)[1:-1]
-        splits = np.unique(samples[qs])
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        v = b.column(first).to_numpy(zero_copy_only=False)
-        bk = np.searchsorted(splits, v, side="right").astype(np.int32)
-        return b.append_column("__rb", pa.array(bk, pa.int32()))
-
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    bucketed = _range_bucketed(ds, order_cols[0], num_buckets, sample_per_block)
 
     # per-range max -> ordered driver fold -> prefix max BEFORE each range.
     # The fold stays in the column's NATIVE dtype: int64 values beyond 2^53
@@ -2318,31 +2331,7 @@ def global_cumsum(
     float64), each range then cumsums locally seeded with its prefix.
     order_cols must totally order rows; leading-column ties never split
     across ranges."""
-    first = order_cols[0]
-
-    def sample(b: pa.Table) -> pa.Table:
-        col = b.column(first)
-        n = len(col)
-        idx = np.unique(np.linspace(0, max(n - 1, 0), num=min(sample_per_block, n)).astype(np.int64))
-        return pa.table({first: col.take(pa.array(idx))})
-
-    parts = [
-        b[first].to_numpy()
-        for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(batch_size=None, batch_format="pandas")
-    ]
-    samples = np.sort(np.concatenate(parts)) if parts else np.array([])
-    if len(samples) == 0:
-        splits = np.array([])
-    else:
-        qs = np.linspace(0, len(samples) - 1, num=num_buckets + 1).astype(np.int64)[1:-1]
-        splits = np.unique(samples[qs])
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        v = b.column(first).to_numpy(zero_copy_only=False)
-        bk = np.searchsorted(splits, v, side="right").astype(np.int32)
-        return b.append_column("__rb", pa.array(bk, pa.int32()))
-
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    bucketed = _range_bucketed(ds, order_cols[0], num_buckets, sample_per_block)
     rsum = grouped_agg(bucketed, ["__rb"], [(value_col, "sum", "__s")]).to_pandas()
     rsum = rsum.sort_values("__rb")
     sums = rsum["__s"].to_numpy()

@@ -602,6 +602,13 @@ def train_pq_codebooks(
     frac = min(1.0, n_sample / max(1, ds.count()))
     sample = ds.random_sample(frac, seed=seed).take_all()
     vecs = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample]))
+    if vecs.shape[0] < ksub:
+        # corpus (or an improbable sample shortfall at the 64x margin)
+        # smaller than the codebook — x[:ksub] would mis-broadcast below
+        raise ValueError(
+            f"train_pq_codebooks: sample has {vecs.shape[0]} vectors < ksub={ksub}; "
+            "lower ksub or provide more data"
+        )
     d = vecs.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")

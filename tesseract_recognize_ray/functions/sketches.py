@@ -282,7 +282,13 @@ def grouped_histogram_quantile(
     from ray.data.aggregate import Max as _Max
     from ray.data.aggregate import Min as _Min
 
-    stats = ds.aggregate(_Min(col), _Max(col))
+    # the per-block partial drops NaNs — the EDGE pass must too, or one NaN
+    # poisons lo/hi and every bin index silently goes to garbage
+    def _drop_nan(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({col: v[~np.isnan(v)]})
+
+    stats = ds.map_batches(_drop_nan, batch_format="pandas").aggregate(_Min(col), _Max(col))
     lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
     from .relational import grouped_agg
 

@@ -483,3 +483,25 @@ def test_grouped_hist_quantile_constant_column(ray_session):
     df = pd.DataFrame({"k": [1, 1, 2], "v": [7.0, 7.0, 7.0]})
     out = F_sk.grouped_histogram_quantile(ray.data.from_pandas(df), "k", "v", [0.5]).to_pandas()
     assert sorted(out["value"]) == [7.0, 7.0]
+
+
+def test_skew_split_left_hot_key_missing_from_small(ray_session):
+    """Hot probe key absent from the small side, how='left', int64 payload:
+    hot-path blocks and cold-path blocks must carry the SAME Arrow type
+    (int64 with nulls), or the union crashes downstream consumers."""
+    from tesseract_recognize_ray.functions import relational as F
+
+    big = pd.DataFrame({"k": np.array([0] * 500 + [1, 2, 3] * 20, dtype=np.int64)})
+    big["a"] = np.arange(len(big), dtype=np.int64)
+    small = pd.DataFrame({"kk": np.array([1, 2], dtype=np.int64), "pay": np.array([10, 20], dtype=np.int64)})
+    out = F.skew_split_join(
+        ray.data.from_pandas(big).repartition(4),
+        ray.data.from_pandas(small),
+        "k", "kk", how="left", hot_keys=1, num_buckets=4,
+    )
+    # a pyarrow-format consumer after the union is the crash surface
+    agg = F.grouped_agg(out, ["k"], [("pay", "sum", "s")]).to_pandas().sort_values("k")
+    df = out.to_pandas()
+    assert len(df) == len(big)
+    assert df.loc[df["k"] == 0, "pay"].isna().all()
+    assert int(df.loc[df["k"] == 1, "pay"].iloc[0]) == 10
