@@ -4741,6 +4741,51 @@ def _q_user_value_p90_approx(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_event_last_order_asof(sf_dir: str):
+    """CROSS-TABLE as-of join (DuckDB's native ASOF JOIN as oracle): each
+    event picks the same user's most recent order at or before the event
+    time. The order side is first compacted to one row per (user, date)
+    with keep_latest (ties would make ASOF nondeterministic on both
+    engines), then the bucketed merge_asof runs one vectorized pass per
+    co-located key bucket; unmatched events drop (inner ASOF)."""
+    orders = F.load(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("o_custkey"),
+                "ts": b.column("o_orderdate"),
+                "ok": b.column("o_orderkey"),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64()),
+            }
+        )
+
+    right = F.keep_latest(
+        orders.map_batches(o_prep, batch_format="pyarrow"), ["user_id", "ts"], ["ok"]
+    )
+    events = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = F.asof_join(
+        events,
+        right,
+        "user_id",
+        "ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["user_id", "ts", "ok", "cents"],
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["ok"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "ok": pd.to_numeric(b["ok"]).astype("int64"),
+                "cents": pd.to_numeric(b["cents"]).astype("int64"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4778,6 +4823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_flags": _q_late_event_flags,
         "running_revenue_total": _q_running_revenue_total,
         "user_value_p90_approx": _q_user_value_p90_approx,
+        "event_last_order_asof": _q_event_last_order_asof,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -5279,6 +5325,18 @@ def oracle_sql() -> dict[str, str]:
                                           THEN q * ln(q / (0.5 * (p + q))) ELSE 0 END),
                          6) AS jsd
             FROM j GROUP BY d
+        """,
+        "event_last_order_asof": """
+            WITH o AS (
+                SELECT o_custkey AS user_id, o_orderdate AS ots, o_orderkey AS ok,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                           ORDER BY o_orderkey DESC) = 1
+            )
+            SELECT e.event_id, o.ok, o.cents
+            FROM events e ASOF JOIN o
+              ON e.user_id = o.user_id AND o.ots <= e.ts
         """,
         "running_revenue_total": """
             SELECT o_orderkey,

@@ -143,6 +143,7 @@ _BENCH_QUERIES = [
     "late_event_flags",
     "running_revenue_total",
     "user_value_p90_approx",
+    "event_last_order_asof",
 ]
 
 
