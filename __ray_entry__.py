@@ -4786,6 +4786,24 @@ def _q_event_last_order_asof(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_ann_ivf_pq(sf_dir: str):
+    """IVF-PQ similarity search (coarse cells + 16-byte ADC codes + exact
+    shortlist re-rank — the canonical billion-scale ANN layout; see
+    similarity.ivf_pq_topk): per query only nprobe cells' code rows are
+    scored and at most |queries| x shortlist float vectors re-read.
+    Approximate by design — rows-only; recall pytest-gated."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
+    queries_m = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16).materialize()
+    res = F_sim.ivf_pq_topk(
+        ds, "vec_id", "embedding", queries_m, k=_ANN_K,
+        n_centroids=32, nprobe=16, m=16, ksub=256, shortlist=10 * _ANN_K,
+    )
+    res["rank"] = res.groupby("query_idx").cumcount() + 1
+    return res[["query_idx", "vec_id", "rank"]].astype("int64")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4824,6 +4842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_revenue_total": _q_running_revenue_total,
         "user_value_p90_approx": _q_user_value_p90_approx,
         "event_last_order_asof": _q_event_last_order_asof,
+        "ann_ivf_pq": _q_ann_ivf_pq,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,

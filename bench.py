@@ -144,6 +144,7 @@ _BENCH_QUERIES = [
     "running_revenue_total",
     "user_value_p90_approx",
     "event_last_order_asof",
+    "ann_ivf_pq",
 ]
 
 

@@ -711,3 +711,92 @@ def pq_topk_rerank(
     ids = pa.array(pd.unique(short["vec_id"]))
     pruned = _key_filter(ds, id_col, ray.put(ids), keep_matches=True)
     return brute_force_topk(pruned, id_col, vec_col, queries, k=k)
+
+
+def ivf_pq_topk(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 32,
+    nprobe: int = 8,
+    m: int = 16,
+    ksub: int = 256,
+    shortlist: int = 100,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN layout (Jégou et al. 2011):
+    ONE encode pass assigns each vector a coarse cell (seeded sampled
+    centroids) and an m-byte PQ code; at query time each query probes its
+    nprobe nearest cells, the ADC scan scores ONLY rows in probed cells
+    (per-batch mask — at scale the codes table is partitioned by cell and
+    unprobed partitions are never read, as build_ivf_index does for raw
+    vectors), and an exact re-rank of the union shortlist restores
+    precision from one participant-pruned float pass. Returns
+    (query_idx, vec_id, cosine) like brute_force_topk."""
+    cents = build_ivf_centroids(ds, vec_col, n_centroids, seed)
+    books = train_pq_codebooks(ds, vec_col, m=m, ksub=ksub, seed=seed)
+    cref = ray.put(cents)
+    bref = ray.put(books)
+    dsub = books.shape[2]
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        cs, bk = ray.get(cref), ray.get(bref)
+        v = _normalize(np.stack(b[vec_col].to_numpy()).astype(np.float64))
+        cell = np.argmax(v @ cs.T, axis=1).astype(np.int32)
+        codes = np.zeros((len(v), m), dtype=np.uint8)
+        for s in range(m):
+            x = v[:, s * dsub : (s + 1) * dsub]
+            d2 = (x**2).sum(1)[:, None] - 2.0 * (x @ bk[s].T) + (bk[s] ** 2).sum(1)[None, :]
+            codes[:, s] = d2.argmin(1).astype(np.uint8)
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy(), "cell": cell, "code": [c.tobytes() for c in codes]}
+        )
+
+    codes = ds.map_batches(encode, batch_format="pandas").materialize()
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe].astype(np.int32)
+    tables = np.zeros((q.shape[0], m, ksub))
+    for s in range(m):
+        xq = q[:, s * dsub : (s + 1) * dsub]
+        tables[:, s, :] = (
+            (xq**2).sum(1)[:, None] - 2.0 * (xq @ books[s].T) + (books[s] ** 2).sum(1)[None, :]
+        )
+    tref = ray.put((tables, probes))
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        tabs, prb = ray.get(tref)
+        ids = b[id_col].to_numpy()
+        cells = b["cell"].to_numpy()
+        cm = np.frombuffer(b"".join(b["code"]), dtype=np.uint8).reshape(len(ids), m)
+        rows = []
+        for qi in range(tabs.shape[0]):
+            mask = np.isin(cells, prb[qi])
+            if not mask.any():
+                continue
+            ad = tabs[qi, np.arange(m)[None, :], cm[mask]].sum(1)
+            sids = ids[mask]
+            kk = min(shortlist, len(sids))
+            idx = np.lexsort((sids, ad))[:kk]
+            rows.append(pd.DataFrame({"query_idx": qi, "vec_id": sids[idx], "adist": ad[idx]}))
+        if not rows:
+            return pd.DataFrame(
+                {"query_idx": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="object"),
+                 "adist": pd.Series(dtype="float64")}
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    cand = codes.map_batches(scan, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["query_idx", "adist", "vec_id"], kind="mergesort")
+    short = cand.groupby("query_idx", as_index=False).head(shortlist)
+
+    from .relational import _key_filter
+
+    import pyarrow as pa
+
+    ids = pa.array(pd.unique(short["vec_id"]))
+    pruned = _key_filter(ds, id_col, ray.put(ids), keep_matches=True)
+    return brute_force_topk(pruned, id_col, vec_col, queries, k=k)

@@ -505,3 +505,21 @@ def test_skew_split_left_hot_key_missing_from_small(ray_session):
     assert len(df) == len(big)
     assert df.loc[df["k"] == 0, "pay"].isna().all()
     assert int(df.loc[df["k"] == 1, "pay"].iloc[0]) == 10
+
+
+def test_ivf_pq_recall_on_clustered_data(ray_session):
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    rng = np.random.default_rng(83)
+    centers = rng.normal(size=(8, 32)) * 4.0
+    mat = np.repeat(centers, 60, axis=0) + rng.normal(size=(480, 32)) * 0.3
+    df = pd.DataFrame({"vec_id": np.arange(480, dtype=np.int64), "embedding": list(mat.astype(np.float32))})
+    ds = ray.data.from_pandas(df.copy()).repartition(6).materialize()
+    q = mat[:4].astype(np.float64)
+    exact = F_sim.brute_force_topk(ds, "vec_id", "embedding", q, k=10)
+    approx = F_sim.ivf_pq_topk(
+        ds, "vec_id", "embedding", q, k=10,
+        n_centroids=8, nprobe=3, m=8, ksub=32, shortlist=60,
+    )
+    rec = F_sim.ivf_recall(approx, exact, 10)
+    assert rec >= 0.8, rec
