@@ -4804,6 +4804,54 @@ def _q_ann_ivf_pq(sf_dir: str):
     return res[["query_idx", "vec_id", "rank"]].astype("int64")
 
 
+def _q_zorder_pruned_events(sf_dir: str):
+    """Z-order (Morton) clustered layout: events are written ONCE sorted by
+    the interleaved-bit key of (user_id, ts) — row-group stats then prune
+    selective filters on EITHER column, where a plain sort would prune only
+    its leading column (relational.write_zordered; the both-dims pruning
+    property is pytest-asserted against a random layout). This query scans
+    the clustered copy with a user_id range pushed into the read and
+    aggregates exact cents; the oracle is the same filter on the logical
+    table — Z-ordering is purely physical."""
+    import os
+
+    import pyarrow.dataset as pds_
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/trr_zorder_{sf_name}"
+    marker = f"{base}/_SUCCESS"
+    if not os.path.isfile(marker):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        ev = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_id": b.column("event_id"),
+                    "user_id": b.column("user_id"),
+                    "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                    "cents": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+                }
+            )
+
+        F.write_zordered(ev.map_batches(prep, batch_format="pyarrow"), base, ["user_id", "ts_us"])
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        base, columns=["user_id", "cents"],
+        filter=(pds_.field("user_id") >= 100) & (pds_.field("user_id") < 120),
+    )
+    out = F.grouped_agg(
+        ds, ["user_id"], [("cents", "sum", "total_cents"), ("cents", "count", "n_events")]
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4843,6 +4891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_p90_approx": _q_user_value_p90_approx,
         "event_last_order_asof": _q_event_last_order_asof,
         "ann_ivf_pq": _q_ann_ivf_pq,
+        "zorder_pruned_events": _q_zorder_pruned_events,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -5344,6 +5393,14 @@ def oracle_sql() -> dict[str, str]:
                                           THEN q * ln(q / (0.5 * (p + q))) ELSE 0 END),
                          6) AS jsd
             FROM j GROUP BY d
+        """,
+        "zorder_pruned_events": """
+            SELECT user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            WHERE user_id >= 100 AND user_id < 120
+            GROUP BY user_id
         """,
         "event_last_order_asof": """
             WITH o AS (

@@ -145,6 +145,7 @@ _BENCH_QUERIES = [
     "user_value_p90_approx",
     "event_last_order_asof",
     "ann_ivf_pq",
+    "zorder_pruned_events",
 ]
 
 

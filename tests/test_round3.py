@@ -523,3 +523,49 @@ def test_ivf_pq_recall_on_clustered_data(ray_session):
     )
     rec = F_sim.ivf_recall(approx, exact, 10)
     assert rec >= 0.8, rec
+
+
+# ----------------------------------------------------------- z-ordering
+def _rg_touched(path, col, lo, hi):
+    """Row groups whose [min,max] stats overlap [lo,hi]."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import glob, os
+    total = touched = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st is None or (st.min <= hi and st.max >= lo):
+                touched += 1
+    return touched, total
+
+
+def test_zorder_write_prunes_both_dimensions(ray_session, tmp_path):
+    from tesseract_recognize_ray.functions import relational as F
+
+    rng = np.random.default_rng(91)
+    n = 60000
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 1 << 15, n).astype(np.int64),
+            "b": rng.integers(0, 1 << 15, n).astype(np.int64),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+    dz, da = str(tmp_path / "z"), str(tmp_path / "plain")
+    ds = ray.data.from_pandas(df.copy()).repartition(8)
+    F.write_zordered(ds, dz, ["a", "b"], num_files=16)
+    ray.data.from_pandas(df.copy()).repartition(16).write_parquet(da)
+    # correctness: same rows
+    back = pd.read_parquet(dz).sort_values(["a", "b", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df.sort_values(["a", "b", "v"]).reset_index(drop=True))
+    # pruning: a selective range on EITHER column touches fewer row groups
+    lo, hi = 1000, 3000
+    for col in ("a", "b"):
+        tz, nz = _rg_touched(dz, col, lo, hi)
+        tp, np_ = _rg_touched(da, col, lo, hi)
+        assert tz / nz < tp / np_, (col, tz, nz, tp, np_)
+        assert tp == np_  # random layout: stats never prune
