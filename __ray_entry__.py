@@ -4852,6 +4852,23 @@ def _q_zorder_pruned_events(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True).astype("int64")
 
 
+def _q_label_intra_variance(sf_dir: str):
+    """Cluster-compactness analysis: per-label total intra-class variance
+    (trace of the per-label covariance) from (n, Σx, Σx²) moment partials —
+    2·64+1 doubles per (block, label), never vectors
+    (similarity.grouped_embedding_variance). The oracle replays it as a
+    per-dimension var_pop lattice summed per label."""
+    ds = F.load(sf_dir, "embeddings", columns=["label", "embedding"])
+    out = F_sim.grouped_embedding_variance(ds, "label", "embedding").to_pandas()
+    return pd.DataFrame(
+        {
+            "label": out["label"].astype("int64"),
+            "n": out["n"].astype("int64"),
+            "tr_var": np.round(out["tr_var"].to_numpy(np.float64), 6),
+        }
+    ).sort_values("label").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4892,6 +4909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_last_order_asof": _q_event_last_order_asof,
         "ann_ivf_pq": _q_ann_ivf_pq,
         "zorder_pruned_events": _q_zorder_pruned_events,
+        "label_intra_variance": _q_label_intra_variance,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -5393,6 +5411,16 @@ def oracle_sql() -> dict[str, str]:
                                           THEN q * ln(q / (0.5 * (p + q))) ELSE 0 END),
                          6) AS jsd
             FROM j GROUP BY d
+        """,
+        "label_intra_variance": """
+            WITH d AS (SELECT CAST(i AS BIGINT) AS i FROM range(64) t(i)),
+                 x AS (SELECT CAST(label AS BIGINT) AS label, d.i,
+                              CAST(list_extract(embedding, d.i + 1) AS DOUBLE) AS v
+                       FROM embeddings CROSS JOIN d),
+                 pv AS (SELECT label, i, var_pop(v) AS vp, COUNT(*) AS n
+                        FROM x GROUP BY label, i)
+            SELECT label, CAST(MAX(n) AS BIGINT) AS n, ROUND(SUM(vp), 6) AS tr_var
+            FROM pv GROUP BY label
         """,
         "zorder_pruned_events": """
             SELECT user_id,

@@ -146,6 +146,7 @@ _BENCH_QUERIES = [
     "event_last_order_asof",
     "ann_ivf_pq",
     "zorder_pruned_events",
+    "label_intra_variance",
 ]
 
 

@@ -800,3 +800,54 @@ def ivf_pq_topk(
     ids = pa.array(pd.unique(short["vec_id"]))
     pruned = _key_filter(ds, id_col, ray.put(ids), keep_matches=True)
     return brute_force_topk(pruned, id_col, vec_col, queries, k=k)
+
+
+def grouped_embedding_variance(
+    ds: Dataset, key_col: str, vec_col: str, *, num_buckets: int = 16
+) -> Dataset:
+    """Per-key total intra-class variance of an embedding column: trace of
+    the per-key covariance = Σ_d var_d — the compactness half of cluster
+    quality scores. Same partial layout as embedding_centroids but with the
+    per-dimension SQUARE sums added: each block ships one (key, n, Σx, Σx²)
+    row per key (2·d + 1 doubles — never vectors), a bucketed merge folds
+    them, and the variance is computed from exact float64 moments. Output:
+    (key, n, tr_var)."""
+    from ..hashing import stable_bucket
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        codes, uniq = pd.factorize(b[key_col].to_numpy())
+        d = mat.shape[1]
+        sums = np.zeros((len(uniq), d))
+        sq = np.zeros((len(uniq), d))
+        np.add.at(sums, codes, mat)
+        np.add.at(sq, codes, mat * mat)
+        n = np.bincount(codes, minlength=len(uniq))
+        return pd.DataFrame(
+            {key_col: uniq, "__sum": list(sums), "__sq": list(sq), "__n": n.astype("int64")}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = stable_bucket(b[key_col], num_buckets)
+        return b
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(df[key_col].to_numpy())
+        d = len(df["__sum"].iloc[0])
+        sums = np.zeros((len(uniq), d))
+        sq = np.zeros((len(uniq), d))
+        n = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, codes, np.stack(df["__sum"].to_numpy()))
+        np.add.at(sq, codes, np.stack(df["__sq"].to_numpy()))
+        np.add.at(n, codes, df["__n"].to_numpy())
+        mean = sums / n[:, None]
+        tr = (sq / n[:, None] - mean * mean).sum(axis=1)
+        return pd.DataFrame({key_col: uniq, "n": n, "tr_var": tr})
+
+    return (
+        parts.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda d: merge(d.drop(columns="__bucket")), batch_format="pandas")
+    )
