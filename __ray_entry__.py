@@ -4869,6 +4869,27 @@ def _q_label_intra_variance(sf_dir: str):
     ).sort_values("label").reset_index(drop=True)
 
 
+def _q_label_between_variance(sf_dir: str):
+    """The other half of the Fisher decomposition: per-label between-class
+    scatter n_k·||μ_k − μ||² from the centroid aggregate (labels × dim
+    doubles on the driver — label domain is bounded; the corpus ships only
+    the embedding_centroids moment partials). Together with
+    label_intra_variance this gives the class-separability diagnostic."""
+    ds = F.load(sf_dir, "embeddings", columns=["label", "embedding"])
+    cents = F_sim.embedding_centroids(ds, "label", "embedding").to_pandas()
+    mu_k = np.stack(cents["centroid"].to_numpy())
+    n_k = cents["n"].to_numpy(np.float64)
+    grand = (mu_k * n_k[:, None]).sum(0) / n_k.sum()
+    between = n_k * ((mu_k - grand) ** 2).sum(1)
+    return pd.DataFrame(
+        {
+            "label": cents["label"].astype("int64"),
+            "n": cents["n"].astype("int64"),
+            "between": np.round(between, 6),
+        }
+    ).sort_values("label").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -4910,6 +4931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_pq": _q_ann_ivf_pq,
         "zorder_pruned_events": _q_zorder_pruned_events,
         "label_intra_variance": _q_label_intra_variance,
+        "label_between_variance": _q_label_between_variance,
         "canonical_prefix_docs": _q_canonical_prefix_docs,
         "pareto_parts": _q_pareto_parts,
         "supplier_part_mincost": _q_supplier_part_mincost,
@@ -5411,6 +5433,19 @@ def oracle_sql() -> dict[str, str]:
                                           THEN q * ln(q / (0.5 * (p + q))) ELSE 0 END),
                          6) AS jsd
             FROM j GROUP BY d
+        """,
+        "label_between_variance": """
+            WITH d AS (SELECT CAST(i AS BIGINT) AS i FROM range(64) t(i)),
+                 x AS (SELECT CAST(label AS BIGINT) AS label, d.i,
+                              CAST(list_extract(embedding, d.i + 1) AS DOUBLE) AS v
+                       FROM embeddings CROSS JOIN d),
+                 lm AS (SELECT label, i, AVG(v) AS mu, COUNT(*) AS n
+                        FROM x GROUP BY label, i),
+                 gm AS (SELECT i, AVG(v) AS gmu FROM x GROUP BY i)
+            SELECT lm.label, CAST(MAX(lm.n) AS BIGINT) AS n,
+                   ROUND(SUM(lm.n * (lm.mu - gm.gmu) * (lm.mu - gm.gmu)), 6) AS between
+            FROM lm JOIN gm USING (i)
+            GROUP BY lm.label
         """,
         "label_intra_variance": """
             WITH d AS (SELECT CAST(i AS BIGINT) AS i FROM range(64) t(i)),

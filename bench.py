@@ -147,6 +147,7 @@ _BENCH_QUERIES = [
     "ann_ivf_pq",
     "zorder_pruned_events",
     "label_intra_variance",
+    "label_between_variance",
 ]
 
 
