@@ -51,3 +51,22 @@ def write_spans(ds: Dataset, out_dir: str, **kw) -> None:
     except ImportError:
         pass
     ds.write_parquet(out_dir, **kw)
+
+
+def compact_parquet(in_dir: str, out_dir: str, target_rows: int = 1_000_000) -> int:
+    """Small-file compaction (the maintenance half of resumable partitioned
+    output: many per-partition files from incremental/resumed runs -> few
+    target-sized files): one streaming read, a count, a coalescing
+    repartition to ceil(n/target_rows) blocks, one write. Returns the row
+    count. Purely physical — row content and schema are untouched."""
+    import math
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(in_dir)
+    n = ds.count()
+    if n == 0:
+        return 0
+    blocks = max(1, math.ceil(n / target_rows))
+    rd.read_parquet(in_dir).repartition(blocks).write_parquet(out_dir)
+    return n

@@ -569,3 +569,20 @@ def test_zorder_write_prunes_both_dimensions(ray_session, tmp_path):
         tp, np_ = _rg_touched(da, col, lo, hi)
         assert tz / nz < tp / np_, (col, tz, nz, tp, np_)
         assert tp == np_  # random layout: stats never prune
+
+
+# ------------------------------------------------------------ compaction
+def test_compact_parquet_preserves_rows(ray_session, tmp_path):
+    from tesseract_recognize_ray.sources.io import compact_parquet
+    import glob
+
+    df = pd.DataFrame({"a": np.arange(5000, dtype=np.int64), "b": np.arange(5000) % 7})
+    src, dst = str(tmp_path / "many"), str(tmp_path / "few")
+    ray.data.from_pandas(df.copy()).repartition(40).write_parquet(src)  # 40 small files
+    assert len(glob.glob(f"{src}/*.parquet")) >= 20
+    n = compact_parquet(src, dst, target_rows=2500)
+    assert n == 5000
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) <= 4
+    back = pd.read_parquet(dst).sort_values(["a"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
