@@ -4789,8 +4789,9 @@ def _q_event_last_order_asof(sf_dir: str):
 def _q_ann_ivf_pq(sf_dir: str):
     """IVF-PQ similarity search (coarse cells + 16-byte ADC codes + exact
     shortlist re-rank — the canonical billion-scale ANN layout; see
-    similarity.ivf_pq_topk): per query only nprobe cells' code rows are
-    scored and at most |queries| x shortlist float vectors re-read.
+    similarity.ivf_pq_topk): the one-shot form now ALSO goes through the
+    cell-partitioned parquet index, so only probed cells' partitions are
+    read even here; at most |queries| x shortlist float vectors re-read.
     Approximate by design — rows-only; recall pytest-gated."""
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
@@ -4799,6 +4800,43 @@ def _q_ann_ivf_pq(sf_dir: str):
     res = F_sim.ivf_pq_topk(
         ds, "vec_id", "embedding", queries_m, k=_ANN_K,
         n_centroids=32, nprobe=16, m=16, ksub=256, shortlist=10 * _ANN_K,
+    )
+    res["rank"] = res.groupby("query_idx").cumcount() + 1
+    return res[["query_idx", "vec_id", "rank"]].astype("int64")
+
+
+def _q_ann_ivf_pq_indexed(sf_dir: str):
+    """IVF-PQ against the PERSISTED cell-partitioned index (round-4 scale
+    fix): build_ivf_pq_index writes (id, cell, 16-byte code) parquet
+    hive-partitioned by cell once per corpus; the query reads ONLY its
+    probed cells' partitions (directory pruning — the unprobed codes never
+    leave storage) and exact-re-ranks the shortlist from one
+    participant-pruned float pass. No SQL oracle — approximate by design;
+    recall + pruning pytest-gated."""
+    import os
+
+    from tesseract_recognize_ray.functions.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+    )
+
+    # cache key includes the source file's size+mtime: a regenerated corpus
+    # under the same path must NOT silently reuse the old index
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    idx_dir = (
+        f"/tmp/trr_ivfpq_index_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_size}_{int(st.st_mtime)}"
+    )
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
+    if not os.path.exists(os.path.join(idx_dir, "codebooks.npy")):
+        build_ivf_pq_index(
+            ds.materialize(), "vec_id", "embedding", idx_dir, n_centroids=32, m=16, ksub=256
+        )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
+    queries_m = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    res = ivf_pq_topk_indexed(
+        idx_dir, ds, "vec_id", "embedding", queries_m, k=_ANN_K, nprobe=16, shortlist=10 * _ANN_K
     )
     res["rank"] = res.groupby("query_idx").cumcount() + 1
     return res[["query_idx", "vec_id", "rank"]].astype("int64")
@@ -4929,6 +4967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_p90_approx": _q_user_value_p90_approx,
         "event_last_order_asof": _q_event_last_order_asof,
         "ann_ivf_pq": _q_ann_ivf_pq,
+        "ann_ivf_pq_indexed": _q_ann_ivf_pq_indexed,
         "zorder_pruned_events": _q_zorder_pruned_events,
         "label_intra_variance": _q_label_intra_variance,
         "label_between_variance": _q_label_between_variance,

@@ -713,29 +713,28 @@ def pq_topk_rerank(
     return brute_force_topk(pruned, id_col, vec_col, queries, k=k)
 
 
-def ivf_pq_topk(
+def build_ivf_pq_index(
     ds: Dataset,
     id_col: str,
     vec_col: str,
-    queries: np.ndarray,
-    k: int = 10,
+    out_dir: str,
     *,
     n_centroids: int = 32,
-    nprobe: int = 8,
     m: int = 16,
     ksub: int = 256,
-    shortlist: int = 100,
     seed: int = 42,
-) -> pd.DataFrame:
-    """IVF-PQ — the canonical billion-scale ANN layout (Jégou et al. 2011):
-    ONE encode pass assigns each vector a coarse cell (seeded sampled
-    centroids) and an m-byte PQ code; at query time each query probes its
-    nprobe nearest cells, the ADC scan scores ONLY rows in probed cells
-    (per-batch mask — at scale the codes table is partitioned by cell and
-    unprobed partitions are never read, as build_ivf_index does for raw
-    vectors), and an exact re-rank of the union shortlist restores
-    precision from one participant-pruned float pass. Returns
-    (query_idx, vec_id, cosine) like brute_force_topk."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Persist an IVF-PQ index — the canonical billion-scale ANN layout
+    (Jégou et al. 2011): ONE encode pass assigns each vector its nearest
+    coarse cell (seeded sampled centroids) and an m-byte PQ code, and writes
+    (id, cell, code) as parquet PARTITIONED BY CELL, plus the centroid and
+    codebook arrays. Queries (ivf_pq_topk_indexed) then read ONLY their
+    probed cells' partitions — directory-level pruning, so the unprobed
+    ~ (1 - nprobe/n_centroids) of the codes table is never scanned. The
+    index is m bytes + id per vector (16:1 vs float32x64 at defaults) and
+    is computed once per corpus, not per query run."""
+    import os
+
     cents = build_ivf_centroids(ds, vec_col, n_centroids, seed)
     books = train_pq_codebooks(ds, vec_col, m=m, ksub=ksub, seed=seed)
     cref = ray.put(cents)
@@ -752,13 +751,74 @@ def ivf_pq_topk(
             d2 = (x**2).sum(1)[:, None] - 2.0 * (x @ bk[s].T) + (bk[s] ** 2).sum(1)[None, :]
             codes[:, s] = d2.argmin(1).astype(np.uint8)
         return pd.DataFrame(
-            {id_col: b[id_col].to_numpy(), "cell": cell, "code": [c.tobytes() for c in codes]}
+            {
+                id_col: b[id_col].to_numpy(),
+                # cell twice: partition col (consumed by the writer's dir
+                # layout) + data col (survives a direct leaf-dir read)
+                "cell": cell,
+                "cell_id": cell,
+                "code": [c.tobytes() for c in codes],
+            }
         )
 
-    codes = ds.map_batches(encode, batch_format="pandas").materialize()
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(encode, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    np.save(os.path.join(out_dir, "codebooks.npy"), books)
+    return cents, books
 
+
+def ivf_pq_index_paths(index_dir: str, probe_set) -> list[str]:
+    """Resolve the parquet files of the probed cells only (directory-level
+    pruning — split out so tests can assert exactly which partitions a
+    probe set touches)."""
+    import glob
+    import os
+
+    return [
+        f
+        for c in sorted(set(int(c) for c in probe_set))
+        for f in sorted(glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+    ]
+
+
+def ivf_pq_topk_indexed(
+    index_dir: str,
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    nprobe: int = 8,
+    shortlist: int = 100,
+) -> pd.DataFrame:
+    """IVF-PQ query against a persisted build_ivf_pq_index: each query
+    probes its nprobe nearest cells, ONLY those cells' parquet partitions
+    are read (directory pruning — unprobed codes never leave storage), the
+    ADC table-lookup scan prunes each batch to a per-query shortlist, and
+    one participant-pruned exact pass over the float table re-ranks the
+    union shortlist — at most |queries| x shortlist full-precision vectors
+    are ever read. `ds` is the raw vector table used only for the re-rank.
+    Returns (query_idx, vec_id, cosine) like brute_force_topk."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .relational import _key_filter
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    m, ksub, dsub = books.shape
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe].astype(np.int32)
+    paths = ivf_pq_index_paths(index_dir, probes.ravel().tolist())
+    if not paths:
+        return pd.DataFrame({"query_idx": [], "vec_id": [], "cosine": []})
+
     tables = np.zeros((q.shape[0], m, ksub))
     for s in range(m):
         xq = q[:, s * dsub : (s + 1) * dsub]
@@ -770,10 +830,12 @@ def ivf_pq_topk(
     def scan(b: pd.DataFrame) -> pd.DataFrame:
         tabs, prb = ray.get(tref)
         ids = b[id_col].to_numpy()
-        cells = b["cell"].to_numpy()
+        cells = b["cell_id"].to_numpy().astype(np.int64)
         cm = np.frombuffer(b"".join(b["code"]), dtype=np.uint8).reshape(len(ids), m)
         rows = []
         for qi in range(tabs.shape[0]):
+            # a batch can mix several probed cells (different queries'
+            # probe sets) — mask to THIS query's cells
             mask = np.isin(cells, prb[qi])
             if not mask.any():
                 continue
@@ -789,17 +851,46 @@ def ivf_pq_topk(
             )
         return pd.concat(rows, ignore_index=True)
 
-    cand = codes.map_batches(scan, batch_format="pandas").to_pandas()
+    cand = rd.read_parquet(paths).map_batches(scan, batch_format="pandas").to_pandas()
     cand = cand.sort_values(["query_idx", "adist", "vec_id"], kind="mergesort")
     short = cand.groupby("query_idx", as_index=False).head(shortlist)
-
-    from .relational import _key_filter
-
-    import pyarrow as pa
-
     ids = pa.array(pd.unique(short["vec_id"]))
     pruned = _key_filter(ds, id_col, ray.put(ids), keep_matches=True)
     return brute_force_topk(pruned, id_col, vec_col, queries, k=k)
+
+
+def ivf_pq_topk(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 32,
+    nprobe: int = 8,
+    m: int = 16,
+    ksub: int = 256,
+    shortlist: int = 100,
+    seed: int = 42,
+    index_dir: str | None = None,
+) -> pd.DataFrame:
+    """One-shot IVF-PQ convenience: builds the cell-partitioned index
+    (build_ivf_pq_index) into `index_dir` (a fresh /tmp dir by default) and
+    queries it via ivf_pq_topk_indexed — so even the ad-hoc form never
+    full-scans the codes table; only probed cells' partitions are read.
+    Production callers should persist the index once and call the indexed
+    pair directly."""
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="trr_ivfpq_")
+    ds = ds.materialize()  # consumed by centroid sample, PQ train, encode, re-rank
+    build_ivf_pq_index(
+        ds, id_col, vec_col, index_dir, n_centroids=n_centroids, m=m, ksub=ksub, seed=seed
+    )
+    return ivf_pq_topk_indexed(
+        index_dir, ds, id_col, vec_col, queries, k=k, nprobe=nprobe, shortlist=shortlist
+    )
 
 
 def grouped_embedding_variance(

@@ -1,0 +1,73 @@
+"""Round-4 additions: persisted cell-partitioned IVF-PQ index (VERDICT r03
+"do this" #1) and related scale fixes."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+
+def _clustered_corpus(n_clusters=8, per=60, dim=32, seed=83):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 4.0
+    mat = np.repeat(centers, per, axis=0) + rng.normal(size=(n_clusters * per, dim)) * 0.3
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(mat), dtype=np.int64), "embedding": list(mat.astype(np.float32))}
+    )
+    return df, mat
+
+
+def test_ivf_pq_index_partition_pruning(ray_session, tmp_path):
+    """The persisted index is hive-partitioned by cell and a query's file
+    list contains ONLY probed cells' partitions — the round-3 full-code-scan
+    is gone."""
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    df, mat = _clustered_corpus()
+    ds = ray.data.from_pandas(df.copy()).repartition(6).materialize()
+    idx = str(tmp_path / "ivfpq")
+    F_sim.build_ivf_pq_index(ds, "vec_id", "embedding", idx, n_centroids=8, m=8, ksub=32)
+
+    cell_dirs = sorted(glob.glob(os.path.join(idx, "cell=*")))
+    assert len(cell_dirs) >= 4  # clustered data occupies several cells
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    assert os.path.exists(os.path.join(idx, "codebooks.npy"))
+
+    # probing 2 cells must touch exactly those partitions, no others
+    probe = [int(os.path.basename(d).split("=")[1]) for d in cell_dirs[:2]]
+    paths = F_sim.ivf_pq_index_paths(idx, probe)
+    assert paths, "probed partitions resolve to files"
+    touched_cells = {p.split("cell=")[1].split(os.sep)[0] for p in paths}
+    assert touched_cells == {str(c) for c in probe}
+    # and the index row count matches the corpus (single assignment)
+    total = sum(
+        len(pd.read_parquet(f)) for f in glob.glob(os.path.join(idx, "cell=*", "*.parquet"))
+    )
+    assert total == len(df)
+
+
+def test_ivf_pq_indexed_recall_and_determinism(ray_session, tmp_path):
+    """Indexed query ≥0.9 recall vs brute force on clustered data, and two
+    runs against the same persisted index are identical."""
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    df, mat = _clustered_corpus()
+    ds = ray.data.from_pandas(df.copy()).repartition(6).materialize()
+    idx = str(tmp_path / "ivfpq")
+    F_sim.build_ivf_pq_index(ds, "vec_id", "embedding", idx, n_centroids=8, m=8, ksub=32)
+    q = mat[:4].astype(np.float64)
+    exact = F_sim.brute_force_topk(ds, "vec_id", "embedding", q, k=10)
+    a1 = F_sim.ivf_pq_topk_indexed(idx, ds, "vec_id", "embedding", q, k=10, nprobe=3, shortlist=60)
+    a2 = F_sim.ivf_pq_topk_indexed(idx, ds, "vec_id", "embedding", q, k=10, nprobe=3, shortlist=60)
+    pd.testing.assert_frame_equal(a1, a2)
+    assert F_sim.ivf_recall(a1, exact, 10) >= 0.9
+    # probing every cell + shortlist >= corpus must reproduce exact top-k
+    full = F_sim.ivf_pq_topk_indexed(
+        idx, ds, "vec_id", "embedding", q, k=10, nprobe=8, shortlist=len(df)
+    )
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), exact.reset_index(drop=True)
+    )
