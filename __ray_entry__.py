@@ -4423,39 +4423,45 @@ def _q_q6_forecast_revenue(sf_dir: str):
 
 def _q_q16_supplier_variety(sf_dir: str):
     """TPC-H Q16 shape (supplier variety per part group, with supplier
-    exclusion): the exclusion list (negative account balance — the
-    'complaints' proxy) and the partkey -> (brand, size) map both collapse
-    to broadcasts; lineitem reduces to DISTINCT (brand, size, suppkey)
-    triples via the per-block distinct combiner, then a tiny grouped
-    count. No row-level join ever runs."""
+    exclusion): only the exclusion list (negative account balance — the
+    'complaints' proxy, a small FILTERED subset) is broadcast; the
+    partkey -> (brand, size) attach — `part` scales with the corpus, so a
+    broadcast map would ship GBs per worker at 100x — runs as a bucketed
+    co-shuffle join against the DISTINCT (partkey, suppkey) pairs (per-block
+    distinct combiner shrinks lineitem ~7x before the exchange), then a
+    second distinct collapses to (brand, size, suppkey) triples and a tiny
+    grouped count finishes."""
     import ray
 
-    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
     supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
-    excl = set(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].astype(int))
-    pmap_ref = ray.put(
-        (
-            part.set_index("p_partkey")["p_brand"],
-            part.set_index("p_partkey")["p_size"].astype("int64"),
-            np.sort(np.fromiter(excl, dtype=np.int64, count=len(excl))),
-        )
-    )
+    excl = supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].to_numpy(np.int64)
+    excl_ref = ray.put(np.sort(excl))
     line = F.load(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
 
-    def attach(b: pd.DataFrame) -> pd.DataFrame:
-        brand_s, size_s, excl_a = ray.get(pmap_ref)
-        keep = ~np.isin(b["l_suppkey"].to_numpy(np.int64), excl_a)
-        b = b[keep]
-        pk = b["l_partkey"]
-        return pd.DataFrame(
-            {
-                "p_brand": pk.map(brand_s).to_numpy(),
-                "p_size": pk.map(size_s).to_numpy(np.int64),
-                "l_suppkey": b["l_suppkey"].astype("int64"),
-            }
-        )
+    def drop_excluded(b: pa.Table) -> pa.Table:
+        keep = ~np.isin(b.column("l_suppkey").to_numpy(), ray.get(excl_ref))
+        return b.filter(pa.array(keep))
 
-    triples = F.distinct_on(line.map_batches(attach, batch_format="pandas"), ["p_brand", "p_size", "l_suppkey"])
+    pairs = F.distinct_on(
+        line.map_batches(drop_excluded, batch_format="pyarrow"), ["l_partkey", "l_suppkey"]
+    )
+    part = F.load(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    # explicit schemas: pairs' plan contains the distinct shuffle — letting
+    # bucket_join call .schema() would execute that upstream twice
+    joined = F.bucket_join(
+        pairs,
+        part,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        left_schema=pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())]),
+        right_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("p_brand", pa.string()), ("p_size", pa.int32())]
+        ),
+    )
+    triples = F.distinct_on(
+        joined.select_columns(["p_brand", "p_size", "l_suppkey"]),
+        ["p_brand", "p_size", "l_suppkey"],
+    )
     out = F.grouped_agg(
         triples, ["p_brand", "p_size"], [("l_suppkey", "count", "supplier_cnt")]
     ).to_pandas()
