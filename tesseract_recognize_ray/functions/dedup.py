@@ -795,9 +795,10 @@ def snm_dup_pairs(
 
     Scale shape: global order via sampled range partitioning
     (global_row_number — no single-node sort); the neighbor exchange ships
-    (ordinal, id, charset) x window where charset is the row's sorted
-    UNIQUE characters (bounded by the alphabet, never the text); each pair
-    forms exactly once, in its anchor ordinal's group."""
+    (ordinal, id, charset) x window where charset is the row's UTF-8 byte
+    set packed into a 256-bit mask (four int64 columns — fixed 32 B/row,
+    never the text), so pair similarity is two popcounts; each pair forms
+    exactly once, in its anchor ordinal's group."""
     from .relational import global_row_number
 
     def project(b: pa.Table) -> pa.Table:
@@ -811,36 +812,48 @@ def snm_dup_pairs(
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
+        cs_cols = [f"__c{i}" for i in range(4)]
         if n == 0:
             return pd.DataFrame(
                 {
                     "__t": pd.Series(dtype="int64"),
                     "__r": pd.Series(dtype="int64"),
                     id_col: pd.Series(dtype="object"),
-                    "__cs": pd.Series(dtype="object"),
+                    **{c: pd.Series(dtype="int64") for c in cs_cols},
                 }
             )
         # UTF-8 BYTE sets, not codepoints: DuckDB's jaccard() compares byte
-        # sets ('aé' vs 'aéz' -> 0.75), so multibyte text must match it
-        cs = np.array(
-            [bytes(sorted(set(t.encode("utf-8")))) for t in b[text_col].tolist()], dtype=object
-        )
+        # sets ('aé' vs 'aéz' -> 0.75), so multibyte text must match it.
+        # Each row's byte set is a packed 256-bit mask (4 int64 columns —
+        # fixed 32 B/row in the exchange, and jaccard becomes popcounts):
+        # built vectorized straight off the Arrow string buffer.
+        arr = pa.Array.from_pandas(b[text_col]).cast(pa.string())
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+        rix = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        pres = np.zeros((n, 256), dtype=bool)
+        pres[rix, data] = True
+        packed = np.packbits(pres, axis=1, bitorder="little").view(np.int64)  # (n, 4)
         r = b["__r"].to_numpy(np.int64)
         ids = b[id_col].to_numpy()
-        ts, rs, outid, outcs = [], [], [], []
+        ts, rs, outid = [], [], []
+        outcs: list[list[np.ndarray]] = [[] for _ in range(4)]
         for i in range(window):
             t = r - i  # row r participates in anchor groups r-(window-1)..r
             m = t >= 1
             ts.append(t[m])
             rs.append(r[m])
             outid.append(ids[m])
-            outcs.append(cs[m])
+            for j in range(4):
+                outcs[j].append(packed[m, j])
         return pd.DataFrame(
             {
                 "__t": np.concatenate(ts),
                 "__r": np.concatenate(rs),
                 id_col: np.concatenate(outid),
-                "__cs": np.concatenate(outcs),
+                **{c: np.concatenate(outcs[j]) for j, c in enumerate(cs_cols)},
             }
         )
 
@@ -850,13 +863,16 @@ def snm_dup_pairs(
         b["__bucket"] = stable_bucket(b["__t"], num_buckets)
         return b
 
+    _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__bucket")
-        anchors = g[g["__r"] == g["__t"]][["__t", id_col, "__cs"]].rename(
-            columns={id_col: "id_a", "__cs": "__cs_a"}
+        cs_cols = [f"__c{i}" for i in range(4)]
+        anchors = g[g["__r"] == g["__t"]][["__t", id_col, *cs_cols]].rename(
+            columns={id_col: "id_a", **{c: c + "_a" for c in cs_cols}}
         )
-        followers = g[g["__r"] != g["__t"]][["__t", "__r", id_col, "__cs"]].rename(
-            columns={id_col: "id_b", "__cs": "__cs_b"}
+        followers = g[g["__r"] != g["__t"]][["__t", "__r", id_col, *cs_cols]].rename(
+            columns={id_col: "id_b", **{c: c + "_b" for c in cs_cols}}
         )
         m = followers.merge(anchors, on="__t", how="inner").sort_values(
             ["__t", "__r"], kind="mergesort"
@@ -869,11 +885,12 @@ def snm_dup_pairs(
                     "jac": pd.Series(dtype="float64"),
                 }
             )
-        jac = np.empty(len(m), dtype=np.float64)
-        for i, (a, b_) in enumerate(zip(m["__cs_a"].tolist(), m["__cs_b"].tolist())):
-            sa, sb = set(a), set(b_)
-            jac[i] = len(sa & sb) / len(sa | sb)
-        jac = np.round(jac, round_digits)
+        # charset jaccard = popcount(a&b) / popcount(a|b) on the packed masks
+        a = np.column_stack([m[c + "_a"].to_numpy(np.int64) for c in cs_cols]).view(np.uint8)
+        b_ = np.column_stack([m[c + "_b"].to_numpy(np.int64) for c in cs_cols]).view(np.uint8)
+        inter = _POP[a & b_].sum(axis=1)
+        union = _POP[a | b_].sum(axis=1)
+        jac = np.round(inter / union, round_digits)
         keep = jac >= threshold
         return pd.DataFrame(
             {"id_a": m["id_a"].to_numpy()[keep], "id_b": m["id_b"].to_numpy()[keep], "jac": jac[keep]}
@@ -927,33 +944,49 @@ def prefix_filter_jaccard_pairs(
         raise ValueError("threshold must be in (0, 1]")
 
     def prefix_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        """(id, text) -> (shingle_hash, id, group) for PREFIX shingles only."""
-        out_h: list[np.ndarray] = []
-        out_id: list[np.ndarray] = []
-        ids = batch[id_col].to_numpy()
-        for i, text in enumerate(batch[text_col].tolist()):
-            toks = (text or "").split()
-            if len(toks) < shingle_w:
-                continue
-            sh = sorted({" ".join(toks[j : j + shingle_w]) for j in range(len(toks) - shingle_w + 1)})
-            n = len(sh)
-            p = n - int(np.ceil(threshold * n)) + 1
-            h = _text_hash64(sh[:p])
-            out_h.append(h)
-            out_id.append(np.repeat(ids[i : i + 1], p))
-        if not out_h:
-            return pd.DataFrame(
-                {
-                    "sh": pd.Series(dtype="int64"),
-                    "__id": pd.Series(dtype=batch[id_col].dtype),
-                    "__g": pd.Series(dtype="int32"),
-                }
-            )
-        h = np.concatenate(out_h)
+        """(id, text) -> (shingle_hash, id, group) for PREFIX shingles only.
+
+        Vectorized: one flat_ngrams pass shingles the whole batch in Arrow,
+        the per-doc distinct + lexical sort + prefix cut run as ONE
+        np.unique over (row, shingle-rank) composite keys (rank = position
+        in the batch-wide lexically sorted dictionary — the same total
+        order sorted() gave the per-doc loop), and blake2b runs once per
+        DISTINCT selected shingle (prefix shingles repeat across docs —
+        that is what blocking exploits), not once per (doc, shingle)."""
+        from .textstats import flat_ngrams
+
+        empty = pd.DataFrame(
+            {
+                "sh": pd.Series(dtype="int64"),
+                "__id": pd.Series(dtype=batch[id_col].dtype),
+                "__g": pd.Series(dtype="int32"),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        ngrams, row_idx = flat_ngrams(pa.array(batch[text_col], pa.string()), shingle_w)
+        if len(ngrams) == 0:
+            return empty
+        denc = ngrams.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        uniq = denc.dictionary.to_numpy(zero_copy_only=False)
+        order = np.argsort(uniq)  # lexical str order == sorted() in the old loop
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[order] = np.arange(len(uniq), dtype=np.int64)
+        key = np.unique(row_idx * np.int64(len(uniq)) + rank[codes])  # distinct, (row, rank)-sorted
+        rows = key // len(uniq)
+        rks = key % len(uniq)
+        grp_rows, counts = np.unique(rows, return_counts=True)
+        p = counts - np.ceil(threshold * counts).astype(np.int64) + 1
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        keep = (np.arange(len(key)) - np.repeat(starts, counts)) < np.repeat(p, counts)
+        sel_rows, sel_rks = rows[keep], rks[keep]
+        hit_rks, inv = np.unique(sel_rks, return_inverse=True)
+        h = _text_hash64(list(uniq[order][hit_rks]))[inv]
         return pd.DataFrame(
             {
                 "sh": h.view(np.int64),
-                "__id": np.concatenate(out_id),
+                "__id": batch[id_col].to_numpy()[sel_rows],
                 "__g": (h % np.uint64(num_groups)).astype(np.int32),
             }
         )
