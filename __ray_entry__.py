@@ -4934,6 +4934,535 @@ def _q_label_between_variance(sf_dir: str):
     ).sort_values("label").reset_index(drop=True)
 
 
+# ------------------------------------------------- round-4 oracled additions
+
+
+def _q_sliding_distinct_users(sf_dir: str):
+    """Sliding-window COUNT(DISTINCT): per event day, distinct users active
+    in the trailing 7 days (day + 6 before). SQL has no COUNT(DISTINCT)
+    OVER RANGE, so the distributed rewrite is expand-join: collapse to
+    distinct (day, user) pairs FIRST (combiner groupby — the x7 expansion
+    then works on |users x active-days| rows, not |events|), replicate each
+    pair to the <=7 window days it can serve (np.repeat map-side, pruned
+    against the tiny broadcast day set), then dedupe + count with two more
+    combiner groupbys. Only (int64, int64) pairs ever shuffle; window width
+    bounds the expansion factor independent of data size."""
+    import ray
+
+    ds = F.load(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()), 86_400_000_000)
+        return pa.table({"day_no": day, "user_id": b.column("user_id")})
+
+    du = F.grouped_agg(
+        ds.map_batches(to_day, batch_format="pyarrow"),
+        ["day_no", "user_id"],
+        [("user_id", "count", "__c")],
+    ).select_columns(["day_no", "user_id"]).materialize()
+
+    days = (
+        F.grouped_agg(du, ["day_no"], [("day_no", "count", "__c")])
+        .to_pandas()["day_no"]
+        .to_numpy(np.int64)
+    )
+    days_ref = ray.put(np.sort(days))
+
+    def expand(b: pa.Table) -> pa.Table:
+        dayset = ray.get(days_ref)
+        d = b.column("day_no").to_numpy(zero_copy_only=False)
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        tgt = (d[:, None] + np.arange(7, dtype=np.int64)[None, :]).ravel()
+        uu = np.repeat(u, 7)
+        keep = np.isin(tgt, dayset)
+        return pa.table(
+            {"day_no": pa.array(tgt[keep], pa.int64()), "user_id": pa.array(uu[keep], pa.int64())}
+        )
+
+    dedup = F.grouped_agg(
+        du.map_batches(expand, batch_format="pyarrow"),
+        ["day_no", "user_id"],
+        [("user_id", "count", "__c")],
+    )
+    return F.grouped_agg(dedup, ["day_no"], [("user_id", "count", "n_users")])
+
+
+def _q_type_audience_overlap(sf_dir: str):
+    """Audience-overlap (bitmap-intersection) matrix: for every unordered
+    pair of event types, how many distinct users did both, plus the union
+    size. The classic segment-overlap computation: collapse to the distinct
+    (user, type) bitmap rows with one combiner groupby, self-join on user
+    via the bucketed exchange (each user's <=|types| rows co-locate once),
+    count pairs, and attach per-type totals from a tiny driver map —
+    union = |A| + |B| - inter, no second shuffle."""
+    ds = F.load(sf_dir, "events", columns=["user_id", "event_type"])
+    du_schema = pa.schema({"user_id": pa.int64(), "event_type": pa.string()})
+    du = (
+        F.grouped_agg(ds, ["user_id", "event_type"], [("user_id", "count", "__c")])
+        .select_columns(["user_id", "event_type"])
+        .materialize()
+    )
+    joined = F.bucket_join(
+        du, du, on=("user_id",), left_schema=du_schema, right_schema=du_schema,
+        reduce_blocks=16,
+    )
+
+    def ordered(b: pa.Table) -> pa.Table:
+        m = pc.less(b.column("event_type"), b.column("event_type_r"))
+        f = b.filter(m)
+        return pa.table({"type_a": f.column("event_type"), "type_b": f.column("event_type_r")})
+
+    pairs = F.grouped_agg(
+        joined.map_batches(ordered, batch_format="pyarrow"),
+        ["type_a", "type_b"],
+        [("type_a", "count", "inter_users")],
+        reduce_blocks=8,
+    )
+    tot = F.grouped_agg(du, ["event_type"], [("user_id", "count", "n")]).to_pandas()
+    sizes = dict(zip(tot["event_type"], tot["n"].astype("int64")))
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        na = b["type_a"].map(sizes).astype("int64")
+        nb = b["type_b"].map(sizes).astype("int64")
+        b["union_users"] = na + nb - b["inter_users"].astype("int64")
+        return b
+
+    return pairs.map_batches(attach, batch_format="pandas")
+
+
+_Q4_LO, _Q4_HI = "1997-07-01", "1997-10-01"
+
+
+def _q_q4_order_priority(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS rewrite: orders in a quarter that have at
+    least one lineitem shipped after the order date, counted by priority.
+    EXISTS(l_shipdate > o_orderdate) folds to MAX(l_shipdate) per order
+    (combiner groupby over lineitem — one row per orderkey enters the
+    join), bucketed join against the scan-pruned quarter of orders, then a
+    5-row count. No row-level semi-join traffic."""
+    lo = pa.scalar(np.datetime64(_Q4_LO, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(_Q4_HI, "us"), pa.timestamp("us"))
+    orders = F.load(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    )
+    li = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    mx = F.grouped_agg(li, ["l_orderkey"], [("l_shipdate", "max", "max_ship")])
+    joined = F.bucket_join(
+        orders,
+        mx,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+        left_schema=pa.schema(
+            {
+                "o_orderkey": pa.int64(),
+                "o_orderdate": pa.timestamp("us"),
+                "o_orderpriority": pa.string(),
+            }
+        ),
+        right_schema=pa.schema({"l_orderkey": pa.int64(), "max_ship": pa.timestamp("us")}),
+    )
+
+    def late(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("max_ship"), b.column("o_orderdate")))
+
+    return F.grouped_agg(
+        joined.map_batches(late, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("o_orderkey", "count", "order_count")],
+        reduce_blocks=4,
+    )
+
+
+_Q21_LATE_US = 60 * 86_400_000_000  # ship > orderdate + 60 days = "late"
+
+
+def _q_q21_waiting_suppliers(sf_dir: str):
+    """TPC-H-Q21-shaped blame assignment (adapted to this schema: "late" =
+    shipped >60 days after the order date, status-F orders): suppliers who
+    were the ONLY late supplier on a multi-supplier order. Three combiner
+    groupbys, no per-group Python: (order, supp) -> any_late, then per
+    order count/late-count plus SUM(suppkey*late) — when exactly one
+    supplier is late that sum IS its key, so the single-late filter and the
+    blame attach need no extra join — then count per supplier, name attach
+    via a reducer-sized bucketed join, top 20."""
+    orders = F.load(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_orderdate"],
+        filter=pc.field("o_orderstatus") == "F",
+    )
+    li = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    joined = F.bucket_join(
+        li,
+        orders,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        left_schema=pa.schema(
+            {"l_orderkey": pa.int64(), "l_suppkey": pa.int64(), "l_shipdate": pa.timestamp("us")}
+        ),
+        right_schema=pa.schema({"o_orderkey": pa.int64(), "o_orderdate": pa.timestamp("us")}),
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b.column("l_shipdate"), pa.int64())
+        od = pc.cast(b.column("o_orderdate"), pa.int64())
+        late = pc.greater(ship, pc.add(od, _Q21_LATE_US))
+        return pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "late": late,
+            }
+        )
+
+    per_supp = F.grouped_agg(
+        joined.map_batches(flag, batch_format="pyarrow"),
+        ["o_orderkey", "l_suppkey"],
+        [("late", "any", "late")],
+    )
+
+    def widen(b: pa.Table) -> pa.Table:
+        li_ = pc.cast(b.column("late"), pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "late_i": li_,
+                "supp_late": pc.multiply(b.column("l_suppkey"), li_),
+            }
+        )
+
+    per_order = F.grouped_agg(
+        per_supp.map_batches(widen, batch_format="pyarrow"),
+        ["o_orderkey"],
+        [("late_i", "count", "n_supp"), ("late_i", "sum", "n_late"), ("supp_late", "sum", "supp_late")],
+    )
+
+    def blame(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("n_supp"), 2), pc.equal(b.column("n_late"), 1))
+        return pa.table({"s_suppkey": b.filter(m).column("supp_late")})
+
+    counts = F.grouped_agg(
+        per_order.map_batches(blame, batch_format="pyarrow"),
+        ["s_suppkey"],
+        [("s_suppkey", "count", "numwait")],
+        reduce_blocks=8,
+    )
+    named = F.bucket_join(
+        counts,
+        F.load(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        on=("s_suppkey",),
+        left_schema=pa.schema({"s_suppkey": pa.int64(), "numwait": pa.int64()}),
+        right_schema=pa.schema({"s_suppkey": pa.int64(), "s_name": pa.string()}),
+        reduce_blocks=8,
+    )
+    return F.topk(named, "numwait", 20, descending=True, tiebreak=["s_name"]).select_columns(
+        ["s_name", "numwait"]
+    )
+
+
+_Q22_CUTOFF = "2000-01-01"
+
+
+def _q_q22_idle_customers(sf_dir: str):
+    """TPC-H-Q22-shaped global-scalar + anti-join: per nation, count and
+    total balance of above-average-balance customers with NO order since
+    the cutoff. The global average is compared EXACTLY as integers
+    (cents * n > sum_cents — no float threshold can flip a boundary row),
+    the recent-buyer key set folds to one row per custkey map-side before
+    the bucketed LEFT join, and the null-marker filter is the anti-join."""
+    cust = F.load(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents_partial(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("c_acctbal"), 100.0)), pa.int64())
+        pos = pc.filter(c, pc.greater(c, 0))
+        s = pc.sum(pos).as_py() or 0
+        return pa.table({"n": pa.array([len(pos)], pa.int64()), "s": pa.array([s], pa.int64())})
+
+    scal = cust.map_batches(cents_partial, batch_format="pyarrow").to_pandas()
+    n_pos, sum_pos = int(scal["n"].sum()), int(scal["s"].sum())
+
+    cutoff = pa.scalar(np.datetime64(_Q22_CUTOFF, "us"), pa.timestamp("us"))
+    recent = F.grouped_agg(
+        F.load(sf_dir, "orders", columns=["o_custkey"], filter=pc.field("o_orderdate") >= cutoff),
+        ["o_custkey"],
+        [("o_custkey", "count", "__has")],
+    )
+
+    def rich(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("c_acctbal"), 100.0)), pa.int64())
+        m = pc.greater(pc.multiply(c, n_pos), sum_pos)
+        f = b.filter(m)
+        cf = pc.filter(c, m)
+        return pa.table(
+            {
+                "c_custkey": f.column("c_custkey"),
+                "c_nationkey": pc.cast(f.column("c_nationkey"), pa.int64()),
+                "cents": cf,
+            }
+        )
+
+    joined = F.bucket_join(
+        cust.map_batches(rich, batch_format="pyarrow"),
+        recent,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        how="left",
+        left_schema=pa.schema(
+            {"c_custkey": pa.int64(), "c_nationkey": pa.int64(), "cents": pa.int64()}
+        ),
+        right_schema=pa.schema({"o_custkey": pa.int64(), "__has": pa.int64()}),
+    )
+
+    def anti(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_null(b.column("__has")))
+
+    agg = F.grouped_agg(
+        joined.map_batches(anti, batch_format="pyarrow"),
+        ["c_nationkey"],
+        [("c_custkey", "count", "numcust"), ("cents", "sum", "totacctbal_cents")],
+        reduce_blocks=4,
+    )
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation["n_nationkey"] = nation["n_nationkey"].astype("int64")
+    out = F.broadcast_lookup_join(agg, nation, "c_nationkey", "n_nationkey")
+    return out.select_columns(["n_name", "numcust", "totacctbal_cents"])
+
+
+def _q_user_type_bitmask(sf_dir: str):
+    """Per-user event-type bitmask (SQL bit_or rewrite): types get dense
+    bit positions by lexicographic rank (tiny driver-collected enum), each
+    event maps to its power-of-two mask, and because distinct powers of two
+    OR to their sum, bit_or folds to dedupe-then-SUM — two combiner
+    groupbys, no bit_or kernel needed anywhere in the reduce."""
+    ds = F.load(sf_dir, "events", columns=["user_id", "event_type"])
+    types = sorted(
+        F.grouped_agg(ds, ["event_type"], [("event_type", "count", "__c")])
+        .to_pandas()["event_type"]
+        .tolist()
+    )
+    masks = {t: 1 << i for i, t in enumerate(types)}
+
+    def to_mask(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": b["user_id"], "mask": b["event_type"].map(masks).astype("int64")}
+        )
+
+    dm = F.grouped_agg(
+        ds.map_batches(to_mask, batch_format="pandas"),
+        ["user_id", "mask"],
+        [("mask", "count", "__c")],
+    )
+    return F.grouped_agg(dm, ["user_id"], [("mask", "sum", "type_mask")])
+
+
+def _q_geomean_value_by_type(sf_dir: str):
+    """Per-type geometric mean (e6-rounded): the multiplicative aggregate
+    SQL writes as EXP(SUM(LN(x))/COUNT(*)) — the product itself would
+    under/overflow, the log-sum is an ordinary mergeable partial. One
+    combiner groupby ships (sum_ln, count) per type; values are strictly
+    positive in this schema (min 0.01)."""
+    ds = F.load(sf_dir, "events", columns=["event_type", "value"])
+
+    def lns(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"), "lnv": pc.ln(b.column("value"))})
+
+    agg = F.grouped_agg(
+        ds.map_batches(lns, batch_format="pyarrow"),
+        ["event_type"],
+        [("lnv", "sum", "s"), ("lnv", "count", "n")],
+        reduce_blocks=4,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        g = pc.exp(pc.divide(b.column("s"), pc.cast(b.column("n"), pa.float64())))
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "geomean_e6": pc.cast(pc.round(pc.multiply(g, 1e6)), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_user_path_string(sf_dir: str):
+    """Per-user behavioral path: event types concatenated in (ts, event_id)
+    order — SQL string_agg(... ORDER BY ...). The sequence-assembly shape
+    of session modeling / trajectory mining: one bucketed shuffle
+    co-locates each user whole, one mergesort per bucket orders every group
+    at once. Only (user_id, type, ts, event_id) rows move."""
+    ds = F.load(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+    out = F.grouped_string_agg(
+        ds, "user_id", "event_type", sep=">", order_cols=["ts", "event_id"], out_col="path"
+    )
+    return out.select_columns(["user_id", "path"])
+
+
+def _q_doc_ttr(sf_dir: str):
+    """Per-document type-token ratio (lexical diversity — the standard
+    cheap quality signal next to doc_repetition): distinct whitespace
+    tokens / total tokens, e6-FLOOR so both engines compare integers
+    (floor division is exact; ROUND of a float ratio could straddle .5).
+    Each document is one row, so the whole computation is per-batch
+    pyarrow group_bys — zero shuffle at any scale."""
+    from tesseract_recognize_ray.functions.textstats import _ws_token_lists
+
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+
+    def fn(b: pa.Table) -> pa.Table:
+        lists = _ws_token_lists(b.column("text"))
+        off = np.asarray(lists.offsets, dtype=np.int64)
+        off = off - off[0]
+        n_tok = np.diff(off)
+        row_idx = np.repeat(np.arange(len(lists), dtype=np.int64), n_tok)
+        pairs = pa.table({"r": pa.array(row_idx), "tok": lists.flatten()}).group_by(
+            ["r", "tok"]
+        ).aggregate([])
+        dcnt = pairs.group_by("r").aggregate([("tok", "count")])
+        nd = np.zeros(len(lists), np.int64)
+        nd[dcnt.column("r").to_numpy()] = dcnt.column("tok_count").to_numpy()
+        keep = n_tok > 0
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").filter(mask),
+                "n_distinct": pa.array(nd[keep], pa.int64()),
+                "n_tokens": pa.array(n_tok[keep], pa.int64()),
+                "ttr_e6": pa.array(nd[keep] * 1_000_000 // n_tok[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_wavg_discount_by_brand(sf_dir: str):
+    """Weighted average discount per brand (weight = extended price), as
+    exact integer arithmetic end-to-end: lineitem folds to
+    (sum cents*disc_pct, sum cents) per PARTKEY map-side — the join then
+    moves one row per part, not per lineitem — bucketed join to part for
+    the brand, second combiner groupby, e6 floor division. (At extreme
+    per-brand volumes the e6 scale-up would need a float or split fold;
+    int64 holds through ~1e14 cents per brand.)"""
+    li = F.load(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "num": pc.multiply(cents, disc),
+                "den": cents,
+            }
+        )
+
+    per_part = F.grouped_agg(
+        li.map_batches(fold, batch_format="pyarrow"),
+        ["l_partkey"],
+        [("num", "sum", "num"), ("den", "sum", "den")],
+    )
+    joined = F.bucket_join(
+        per_part,
+        F.load(sf_dir, "part", columns=["p_partkey", "p_brand"]),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        left_schema=pa.schema({"l_partkey": pa.int64(), "num": pa.int64(), "den": pa.int64()}),
+        right_schema=pa.schema({"p_partkey": pa.int64(), "p_brand": pa.string()}),
+    )
+    agg = F.grouped_agg(
+        joined, ["p_brand"], [("num", "sum", "num"), ("den", "sum", "den")], reduce_blocks=4
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        # floor division on int64: exact on both engines, no float ratio
+        w = pc.divide(pc.multiply(b.column("num"), 10_000), b.column("den"))
+        return pa.table({"p_brand": b.column("p_brand"), "wavg_disc_e6": w})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_NEVER_DISC = 0.08
+
+
+def _q_parts_never_discounted(sf_dir: str):
+    """Anti-join where the build side is DATA-sized (unlike the broadcast
+    anti of anti_join_customers): parts that never sold at a deep discount.
+    The deep-discount partkeys fold to one row per key map-side (combiner
+    distinct), the bucketed LEFT join co-locates each key once, and the
+    null marker is the NOT EXISTS."""
+    part = F.load(sf_dir, "part", columns=["p_partkey", "p_name"])
+    disc = F.grouped_agg(
+        F.load(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey"],
+            filter=pc.field("l_discount") > _NEVER_DISC,
+        ),
+        ["l_partkey"],
+        [("l_partkey", "count", "__has")],
+    )
+    joined = F.bucket_join(
+        part,
+        disc,
+        on=("p_partkey",),
+        right_on=("l_partkey",),
+        how="left",
+        left_schema=pa.schema({"p_partkey": pa.int64(), "p_name": pa.string()}),
+        right_schema=pa.schema({"l_partkey": pa.int64(), "__has": pa.int64()}),
+    )
+
+    def anti(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_null(b.column("__has")))
+        return pa.table({"p_partkey": f.column("p_partkey"), "p_name": f.column("p_name")})
+
+    return joined.map_batches(anti, batch_format="pyarrow")
+
+
+def _q_order_share_of_customer(sf_dir: str):
+    """Ratio-to-group-total window (share_e6 = order / customer total,
+    e6 floor): the per-row window SQL writes as SUM() OVER (PARTITION BY)
+    rewrites to a combiner groupby producing one total per customer plus a
+    bucketed join back — the totals side is |customers|, not |orders|, and
+    integer floor division keeps both engines bit-identical."""
+    orders = F.load(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "cents": pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64()),
+            }
+        )
+
+    oc = orders.map_batches(cents, batch_format="pyarrow")
+    tot = F.grouped_agg(oc, ["o_custkey"], [("cents", "sum", "tot")])
+    joined = F.bucket_join(
+        oc,
+        tot,
+        on=("o_custkey",),
+        left_schema=pa.schema(
+            {"o_orderkey": pa.int64(), "o_custkey": pa.int64(), "cents": pa.int64()}
+        ),
+        right_schema=pa.schema({"o_custkey": pa.int64(), "tot": pa.int64()}),
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        share = pc.divide(pc.multiply(b.column("cents"), 1_000_000), b.column("tot"))
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "share_e6": share,
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -5124,6 +5653,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_kcore": _q_part_kcore,
         "supplier_communities": _q_supplier_communities,
         "user_hourly_fill": _q_user_hourly_fill,
+        "sliding_distinct_users": _q_sliding_distinct_users,
+        "type_audience_overlap": _q_type_audience_overlap,
+        "q4_order_priority": _q_q4_order_priority,
+        "q21_waiting_suppliers": _q_q21_waiting_suppliers,
+        "q22_idle_customers": _q_q22_idle_customers,
+        "user_type_bitmask": _q_user_type_bitmask,
+        "geomean_value_by_type": _q_geomean_value_by_type,
+        "user_path_string": _q_user_path_string,
+        "doc_ttr": _q_doc_ttr,
+        "wavg_discount_by_brand": _q_wavg_discount_by_brand,
+        "parts_never_discounted": _q_parts_never_discounted,
+        "order_share_of_customer": _q_order_share_of_customer,
     }
 
 
@@ -6956,5 +7497,140 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(w.c, 0) AS BIGINT) AS cents,
                    CAST(COALESCE(w.n, 0) AS BIGINT) AS n_events
             FROM g LEFT JOIN w USING (user_id, hour_win)
+        """,
+        "sliding_distinct_users": """
+            WITH du AS (
+                SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_no, user_id FROM events
+            )
+            SELECT d.day_no, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
+            FROM (SELECT DISTINCT day_no FROM du) d
+            JOIN du u ON u.day_no BETWEEN d.day_no - 6 AND d.day_no
+            GROUP BY d.day_no
+        """,
+        "type_audience_overlap": """
+            WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+            pairs AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       COUNT(*) AS inter_users
+                FROM du a JOIN du b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            ),
+            tot AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type)
+            SELECT type_a, type_b, CAST(inter_users AS BIGINT) AS inter_users,
+                   CAST(ta.n + tb.n - inter_users AS BIGINT) AS union_users
+            FROM pairs
+            JOIN tot ta ON ta.event_type = type_a
+            JOIN tot tb ON tb.event_type = type_b
+        """,
+        "q4_order_priority": f"""
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '{_Q4_LO}'
+              AND o_orderdate <  TIMESTAMP '{_Q4_HI}'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q21_waiting_suppliers": f"""
+            WITH lf AS (
+                SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ),
+            ps AS (
+                SELECT l_orderkey AS okey, l_suppkey AS skey,
+                       MAX(CASE WHEN epoch_us(l_shipdate)
+                                   > epoch_us(o_orderdate) + {_Q21_LATE_US}
+                                THEN 1 ELSE 0 END) AS late
+                FROM lf GROUP BY 1, 2
+            ),
+            po AS (
+                SELECT okey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+                       SUM(skey * late) AS supp_late
+                FROM ps GROUP BY okey
+            )
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM po JOIN supplier ON s_suppkey = supp_late
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC LIMIT 20
+        """,
+        "q22_idle_customers": f"""
+            WITH s AS (
+                SELECT COUNT(*) AS n, SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sc
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS totacctbal_cents
+            FROM customer, nation, s
+            WHERE c_nationkey = n_nationkey
+              AND CAST(ROUND(c_acctbal * 100) AS BIGINT) * s.n > s.sc
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+            GROUP BY n_name
+        """,
+        "user_type_bitmask": """
+            WITH t AS (
+                SELECT event_type,
+                       row_number() OVER (ORDER BY event_type) - 1 AS idx
+                FROM (SELECT DISTINCT event_type FROM events)
+            ),
+            dm AS (
+                SELECT DISTINCT user_id, (CAST(1 AS BIGINT) << idx) AS mask
+                FROM events JOIN t USING (event_type)
+            )
+            SELECT user_id, CAST(SUM(mask) AS BIGINT) AS type_mask
+            FROM dm GROUP BY user_id
+        """,
+        "geomean_value_by_type": """
+            SELECT event_type,
+                   CAST(ROUND(EXP(SUM(LN(value)) / COUNT(*)) * 1e6) AS BIGINT) AS geomean_e6
+            FROM events GROUP BY event_type
+        """,
+        "user_path_string": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id
+        """,
+        "doc_ttr": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT tok) * 1000000 // COUNT(*) AS BIGINT) AS ttr_e6
+            FROM toks GROUP BY doc_id
+        """,
+        "wavg_discount_by_brand": """
+            WITH pre AS (
+                SELECT l_partkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * CAST(ROUND(l_discount * 100) AS BIGINT)) AS num,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS den
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT p_brand, CAST(SUM(num) * 10000 // SUM(den) AS BIGINT) AS wavg_disc_e6
+            FROM pre JOIN part ON p_partkey = l_partkey
+            GROUP BY p_brand
+        """,
+        "parts_never_discounted": f"""
+            SELECT p_partkey, p_name
+            FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_partkey = p_partkey
+                                AND l_discount > {_NEVER_DISC})
+        """,
+        "order_share_of_customer": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000
+                        // SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           OVER (PARTITION BY o_custkey) AS BIGINT) AS share_e6
+            FROM orders
         """,
     }
