@@ -197,10 +197,12 @@ def _scaling_docs(sf_dir: str) -> int:
 def _cfg(cpus: int):
     from tesseract_recognize_ray.config import PipelineConfig
 
-    # assemble_coalesce=16: the bench span stream is ~7 MB over 150 blocks —
-    # reducer-sized (see config.py sizing note; same-host A/B 8.0-9.6s vs
+    # assemble_coalesce stays at the None default: the auto rule
+    # (pipelines.extract.auto_assemble_coalesce) derives 16 from the ~7 MB
+    # bench span stream — the bench now exercises the same path a user's
+    # default config takes (same-host A/B of 16 vs off: 8.0-9.6s vs
     # 13.8-14.1s at 6k docs / 32 CPUs)
-    return PipelineConfig(recognize_concurrency=_pool(cpus), decode_batch_size=16, assemble_coalesce=16)
+    return PipelineConfig(recognize_concurrency=_pool(cpus), decode_batch_size=16)
 
 
 def run_flagship(sf_dir: str, num_cpus: int, repeats: int = 1, n_docs: int | None = None) -> dict:

@@ -44,11 +44,13 @@ class PipelineConfig:
     # Pre-shuffle coalesce for the reassembly exchange: sort-exchange cost in
     # Ray 2.49 scales with INPUT BLOCK COUNT, not bytes, and the span stream
     # (text rows, no pixels) is tiny relative to its block count after the
-    # union. None = no coalesce (the scale-safe default). Set ONLY when the
-    # span stream is known reducer-sized: right-size to ~bytes/256MB blocks —
-    # at 100 TB the span stream is ~corpus-text-sized and must NOT be forced
-    # through 16 blocks (same growth rule as grouped_agg's reduce_blocks).
-    # Measured same-host A/B (6k docs, 32 CPUs): 16 -> 8.0-9.6s vs None ->
+    # union. None = AUTO: derived from the docs-file byte estimate by
+    # pipelines.extract.auto_assemble_coalesce (16 blocks for small streams,
+    # ~256 MB/block beyond, disabled above 64 GB or when the estimate is
+    # unavailable — at 100 TB the span stream is ~corpus-text-sized and must
+    # NOT be forced through few blocks, same growth rule as grouped_agg's
+    # reduce_blocks). 0 = never coalesce; an int pins the width.
+    # Measured same-host A/B (6k docs, 32 CPUs): 16 -> 8.0-9.6s vs off ->
     # 13.8-14.1s wall.
     assemble_coalesce: int | None = None
     quarantine: bool = False  # poison-row quarantine: bad media -> error row

@@ -140,6 +140,25 @@ def attach_doc_order(rec: Dataset, media_map: Dataset, cfg: PipelineConfig, stra
     return rec.map_batches(lookup, batch_format="pyarrow")
 
 
+_COALESCE_BLOCK_BYTES = 256 << 20  # target exchange-input block size
+_COALESCE_CAP_BYTES = 64 << 30  # above this the stream is already big-block
+
+
+def auto_assemble_coalesce(est_bytes: int) -> int | None:
+    """Derive the reassembly-exchange coalesce width from a byte estimate of
+    the span stream (docs-file size is a safe over-estimate: spans are the
+    docs' text plus recognized lines, never pixels). The exchange cost in
+    Ray 2.49 scales with INPUT BLOCK COUNT, not bytes (config.py sizing
+    note; measured 13.8s -> 8.0s at 6k docs / 32 CPUs when 100+ tiny
+    post-union blocks coalesce to 16), so small streams coalesce to 16
+    blocks and larger ones to ~256 MB each. Unknown (<=0) or huge (>64 GB)
+    estimates return None — no coalesce, the scale-safe default: forcing a
+    100 TB span stream through few blocks would OOM the exchange."""
+    if est_bytes <= 0 or est_bytes > _COALESCE_CAP_BYTES:
+        return None
+    return max(16, -(-est_bytes // _COALESCE_BLOCK_BYTES))
+
+
 def _assemble_tail(docs: Dataset, rec: Dataset, cfg: PipelineConfig, join_strategy: str) -> Dataset:
     """Shared pipeline tail: doc-order attach (J1) -> union with untouched
     text spans -> bucketed reassembly shuffle (G3)."""
@@ -153,10 +172,33 @@ def _assemble_tail(docs: Dataset, rec: Dataset, cfg: PipelineConfig, join_strate
     # vectorized assemble per bucket (amortizes per-group overhead ~1000x vs
     # groupby(doc_id); same correctness — all rows of a doc share a bucket)
     bucketed = all_spans.map_batches(add_doc_bucket(cfg.assemble_buckets), batch_format="pyarrow")
-    if cfg.assemble_coalesce:
+    coalesce = cfg.assemble_coalesce
+    if coalesce is None:
+        # auto-size from the docs-file byte estimate (same no-execution gate
+        # as attach_doc_order's strategy pick); non-file inputs -> est 0 ->
+        # no coalesce. CPU gate: the Repartition is one more all-to-all
+        # operator in the plan, and on a tiny session (4 CPUs) Ray 2.49's
+        # per-operator resource reservation can then leave the recognize
+        # actor pool permanently pending (observed: invariance-test plan
+        # with 2 RandomShuffles + Repartition + Sort deadlocks at 4 CPUs,
+        # runs clean at 8+). The coalesce is a perf knob, never worth a
+        # scheduling risk on small sessions.
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+        except Exception:
+            cpus = 0
+        if cpus >= 8:
+            try:
+                est = sum(os.path.getsize(f) for f in docs.input_files())
+            except Exception:
+                est = 0
+            coalesce = auto_assemble_coalesce(est)
+        else:
+            coalesce = 0
+    if coalesce:
         # see config.assemble_coalesce: exchange cost ~ input block count;
-        # only set when the span stream is known reducer-sized
-        bucketed = bucketed.repartition(cfg.assemble_coalesce)
+        # only when the span stream is known reducer-sized
+        bucketed = bucketed.repartition(coalesce)
     return bucketed.groupby("__bucket").map_groups(assemble_bucket, batch_format="pandas")
 
 

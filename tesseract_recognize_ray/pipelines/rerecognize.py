@@ -382,7 +382,21 @@ def rerecognize_inplace(
         .groupby("__bucket")
         .map_groups(pack, batch_format="pandas")
     )
-    joined = xml_ds.join(
-        packed, join_type="left_outer", num_partitions=cfg.join_partitions, on=("doc_id",)
+    # 1:1 left attach via the bucketed exchange, not Dataset.join: the acero
+    # join spawns one aggregator actor per partition (~2s fixed at this
+    # scale) plus a ~15s first-join session warmup — dominant costs for a
+    # one-row-per-doc join (measured: rerecognize_inplace contract entry
+    # 9.7s -> see BASELINE.md round-4 profile)
+    from ..functions.relational import bucket_join
+
+    str_pair = pa.schema({"doc_id": pa.string(), "xml": pa.string()})
+    joined = bucket_join(
+        xml_ds,
+        packed,
+        on=("doc_id",),
+        how="left",
+        num_buckets=cfg.join_partitions,
+        left_schema=str_pair,
+        right_schema=pa.schema({"doc_id": pa.string(), "results_json": pa.string()}),
     )
     return joined.map_batches(_patch_xml(level), batch_format="pandas")

@@ -71,3 +71,18 @@ def test_ivf_pq_indexed_recall_and_determinism(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         full.reset_index(drop=True), exact.reset_index(drop=True)
     )
+
+
+def test_auto_assemble_coalesce_rule():
+    """Auto-derived reassembly coalesce: 16 blocks for small span streams,
+    ~256 MB/block growth, disabled for unknown or huge estimates."""
+    from tesseract_recognize_ray.pipelines.extract import auto_assemble_coalesce
+
+    MB, GB = 1 << 20, 1 << 30
+    assert auto_assemble_coalesce(7 * MB) == 16  # bench-sized stream
+    assert auto_assemble_coalesce(4 * GB) == 16  # ceil(4G/256M)=16
+    assert auto_assemble_coalesce(8 * GB) == 32  # grows with bytes
+    assert auto_assemble_coalesce(64 * GB) == 256  # cap boundary included
+    assert auto_assemble_coalesce(64 * GB + 1) is None  # huge: never force
+    assert auto_assemble_coalesce(0) is None  # unknown: scale-safe off
+    assert auto_assemble_coalesce(-5) is None
