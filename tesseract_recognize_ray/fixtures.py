@@ -224,7 +224,14 @@ def build_tables(
               lossless-for-binarization on the bilevel glyph pages, so
               golden spans still hold), multi-page as TIFF (JPEG has no
               page chain);
-      "mixed" deterministic per-media rng choice among the four.
+      "jpeg_progressive"  like "jpeg" but SOF2 progressive scans (drawn
+              mode + drawn restart interval), exercising the Annex-G
+              DC/AC first+refine decode paths end-to-end;
+      "png_adam7"  like "png" but Adam7-interlaced;
+      "tiff_lzw"  TIFF with drawn compression (LZW / Deflate / PackBits),
+              drawn predictor-2 differencing and drawn multi-strip layout;
+      "mixed" deterministic per-media rng choice among the four
+              single-draw encodings (raw/png/tiff/jpeg).
     Decode dispatch is on magic bytes (imagecodecs.iter_page_images), so
     golden spans are encoding-independent."""
     doc_ids: list[str] = []
@@ -288,26 +295,45 @@ def build_tables(
                 if enc == "mixed":  # rng draw only on non-raw corpora: keeps
                     # the default corpora byte-identical to pre-codec rounds
                     enc = ("raw", "png", "tiff", "jpeg")[int(rng.integers(0, 4))]
-                if enc == "jpeg":
+                if enc in ("jpeg", "jpeg_progressive"):
                     if n_pages == 1:
                         from tesseract_recognize_ray.jpegcodec import encode_jpeg_gray
 
                         mode = ("gray", "ycbcr444", "ycbcr420")[int(rng.integers(0, 3))]
-                        payload = encode_jpeg_gray(page_imgs[0], quality=95, mode=mode)
+                        if enc == "jpeg_progressive":
+                            ri = (0, 2, 5)[int(rng.integers(0, 3))]
+                            payload = encode_jpeg_gray(
+                                page_imgs[0], quality=95, mode=mode,
+                                progressive=True, restart_interval=ri,
+                            )
+                        else:
+                            payload = encode_jpeg_gray(page_imgs[0], quality=95, mode=mode)
                     else:
                         from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
 
                         payload = encode_tiff_gray(page_imgs)
-                elif enc == "png":
+                elif enc in ("png", "png_adam7"):
                     from tesseract_recognize_ray.imagecodecs import encode_png_gray, encode_tiff_gray
 
                     payload = (
-                        encode_png_gray(page_imgs[0]) if n_pages == 1 else encode_tiff_gray(page_imgs)
+                        encode_png_gray(page_imgs[0], interlace=enc == "png_adam7")
+                        if n_pages == 1
+                        else encode_tiff_gray(page_imgs)
                     )
                 elif enc == "tiff":
                     from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
 
                     payload = encode_tiff_gray(page_imgs)
+                elif enc == "tiff_lzw":
+                    from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
+
+                    comp = (5, 8, 32773)[int(rng.integers(0, 3))]
+                    payload = encode_tiff_gray(
+                        page_imgs,
+                        compression=comp,
+                        predictor=2 if comp in (5, 8) and rng.random() < 0.5 else 1,
+                        rows_per_strip=(None, 16)[int(rng.integers(0, 2))],
+                    )
                 else:
                     payload = b"".join(blobs)
                 media_rows["media_ref"].append(media_ref)

@@ -9,23 +9,28 @@ implementations of the two formats a scanned-document corpus actually uses:
 * **PNG** (RFC 2083 / W3C PNG spec): chunk parse -> zlib inflate -> per-row
   unfilter -> grayscale luma. Supported: bit depth 8 for color types
   0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), plus bit depth
-  1 gray (bilevel scans). Filters 0/1/2 are fully vectorized (None/Up are
-  single numpy adds; Sub is a per-channel cumsum); filters 3/4 (Average/
-  Paeth) carry a true sequential dependency and fall back to a per-pixel
-  row loop — correct, documented as the slow path. Interlaced (Adam7)
-  images are rejected explicitly.
+  1 gray (bilevel scans), in both sequential and Adam7-interlaced layouts
+  (spec §8.2: seven sub-images, each filtered independently, scattered
+  back on the 8x8 pass lattice). Filters 0/1/2 are fully vectorized
+  (None/Up are single numpy adds; Sub is a per-channel cumsum); filters
+  3/4 (Average/Paeth) carry a true sequential dependency and fall back to
+  a per-pixel row loop — correct, documented as the slow path.
 * **JPEG** baseline sequential (ITU-T T.81) lives in the sibling
   `jpegcodec` module and is dispatched from `sniff_format`/
   `iter_page_images` here.
-* **TIFF** baseline, compression=1 (uncompressed): II/MM byte orders, the
-  multi-page IFD chain (reference S2 multi-page semantics,
-  `tesseract-recognize.cc:455-487`), 8-bit gray, 8-bit RGB (luma-converted)
-  and 1-bit bilevel, PhotometricInterpretation 0/1 (WhiteIsZero inverted).
+* **TIFF** (TIFF 6.0): II/MM byte orders, the multi-page IFD chain
+  (reference S2 multi-page semantics, `tesseract-recognize.cc:455-487`),
+  8-bit gray, 8-bit RGB (luma-converted) and 1-bit bilevel,
+  PhotometricInterpretation 0/1 (WhiteIsZero inverted). Compressions:
+  1 (none), 5 (LZW, spec §13: MSB-first codes, early-change width bumps,
+  per-strip streams), 8/32946 (Deflate), 32773 (PackBits, spec §9), with
+  Predictor 2 (horizontal differencing, §14) undone by a uint8 row cumsum.
+  Strips decompress independently (multi-strip files supported).
 
 Encoders (gray-8 PNG, single+multi-page gray-8 TIFF) exist so fixtures and
 tests can round-trip real encoded media deterministically: PNG uses filter 0
 rows and one zlib stream (zlib output is deterministic per level), TIFF
-writes one strip per page.
+writes gray-8 strips under any supported compression/predictor combination.
 
 Alpha is composited over WHITE (paper background), matching how a document
 pipeline rasterizes transparency. RGB->gray uses the ITU-R BT.601 integer
@@ -112,6 +117,50 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass lattice (PNG spec §8.2): (xstart, ystart, xstep, ystep).
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _rows_to_px(unf: np.ndarray, pw: int, depth: int) -> np.ndarray:
+    """(ph, stride) unfiltered bytes -> (ph, pw[, ...]) samples: depth 8
+    passes through, depth 1 unpacks bits to 0/255."""
+    if depth == 8:
+        return unf
+    bits = np.unpackbits(unf, axis=1)[:, :pw]
+    return bits * np.uint8(255)
+
+
+def _deinterlace_adam7(raw: np.ndarray, w: int, h: int, depth: int, ch: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images scattered onto the
+    (xstart + i*xstep, ystart + j*ystep) lattice. Empty passes (sub-image
+    with zero width or height) contribute no bytes, not even filter bytes."""
+    bpp = max(1, (depth * ch) // 8)
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for xs, ys, xstep, ystep in _ADAM7:
+        pw = (w - xs + xstep - 1) // xstep if w > xs else 0
+        ph = (h - ys + ystep - 1) // ystep if h > ys else 0
+        if pw == 0 or ph == 0:
+            continue
+        stride = (pw * depth * ch + 7) // 8
+        nbytes = ph * (1 + stride)
+        unf = _unfilter(raw[off : off + nbytes], ph, stride, bpp)
+        off += nbytes
+        px = _rows_to_px(unf, pw * ch if depth == 8 else pw, depth)
+        out[ys::ystep, xs::xstep] = px.reshape(ph, pw, ch)
+    if off != len(raw):
+        raise ValueError("PNG: interlaced data length mismatch")
+    return out
+
+
 def decode_png(buf) -> np.ndarray:
     """PNG bytes -> (h, w) uint8 grayscale (alpha over white, RGB luma)."""
     mv = memoryview(buf)
@@ -140,22 +189,23 @@ def decode_png(buf) -> np.ndarray:
     w, h, depth, ct, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("PNG: unknown compression/filter method")
-    if interlace != 0:
-        raise ValueError("PNG: Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     if ct not in _CT_CHANNELS:
         raise ValueError(f"PNG: unsupported color type {ct}")
+    if not (depth == 8 or (depth == 1 and ct == 0)):
+        raise ValueError(f"PNG: unsupported bit depth {depth} for color type {ct}")
     ch = _CT_CHANNELS[ct]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if depth == 8:
+    if interlace:
+        px = _deinterlace_adam7(raw, w, h, depth, ch)
+    elif depth == 8:
         stride = w * ch
         px = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
-    elif depth == 1 and ct == 0:
+    else:  # depth 1, ct 0
         stride = (w + 7) // 8
         packed = _unfilter(raw, h, stride, 1)
-        bits = np.unpackbits(packed, axis=1)[:, :w]
-        px = (bits * np.uint8(255)).reshape(h, w, 1)
-    else:
-        raise ValueError(f"PNG: unsupported bit depth {depth} for color type {ct}")
+        px = _rows_to_px(packed, w, 1).reshape(h, w, 1)
     if ct == 0:
         return px[:, :, 0]
     if ct == 2:
@@ -178,18 +228,177 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png_gray(img: np.ndarray, *, level: int = 6) -> bytes:
-    """(h, w) uint8 -> 8-bit grayscale PNG (filter 0 rows, one IDAT)."""
+def _interlace_adam7_bytes(px: np.ndarray, depth: int = 8) -> bytes:
+    """(h, w, ch) uint8 samples -> concatenated filter-0 Adam7 pass streams
+    (each pass row byte-packed independently, per spec §8.2). Test/fixture
+    helper shared by encode_png_gray and the codec tests' color-type cases."""
+    out = bytearray()
+    for xs, ys, xstep, ystep in _ADAM7:
+        sub = px[ys::ystep, xs::xstep]
+        ph, pw = sub.shape[:2]
+        if pw == 0 or ph == 0:
+            continue
+        if depth == 8:
+            rows = np.ascontiguousarray(sub).reshape(ph, pw * sub.shape[2])
+        else:
+            rows = np.packbits(sub[:, :, 0] > 127, axis=1)
+        for r in rows:
+            out += b"\x00" + r.tobytes()
+    return bytes(out)
+
+
+def encode_png_gray(img: np.ndarray, *, level: int = 6, interlace: bool = False) -> bytes:
+    """(h, w) uint8 -> 8-bit grayscale PNG (filter 0 rows, one IDAT);
+    ``interlace=True`` writes the Adam7 layout."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    filtered = np.concatenate([np.zeros((h, 1), dtype=np.uint8), img], axis=1)
-    idat = zlib.compress(filtered.tobytes(), level)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlace else 0)
+    if interlace:
+        body = _interlace_adam7_bytes(img[:, :, None])
+    else:
+        body = np.concatenate([np.zeros((h, 1), dtype=np.uint8), img], axis=1).tobytes()
+    idat = zlib.compress(bytes(body), level)
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
 # -------------------------------------------------------------------- TIFF
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits: n<128 copy n+1 literals, n>128 repeat next byte
+    257-n times, n==128 no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += data[i : i + 1] * (257 - b)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (runs >=3 become repeats; literals chunked to 128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the run starting at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal stretch: until a >=3 run starts or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: 8-bit symbols, ClearCode 256, EOI 257, MSB-first
+    bit packing, early-change width bumps at table sizes 511/1023/2047."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    bitbuf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            bitbuf &= (1 << nbits) - 1
+            if code == _LZW_CLEAR:
+                reset()
+                prev = None
+                continue
+            if code == _LZW_EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("TIFF LZW: code out of range")
+            out += entry
+            prev = entry
+            # early change (spec §13): the encoder's table runs one entry
+            # ahead of ours, so widen one entry before our own table fills
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (early change), matching `_lzw_decode`."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    emit(_LZW_CLEAR)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt == 4094:  # table nearly full: clear (early-change 12-bit cap)
+            emit(_LZW_CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(_LZW_EOI)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def _read_ifd(mv: memoryview, off: int, bo: str):
@@ -224,14 +433,30 @@ def iter_tiff_pages(buf):
         w = tags[256][0]
         h = tags[257][0]
         comp = tags.get(259, [1])[0]
-        if comp != 1:
-            raise ValueError(f"TIFF: compression {comp} not supported (baseline uncompressed only)")
+        pred = tags.get(317, [1])[0]
         photo = tags.get(262, [1])[0]
         spp = tags.get(277, [1])[0]
         bits = tags.get(258, [1])[0]
         offsets = tags[273]
         counts = tags.get(279, [((w * bits + 7) // 8) * h * spp])
-        data = b"".join(bytes(mv[o : o + c]) for o, c in zip(offsets, counts))
+        strips = [bytes(mv[o : o + c]) for o, c in zip(offsets, counts)]
+        if comp == 1:
+            data = b"".join(strips)
+        elif comp == 5:
+            data = b"".join(_lzw_decode(s) for s in strips)
+        elif comp in (8, 32946):  # Deflate / AdobeDeflate
+            data = b"".join(zlib.decompress(s) for s in strips)
+        elif comp == 32773:
+            data = b"".join(_packbits_decode(s) for s in strips)
+        else:
+            raise ValueError(f"TIFF: compression {comp} not supported (1/5/8/32773 only)")
+        if pred == 2:
+            if bits != 8:
+                raise ValueError("TIFF: predictor 2 requires 8-bit samples")
+            arr = np.frombuffer(data, dtype=np.uint8, count=w * h * spp).reshape(h, w, spp)
+            data = np.cumsum(arr, axis=1, dtype=np.uint8).tobytes()
+        elif pred != 1:
+            raise ValueError(f"TIFF: predictor {pred} not supported")
         if bits == 8 and spp == 1:
             img = np.frombuffer(data, dtype=np.uint8, count=w * h).reshape(h, w).copy()
         elif bits == 8 and spp >= 3:
@@ -248,34 +473,75 @@ def iter_tiff_pages(buf):
         yield img
 
 
-def encode_tiff_gray(pages: "list[np.ndarray]") -> bytes:
-    """Gray-8 uncompressed TIFF, one strip per page, little-endian, with the
-    multi-page IFD chain the reference expands (tesseract-recognize.cc:455-487)."""
+def encode_tiff_gray(
+    pages: "list[np.ndarray]",
+    *,
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Gray-8 TIFF, little-endian, with the multi-page IFD chain the
+    reference expands (tesseract-recognize.cc:455-487). compression: 1
+    (none), 5 (LZW), 8 (Deflate) or 32773 (PackBits); predictor 2 applies
+    horizontal differencing (LZW/Deflate only per spec §14); rows_per_strip
+    splits each page into independently compressed strips."""
     if not pages:
         raise ValueError("TIFF: need at least one page")
+    if compression not in (1, 5, 8, 32773):
+        raise ValueError(f"TIFF encode: unsupported compression {compression}")
+    if predictor == 2 and compression in (1, 32773):
+        raise ValueError("TIFF encode: predictor 2 is defined for LZW/Deflate only")
     out = bytearray(b"II*\x00")
     out += struct.pack("<I", 0)  # patched to first IFD offset below
     ifd_ptr_pos = 4
     for img in pages:
         img = np.ascontiguousarray(img, dtype=np.uint8)
         h, w = img.shape
-        data_off = len(out)
-        out += img.tobytes()
+        rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
+        src = img
+        if predictor == 2:
+            src = np.empty_like(img)
+            src[:, 0] = img[:, 0]
+            src[:, 1:] = img[:, 1:] - img[:, :-1]  # uint8 wraparound diff
+        strip_offs: list[int] = []
+        strip_cnts: list[int] = []
+        for y0 in range(0, h, rps):
+            raw = src[y0 : y0 + rps].tobytes()
+            if compression == 5:
+                raw = _lzw_encode(raw)
+            elif compression == 8:
+                raw = zlib.compress(raw, 6)
+            elif compression == 32773:
+                raw = _packbits_encode(raw)
+            strip_offs.append(len(out))
+            strip_cnts.append(len(raw))
+            out += raw
+        nstrips = len(strip_offs)
         if len(out) % 2:
             out += b"\x00"  # IFDs must be word-aligned
+        if nstrips > 1:  # LONG arrays don't fit the 4-byte inline slot
+            offs_pos = len(out)
+            out += struct.pack(f"<{nstrips}I", *strip_offs)
+            cnts_pos = len(out)
+            out += struct.pack(f"<{nstrips}I", *strip_cnts)
+        else:
+            offs_pos, cnts_pos = strip_offs[0], strip_cnts[0]
         ifd_off = len(out)
         struct.pack_into("<I", out, ifd_ptr_pos, ifd_off)
         entries = [
             (256, 4, 1, w),  # ImageWidth
             (257, 4, 1, h),  # ImageLength
             (258, 3, 1, 8),  # BitsPerSample
-            (259, 3, 1, 1),  # Compression: none
+            (259, 3, 1, compression),
             (262, 3, 1, 1),  # Photometric: BlackIsZero
-            (273, 4, 1, data_off),  # StripOffsets
+            (273, 4, nstrips, offs_pos),  # StripOffsets (inline iff 1 strip)
             (277, 3, 1, 1),  # SamplesPerPixel
-            (278, 4, 1, h),  # RowsPerStrip
-            (279, 4, 1, w * h),  # StripByteCounts
+            (278, 4, 1, rps),  # RowsPerStrip
+            (279, 4, nstrips, cnts_pos),  # StripByteCounts
         ]
+        if predictor != 1:
+            entries.append((317, 3, 1, predictor))
+            entries.sort()  # IFD entries must be tag-ordered
         out += struct.pack("<H", len(entries))
         for tag, typ, n, v in entries:
             out += struct.pack("<HHII", tag, typ, n, v)

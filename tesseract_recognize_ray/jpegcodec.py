@@ -5,18 +5,26 @@ The reference front end decodes JPEG via leptonica's pixRead
 PIL/cv2/libjpeg, so — like the PNG/TIFF codecs in `imagecodecs.py` — the
 decoder here is implemented purely from the published standard:
 
-* **Decoder**: baseline sequential DCT (SOF0), 8-bit samples, 1- or
-  3-component scans (grayscale, or JFIF YCbCr where only the full-resolution
-  Y plane is inverse-transformed — the pipeline's output is grayscale luma,
-  and JFIF Y *is* BT.601 luma; chroma blocks are entropy-decoded to keep the
-  bitstream in sync, then dropped). Supports multi-segment DQT/DHT markers,
-  16-bit quant tables, 4:4:4 / 4:2:2 / 4:2:0 sampling, and DRI/RSTn restart
-  intervals. Progressive (SOF2), arithmetic coding and 12-bit precision are
+* **Decoder**: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2,
+  T.81 Annex G: spectral selection + successive approximation, DC/AC
+  first and refinement scans, EOB runs), 8-bit samples, 1- or 3-component
+  frames (grayscale, or JFIF YCbCr where only the full-resolution Y plane
+  is inverse-transformed — the pipeline's output is grayscale luma, and
+  JFIF Y *is* BT.601 luma; in baseline scans chroma blocks are
+  entropy-decoded to keep the bitstream in sync, then dropped; in
+  progressive files chroma AC scans are whole independent bitstreams and
+  are skipped without decoding). Supports multi-segment DQT/DHT markers,
+  tables redefined between scans, 16-bit quant tables, 4:4:4 / 4:2:2 /
+  4:2:0 sampling, and DRI/RSTn restart intervals in every scan type.
+  Arithmetic coding, hierarchical/lossless SOFs and 12-bit precision are
   rejected explicitly.
 * **Encoder** (fixtures/tests): baseline grayscale or gray-as-YCbCr (constant
   chroma) with Annex-K quant tables scaled by the familiar libjpeg quality
   formula and the Annex-K "typical" Huffman tables; optional 4:2:0 sampling
-  and restart intervals so tests can drive every decoder code path.
+  and restart intervals so tests can drive every decoder code path. With
+  ``progressive=True`` it emits an SOF2 file with the conventional 6-scan
+  script (DC Al=1 -> AC bands -> AC refine -> DC refine -> AC refine to
+  Al=0), exercising every progressive decode path against the same pixels.
 
 Entropy decode hot path: a 16-bit-lookahead LUT per Huffman table (canonical
 code expansion, built once and cached per (bits, values) key) over a
@@ -209,7 +217,7 @@ _RST_SPLIT = re.compile(rb"\xff[\xd0-\xd7]")
 
 
 def decode_jpeg(buf) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w) uint8 grayscale (the Y plane)."""
+    """Baseline or progressive JPEG bytes -> (h, w) uint8 grayscale (Y)."""
     data = bytes(buf)
     if data[:2] != b"\xff\xd8":
         raise ValueError("JPEG: bad SOI")
@@ -217,8 +225,9 @@ def decode_jpeg(buf) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict = {}  # (class, id) -> (sym_lut, len_lut)
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    scans: list = []  # (scomps, Ss, Se, Ah, Al, raw, restart_interval)
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -250,7 +259,7 @@ def decode_jpeg(buf) -> np.ndarray:
                 vals = list(body[o + 17 : o + 17 + nv])
                 htabs[(tc, th)] = _build_lut(bits, vals)
                 o += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"JPEG: {prec}-bit precision not supported")
@@ -259,25 +268,39 @@ def decode_jpeg(buf) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"JPEG: SOF{marker - 0xC0} (progressive/arithmetic) not supported")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG: SOF{marker - 0xC0} (arithmetic/hierarchical/lossless) not supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
             ns = body[0]
-            stabs = {}
+            # snapshot (component, LUT) refs NOW: progressive encoders may
+            # redefine DHT slots between scans
+            scomps = []
+            cid_to_idx = {c["id"]: i for i, c in enumerate(frame[2])}
             for i in range(ns):
                 cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * i)
-                stabs[cs] = (tdta >> 4, tdta & 15)
+                scomps.append(
+                    (cid_to_idx[cs], htabs.get((0, tdta >> 4)), htabs.get((1, tdta & 15)))
+                )
+            ss, se, ahl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             m = _SCAN_END.search(data, pos)
             end = m.start() if m else n
-            scan = (stabs, data[pos:end])
-            break
-        # APPn/COM/etc: skipped
-    if frame is None or scan is None:
-        raise ValueError("JPEG: missing SOF0/SOS")
+            scans.append((scomps, ss, se, ahl >> 4, ahl & 15, data[pos:end], restart_interval))
+            pos = end
+            if not progressive:
+                break  # baseline: single scan carries everything
+        # APPn/COM/DNL/etc: skipped
+    if frame is None or not scans:
+        raise ValueError("JPEG: missing SOF/SOS")
     h, w, comps = frame
-    stabs, raw = scan
+    if progressive:
+        return _decode_progressive(h, w, comps, scans, qtabs)
+    scomps, _ss, _se, _ah, _al, raw, restart_interval = scans[0]
+    stabs = {comps[ci]["id"]: (dlut, alut) for ci, dlut, alut in scomps}
     if comps[0]["h"] != max(c["h"] for c in comps) or comps[0]["v"] != max(
         c["v"] for c in comps
     ):
@@ -291,8 +314,8 @@ def decode_jpeg(buf) -> np.ndarray:
     # Per-component scan-order table refs and block shapes.
     plan = []
     for c in comps:
-        td, ta = stabs[c["id"]]
-        plan.append((c["h"] * c["v"], htabs[(0, td)], htabs[(1, ta)]))
+        dlut, alut = stabs[c["id"]]
+        plan.append((c["h"] * c["v"], dlut, alut))
     y_blocks_per_mcu = plan[0][0]
     ycoef = np.zeros((n_mcu * y_blocks_per_mcu, 64), dtype=np.int32)
     scratch = np.zeros(64, dtype=np.int32)
@@ -360,6 +383,217 @@ def decode_jpeg(buf) -> np.ndarray:
     return plane[:h, :w].copy()
 
 
+# --------------------------------------------------------- progressive decode
+def _decode_progressive(h: int, w: int, comps, scans, qtabs) -> np.ndarray:
+    """T.81 Annex G progressive decode of the Y plane: accumulate zigzag
+    coefficients across DC/AC first+refinement scans, then one batched IDCT.
+
+    Chroma is dropped from the output (module docstring), and unlike the
+    baseline interleaved scan, progressive AC scans are single-component
+    independent bitstreams — chroma AC scans are skipped WITHOUT entropy
+    decoding. Interleaved DC scans still consume chroma DC bits to stay in
+    sync within the scan."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+        raise ValueError("JPEG: first component must carry max sampling (JFIF Y)")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component non-interleaved block grid (T.81 A.1.1: comp dims are
+    # ceil(x*h_i/hmax) x ceil(y*v_i/vmax), then ceil/8 blocks)
+    grids = []
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch_ = -(-(h * c["v"]) // vmax)
+        grids.append((-(-ch_ // 8), -(-cw // 8)))
+    bh, bw = mcuy * vmax, mcux * hmax  # Y padded (interleaved) grid
+    ycoef = np.zeros((bh, bw, 64), dtype=np.int32)
+
+    for scomps, ss, se, ah, al, raw, ri in scans:
+        if ss == 0:
+            _prog_dc_scan(ycoef, comps, grids, scomps, ah, al, raw, ri, mcux, mcuy)
+        else:
+            ci, _dlut, alut = scomps[0]
+            if ci != 0:
+                continue  # chroma AC scan: independent bitstream, dropped
+            if alut is None:
+                raise ValueError("JPEG: AC scan without a defined AC table")
+            if ah == 0:
+                _prog_ac_first(ycoef, grids[0], ss, se, al, raw, ri, alut)
+            else:
+                _prog_ac_refine(ycoef, grids[0], ss, se, al, raw, ri, alut)
+
+    q = qtabs[comps[0]["tq"]]
+    nat = np.zeros((bh * bw, 64), dtype=np.float64)
+    nat[:, ZIGZAG] = ycoef.reshape(-1, 64) * q
+    px = _DCT_A.T @ nat.reshape(-1, 8, 8) @ _DCT_A
+    px = np.clip(np.rint(px + 128.0), 0, 255).astype(np.uint8)
+    plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return plane[:h, :w].copy()
+
+
+def _entropy_segments(raw: bytes, ri: int, n_units: int):
+    """Yield (BitReader, unit_count) per restart segment of a scan."""
+    segments = _RST_SPLIT.split(raw) if ri else [raw]
+    done = 0
+    for seg in segments:
+        if done >= n_units:
+            break
+        cnt = min(ri or n_units, n_units - done)
+        yield _BitReader(seg.replace(b"\xff\x00", b"\xff")), done, cnt
+        done += cnt
+    if done != n_units:
+        raise ValueError(f"JPEG: scan covered {done}/{n_units} data units")
+
+
+def _prog_dc_scan(ycoef, comps, grids, scomps, ah, al, raw, ri, mcux, mcuy):
+    """DC scan (Ss=0): interleaved by MCU when ns>1, else raster over the
+    single component's own block grid. Ah=0 -> Huffman diffs (shifted left
+    by Al); Ah>0 -> one raw refinement bit per block ORed into bit Al."""
+    interleaved = len(scomps) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        ci0 = scomps[0][0]
+        gh, gw = grids[ci0]
+        n_units = gh * gw
+    for rd, start, cnt in _entropy_segments(raw, ri, n_units):
+        preds = [0] * len(comps)
+        for u in range(start, start + cnt):
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for ci, dlut, _alut in scomps:
+                    c = comps[ci]
+                    for iv in range(c["v"]):
+                        for iu in range(c["h"]):
+                            bit = _dc_unit(rd, dlut, preds, ci, ah)
+                            if ci == 0:
+                                by, bx = my * c["v"] + iv, mx * c["h"] + iu
+                                _dc_store(ycoef, by, bx, preds[0], bit, ah, al)
+            else:
+                ci, dlut, _alut = scomps[0]
+                by, bx = divmod(u, grids[ci][1])
+                bit = _dc_unit(rd, dlut, preds, ci, ah)
+                if ci == 0:
+                    _dc_store(ycoef, by, bx, preds[0], bit, ah, al)
+
+
+def _dc_unit(rd: _BitReader, dlut, preds, ci: int, ah: int) -> int:
+    """Consume one block's DC bits; returns the refinement bit (Ah>0) or 0."""
+    if ah:
+        return rd.receive(1)
+    if dlut is None:
+        raise ValueError("JPEG: DC scan without a defined DC table")
+    dsym, dlen = dlut
+    p16 = rd.peek16()
+    t = int(dsym[p16])
+    length = int(dlen[p16])
+    if length == 0:
+        raise ValueError("JPEG: invalid DC code")
+    rd.pos += length
+    preds[ci] += _extend(rd.receive(t), t) if t else 0
+    return 0
+
+
+def _dc_store(ycoef, by, bx, pred, bit, ah, al):
+    if ah:
+        if bit:
+            ycoef[by, bx, 0] |= 1 << al
+    else:
+        ycoef[by, bx, 0] = pred << al
+
+
+def _prog_ac_first(ycoef, grid, ss, se, al, raw, ri, alut):
+    """AC first scan (Ah=0) over band Ss..Se with EOB-run codes (T.81 G.1.2.2):
+    EOBn symbol rs=(n<<4) ends the block and skips the next 2^n-1+ext blocks."""
+    gh, gw = grid
+    asym, alen = alut
+    for rd, start, cnt in _entropy_segments(raw, ri, gh * gw):
+        eobrun = 0
+        for u in range(start, start + cnt):
+            if eobrun:
+                eobrun -= 1
+                continue
+            coef = ycoef[divmod(u, gw)]
+            k = ss
+            while k <= se:
+                p16 = rd.peek16()
+                rs = int(asym[p16])
+                length = int(alen[p16])
+                if length == 0:
+                    raise ValueError("JPEG: invalid AC code")
+                rd.pos += length
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rd.receive(r)
+                        eobrun -= 1  # this block is the first of the run
+                        break
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC run past band end")
+                    coef[k] = _extend(rd.receive(s), s) << al
+                    k += 1
+
+
+def _prog_ac_refine(ycoef, grid, ss, se, al, raw, ri, alut):
+    """AC refinement scan (Ah=Al+1): one correction bit per already-nonzero
+    coefficient passed, ±1<<Al inserts at zero-history positions (T.81
+    G.1.2.3 / figure G.7; run lengths count zero-history positions only)."""
+    gh, gw = grid
+    asym, alen = alut
+    p1, m1 = 1 << al, -1 << al
+    for rd, start, cnt in _entropy_segments(raw, ri, gh * gw):
+        eobrun = 0
+        for u in range(start, start + cnt):
+            coef = ycoef[divmod(u, gw)]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    p16 = rd.peek16()
+                    rs = int(asym[p16])
+                    length = int(alen[p16])
+                    if length == 0:
+                        raise ValueError("JPEG: invalid AC code")
+                    rd.pos += length
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rd.receive(r)
+                            break  # rest of block handled by the EOB tail
+                        # ZRL: skip 16 zero-history positions, no insert
+                    else:
+                        val = p1 if rd.receive(1) else m1
+                    while k <= se:
+                        cur = int(coef[k])
+                        if cur != 0:
+                            if rd.receive(1) and (cur & p1) == 0:
+                                coef[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        coef[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # correction bits for the rest of the band
+                    cur = int(coef[k])
+                    if cur != 0:
+                        if rd.receive(1) and (cur & p1) == 0:
+                            coef[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
 # ------------------------------------------------------------------ encoder
 class _BitWriter:
     __slots__ = ("out", "acc", "nacc")
@@ -383,6 +617,28 @@ class _BitWriter:
     def align(self):
         if self.nacc:
             self.put((1 << (8 - self.nacc)) - 1, 8 - self.nacc)  # pad with 1s
+
+
+# Progressive AC Huffman table for the fixture encoder: the Annex-K baseline
+# tables define no EOBn (n>=1) symbols, so progressive scans need their own
+# table. A uniform 8-bit canonical table over every symbol a progressive AC
+# scan can emit (EOB0..EOB14, ZRL, (r<<4)|s for s 1..10) is always valid
+# (176 codes <= 2^8) — suboptimal compression, irrelevant for fixtures.
+HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted({n << 4 for n in range(15)} | {0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}),
+)
+
+# Conventional 6-scan grayscale script (DC first with Al=1, split AC bands,
+# then successive-approximation refinements down to Al=0).
+_PROG_SCRIPT_GRAY = [
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (0, 0, 1, 0),
+    (1, 63, 1, 0),
+]
 
 
 def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
@@ -438,6 +694,169 @@ def _emit_block(bw: _BitWriter, coef, pred: int, dc_codes, ac_codes) -> int:
     return dc
 
 
+# ------------------------------------------------------- progressive encoder
+def _rst_break(bw: _BitWriter, rst: int) -> int:
+    bw.align()
+    bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+    return rst + 1
+
+
+def _enc_prog_dc_first(units, al: int, dc_codes, ri: int) -> bytes:
+    """DC first scan: units = per-MCU lists of (comp_idx, dc) in scan order.
+    Values sent are dc >> Al (arithmetic shift; the refinement scan restores
+    the low bits), diff-coded per component."""
+    bw = _BitWriter()
+    preds: dict[int, int] = {}
+    rst = 0
+    for i, unit in enumerate(units):
+        if ri and i and i % ri == 0:
+            rst = _rst_break(bw, rst)
+            preds = {}
+        for ci, dc in unit:
+            v = int(dc) >> al
+            diff = v - preds.get(ci, 0)
+            preds[ci] = v
+            t = abs(diff).bit_length()
+            code, length = dc_codes[t]
+            bw.put(code, length)
+            if t:
+                bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.align()
+    return bytes(bw.out)
+
+
+def _enc_prog_dc_refine(units, al: int, ri: int) -> bytes:
+    """DC refinement scan: one raw bit (bit Al of the DC value) per block."""
+    bw = _BitWriter()
+    rst = 0
+    for i, unit in enumerate(units):
+        if ri and i and i % ri == 0:
+            rst = _rst_break(bw, rst)
+        for _ci, dc in unit:
+            bw.put((int(dc) >> al) & 1, 1)
+    bw.align()
+    return bytes(bw.out)
+
+
+def _enc_prog_ac_first(blocks, ss: int, se: int, al: int, ac_codes, ri: int) -> bytes:
+    """AC first scan over band Ss..Se (single component, raster block order)
+    with EOB-run coding: trailing-zero blocks accumulate into one EOBn symbol."""
+    bw = _BitWriter()
+    eobrun = 0
+    rst = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            bw.put(code, length)
+            if nbits:
+                bw.put(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for i in range(len(blocks)):
+        if ri and i and i % ri == 0:
+            flush_eob()
+            rst = _rst_break(bw, rst)
+        coef = blocks[i]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(coef[k])
+            t = (v >> al) if v >= 0 else -((-v) >> al)  # sign-preserving shift
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                code, length = ac_codes[0xF0]
+                bw.put(code, length)
+                r -= 16
+            s = abs(t).bit_length()
+            code, length = ac_codes[(r << 4) | s]
+            bw.put(code, length)
+            bw.put(t if t >= 0 else t + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    bw.align()
+    return bytes(bw.out)
+
+
+def _enc_prog_ac_refine(blocks, ss: int, se: int, al: int, ac_codes, ri: int) -> bytes:
+    """AC refinement scan (T.81 figure G.7 flow): newly-nonzero coefficients
+    (shifted magnitude 1) are run-length coded counting zero-history positions
+    only; already-nonzero coefficients contribute one correction bit each,
+    buffered and emitted immediately after the next symbol they precede."""
+    bw = _BitWriter()
+    eobrun = 0
+    pend: list[int] = []  # correction bits owed after the next EOBn
+    rst = 0
+
+    def flush_eob():
+        nonlocal eobrun, pend
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            bw.put(code, length)
+            if nbits:
+                bw.put(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+            for b in pend:
+                bw.put(b, 1)
+            pend = []
+
+    for i in range(len(blocks)):
+        if ri and i and i % ri == 0:
+            flush_eob()
+            rst = _rst_break(bw, rst)
+        coef = blocks[i]
+        absval = [0] * (se + 1)
+        eob = ss - 1  # position of the last newly-nonzero coefficient
+        for k in range(ss, se + 1):
+            t = abs(int(coef[k])) >> al
+            absval[k] = t
+            if t == 1:
+                eob = k
+        r = 0  # run of zero-history positions
+        br: list[int] = []  # correction bits since the last emitted symbol
+        for k in range(ss, se + 1):
+            t = absval[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:  # ZRLs not foldable into the EOB
+                flush_eob()
+                code, length = ac_codes[0xF0]
+                bw.put(code, length)
+                r -= 16
+                for b in br:
+                    bw.put(b, 1)
+                br = []
+            if t > 1:  # history-nonzero: correction bit only, not in runs
+                br.append(t & 1)
+                continue
+            flush_eob()
+            code, length = ac_codes[(r << 4) | 1]
+            bw.put(code, length)
+            bw.put(1 if int(coef[k]) >= 0 else 0, 1)
+            for b in br:
+                bw.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF or len(pend) > 937:  # libjpeg's MAX_CORR_BITS bound
+                flush_eob()
+    flush_eob()
+    bw.align()
+    return bytes(bw.out)
+
+
 def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
@@ -453,9 +872,11 @@ def encode_jpeg_gray(
     quality: int = 92,
     mode: str = "gray",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w) uint8 -> baseline JPEG. mode: 'gray' (1 component), 'ycbcr444'
-    or 'ycbcr420' (3 components, chroma constant 128 — gray content carried in
+    """(h, w) uint8 -> baseline JPEG (or SOF2 progressive with
+    ``progressive=True``). mode: 'gray' (1 component), 'ycbcr444' or
+    'ycbcr420' (3 components, chroma constant 128 — gray content carried in
     Y; exercises the decoder's interleaved-MCU and subsampling paths)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape
@@ -481,6 +902,27 @@ def encode_jpeg_gray(
     ac_y = _enc_codes(*HUFF_AC_LUMA)
     dht = _dht_body(0, 0, HUFF_DC_LUMA) + _dht_body(1, 0, HUFF_AC_LUMA)
 
+    if mode == "gray" and progressive:
+        out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        out += _seg(0xC4, _dht_body(0, 0, HUFF_DC_LUMA) + _dht_body(1, 0, HUFF_AC_PROG))
+        if restart_interval:
+            out += _seg(0xDD, struct.pack(">H", restart_interval))
+        ac_p = _enc_codes(*HUFF_AC_PROG)
+        units = [[(0, int(b[0]))] for b in yblocks]
+        for ss, se, ah, al in _PROG_SCRIPT_GRAY:
+            out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+            if ss == 0:
+                if ah == 0:
+                    out += _enc_prog_dc_first(units, al, dc_y, restart_interval)
+                else:
+                    out += _enc_prog_dc_refine(units, al, restart_interval)
+            elif ah == 0:
+                out += _enc_prog_ac_first(yblocks, ss, se, al, ac_p, restart_interval)
+            else:
+                out += _enc_prog_ac_refine(yblocks, ss, se, al, ac_p, restart_interval)
+        out += b"\xff\xd9"
+        return bytes(out)
+
     if mode == "gray":
         out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
         out += _seg(0xC4, dht)
@@ -505,6 +947,46 @@ def encode_jpeg_gray(
     # 3-component: Y at (sub,sub) sampling, Cb/Cr at (1,1), constant 128.
     out += _seg(0xDB, bytes([1]) + bytes(qc.astype(np.uint8)))
     hv_y = (sub << 4) | sub
+    if progressive:
+        out += _seg(
+            0xC2,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        # one DC table (chroma diffs are all 0 — the luma table codes t=0)
+        # and the universal progressive AC table for every AC scan
+        out += _seg(0xC4, _dht_body(0, 0, HUFF_DC_LUMA) + _dht_body(1, 0, HUFF_AC_PROG))
+        if restart_interval:
+            out += _seg(0xDD, struct.pack(">H", restart_interval))
+        ac_p = _enc_codes(*HUFF_AC_PROG)
+        mcux = wp // mcu_h
+        mcuy = hp // mcu_h
+        ygrid = yblocks.reshape(mcuy, sub, mcux, sub, 64).transpose(0, 2, 1, 3, 4)
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                u = [(0, int(ygrid[my, mx, v, uu, 0])) for v in range(sub) for uu in range(sub)]
+                units.append(u + [(1, 0), (2, 0)])
+        # non-interleaved AC block grids (T.81 A.1.1: NOT padded to MCUs)
+        ybr = yblocks.reshape(hp // 8, wp // 8, 64)[: -(-h // 8), : -(-w // 8)].reshape(-1, 64)
+        n_cblk = (-(-(-(-h // sub)) // 8)) * (-(-(-(-w // sub)) // 8))
+        czero = np.zeros((n_cblk, 64), dtype=np.int32)
+        sos3 = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00])
+        ri = restart_interval
+        out += _seg(0xDA, sos3 + bytes([0, 0, 0x01]))  # DC first, Al=1
+        out += _enc_prog_dc_first(units, 1, dc_y, ri)
+        out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))  # AC Y first, Al=1
+        out += _enc_prog_ac_first(ybr, 1, 63, 1, ac_p, ri)
+        out += _seg(0xDA, bytes([1, 2, 0x00, 1, 63, 0x00]))  # AC Cb (all-zero)
+        out += _enc_prog_ac_first(czero, 1, 63, 0, ac_p, ri)
+        out += _seg(0xDA, bytes([1, 3, 0x00, 1, 63, 0x00]))  # AC Cr (all-zero)
+        out += _enc_prog_ac_first(czero, 1, 63, 0, ac_p, ri)
+        out += _seg(0xDA, sos3 + bytes([0, 0, 0x10]))  # DC refine, Ah=1 Al=0
+        out += _enc_prog_dc_refine(units, 0, ri)
+        out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))  # AC Y refine
+        out += _enc_prog_ac_refine(ybr, 1, 63, 0, ac_p, ri)
+        out += b"\xff\xd9"
+        return bytes(out)
     out += _seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)

@@ -104,13 +104,44 @@ def test_png_color_types_to_grayscale():
     assert (ic.decode_png(_png((21, 9, 1, 0, 0, 0, 0), body)) == bil * 255).all()
 
 
-def test_png_rejects_interlace_and_bad_sig():
+def test_png_rejects_unknown_interlace_and_bad_sig():
     img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
     body = b"".join(b"\x00" + img[y].tobytes() for y in range(4))
-    with pytest.raises(ValueError, match="interlace"):
-        ic.decode_png(_png((4, 4, 8, 0, 0, 0, 1), body))
+    with pytest.raises(ValueError, match="interlace method"):
+        ic.decode_png(_png((4, 4, 8, 0, 0, 0, 2), body))
     with pytest.raises(ValueError, match="signature"):
         ic.decode_png(b"nonsense")
+
+
+@pytest.mark.parametrize(
+    "shape", [(1, 1), (3, 5), (7, 7), (8, 8), (9, 17), (100, 141)]
+)
+def test_png_adam7_gray_roundtrip(shape):
+    """Adam7 deinterlace is exact for every pass-lattice edge case: images
+    smaller than one 8x8 tile leave whole passes empty (zero bytes, not
+    even filter bytes)."""
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    enc = ic.encode_png_gray(img, interlace=True)
+    assert ic.sniff_format(enc) == "png"
+    assert (ic.decode_png(enc) == img).all()
+    # interlaced and sequential encodings of the same pixels decode equal
+    assert (ic.decode_png(ic.encode_png_gray(img)) == img).all()
+
+
+def test_png_adam7_color_types():
+    """Adam7 applies per color type: each pass row is filtered and (for
+    sub-byte depths) bit-packed independently."""
+    rgb = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    body = ic._interlace_adam7_bytes(rgb)
+    assert (ic.decode_png(_png((31, 23, 8, 2, 0, 0, 1), body)) == _luma(rgb)).all()
+    rgba = rng.integers(0, 256, (13, 9, 4), dtype=np.uint8)
+    body = ic._interlace_adam7_bytes(rgba)
+    a = rgba[..., 3].astype(np.uint32)
+    want = ((_luma(rgba[..., :3]).astype(np.uint32) * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
+    assert (ic.decode_png(_png((9, 13, 8, 6, 0, 0, 1), body)) == want).all()
+    bil = rng.integers(0, 2, (37, 53), dtype=np.uint8) * np.uint8(255)
+    body = ic._interlace_adam7_bytes(bil[:, :, None], depth=1)
+    assert (ic.decode_png(_png((53, 37, 1, 0, 0, 0, 1), body)) == bil).all()
 
 
 def test_tiff_multipage_roundtrip():
@@ -173,14 +204,62 @@ def test_tiff_big_endian_multistrip_and_whiteiszero():
     assert (pg0 == 255 - img).all()
 
 
-def test_tiff_rejects_compressed():
+def test_tiff_rejects_unsupported_compression():
     img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
     tif = bytearray(ic.encode_tiff_gray([img]))
-    # patch the Compression tag value to 5 (LZW)
+    # patch the Compression tag value to 4 (CCITT G4 fax — out of scope)
     pos = tif.find(struct.pack("<HH", 259, 3))
-    struct.pack_into("<I", tif, pos + 8, 5)
-    with pytest.raises(ValueError, match="compression 5"):
+    struct.pack_into("<I", tif, pos + 8, 4)
+    with pytest.raises(ValueError, match="compression 4"):
         list(ic.iter_tiff_pages(bytes(tif)))
+
+
+@pytest.mark.parametrize("comp", [5, 8, 32773])
+@pytest.mark.parametrize("rps", [None, 10])
+def test_tiff_compressed_multipage_roundtrip(comp, rps):
+    pages = [
+        rng.integers(0, 256, (37, 53), dtype=np.uint8),
+        np.full((64, 64), 200, dtype=np.uint8),
+        (np.arange(40 * 40, dtype=np.uint32) % 256).astype(np.uint8).reshape(40, 40),
+    ]
+    buf = ic.encode_tiff_gray(pages, compression=comp, rows_per_strip=rps)
+    assert len(buf) < len(ic.encode_tiff_gray(pages)) or comp == 32773
+    dec = list(ic.iter_tiff_pages(buf))
+    assert len(dec) == 3
+    for a, b in zip(pages, dec):
+        assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("comp", [5, 8])
+def test_tiff_predictor2_roundtrip(comp):
+    # a smooth gradient is where predictor 2 actually helps AND where a
+    # wrong cumsum/diff would corrupt every pixel after the first column
+    img = (np.add.outer(np.arange(50), np.arange(90)) % 256).astype(np.uint8)
+    buf = ic.encode_tiff_gray([img], compression=comp, predictor=2, rows_per_strip=13)
+    (dec,) = ic.iter_tiff_pages(buf)
+    assert np.array_equal(dec, img)
+    plain = ic.encode_tiff_gray([img], compression=comp)
+    assert len(buf) < len(plain)  # differencing must pay on gradients
+    with pytest.raises(ValueError, match="predictor 2"):
+        ic.encode_tiff_gray([img], compression=1, predictor=2)
+
+
+def test_tiff_lzw_bitstream_properties():
+    """LZW early-change + clear-code behavior on a stream long enough to
+    exercise 10/11/12-bit widths and a table-full Clear."""
+    data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+    enc = ic._lzw_encode(data)
+    assert ic._lzw_decode(enc) == data
+    assert len(enc) > len(data)  # random bytes are incompressible under LZW
+    run = b"ab" * 50_000
+    enc_run = ic._lzw_encode(run)
+    assert ic._lzw_decode(enc_run) == run
+    assert len(enc_run) < len(run) // 10
+
+
+def test_tiff_packbits_edge_cases():
+    for d in (b"", b"x", b"x" * 129, bytes(range(256)) * 3, b"aab" * 100):
+        assert ic._packbits_decode(ic._packbits_encode(d)) == d
 
 
 def test_iter_page_images_dispatch():
@@ -215,6 +294,48 @@ def test_e2e_span_equality_on_encoded_corpus(ray_session):
     media = pq.read_table(paths["media"])
     heads = {bytes(b)[:4][:2] for b in media.column("bytes").to_pylist()}
     assert len(heads) >= 2, "mixed corpus should actually mix encodings"
+    golden = pq.read_table(paths["golden_spans"]).to_pandas()
+    out = extract_spans(paths["docs"], paths["media"]).to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _norm(golden))
+
+
+def test_e2e_span_equality_on_adam7_corpus(ray_session):
+    """Golden-span gate over Adam7-interlaced PNG media."""
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.fixtures import corpus_cached
+    from tesseract_recognize_ray.pipelines.extract import extract_spans
+
+    paths = corpus_cached("/tmp/trr_test_corpus_tiny_adam7", 48, media_encoding="png_adam7")
+    media = pq.read_table(paths["media"])
+    ihdr_interlaced = 0
+    for b in media.column("bytes").to_pylist():
+        raw = bytes(b)[:34]
+        if raw[:8] == ic.PNG_SIG and raw[28] == 1:  # IHDR interlace byte
+            ihdr_interlaced += 1
+    assert ihdr_interlaced > 0, "corpus should contain Adam7 PNGs"
+    golden = pq.read_table(paths["golden_spans"]).to_pandas()
+    out = extract_spans(paths["docs"], paths["media"]).to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _norm(golden))
+
+
+def test_e2e_span_equality_on_compressed_tiff_corpus(ray_session):
+    """Golden-span gate over LZW/Deflate/PackBits TIFF media (drawn
+    predictor-2 and multi-strip layouts)."""
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.fixtures import corpus_cached
+    from tesseract_recognize_ray.pipelines.extract import extract_spans
+
+    paths = corpus_cached("/tmp/trr_test_corpus_tiny_tlzw", 48, media_encoding="tiff_lzw")
+    media = pq.read_table(paths["media"])
+    comps = set()
+    for b in media.column("bytes").to_pylist():
+        raw = bytes(b)
+        if raw[:4] == b"II*\x00":
+            pos = raw.find(struct.pack("<HH", 259, 3))
+            comps.add(struct.unpack_from("<I", raw, pos + 8)[0])
+    assert comps - {1}, "corpus should contain compressed TIFFs"
     golden = pq.read_table(paths["golden_spans"]).to_pandas()
     out = extract_spans(paths["docs"], paths["media"]).to_pandas()
     pd.testing.assert_frame_equal(_norm(out), _norm(golden))

@@ -86,3 +86,56 @@ def test_auto_assemble_coalesce_rule():
     assert auto_assemble_coalesce(64 * GB + 1) is None  # huge: never force
     assert auto_assemble_coalesce(0) is None  # unknown: scale-safe off
     assert auto_assemble_coalesce(-5) is None
+
+
+def test_quarantine_rejected_encoding_error_row(ray_session, tmp_path):
+    """VERDICT r03 #6: an encoding the codecs legitimately reject
+    (arithmetic-coded SOF9 JPEG) must surface as ONE kind='error' span row
+    under quarantine=True — a clean per-blob error, never a job abort."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.config import PipelineConfig
+    from tesseract_recognize_ray.fixtures import encode_raster, render_page
+    from tesseract_recognize_ray.jpegcodec import encode_jpeg_gray
+    from tesseract_recognize_ray.pipelines.extract import extract_spans
+
+    rng = np.random.default_rng(7)
+    good = encode_raster(render_page(rng, n_regions=1).img)
+    bad = bytearray(encode_jpeg_gray(np.full((16, 16), 128, dtype=np.uint8)))
+    bad[bad.index(b"\xff\xc0") + 1] = 0xC9  # SOF0 -> SOF9 (arithmetic)
+    media = pa.table(
+        {
+            "media_ref": pa.array(["m-good", "m-arith"], pa.string()),
+            "bytes": pa.array([good, bytes(bad)], pa.large_binary()),
+            "kind": pa.array(["page", "page"], pa.string()),
+            "n_pages": pa.array([1, 1], pa.int32()),
+        }
+    )
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array(["d0"], pa.string()),
+            "spans": pa.array(
+                [
+                    [
+                        {"kind": "media", "text": None, "media_ref": "m-arith", "offset": 0},
+                        {"kind": "media", "text": None, "media_ref": "m-good", "offset": 1},
+                    ]
+                ],
+                pa.list_(span_t),
+            ),
+        }
+    )
+    mp, dp = str(tmp_path / "media.parquet"), str(tmp_path / "docs.parquet")
+    pq.write_table(media, mp)
+    pq.write_table(docs, dp)
+    out = extract_spans(dp, mp, PipelineConfig(quarantine=True)).to_pandas()
+    errs = out[out["kind"] == "error"]
+    assert len(errs) == 1
+    assert errs["media_ref"].iloc[0] == "m-arith"
+    assert "SOF9" in errs["text"].iloc[0]  # the reject reason travels with the row
+    # the good media's spans still extracted
+    assert (out["kind"] != "error").any()
