@@ -347,56 +347,86 @@ def rerecognize_inplace(
     Untouched elements are preserved; selected nodes carry the re-recognition
     results (reference ``--inplace``, `:371-374,865`).
 
-    Shape: flat results are packed one-row-per-doc (bucketed groupby — tiny
-    rows), 1:1 LEFT join back onto the XML table (docs with nothing selected
-    pass through unchanged), then a vectorized per-batch DOM patch."""
+    Shape: ONE bucketed co-shuffle — the XML rows and the flat result rows
+    are null-padded onto a shared Arrow schema, union'd, hashed on doc_id
+    into a bucket, and each bucket group packs its results, left-attaches
+    them to the XML rows and patches the DOMs in a single map_groups. The
+    previous shape (pack groupby, THEN a bucketed 1:1 join) paid two
+    all-to-all exchanges where one suffices; at the contract's 102-doc
+    scale the removed exchange was ~2-4s of pure fixed latency (breakdown
+    in BASELINE.md round-4 profile), and at 100 TB the fused exchange
+    ships each result row exactly once either way."""
+    import numpy as np
+
     from ..hashing import stable_bucket
 
     cfg = cfg or PipelineConfig()
     res = rerecognize_pagexml(xml_ds, media_path, cfg, level, image_override, location_strategy)
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["__bucket"] = stable_bucket(batch["doc_id"], cfg.assemble_buckets)
-        return batch
-
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["crop_id", "y0", "x0"], kind="mergesort")
-        out = []
-        for doc_id, sub in g.groupby("doc_id", sort=True):
-            groups: dict[str, list[dict]] = {}
-            for r in sub.itertuples():
-                key = f"{r.media_ref}\x1f{r.page}\x1f{r.crop_id}"
-                groups.setdefault(key, []).append(
-                    {
-                        "line_id": r.line_id,
-                        "x0": int(r.x0), "y0": int(r.y0), "x1": int(r.x1), "y1": int(r.y1),
-                        "text": r.text,
-                        "conf": None if r.conf is None or pd.isna(r.conf) else float(r.conf),
-                    }
-                )
-            out.append({"doc_id": doc_id, "results_json": json.dumps(groups)})
-        return pd.DataFrame(out, columns=["doc_id", "results_json"])
-
-    packed = (
-        res.map_batches(add_bucket, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(pack, batch_format="pandas")
+    union_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("xml", pa.string()),
+            ("media_ref", pa.string()),
+            ("page", pa.int64()),
+            ("crop_id", pa.string()),
+            ("line_id", pa.string()),
+            ("x0", pa.int64()),
+            ("y0", pa.int64()),
+            ("x1", pa.int64()),
+            ("y1", pa.int64()),
+            ("text", pa.string()),
+            ("conf", pa.float64()),
+            ("__side", pa.int8()),
+            ("__bucket", pa.int32()),
+        ]
     )
-    # 1:1 left attach via the bucketed exchange, not Dataset.join: the acero
-    # join spawns one aggregator actor per partition (~2s fixed at this
-    # scale) plus a ~15s first-join session warmup — dominant costs for a
-    # one-row-per-doc join (measured: rerecognize_inplace contract entry
-    # 9.7s -> see BASELINE.md round-4 profile)
-    from ..functions.relational import bucket_join
 
-    str_pair = pa.schema({"doc_id": pa.string(), "xml": pa.string()})
-    joined = bucket_join(
-        xml_ds,
-        packed,
-        on=("doc_id",),
-        how="left",
-        num_buckets=cfg.join_partitions,
-        left_schema=str_pair,
-        right_schema=pa.schema({"doc_id": pa.string(), "results_json": pa.string()}),
+    def pad(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = []
+            for f in union_schema:
+                if f.name == "__side":
+                    cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+                elif f.name == "__bucket":
+                    cols.append(pa.array(stable_bucket(t.column("doc_id"), cfg.assemble_buckets)))
+                elif f.name in t.column_names:
+                    cols.append(t.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(cols, schema=union_schema)
+
+        return fn
+
+    unioned = xml_ds.map_batches(pad(0), batch_format="pyarrow").union(
+        res.map_batches(pad(1), batch_format="pyarrow")
     )
-    return joined.map_batches(_patch_xml(level), batch_format="pandas")
+    patch = _patch_xml(level)
+
+    def fuse(g: pd.DataFrame) -> pd.DataFrame:
+        xml_rows = g.loc[g["__side"] == 0, ["doc_id", "xml"]]
+        sub = g[g["__side"] == 1]
+        if len(sub):
+            sub = sub.sort_values(["crop_id", "y0", "x0"], kind="mergesort")
+            out = []
+            for doc_id, s in sub.groupby("doc_id", sort=True):
+                groups: dict[str, list[dict]] = {}
+                for r in s.itertuples():
+                    key = f"{r.media_ref}\x1f{int(r.page)}\x1f{r.crop_id}"
+                    groups.setdefault(key, []).append(
+                        {
+                            "line_id": r.line_id,
+                            "x0": int(r.x0), "y0": int(r.y0), "x1": int(r.x1), "y1": int(r.y1),
+                            "text": r.text,
+                            "conf": None if r.conf is None or pd.isna(r.conf) else float(r.conf),
+                        }
+                    )
+                out.append({"doc_id": doc_id, "results_json": json.dumps(groups)})
+            packed = pd.DataFrame(out, columns=["doc_id", "results_json"])
+            df = xml_rows.merge(packed, on="doc_id", how="left")
+        else:
+            df = xml_rows.assign(results_json=None)
+        return patch(df)
+
+    return unioned.groupby("__bucket").map_groups(fuse, batch_format="pandas")
