@@ -230,6 +230,9 @@ def build_tables(
       "png_adam7"  like "png" but Adam7-interlaced;
       "tiff_lzw"  TIFF with drawn compression (LZW / Deflate / PackBits),
               drawn predictor-2 differencing and drawn multi-strip layout;
+      "legacy"  drawn GIF (plain/interlaced) / BMP (bottom-up/top-down) /
+              PNM (P5 or bilevel P4) per single-page media, TIFF for
+              multi-page;
       "mixed" deterministic per-media rng choice among the four
               single-draw encodings (raw/png/tiff/jpeg).
     Decode dispatch is on magic bytes (imagecodecs.iter_page_images), so
@@ -324,6 +327,27 @@ def build_tables(
                     from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
 
                     payload = encode_tiff_gray(page_imgs)
+                elif enc == "legacy":
+                    if n_pages == 1:
+                        from tesseract_recognize_ray import legacycodecs as lcod
+
+                        pick = int(rng.integers(0, 4))
+                        if pick == 0:
+                            payload = lcod.encode_gif_gray(
+                                page_imgs[0], interlace=bool(rng.integers(0, 2))
+                            )
+                        elif pick == 1:
+                            payload = lcod.encode_bmp_gray(
+                                page_imgs[0], top_down=bool(rng.integers(0, 2))
+                            )
+                        elif pick == 2:
+                            payload = lcod.encode_pnm_gray(page_imgs[0])
+                        else:  # bilevel P4: glyph pages are already 0/255
+                            payload = lcod.encode_pnm_gray(page_imgs[0], bilevel=True)
+                    else:  # no legacy format carries a page chain
+                        from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
+
+                        payload = encode_tiff_gray(page_imgs)
                 elif enc == "tiff_lzw":
                     from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
 

@@ -51,8 +51,8 @@ _CT_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_format(buf) -> str:
-    """'png' | 'tiff' | 'jpeg' | 'raw' by magic bytes (raw = the
-    8-byte-header fixture format, FIXTURES.md §2)."""
+    """'png' | 'tiff' | 'jpeg' | 'gif' | 'bmp' | 'pnm' | 'raw' by magic
+    bytes (raw = the 8-byte-header fixture format, FIXTURES.md §2)."""
     head = bytes(memoryview(buf)[:8])
     if head[:8] == PNG_SIG:
         return "png"
@@ -60,6 +60,12 @@ def sniff_format(buf) -> str:
         return "tiff"
     if head[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if head[:4] == b"GIF8":
+        return "gif"
+    if head[:2] == b"BM":
+        return "bmp"
+    if head[:1] == b"P" and head[1:2] in b"456" and head[2:3].isspace():
+        return "pnm"
     return "raw"
 
 
@@ -570,6 +576,22 @@ def iter_page_images(buf):
     if fmt == "tiff":
         for p, img in enumerate(iter_tiff_pages(buf)):
             yield p, img
+        return
+    if fmt == "gif":
+        from tesseract_recognize_ray.legacycodecs import iter_gif_frames
+
+        for p, img in enumerate(iter_gif_frames(buf)):
+            yield p, img
+        return
+    if fmt == "bmp":
+        from tesseract_recognize_ray.legacycodecs import decode_bmp
+
+        yield 0, decode_bmp(buf)
+        return
+    if fmt == "pnm":
+        from tesseract_recognize_ray.legacycodecs import decode_pnm
+
+        yield 0, decode_pnm(buf)
         return
     mv = memoryview(buf)
     off, p, n = 0, 0, len(mv)
