@@ -3645,6 +3645,163 @@ def _q_q7_volume_shipping(sf_dir: str):
     )
 
 
+def _q_q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): revenue from orders whose
+    customer and supplier share a nation inside one region, grouped by
+    nation. Scale shape: the region/nation dims collapse to a nationkey set
+    on the driver; supplier -> nation broadcasts (supplier is the small
+    side); the orderdate predicate pushes into the orders scan and customer
+    nation attaches via broadcast_lookup_join (same 100 TB gate note as
+    q7_volume_shipping: swap for a hash join at a true customer domain);
+    lineitem folds to one revenue partial per orderkey BEFORE the single
+    co-shuffle with the filtered orders."""
+    import pyarrow.dataset as pds_
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.merge(asia, left_on="s_nationkey", right_on="n_nationkey")[
+        ["s_suppkey", "n_name"]
+    ].rename(columns={"n_name": "supp_nation"})
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust = cust.merge(asia, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ].rename(columns={"n_name": "cust_nation"})
+
+    line = F.load(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    line = F.broadcast_lookup_join(line, supp, "l_suppkey", "s_suppkey")
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        disc_c = np.round(b["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "supp_nation": b["supp_nation"],
+                "rev_u": price_c * (100 - disc_c),
+            }
+        )
+
+    partial = F.grouped_agg(
+        line.map_batches(rev, batch_format="pandas"),
+        ["l_orderkey", "supp_nation"],
+        [("rev_u", "sum", "rev_u")],
+        reduce_blocks=16,
+    )
+    orders = F.load(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pds_.field("o_orderdate") >= pd.Timestamp("1996-01-01"))
+        & (pds_.field("o_orderdate") < pd.Timestamp("1997-01-01")),
+    )
+    orders_n = F.broadcast_lookup_join(orders, cust, "o_custkey", "c_custkey").select_columns(
+        ["o_orderkey", "cust_nation"]
+    )
+    joined = F.bucket_join(
+        partial,
+        orders_n,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        left_schema=pa.schema(
+            {"l_orderkey": pa.int64(), "supp_nation": pa.string(), "rev_u": pa.int64()}
+        ),
+        right_schema=pa.schema({"o_orderkey": pa.int64(), "cust_nation": pa.string()}),
+        reduce_blocks=16,
+    )
+    joined = joined.map_batches(
+        lambda b: b.filter(pc.equal(b.column("supp_nation"), b.column("cust_nation"))),
+        batch_format="pyarrow",
+    )
+    out = F.grouped_agg(joined, ["supp_nation"], [("rev_u", "sum", "revenue_u")])
+    return out.map_batches(
+        lambda b: b.rename_columns(["n_name", "revenue_u"]), batch_format="pyarrow"
+    )
+
+
+def _q_q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted to
+    this schema: the testdata carries no partsupp table, so profit =
+    extendedprice x (1 - discount) over parts whose name contains 'widget'
+    (the reference Q9 subtracts ps_supplycost x quantity; the join/group
+    topology — part filter, supplier nation, order year — is what this
+    exercises). Scale shape: the part filter collapses to a broadcast
+    partkey set; supplier -> nation broadcasts; lineitem folds to one
+    partial per (orderkey, nation) before the single co-shuffle with
+    orders for the year attach."""
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")[
+        ["s_suppkey", "n_name"]
+    ].rename(columns={"n_name": "nation"})
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    import ray
+
+    keys = part.loc[part["p_name"].str.contains("widget"), "p_partkey"].to_numpy(np.int64)
+    key_arr = ray.put(pa.array(np.unique(keys), pa.int64()))
+
+    line = F.load(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def widget_only(b: pa.Table) -> pa.Table:
+        import ray
+
+        ks = ray.get(key_arr)
+        return b.filter(pc.is_in(pc.cast(b.column("l_partkey"), pa.int64()), value_set=ks))
+
+    line = line.map_batches(widget_only, batch_format="pyarrow")
+    line = F.broadcast_lookup_join(line, supp, "l_suppkey", "s_suppkey")
+
+    def profit(b: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        disc_c = np.round(b["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "nation": b["nation"],
+                "profit_u": price_c * (100 - disc_c),
+            }
+        )
+
+    partial = F.grouped_agg(
+        line.map_batches(profit, batch_format="pandas"),
+        ["l_orderkey", "nation"],
+        [("profit_u", "sum", "profit_u")],
+        reduce_blocks=16,
+    )
+    orders = F.load(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def to_year(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_year": pd.DatetimeIndex(b["o_orderdate"]).year.astype("int64"),
+            }
+        )
+
+    joined = F.bucket_join(
+        partial,
+        orders.map_batches(to_year, batch_format="pandas"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        left_schema=pa.schema(
+            {"l_orderkey": pa.int64(), "nation": pa.string(), "profit_u": pa.int64()}
+        ),
+        right_schema=pa.schema({"o_orderkey": pa.int64(), "o_year": pa.int64()}),
+        reduce_blocks=16,
+    )
+    return F.grouped_agg(joined, ["nation", "o_year"], [("profit_u", "sum", "profit_u")])
+
+
 def _q_q19_discount_revenue(sf_dir: str):
     """TPC-H Q19 shape (disjunctive brand/size/quantity predicate): revenue
     over an OR-of-ANDs join predicate. Scale shape: the part side collapses
@@ -5488,7 +5645,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scaled_event_values": _q_scaled_event_values,
         "ts_inversions_by_user": _q_ts_inversions_by_user,
         "snm_dup_pairs": _q_snm_dup_pairs,
+        "q5_local_supplier_volume": _q_q5_local_supplier_volume,
         "q7_volume_shipping": _q_q7_volume_shipping,
+        "q9_product_profit": _q_q9_product_profit,
         "q19_discount_revenue": _q_q19_discount_revenue,
         "q8_market_share": _q_q8_market_share,
         "embedding_covariance": _q_embedding_covariance,
@@ -5737,6 +5896,37 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(jaccard(a.text, b.text), 6) AS jac
             FROM s a JOIN s b ON b.r - a.r BETWEEN 1 AND 2
             WHERE ROUND(jaccard(a.text, b.text), 6) >= 0.5
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_u
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "q9_product_profit": """
+            SELECT n.n_name AS nation,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS profit_u
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY 1, 2
         """,
         "q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
