@@ -1,10 +1,12 @@
-"""From-scratch PNG and uncompressed-TIFF codecs (stdlib zlib + numpy).
+"""From-scratch PNG and TIFF codecs (stdlib zlib + numpy) + format dispatch.
 
 The reference front end decodes real image formats via leptonica's pixRead
 (`/root/reference/tesseract-recognize.cc:514-531`); this environment has no
 PIL/cv2, so the engine previously read only its own raw fixture blobs
 (FIXTURES.md §2). This module closes that gap with pure-public-knowledge
-implementations of the two formats a scanned-document corpus actually uses:
+implementations of the formats a scanned-document corpus actually uses
+(JPEG lives in `jpegcodec`, GIF/BMP/PNM in `legacycodecs`; `sniff_format`
+/ `iter_page_images` here dispatch all of them on magic bytes):
 
 * **PNG** (RFC 2083 / W3C PNG spec): chunk parse -> zlib inflate -> per-row
   unfilter -> grayscale luma. Supported: bit depth 8 for color types
