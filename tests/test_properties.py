@@ -164,3 +164,48 @@ def test_frontier_mask_is_exact_dominance_complement(rows):
             if j != i
         )
         assert got[i] == (not dominated), (i, vals[i])
+
+
+# ------------------------------------------------------------- image codecs
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    enc=st.sampled_from(
+        ["png", "png_adam7", "tiff1", "tiff5", "tiff8", "tiff32773", "tiff5p2", "gif", "gif_i", "bmp", "bmp_td", "p5", "p4"]
+    ),
+)
+@settings(max_examples=120, deadline=None)
+def test_lossless_codecs_roundtrip_through_dispatch(h, w, seed, enc):
+    """Every lossless encoder's output must decode back byte-identical via
+    the SAME magic-byte dispatch the flagship actor uses."""
+    from tesseract_recognize_ray import legacycodecs as lc
+    from tesseract_recognize_ray.imagecodecs import (
+        encode_png_gray,
+        encode_tiff_gray,
+        iter_page_images,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    if enc == "p4":
+        img = np.where(img < 128, 0, 255).astype(np.uint8)
+    payload = {
+        "png": lambda: encode_png_gray(img),
+        "png_adam7": lambda: encode_png_gray(img, interlace=True),
+        "tiff1": lambda: encode_tiff_gray([img]),
+        "tiff5": lambda: encode_tiff_gray([img], compression=5, rows_per_strip=7),
+        "tiff8": lambda: encode_tiff_gray([img], compression=8),
+        "tiff32773": lambda: encode_tiff_gray([img], compression=32773, rows_per_strip=3),
+        "tiff5p2": lambda: encode_tiff_gray([img], compression=5, predictor=2),
+        "gif": lambda: lc.encode_gif_gray(img),
+        "gif_i": lambda: lc.encode_gif_gray(img, interlace=True),
+        "bmp": lambda: lc.encode_bmp_gray(img),
+        "bmp_td": lambda: lc.encode_bmp_gray(img, top_down=True),
+        "p5": lambda: lc.encode_pnm_gray(img),
+        "p4": lambda: lc.encode_pnm_gray(img, bilevel=True),
+    }[enc]()
+    pages = list(iter_page_images(payload))
+    assert len(pages) == 1 and pages[0][0] == 0
+    assert np.array_equal(pages[0][1], img)
