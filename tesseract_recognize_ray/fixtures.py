@@ -233,6 +233,8 @@ def build_tables(
       "legacy"  drawn GIF (plain/interlaced) / BMP (bottom-up/top-down) /
               PNM (P5 or bilevel P4) per single-page media, TIFF for
               multi-page;
+      "pdf"   image-wrapped scanned PDF (drawn FlateDecode / DCTDecode),
+              natively multi-page via the /Kids page tree;
       "mixed" deterministic per-media rng choice among the four
               single-draw encodings (raw/png/tiff/jpeg).
     Decode dispatch is on magic bytes (imagecodecs.iter_page_images), so
@@ -327,6 +329,16 @@ def build_tables(
                     from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
 
                     payload = encode_tiff_gray(page_imgs)
+                elif enc == "pdf":
+                    from tesseract_recognize_ray.pdfcodec import encode_pdf_scanned
+
+                    # flate is pixel-exact; dct (q95 gray JPEG) is lossless
+                    # for binarization on the bilevel glyph pages (same
+                    # argument as the jpeg corpus encoding)
+                    payload = encode_pdf_scanned(
+                        page_imgs,
+                        image_filter=("flate", "dct")[int(rng.integers(0, 2))],
+                    )
                 elif enc == "legacy":
                     if n_pages == 1:
                         from tesseract_recognize_ray import legacycodecs as lcod

@@ -68,6 +68,8 @@ def sniff_format(buf) -> str:
         return "bmp"
     if head[:1] == b"P" and head[1:2] in b"456" and head[2:3].isspace():
         return "pnm"
+    if head[:4] == b"%PDF":
+        return "pdf"
     return "raw"
 
 
@@ -594,6 +596,12 @@ def iter_page_images(buf):
         from tesseract_recognize_ray.legacycodecs import decode_pnm
 
         yield 0, decode_pnm(buf)
+        return
+    if fmt == "pdf":
+        from tesseract_recognize_ray.pdfcodec import iter_pdf_page_images
+
+        for p, img in enumerate(iter_pdf_page_images(buf)):
+            yield p, img
         return
     mv = memoryview(buf)
     off, p, n = 0, 0, len(mv)

@@ -1,0 +1,143 @@
+"""Image-wrapped PDF rasterizer (S3 — replaces the reference's Ghostscript
+render, tesseract-recognize.cc:490-511, for the scanned-document class) +
+golden e2e over a PDF corpus."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import tesseract_recognize_ray.pdfcodec as pc
+from tesseract_recognize_ray.imagecodecs import iter_page_images, sniff_format
+
+rng = np.random.default_rng(11)
+
+
+def test_flate_multipage_exact_roundtrip():
+    pages = [
+        rng.integers(0, 256, (37, 53), dtype=np.uint8),
+        np.full((20, 30), 200, dtype=np.uint8),
+        (np.add.outer(np.arange(41), np.arange(29)) % 256).astype(np.uint8),
+    ]
+    pdf = pc.encode_pdf_scanned(pages)
+    assert sniff_format(pdf) == "pdf"
+    got = list(pc.iter_pdf_page_images(pdf))
+    assert len(got) == 3
+    for a, b in zip(pages, got):
+        assert np.array_equal(a, b)
+
+
+def test_dct_pages_decode_via_repo_jpeg_codec():
+    pages = [np.full((24, 40), v, dtype=np.uint8) for v in (0, 128, 255)]
+    got = list(pc.iter_pdf_page_images(pc.encode_pdf_scanned(pages, image_filter="dct")))
+    assert [g.shape for g in got] == [(24, 40)] * 3
+    for a, b in zip(pages, got):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 4  # q95 on flats
+
+
+def test_trailerless_pdf_falls_back_to_catalog_scan():
+    img = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    pdf = pc.encode_pdf_scanned([img])
+    cut = pdf[: pdf.rfind(b"xref")]  # strip xref + trailer entirely
+    (got,) = pc.iter_pdf_page_images(cut)
+    assert np.array_equal(got, img)
+
+
+def test_bilevel_and_rgb_image_xobjects():
+    # hand-build a 1-bit DeviceGray page with /Decode [1 0]
+    img = np.where(rng.integers(0, 2, (10, 19), dtype=np.uint8) > 0, 255, 0).astype(np.uint8)
+    bits = (img > 0).astype(np.uint8)
+    packed = np.packbits(1 - bits, axis=1)  # Decode [1 0] flips it back
+    pdf = bytearray(pc.encode_pdf_scanned([np.zeros((10, 19), np.uint8)]))
+    # rewrite the XObject dict: 1-bit + Decode array + raw (no filter) data
+    xm = re.search(rb"<< /Type /XObject.*?stream\n", pdf, re.S)
+    body = packed.tobytes()
+    repl = (
+        b"<< /Type /XObject /Subtype /Image /Width 19 /Height 10 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 /Decode [1 0] "
+        b"/Length %d >>\nstream\n" % len(body)
+    )
+    end = pdf.find(b"endstream", xm.start())
+    pdf[xm.start() : end] = repl + body + b"\n"
+    pdf = pdf[: pdf.rfind(b"xref")]  # offsets shifted; rely on object scan
+    (got,) = pc.iter_pdf_page_images(bytes(pdf))
+    assert np.array_equal(got, img)
+
+    rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    from tesseract_recognize_ray.imagecodecs import _luma
+
+    pdf2 = bytearray(pc.encode_pdf_scanned([np.zeros((7, 5), np.uint8)]))
+    xm = re.search(rb"<< /Type /XObject.*?stream\n", pdf2, re.S)
+    body = rgb.tobytes()
+    repl = (
+        b"<< /Type /XObject /Subtype /Image /Width 5 /Height 7 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length %d >>\nstream\n" % len(body)
+    )
+    end = pdf2.find(b"endstream", xm.start())
+    pdf2[xm.start() : end] = repl + body + b"\n"
+    (got2,) = pc.iter_pdf_page_images(bytes(pdf2[: pdf2.rfind(b"xref")]))
+    assert np.array_equal(got2, _luma(rgb))
+
+
+def test_rejections_are_clean_valueerrors():
+    img = np.zeros((4, 4), np.uint8)
+    pdf = pc.encode_pdf_scanned([img])
+    with pytest.raises(ValueError, match="bad magic"):
+        list(pc.iter_pdf_page_images(b"not a pdf"))
+    bad = pdf.replace(b"/FlateDecode", b"/JPXDecode \x20")
+    with pytest.raises(ValueError, match="JPXDecode"):
+        list(pc.iter_pdf_page_images(bad))
+    # a page with zero images (vector-content PDF) names the scoped class
+    no_img = pdf.replace(b"/Subtype /Image", b"/Subtype /Form ")
+    with pytest.raises(ValueError, match="scanned-document class"):
+        list(pc.iter_pdf_page_images(no_img))
+
+
+def test_streams_with_pdf_keyword_bytes_inside():
+    """Binary stream payloads may contain 'endobj'/'N G obj'/'endstream'
+    byte patterns; direct /Length skipping must not let them corrupt the
+    object scan."""
+    evil = np.frombuffer((b"endstream endobj 5 0 obj " * 40)[: 25 * 40], dtype=np.uint8)
+    evil = evil.reshape(25, 40).astype(np.uint8)
+    (got,) = pc.iter_pdf_page_images(pc.encode_pdf_scanned([evil]))
+    assert np.array_equal(got, evil)
+
+
+def test_dispatch_from_arrow_buffer():
+    import pyarrow as pa
+
+    pages = [rng.integers(0, 256, (8, 9), dtype=np.uint8)] * 2
+    pdf = pc.encode_pdf_scanned(pages)
+    buf = memoryview(pa.array([pdf], pa.large_binary())[0].as_buffer())
+    got = list(iter_page_images(buf))
+    assert [p for p, _ in got] == [0, 1]
+    assert all(np.array_equal(im, pages[0]) for _, im in got)
+
+
+GOLD_COLS = ["doc_id", "seq", "kind", "text", "media_ref", "order", "region_id", "line_id"]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df[GOLD_COLS].sort_values(["doc_id", "seq"], kind="mergesort").reset_index(drop=True).fillna("<NULL>")
+    )
+
+
+def test_e2e_span_equality_on_pdf_corpus(ray_session):
+    """Golden-span gate over image-wrapped PDF media — including native
+    multi-page PDFs via the /Kids tree (S2 page semantics + S3 source)."""
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.fixtures import corpus_cached
+    from tesseract_recognize_ray.pipelines.extract import extract_spans
+
+    paths = corpus_cached("/tmp/trr_test_corpus_tiny_pdf", 48, media_encoding="pdf")
+    media = pq.read_table(paths["media"])
+    n_pdf = sum(bytes(b)[:4] == b"%PDF" for b in media.column("bytes").to_pylist())
+    assert n_pdf == media.num_rows, "every media must be a PDF"
+    multi = sum(np >= 2 for np in media.column("n_pages").to_pylist())
+    assert multi > 0, "corpus should contain multi-page PDFs"
+    golden = pq.read_table(paths["golden_spans"]).to_pandas()
+    out = extract_spans(paths["docs"], paths["media"]).to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _norm(golden))
