@@ -431,6 +431,80 @@ def _q_embedding_near_dup(sf_dir: str):
     return df
 
 
+def _q_training_shards(sf_dir: str):
+    """Deterministic hash-shuffle shard assignment — the training-data last
+    mile: decorrelate document order and fix resumable shard boundaries.
+    shard = last md5 hex digit of the doc id (16 shards); pos = rank of the
+    full hash within the shard. md5 is used (not the engine's blake2-based
+    stable_bucket) because DuckDB exposes the same function, making a hash
+    shuffle VALUE-matchable end-to-end; the per-row hashlib loop is the
+    documented price of that oracle. Scale shape: hash+shard are map-only;
+    in-shard ranks come from the bucketed window exchange."""
+    import hashlib
+
+    ds = F.load(sf_dir, "documents", columns=["doc_id"])
+
+    def h(b: pd.DataFrame) -> pd.DataFrame:
+        hx = [hashlib.md5(str(int(v)).encode()).hexdigest() for v in b["doc_id"]]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "h": hx,
+                "shard": np.array([int(x[-1], 16) for x in hx], dtype=np.int64),
+            }
+        )
+
+    hashed = ds.map_batches(h, batch_format="pandas")
+    out = F.window_row_number(hashed, "shard", ["h", "doc_id"], out_col="pos")
+    return out.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "shard": b["shard"].astype("int64"),
+                "pos": b["pos"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_source_mix_interleave(sf_dir: str):
+    """Deterministic weighted source interleave — training-mixture
+    construction: src0/src1 weight 5, src2/src3 weight 3, the rest 1. Each
+    doc's mix key is rn x (15 // w) (15 = lcm of the weights, so keys stay
+    integers and ties are exact): the merged stream emits 5 src0 docs per 3
+    src2 docs per 1 src19 doc, reproducibly. Scale shape: per-source rn via
+    the bucketed window exchange; the global mix position via the
+    range-partitioned distributed ordinal (no single-node sort)."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "source"])
+    rn = F.window_row_number(ds, "source", ["doc_id"], out_col="rn")
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        w = np.where(
+            b["source"].isin(("src0", "src1")), 5, np.where(b["source"].isin(("src2", "src3")), 3, 1)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "source": b["source"],
+                "mix_key": (b["rn"].to_numpy(np.int64) * (15 // w)).astype(np.int64),
+            }
+        )
+
+    keyed = rn.map_batches(key, batch_format="pandas")
+    out = F.global_row_number(keyed, ["mix_key", "source", "doc_id"], out_col="mix_pos")
+    return out.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "source": b["source"],
+                "mix_pos": b["mix_pos"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_flagship_extract(sf_dir: str):
     """The flagship interleaved-document extraction pipeline on the seeded
     synthetic corpus (testdata has no media payloads; input_hint shape is
@@ -5646,6 +5720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_inversions_by_user": _q_ts_inversions_by_user,
         "snm_dup_pairs": _q_snm_dup_pairs,
         "q5_local_supplier_volume": _q_q5_local_supplier_volume,
+        "training_shards": _q_training_shards,
+        "source_mix_interleave": _q_source_mix_interleave,
         "q7_volume_shipping": _q_q7_volume_shipping,
         "q9_product_profit": _q_q9_product_profit,
         "q19_discount_revenue": _q_q19_discount_revenue,
@@ -5896,6 +5972,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(jaccard(a.text, b.text), 6) AS jac
             FROM s a JOIN s b ON b.r - a.r BETWEEN 1 AND 2
             WHERE ROUND(jaccard(a.text, b.text), 6) >= 0.5
+        """,
+        "training_shards": """
+            WITH h AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(strpos('0123456789abcdef', substr(h, 32, 1)) - 1 AS BIGINT) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY strpos('0123456789abcdef', substr(h, 32, 1)) - 1
+                       ORDER BY h, doc_id) AS BIGINT) AS pos
+            FROM h
+        """,
+        "source_mix_interleave": """
+            WITH rn AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ), k AS (
+                SELECT doc_id, source,
+                       rn * (15 // CASE WHEN source IN ('src0', 'src1') THEN 5
+                                        WHEN source IN ('src2', 'src3') THEN 3
+                                        ELSE 1 END) AS mix_key
+                FROM rn
+            )
+            SELECT doc_id, source,
+                   CAST(ROW_NUMBER() OVER (ORDER BY mix_key, source, doc_id) AS BIGINT) AS mix_pos
+            FROM k
         """,
         "q5_local_supplier_volume": """
             SELECT n.n_name,
