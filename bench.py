@@ -58,6 +58,8 @@ _BENCH_QUERIES = [
     "top_terms",
     "event_value_ranks",
     "hopping_events",
+    "training_shards",
+    "source_mix_interleave",
     "clean_corpus",
     "shipping_priority",
     "top_bigrams",
