@@ -505,6 +505,54 @@ def _q_source_mix_interleave(sf_dir: str):
     )
 
 
+def _q_ocr_to_training_corpus(sf_dir: str):
+    """END-TO-END integration — scanned media to packed training windows in
+    one composition, the full LLM-data path this engine exists for:
+      1. flagship extraction (decode -> segment -> recognize actor pool ->
+         bucketed per-doc reassembly) over the seeded interleaved corpus;
+      2. per-doc text assembly INSIDE the same bucketed exchange shape
+         (ordered span concat, text spans + recognized lines);
+      3. quality gate (>= 4 whitespace tokens — drop empty/degenerate docs);
+      4. MinHash-LSH near-dup removal chain (verify -> components ->
+         canonical keep); the assembled text table is materialized once
+         (reducer-sized: one row per doc) because the chain consumes it
+         three times and Ray has no lineage cache;
+      5. concat-and-chunk packing into fixed 64-token training windows.
+    Rows-only (OCR + probabilistic dedup upstream); span fidelity, dedup
+    structure and packing semantics each have their own gates."""
+    from tesseract_recognize_ray.config import PipelineConfig
+    from tesseract_recognize_ray.hashing import stable_bucket
+    from tesseract_recognize_ray.pipelines.extract import extract_spans
+
+    paths = _corpus()
+    spans = extract_spans(paths["docs"], paths["media"], PipelineConfig())
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = stable_bucket(b["doc_id"], 64)
+        return b
+
+    def to_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "seq"], kind="mergesort")
+        txt = g.groupby("doc_id", sort=True)["text"].apply(
+            lambda s: " ".join(x for x in s if isinstance(x, str) and x)
+        )
+        return txt.rename("text").reset_index()
+
+    docs_txt = (
+        spans.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(to_doc, batch_format="pandas")
+    )
+
+    def quality_gate(b: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern_regex(b.column("text"), r"\s+"))
+        return b.filter(pc.greater_equal(n_tok, 4))
+
+    docs_txt = docs_txt.map_batches(quality_gate, batch_format="pyarrow").materialize()
+    kept = F_dedup.near_dup_dedup(docs_txt, "doc_id", "text", threshold=0.8)
+    return F_text.pack_sequences(kept, "doc_id", "text", seq_len=64)
+
+
 def _q_flagship_extract(sf_dir: str):
     """The flagship interleaved-document extraction pipeline on the seeded
     synthetic corpus (testdata has no media payloads; input_hint shape is
@@ -5891,6 +5939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "embedding_near_dup": _q_embedding_near_dup,
         "flagship_extract": _q_flagship_extract,
+        "ocr_to_training_corpus": _q_ocr_to_training_corpus,
         "pagexml_extract": _q_pagexml_extract,
         "rerecognize_xml": _q_rerecognize_xml,
         "rerecognize_inplace": _q_rerecognize_inplace,

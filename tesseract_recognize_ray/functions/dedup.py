@@ -472,6 +472,13 @@ def near_dup_dedup(
         shingle_k=shingle_k,
         min_est=min_est,
     )
+    # candidate pairs are |near-dups|-sized — tiny by design — and consumed
+    # twice below; materialize once. A corpus with NO candidates must short
+    # -circuit: an empty Ray 2.49 dataset drops its schema and the verify
+    # join dies on the missing key column (ray-data pitfall).
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return ds
     verified = verify_jaccard_pairs_joined(
         pairs, ds, id_col, text_col, shingle_k=shingle_k, threshold=threshold
     )

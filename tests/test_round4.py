@@ -139,3 +139,26 @@ def test_quarantine_rejected_encoding_error_row(ray_session, tmp_path):
     assert "SOF9" in errs["text"].iloc[0]  # the reject reason travels with the row
     # the good media's spans still extracted
     assert (out["kind"] != "error").any()
+
+
+def test_near_dup_dedup_no_candidates_passthrough(ray_session):
+    """Regression (ocr_to_training_corpus): a corpus with ZERO LSH candidate
+    pairs must pass through near_dup_dedup untouched — an empty Ray 2.49
+    dataset loses its schema and the verify join used to crash on the
+    missing key column."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.dedup import near_dup_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha bravo charlie delta echo foxtrot golf hotel",
+                "completely different words about rivers and mountains here",
+                "third document discussing astronomy telescopes and galaxies",
+            ],
+        }
+    )
+    out = near_dup_dedup(rd.from_pandas(df), "doc_id", "text", threshold=0.8).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
