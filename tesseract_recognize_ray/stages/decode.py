@@ -13,10 +13,13 @@ a self-describing single-page raster blob. Mirrors:
   * input-type dispatch M1  — `:362-368` (regex on filename; here the typed
     `kind` column plays that role)
 
-Input payloads may be PNG, uncompressed TIFF (multi-page IFD chain) or the
-raw fixture format — dispatched on magic bytes by `imagecodecs.
-iter_page_images` (the reference's pixRead front door,
-tesseract-recognize.cc:514-531). Output pixel payloads are NORMALIZED to
+Input payloads may be any supported encoding — PNG (incl. Adam7), JPEG
+(baseline + progressive), TIFF (uncompressed/LZW/Deflate/PackBits,
+multi-page IFD chain), GIF, BMP, PNM, image-wrapped PDF (natively
+multi-page) or the raw fixture format — dispatched on magic bytes by
+`imagecodecs.iter_page_images` (the reference's pixRead front door,
+tesseract-recognize.cc:514-531, plus its Ghostscript PDF path
+`:490-511` via `pdfcodec`). Output pixel payloads are NORMALIZED to
 the raw format (8-byte header + u8 rows, FIXTURES.md §2) so every
 downstream stage views them zero-copy via np.frombuffer regardless of the
 source encoding. ``est_cost = width*height`` feeds the skew-aware batching
