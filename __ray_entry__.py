@@ -505,6 +505,31 @@ def _q_source_mix_interleave(sf_dir: str):
     )
 
 
+def _q_dsir_selected_docs(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): select 100 raw docs
+    whose hashed uni+bigram bags look most like the curated target domain
+    (sources src0/src1), via Gumbel-top-k over per-doc importance
+    log-weights. Two n_buckets-float histogram passes + a broadcast
+    log-ratio vector + one k-row top-k exchange. Hash-based (pandas string
+    hash) -> no SQL oracle; weights are pytest-gated bit-exact against a
+    naive single-process reference (tests/test_round4.py)."""
+    from tesseract_recognize_ray.functions import ml as F_ml
+
+    raw = F.load(sf_dir, "documents", columns=["doc_id", "text", "source"], num_blocks=8)
+    target = raw.filter(expr="source == 'src0' or source == 'src1'")
+    out = F_ml.dsir_select(raw, target, "doc_id", "text", k=100, seed=7)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "log_weight": np.round(b["log_weight"].to_numpy(np.float64), 6),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_ocr_to_training_corpus(sf_dir: str):
     """END-TO-END integration — scanned media to packed training windows in
     one composition, the full LLM-data path this engine exists for:
@@ -5940,6 +5965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "flagship_extract": _q_flagship_extract,
         "ocr_to_training_corpus": _q_ocr_to_training_corpus,
+        "dsir_selected_docs": _q_dsir_selected_docs,
         "pagexml_extract": _q_pagexml_extract,
         "rerecognize_xml": _q_rerecognize_xml,
         "rerecognize_inplace": _q_rerecognize_inplace,

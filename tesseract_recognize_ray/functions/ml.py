@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 from ray.data import Dataset
 
@@ -122,3 +123,114 @@ def logreg_predict(
         return b
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- DSIR
+# Data Selection via Importance Resampling (Xie et al. 2023, public paper):
+# score every raw document by how much more likely its hashed n-gram bag is
+# under a target-domain distribution than under the raw distribution, then
+# Gumbel-top-k sample proportionally to that importance weight.
+
+
+def _hashed_ngram_partials(ds: "Dataset", text_col: str, n_buckets: int, ngram_ns=(1, 2)):
+    """One n_buckets-float histogram partial per block (the logreg-partials
+    idiom): hashed word uni+bigram counts, vectorized end-to-end (Arrow
+    tokenize -> flat_ngrams -> pandas string hash -> bincount)."""
+    from ..hashing import stable_bucket
+    from .textstats import flat_ngrams
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        if b.num_rows == 0:  # empty-block schema-loss guard (Ray 2.49)
+            return pd.DataFrame({"c": []})
+        vec = np.zeros(n_buckets, dtype=np.float64)
+        col = b.column(text_col)
+        for n in ngram_ns:
+            ng, _ridx = flat_ngrams(col, n)
+            if len(ng):
+                bk = stable_bucket(ng, n_buckets)
+                vec += np.bincount(bk, minlength=n_buckets)
+        return pd.DataFrame({"c": [vec]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return np.zeros(n_buckets, dtype=np.float64)
+    return np.stack(parts["c"].to_numpy()).sum(0)
+
+
+def dsir_weights(
+    raw: "Dataset",
+    target: "Dataset",
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+    ngram_ns=(1, 2),
+) -> "Dataset":
+    """Per-document DSIR importance log-weight: sum over the doc's hashed
+    n-grams of log p_target(bucket) - log p_raw(bucket) (Laplace-smoothed).
+    Scale shape: two histogram passes ship n_buckets floats per block; the
+    2 x n_buckets log-ratio vector broadcasts once; scoring is map-only.
+    Deterministic: histograms are integer counts (exact in float64), each
+    row's features are row-local, so weights are partitioning-independent."""
+    from ..hashing import stable_bucket
+    from .textstats import flat_ngrams
+
+    c_raw = _hashed_ngram_partials(raw, text_col, n_buckets, ngram_ns)
+    c_tgt = _hashed_ngram_partials(target, text_col, n_buckets, ngram_ns)
+    p_raw = (c_raw + smoothing) / (c_raw.sum() + smoothing * n_buckets)
+    p_tgt = (c_tgt + smoothing) / (c_tgt.sum() + smoothing * n_buckets)
+    rref = ray.put(np.log(p_tgt) - np.log(p_raw))
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        if b.num_rows == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="object"), "log_weight": pd.Series([], dtype="float64")}
+            )
+        lr = ray.get(rref)
+        col = b.column(text_col)
+        w = np.zeros(b.num_rows, dtype=np.float64)
+        for n in ngram_ns:
+            ng, ridx = flat_ngrams(col, n)
+            if len(ng):
+                bk = stable_bucket(ng, n_buckets)
+                np.add.at(w, ridx, lr[bk])
+        return pd.DataFrame({id_col: b.column(id_col).to_pandas(), "log_weight": w})
+
+    return raw.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_select(
+    raw: "Dataset",
+    target: "Dataset",
+    id_col: str,
+    text_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> "Dataset":
+    """Select k raw documents ~ importance weight WITHOUT replacement via
+    the Gumbel-top-k trick: key_i = log_weight_i + Gumbel(u_i) where u_i is
+    a process-stable per-(id, seed) uniform (blake2-free: pandas string
+    hash of 'id|seed' -> (h + 0.5) / 2^64). Deterministic, single top-k
+    exchange of k rows per block."""
+    from .relational import topk
+
+    weights = dsir_weights(
+        raw, target, id_col, text_col, n_buckets=n_buckets, smoothing=smoothing
+    )
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b.assign(sample_key=pd.Series([], dtype="float64"))
+        tagged = b[id_col].astype(str) + f"|{seed}"
+        h = pd.util.hash_pandas_object(tagged, index=False).to_numpy()
+        u = (h.astype(np.float64) + 0.5) / np.float64(2**64)
+        b = b.copy()
+        b["sample_key"] = b["log_weight"].to_numpy() - np.log(-np.log(u))
+        return b
+
+    keyed = weights.map_batches(add_key, batch_format="pandas")
+    return topk(keyed, "sample_key", k, descending=True, tiebreak=[id_col])

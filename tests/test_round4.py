@@ -162,3 +162,86 @@ def test_near_dup_dedup_no_candidates_passthrough(ray_session):
     )
     out = near_dup_dedup(rd.from_pandas(df), "doc_id", "text", threshold=0.8).to_pandas()
     assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
+def test_dsir_weights_match_naive_reference(ray_session):
+    """DSIR importance log-weights must be bit-exact vs a naive
+    single-process reference computing the same smoothed hashed-n-gram
+    log-ratio (histograms are integer counts -> exact in float64; each
+    row's features are row-local, so partitioning cannot change them)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.ml import dsir_weights
+    from tesseract_recognize_ray.functions.textstats import flat_ngrams
+    from tesseract_recognize_ray.hashing import stable_bucket
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)] + ["alpha", "beta", "gamma"]
+    docs = [" ".join(rng.choice(vocab, rng.integers(4, 30))) for _ in range(120)]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": docs})
+    tgt = df[df["doc_id"] % 5 == 0]
+
+    NB = 256
+    out = (
+        dsir_weights(
+            rd.from_pandas(df).repartition(7),
+            rd.from_pandas(tgt).repartition(3),
+            "doc_id",
+            "text",
+            n_buckets=NB,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def hist(frame):
+        vec = np.zeros(NB)
+        col = pa.array(frame["text"], pa.string())
+        for n in (1, 2):
+            ng, _ = flat_ngrams(col, n)
+            if len(ng):
+                vec += np.bincount(stable_bucket(ng, NB), minlength=NB)
+        return vec
+
+    c_raw, c_tgt = hist(df), hist(tgt)
+    p_raw = (c_raw + 1.0) / (c_raw.sum() + NB)
+    p_tgt = (c_tgt + 1.0) / (c_tgt.sum() + NB)
+    lr = np.log(p_tgt) - np.log(p_raw)
+    col = pa.array(df["text"], pa.string())
+    w = np.zeros(len(df))
+    for n in (1, 2):
+        ng, ridx = flat_ngrams(col, n)
+        np.add.at(w, ridx, lr[stable_bucket(ng, NB)])
+    assert np.array_equal(out["log_weight"].to_numpy(), w)
+    # target-domain docs must score higher on average than the rest
+    sel = out["doc_id"] % 5 == 0
+    assert out.loc[sel, "log_weight"].mean() > out.loc[~sel, "log_weight"].mean()
+
+
+def test_dsir_select_is_deterministic_and_weight_biased(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.ml import dsir_select
+
+    rng = np.random.default_rng(4)
+    # two sub-languages: target-ish docs reuse a small vocab, others don't
+    a_vocab = ["data", "pipeline", "shuffle", "arrow", "ray"]
+    b_vocab = [f"junk{i}" for i in range(200)]
+    docs, kinds = [], []
+    for i in range(200):
+        if i % 2 == 0:
+            docs.append(" ".join(rng.choice(a_vocab, 12)))
+            kinds.append("a")
+        else:
+            docs.append(" ".join(rng.choice(b_vocab, 12)))
+            kinds.append("b")
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": docs, "kind": kinds})
+    raw = rd.from_pandas(df).repartition(5)
+    target = rd.from_pandas(df[df["kind"] == "a"].head(30)).repartition(2)
+    s1 = dsir_select(raw, target, "doc_id", "text", k=40, seed=9).to_pandas()
+    s2 = dsir_select(raw, target, "doc_id", "text", k=40, seed=9).to_pandas()
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+    picked = df.set_index("doc_id").loc[s1["doc_id"], "kind"]
+    assert (picked == "a").mean() > 0.8  # selection follows the weights
