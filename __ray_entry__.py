@@ -3881,7 +3881,11 @@ def _q_q9_product_profit(sf_dir: str):
     exercises). Scale shape: the part filter collapses to a broadcast
     partkey set; supplier -> nation broadcasts; lineitem folds to one
     partial per (orderkey, nation) before the single co-shuffle with
-    orders for the year attach."""
+    orders for the year attach. Gate note (the q16 lesson): the name-filtered
+    partkey set is ~15% of `part` and therefore corpus-proportional — at a
+    true 100 TB part domain swap the broadcast semi-filter for a
+    `bucket_join` on partkey exactly as q16_supplier_variety does; at bench
+    scales the one-shot `ray.put` of an int64 array is the cheaper shape."""
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     supp = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
     supp = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")[
