@@ -218,13 +218,15 @@ def _finish_gray(objs, xdict, img: np.ndarray) -> np.ndarray:
     return img
 
 
-def _page_kids(objs, node: dict, out: list[dict]):
+def _page_kids(objs, node: dict, out: list[dict], depth: int = 0):
+    if depth > 64:  # corrupt/cyclic /Kids must not recurse unboundedly
+        raise ValueError("PDF: page tree deeper than 64 levels")
     t = _deref(objs, node.get("Type"))
     if t == "/Page":
         out.append(node)
         return
     for kid in _deref(objs, node.get("Kids", [])):
-        _page_kids(objs, _deref(objs, kid), out)
+        _page_kids(objs, _deref(objs, kid), out, depth + 1)
 
 
 def iter_pdf_page_images(buf):
@@ -235,10 +237,10 @@ def iter_pdf_page_images(buf):
     objs = _parse_objects(data)
     # root: trailer /Root -> Catalog -> /Pages; fallback: lone Catalog
     pages_node = None
-    tm = re.search(rb"trailer", data)
-    if tm:
+    trailers = list(re.finditer(rb"trailer", data))
+    if trailers:  # incremental-update files append trailers; LAST wins
         try:
-            tdict, _ = _parse_value(data, tm.end())
+            tdict, _ = _parse_value(data, trailers[-1].end())
             cat = _deref(objs, tdict["Root"])
             pages_node = _deref(objs, cat["Pages"])
         except (KeyError, ValueError, IndexError):
