@@ -4769,8 +4769,14 @@ def _q_q16_supplier_variety(sf_dir: str):
         keep = ~np.isin(b.column("l_suppkey").to_numpy(), ray.get(excl_ref))
         return b.filter(pa.array(keep))
 
+    # reduce_blocks=16: the per-block distinct combiner already shrinks the
+    # stream to <= |distinct pairs| rows per block, so the coalesce is
+    # reducer-sized at bench scales; at a true 100 TB part domain the knob
+    # must grow with |part| or be dropped (grouped_agg's sizing rule)
     pairs = F.distinct_on(
-        line.map_batches(drop_excluded, batch_format="pyarrow"), ["l_partkey", "l_suppkey"]
+        line.map_batches(drop_excluded, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        reduce_blocks=16,
     )
     part = F.load(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
     # explicit schemas: pairs' plan contains the distinct shuffle — letting
@@ -4784,10 +4790,12 @@ def _q_q16_supplier_variety(sf_dir: str):
         right_schema=pa.schema(
             [("p_partkey", pa.int64()), ("p_brand", pa.string()), ("p_size", pa.int32())]
         ),
+        reduce_blocks=16,  # both sides are distinct-pair / part-table sized
     )
     triples = F.distinct_on(
         joined.select_columns(["p_brand", "p_size", "l_suppkey"]),
         ["p_brand", "p_size", "l_suppkey"],
+        reduce_blocks=16,
     )
     out = F.grouped_agg(
         triples, ["p_brand", "p_size"], [("l_suppkey", "count", "supplier_cnt")]

@@ -884,10 +884,15 @@ def except_rows(left: Dataset, right: Dataset, cols: list[str], num_partitions: 
     return joined.map_batches(keep_absent, batch_format="pandas")
 
 
-def distinct_on(ds: Dataset, cols: list[str]) -> Dataset:
+def distinct_on(ds: Dataset, cols: list[str], *, reduce_blocks: int | None = None) -> Dataset:
     """Multi-column distinct — grouped_agg's bucketed reduce (per-batch
-    distinct combiner + one int32-bucket shuffle), not the sort aggregate."""
-    return grouped_agg(ds, cols, [(cols[0], "count", "__n")]).drop_columns(["__n"])
+    distinct combiner + one int32-bucket shuffle), not the sort aggregate.
+    reduce_blocks: as in grouped_agg — coalesce the combined (already
+    distinct-per-block) stream before the exchange only when the DISTINCT
+    domain is known reducer-sized."""
+    return grouped_agg(
+        ds, cols, [(cols[0], "count", "__n")], reduce_blocks=reduce_blocks
+    ).drop_columns(["__n"])
 
 
 def intersect_rows(left: Dataset, right: Dataset, cols: list[str], num_partitions: int = 8) -> Dataset:
