@@ -5417,9 +5417,10 @@ _Q21_LATE_US = 60 * 86_400_000_000  # ship > orderdate + 60 days = "late"
 def _q_q21_waiting_suppliers(sf_dir: str):
     """TPC-H-Q21-shaped blame assignment (adapted to this schema: "late" =
     shipped >60 days after the order date, status-F orders): suppliers who
-    were the ONLY late supplier on a multi-supplier order. Three combiner
-    groupbys, no per-group Python: (order, supp) -> any_late, then per
-    order count/late-count plus SUM(suppkey*late) — when exactly one
+    were the ONLY late supplier on a multi-supplier order. No per-group
+    Python anywhere: lineitem collapses map-side to (order, supp,
+    MAX(shipdate)) BEFORE the orders join (any-late == max-ship late), then
+    per order count/late-count plus SUM(suppkey*late) — when exactly one
     supplier is late that sum IS its key, so the single-late filter and the
     blame attach need no extra join — then count per supplier, name attach
     via a reducer-sized bucketed join, top 20."""
@@ -5430,34 +5431,41 @@ def _q_q21_waiting_suppliers(sf_dir: str):
         filter=pc.field("o_orderstatus") == "F",
     )
     li = F.load(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
-    joined = F.bucket_join(
+    # any(ship > od + 60d) == max(ship) > od + 60d: collapse lineitem to ONE
+    # row per (order, supplier) with the map-side combiner BEFORE the orders
+    # join, so the join exchange ships the collapsed stream (~7x fewer rows)
+    # instead of full lineitem, and the post-join per-(order, supp) groupby
+    # disappears entirely
+    per_pair = F.grouped_agg(
         li,
+        ["l_orderkey", "l_suppkey"],
+        [("l_shipdate", "max", "max_ship")],
+        reduce_blocks=16,  # combined partials are distinct-(order,supp) sized
+    )
+    joined = F.bucket_join(
+        per_pair,
         orders,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
         left_schema=pa.schema(
-            {"l_orderkey": pa.int64(), "l_suppkey": pa.int64(), "l_shipdate": pa.timestamp("us")}
+            {"l_orderkey": pa.int64(), "l_suppkey": pa.int64(), "max_ship": pa.timestamp("us")}
         ),
         right_schema=pa.schema({"o_orderkey": pa.int64(), "o_orderdate": pa.timestamp("us")}),
+        reduce_blocks=16,
     )
 
     def flag(b: pa.Table) -> pa.Table:
-        ship = pc.cast(b.column("l_shipdate"), pa.int64())
+        ship = pc.cast(b.column("max_ship"), pa.int64())
         od = pc.cast(b.column("o_orderdate"), pa.int64())
-        late = pc.greater(ship, pc.add(od, _Q21_LATE_US))
         return pa.table(
             {
                 "o_orderkey": b.column("l_orderkey"),
                 "l_suppkey": b.column("l_suppkey"),
-                "late": late,
+                "late": pc.greater(ship, pc.add(od, _Q21_LATE_US)),
             }
         )
 
-    per_supp = F.grouped_agg(
-        joined.map_batches(flag, batch_format="pyarrow"),
-        ["o_orderkey", "l_suppkey"],
-        [("late", "any", "late")],
-    )
+    per_supp = joined.map_batches(flag, batch_format="pyarrow")
 
     def widen(b: pa.Table) -> pa.Table:
         li_ = pc.cast(b.column("late"), pa.int64())
@@ -5473,6 +5481,7 @@ def _q_q21_waiting_suppliers(sf_dir: str):
         per_supp.map_batches(widen, batch_format="pyarrow"),
         ["o_orderkey"],
         [("late_i", "count", "n_supp"), ("late_i", "sum", "n_late"), ("supp_late", "sum", "supp_late")],
+        reduce_blocks=16,  # order-domain sized after the map-side combine
     )
 
     def blame(b: pa.Table) -> pa.Table:
