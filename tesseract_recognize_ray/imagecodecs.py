@@ -9,9 +9,11 @@ implementations of the formats a scanned-document corpus actually uses
 / `iter_page_images` here dispatch all of them on magic bytes):
 
 * **PNG** (RFC 2083 / W3C PNG spec): chunk parse -> zlib inflate -> per-row
-  unfilter -> grayscale luma. Supported: bit depth 8 for color types
-  0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), plus bit depth
-  1 gray (bilevel scans), in both sequential and Adam7-interlaced layouts
+  unfilter -> grayscale luma. Supported: every legal (color type, depth)
+  pair — gray 1/2/4/8/16 (low depths scaled by the exact 255/(2^d - 1)
+  steps, 16-bit truncated to the high byte per the spec's sample-depth
+  rescale), RGB/gray+alpha/RGBA 8/16, palette 1/2/4/8 — in both
+  sequential and Adam7-interlaced layouts
   (spec §8.2: seven sub-images, each filtered independently, scattered
   back on the 8x8 pass lattice). Filters 0/1/2 are fully vectorized
   (None/Up are single numpy adds; Sub is a per-channel cumsum); filters
@@ -139,16 +141,31 @@ _ADAM7 = [
 ]
 
 
-def _rows_to_px(unf: np.ndarray, pw: int, depth: int) -> np.ndarray:
-    """(ph, stride) unfiltered bytes -> (ph, pw[, ...]) samples: depth 8
-    passes through, depth 1 unpacks bits to 0/255."""
+def _rows_to_px(unf: np.ndarray, pw: int, depth: int, *, scale: bool = True) -> np.ndarray:
+    """(ph, stride) unfiltered bytes -> (ph, pw) uint8 samples. depth 8
+    passes through (pw counts pixels x channels), 16 keeps the high byte
+    (PNG samples are big-endian; 16 -> 8 is the spec's sample-depth
+    rescale truncation), 1/2/4 unpack MSB-first bit groups — scaled to the
+    full 0..255 range for gray (255/(2^d - 1) is integral for all three),
+    raw index values for palette (scale=False)."""
     if depth == 8:
         return unf
-    bits = np.unpackbits(unf, axis=1)[:, :pw]
-    return bits * np.uint8(255)
+    if depth == 16:
+        return unf.reshape(unf.shape[0], -1, 2)[:, :pw, 0]
+    bits = np.unpackbits(unf, axis=1)
+    m = (bits.shape[1] // depth) * depth
+    vals = np.zeros((unf.shape[0], m // depth), dtype=np.uint8)
+    for j in range(depth):
+        vals = (vals << 1) | bits[:, j:m:depth]
+    vals = vals[:, :pw]
+    if scale:
+        vals = vals * np.uint8(255 // ((1 << depth) - 1))
+    return vals
 
 
-def _deinterlace_adam7(raw: np.ndarray, w: int, h: int, depth: int, ch: int) -> np.ndarray:
+def _deinterlace_adam7(
+    raw: np.ndarray, w: int, h: int, depth: int, ch: int, *, scale: bool = True
+) -> np.ndarray:
     """Adam7: seven independently-filtered sub-images scattered onto the
     (xstart + i*xstep, ystart + j*ystep) lattice. Empty passes (sub-image
     with zero width or height) contribute no bytes, not even filter bytes."""
@@ -164,7 +181,7 @@ def _deinterlace_adam7(raw: np.ndarray, w: int, h: int, depth: int, ch: int) -> 
         nbytes = ph * (1 + stride)
         unf = _unfilter(raw[off : off + nbytes], ph, stride, bpp)
         off += nbytes
-        px = _rows_to_px(unf, pw * ch if depth == 8 else pw, depth)
+        px = _rows_to_px(unf, pw if depth < 8 else pw * ch, depth, scale=scale)
         out[ys::ystep, xs::xstep] = px.reshape(ph, pw, ch)
     if off != len(raw):
         raise ValueError("PNG: interlaced data length mismatch")
@@ -203,19 +220,24 @@ def decode_png(buf) -> np.ndarray:
         raise ValueError(f"PNG: unknown interlace method {interlace}")
     if ct not in _CT_CHANNELS:
         raise ValueError(f"PNG: unsupported color type {ct}")
-    if not (depth == 8 or (depth == 1 and ct == 0)):
-        raise ValueError(f"PNG: unsupported bit depth {depth} for color type {ct}")
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if depth not in legal[ct]:
+        raise ValueError(f"PNG: illegal bit depth {depth} for color type {ct}")
     ch = _CT_CHANNELS[ct]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace:
-        px = _deinterlace_adam7(raw, w, h, depth, ch)
+        px = _deinterlace_adam7(raw, w, h, depth, ch, scale=ct == 0)
     elif depth == 8:
         stride = w * ch
         px = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
-    else:  # depth 1, ct 0
-        stride = (w + 7) // 8
+    elif depth == 16:
+        stride = w * ch * 2
+        unf = _unfilter(raw, h, stride, ch * 2)
+        px = _rows_to_px(unf, w * ch, 16).reshape(h, w, ch)
+    else:  # depth 1/2/4: gray (scaled) or palette indices (raw)
+        stride = (w * depth + 7) // 8
         packed = _unfilter(raw, h, stride, 1)
-        px = _rows_to_px(packed, w, 1).reshape(h, w, 1)
+        px = _rows_to_px(packed, w, depth, scale=ct == 0).reshape(h, w, 1)
     if ct == 0:
         return px[:, :, 0]
     if ct == 2:
@@ -257,16 +279,41 @@ def _interlace_adam7_bytes(px: np.ndarray, depth: int = 8) -> bytes:
     return bytes(out)
 
 
-def encode_png_gray(img: np.ndarray, *, level: int = 6, interlace: bool = False) -> bytes:
-    """(h, w) uint8 -> 8-bit grayscale PNG (filter 0 rows, one IDAT);
-    ``interlace=True`` writes the Adam7 layout."""
+def encode_png_gray(
+    img: np.ndarray, *, level: int = 6, interlace: bool = False, depth: int = 8
+) -> bytes:
+    """(h, w) uint8 -> grayscale PNG (filter 0 rows, one IDAT); depth may
+    be 1/2/4 (values quantized by the exact 255/(2^d - 1) gray steps),
+    8, or 16 (uint16 input, big-endian samples). ``interlace=True`` writes
+    the Adam7 layout (depth 1/8 only)."""
+    if depth == 16:
+        img16 = np.ascontiguousarray(img, dtype=np.uint16)
+        h, w = img16.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+        rows = img16.astype(">u2").view(np.uint8).reshape(h, w * 2)
+        body = np.concatenate([np.zeros((h, 1), dtype=np.uint8), rows], axis=1).tobytes()
+        return (
+            PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(body, level))
+            + _chunk(b"IEND", b"")
+        )
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1 if interlace else 0)
     if interlace:
-        body = _interlace_adam7_bytes(img[:, :, None])
-    else:
+        if depth not in (1, 8):
+            raise ValueError("PNG encode: interlace supported for depth 1/8 only")
+        body = _interlace_adam7_bytes(img[:, :, None], depth=depth)
+    elif depth == 8:
         body = np.concatenate([np.zeros((h, 1), dtype=np.uint8), img], axis=1).tobytes()
+    elif depth in (1, 2, 4):
+        vals = img // np.uint8(255 // ((1 << depth) - 1))
+        bits = ((vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+        packed = np.packbits(bits.reshape(h, w * depth), axis=1)
+        body = np.concatenate([np.zeros((h, 1), dtype=np.uint8), packed], axis=1).tobytes()
+    else:
+        raise ValueError(f"PNG encode: unsupported depth {depth}")
     idat = zlib.compress(bytes(body), level)
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 

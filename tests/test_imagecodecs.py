@@ -339,3 +339,56 @@ def test_e2e_span_equality_on_compressed_tiff_corpus(ray_session):
     golden = pq.read_table(paths["golden_spans"]).to_pandas()
     out = extract_spans(paths["docs"], paths["media"]).to_pandas()
     pd.testing.assert_frame_equal(_norm(out), _norm(golden))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_low_depth_gray_roundtrip(depth):
+    step = 255 // ((1 << depth) - 1)
+    img = (rng.integers(0, 1 << depth, (23, 37), dtype=np.uint8) * step).astype(np.uint8)
+    assert np.array_equal(ic.decode_png(ic.encode_png_gray(img, depth=depth)), img)
+
+
+def test_png_16bit_gray_and_rgb():
+    import zlib
+
+    img16 = rng.integers(0, 65536, (19, 29), dtype=np.uint16)
+    out = ic.decode_png(ic.encode_png_gray(img16, depth=16))
+    assert np.array_equal(out, (img16 >> 8).astype(np.uint8))  # spec truncation
+    h, w = 5, 7
+    rgb16 = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+    rows = rgb16.astype(">u2").view(np.uint8).reshape(h, w * 6)
+    body = np.concatenate([np.zeros((h, 1), np.uint8), rows], axis=1).tobytes()
+    png = (
+        ic.PNG_SIG
+        + ic._chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + ic._chunk(b"IDAT", zlib.compress(body))
+        + ic._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(ic.decode_png(png), ic._luma((rgb16 >> 8).astype(np.uint8)))
+
+
+def test_png_low_depth_palette():
+    import zlib
+
+    idx = rng.integers(0, 16, (9, 11), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    bits = ((idx[:, :, None] >> np.arange(3, -1, -1)) & 1).astype(np.uint8)
+    packed = np.packbits(bits.reshape(9, 11 * 4), axis=1)
+    body = np.concatenate([np.zeros((9, 1), np.uint8), packed], axis=1).tobytes()
+    png = (
+        ic.PNG_SIG
+        + ic._chunk(b"IHDR", struct.pack(">IIBBBBB", 11, 9, 4, 3, 0, 0, 0))
+        + ic._chunk(b"PLTE", pal.tobytes())
+        + ic._chunk(b"IDAT", zlib.compress(body))
+        + ic._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(ic.decode_png(png), ic._luma(pal[idx]))
+
+
+def test_png_rejects_illegal_depth_combo():
+    img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    png = bytearray(ic.encode_png_gray(img))
+    png[8 + 8 + 9] = 2  # IHDR color type gray -> RGB with depth 8 stays legal
+    png[8 + 8 + 8] = 4  # ...but depth 4 + RGB is illegal
+    with pytest.raises(ValueError, match="illegal bit depth"):
+        ic.decode_png(bytes(png))
