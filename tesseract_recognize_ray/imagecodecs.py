@@ -516,6 +516,9 @@ def iter_tiff_pages(buf):
             raise ValueError(f"TIFF: predictor {pred} not supported")
         if bits == 8 and spp == 1:
             img = np.frombuffer(data, dtype=np.uint8, count=w * h).reshape(h, w).copy()
+        elif bits == 16 and spp == 1:  # high byte, like PNG's 16->8 rescale
+            wide = np.frombuffer(data, dtype=bo + "u2", count=w * h).reshape(h, w)
+            img = (wide >> 8).astype(np.uint8)
         elif bits == 8 and spp >= 3:
             px = np.frombuffer(data, dtype=np.uint8, count=w * h * spp).reshape(h, w, spp)
             img = _luma(px[:, :, :3])

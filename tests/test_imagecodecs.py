@@ -392,3 +392,26 @@ def test_png_rejects_illegal_depth_combo():
     png[8 + 8 + 8] = 4  # ...but depth 4 + RGB is illegal
     with pytest.raises(ValueError, match="illegal bit depth"):
         ic.decode_png(bytes(png))
+
+
+def test_tiff_16bit_gray_both_byte_orders():
+    """16-bit gray strips decode to the HIGH byte (PNG-style sample-depth
+    truncation), honoring II vs MM sample endianness."""
+    img16 = rng.integers(0, 65536, (13, 21), dtype=np.uint16)
+    for bo, tag in (("<", b"II*\x00"), (">", b"MM\x00*")):
+        out = bytearray(tag) + struct.pack(bo + "I", 0)
+        data_off = len(out)
+        out += img16.astype(bo + "u2").tobytes()
+        if len(out) % 2:
+            out += b"\x00"
+        ifd = len(out)
+        struct.pack_into(bo + "I", out, 4, ifd)
+        entries = [(256, 4, 21), (257, 4, 13), (258, 3, 16), (259, 3, 1), (262, 3, 1),
+                   (273, 4, data_off), (277, 3, 1), (278, 4, 13), (279, 4, 21 * 13 * 2)]
+        out += struct.pack(bo + "H", len(entries))
+        for t, ty, v in entries:
+            out += struct.pack(bo + "HHI", t, ty, 1)
+            out += struct.pack(bo + "I", v) if ty == 4 else struct.pack(bo + "HH", v, 0)
+        out += struct.pack(bo + "I", 0)
+        (pg,) = ic.iter_tiff_pages(bytes(out))
+        assert np.array_equal(pg, (img16 >> 8).astype(np.uint8)), bo
