@@ -460,6 +460,8 @@ def _lzw_encode(data: bytes) -> bytes:
 
 def _read_ifd(mv: memoryview, off: int, bo: str):
     (count,) = struct.unpack_from(bo + "H", mv, off)
+    if count > 4096:  # corrupt count: real IFDs carry dozens of entries
+        raise ValueError(f"TIFF: implausible IFD entry count {count}")
     tags = {}
     for i in range(count):
         tag, typ, n = struct.unpack_from(bo + "HHI", mv, off + 2 + 12 * i)
@@ -469,6 +471,8 @@ def _read_ifd(mv: memoryview, off: int, bo: str):
             (vpos,) = struct.unpack_from(bo + "I", mv, vpos)
         fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
         if fmt is not None:
+            if vpos + size > len(mv):  # corrupt count: array exceeds the file
+                raise ValueError(f"TIFF: tag {tag} value array exceeds file size")
             tags[tag] = list(struct.unpack_from(bo + fmt * n, mv, vpos))
     (nxt,) = struct.unpack_from(bo + "I", mv, off + 2 + 12 * count)
     return tags, nxt
@@ -485,7 +489,13 @@ def iter_tiff_pages(buf):
     else:
         raise ValueError("TIFF: bad magic")
     (off,) = struct.unpack_from(bo + "I", mv, 4)
+    seen_offsets = set()
     while off:
+        if off in seen_offsets:  # corrupt next-IFD pointer forming a cycle
+            raise ValueError("TIFF: cyclic IFD chain")
+        if len(seen_offsets) >= 65536:  # corrupt chain: bound the walk
+            raise ValueError("TIFF: IFD chain longer than 65536 pages")
+        seen_offsets.add(off)
         tags, off = _read_ifd(mv, off, bo)
         w = tags[256][0]
         h = tags[257][0]

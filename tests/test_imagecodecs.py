@@ -415,3 +415,43 @@ def test_tiff_16bit_gray_both_byte_orders():
         out += struct.pack(bo + "I", 0)
         (pg,) = ic.iter_tiff_pages(bytes(out))
         assert np.array_equal(pg, (img16 >> 8).astype(np.uint8)), bo
+
+
+def test_corrupt_payloads_fail_fast_never_hang():
+    """Quarantine prerequisite: truncated or bit-flipped payloads of EVERY
+    supported encoding must raise promptly (clean per-blob error rows), not
+    hang or grind — regression for the corrupt-TIFF IFD cycle / implausible
+    entry-count / giant-value-array paths."""
+    import time
+
+    from tesseract_recognize_ray import legacycodecs as lc
+    from tesseract_recognize_ray import pdfcodec as pcodec
+    from tesseract_recognize_ray.jpegcodec import encode_jpeg_gray
+
+    img = rng.integers(0, 256, (24, 36), dtype=np.uint8)
+    payloads = [
+        ic.encode_png_gray(img),
+        ic.encode_png_gray(img, interlace=True),
+        ic.encode_tiff_gray([img, img]),
+        ic.encode_tiff_gray([img], compression=5),
+        encode_jpeg_gray(img),
+        encode_jpeg_gray(img, progressive=True),
+        lc.encode_gif_gray(img),
+        lc.encode_bmp_gray(img),
+        lc.encode_pnm_gray(img),
+        pcodec.encode_pdf_scanned([img]),
+    ]
+    for p in payloads:
+        cases = [p[: int(len(p) * f)] for f in (0.25, 0.5, 0.75, 0.95)]
+        for _ in range(15):
+            c = bytearray(p)
+            for i in rng.integers(0, len(c), 20):
+                c[i] ^= 0xFF
+            cases.append(bytes(c))
+        for t in cases:
+            t0 = time.time()
+            try:
+                list(ic.iter_page_images(t))
+            except Exception:
+                pass  # clean errors are the contract; hangs are the bug
+            assert time.time() - t0 < 5.0
