@@ -245,3 +245,65 @@ def test_dsir_select_is_deterministic_and_weight_biased(ray_session):
     assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
     picked = df.set_index("doc_id").loc[s1["doc_id"], "kind"]
     assert (picked == "a").mean() > 0.8  # selection follows the weights
+
+
+def test_quarantine_corrupt_blobs_end_to_end(ray_session, tmp_path):
+    """Poison-blob sweep at the PIPELINE level: bit-flipped payloads of
+    several encodings flow through extract_spans(quarantine=True) as one
+    error row each while the healthy media extract normally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray import legacycodecs as lcod
+    from tesseract_recognize_ray.config import PipelineConfig
+    from tesseract_recognize_ray.imagecodecs import encode_png_gray, encode_tiff_gray
+    from tesseract_recognize_ray.fixtures import render_page
+    from tesseract_recognize_ray.pipelines.extract import extract_spans
+
+    rng = np.random.default_rng(13)
+    page = render_page(rng, n_regions=1).img
+    healthy = {
+        "m-png": encode_png_gray(page),
+        "m-tiff": encode_tiff_gray([page]),
+        "m-gif": lcod.encode_gif_gray(page),
+    }
+    corrupt = {}
+    for name, p in healthy.items():
+        c = bytearray(p)
+        for i in rng.integers(16, len(c), 25):  # keep magic bytes intact
+            c[i] ^= 0xFF
+        corrupt[name + "-bad"] = bytes(c)
+    media_rows = {**healthy, **corrupt}
+    media = pa.table(
+        {
+            "media_ref": pa.array(list(media_rows), pa.string()),
+            "bytes": pa.array(list(media_rows.values()), pa.large_binary()),
+            "kind": pa.array(["page"] * len(media_rows), pa.string()),
+            "n_pages": pa.array([1] * len(media_rows), pa.int32()),
+        }
+    )
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array(["d0"], pa.string()),
+            "spans": pa.array(
+                [[{"kind": "media", "text": None, "media_ref": r, "offset": i}
+                  for i, r in enumerate(media_rows)]],
+                pa.list_(span_t),
+            ),
+        }
+    )
+    mp, dp = str(tmp_path / "media.parquet"), str(tmp_path / "docs.parquet")
+    pq.write_table(media, mp)
+    pq.write_table(docs, dp)
+    out = extract_spans(dp, mp, PipelineConfig(quarantine=True)).to_pandas()
+    errs = out[out["kind"] == "error"]
+    # corrupted blobs MAY still decode to garbage pixels (bit flips in pixel
+    # data are legal rasters) — but every error row must come from a -bad
+    # ref, and every healthy ref must produce real text spans
+    assert set(errs["media_ref"]) <= set(corrupt)
+    ok_text = out[(out["kind"] != "error") & out["text"].notna()]
+    for ref in healthy:
+        assert (ok_text["media_ref"] == ref).any(), ref
