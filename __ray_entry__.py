@@ -360,19 +360,34 @@ def _q_ann_ivf_indexed(sf_dir: str):
 
 def _q_minhash_pairs(sf_dir: str):
     """Dedup: MinHash-LSH candidate near-duplicate pairs (signatures shuffle,
-    never the text). Non-SQL: probabilistic sketch; rows-only check."""
+    never the text). The whole chain is seed-deterministic — char-5-gram FNV
+    rolling hash (mod 2^64), 64 universal-hash permutations mod 2^61-1, FNV
+    band hashes, bucket pairs, est >= 0.5 — so the DuckDB oracle VALUE-replays
+    it end-to-end from the same embedded coefficients (ASCII corpus: SQL
+    ascii()/substr() walk the same bytes Python's .encode() hashes).
+    bucket_truncated is an operational flag (no bucket exceeds max_bucket at
+    driver SF; the exhaustive oracle would expose truncation as missing rows)."""
     ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
     pairs = F_dedup.minhash_lsh_pairs(
         ds, "doc_id", "text", num_perm=64, bands=16, shingle_k=5, min_est=0.5
     )
-    return pairs
+    df = pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "id_a": df["id_a"].astype("int64"),
+            "id_b": df["id_b"].astype("int64"),
+            "est_jaccard": df["est_jaccard"].astype("float64"),
+        }
+    )
 
 
 def _q_near_dup_dedup(sf_dir: str):
     """Dedup composition (the web-corpus chain): MinHash-LSH candidates ->
     exact-Jaccard verify via two hash joins -> connected components ->
-    drop every non-canonical cluster member. Probabilistic candidate step
-    -> no SQL oracle; planted-dup structure is pytest-gated
+    drop every non-canonical cluster member. Seed-deterministic end to end,
+    so the DuckDB oracle VALUE-replays the whole chain (minhash CTEs +
+    shingle-Jaccard verify + recursive min-label closure); planted-dup
+    structure additionally pytest-gated
     (tests/test_graph.py::test_near_dup_dedup_planted_clusters)."""
     ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
     kept = F_dedup.near_dup_dedup(ds, "doc_id", "text", threshold=0.8)
@@ -389,17 +404,21 @@ def _q_near_dup_dedup(sf_dir: str):
 
 
 def _q_simhash(sf_dir: str):
-    """Dedup: 64-bit simhash fingerprint per document (hex). Deterministic
-    but not SQL-expressible; rows-only check."""
+    """Dedup: 64-bit simhash fingerprint per document (hex), md5 token
+    hashing so the ENTIRE fingerprint computation (tokenize -> per-token
+    64-bit hash -> ±1 bit votes -> sign -> hex) is VALUE-replayed by the
+    DuckDB oracle."""
     ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
-    return F_dedup.simhash64(ds, "doc_id", "text")
+    return F_dedup.simhash64(ds, "doc_id", "text", hash_fn="md5")
 
 
 def _q_fingerprint(sf_dir: str):
-    """Text analysis: winnowed rolling-hash document fingerprint (hex).
-    Rows-only check."""
+    """Text analysis: winnowed rolling-hash document fingerprint (hex),
+    md5 token hashing + distinct-set XOR digest so the whole winnowing
+    scheme (token hash -> sliding-window minima -> selected-fingerprint
+    set -> fold) is VALUE-replayed by the DuckDB oracle."""
     ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
-    out = F_text.fingerprint(ds, "text")
+    out = F_text.fingerprint(ds, "text", hash_fn="md5")
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
         return b[["doc_id", "fingerprint"]]
@@ -409,7 +428,9 @@ def _q_fingerprint(sf_dir: str):
 
 def _q_lang_id(sf_dir: str):
     """Text analysis: stopword/char-profile language ID (stateful actor pool,
-    profiles compiled once per actor). Rows-only check."""
+    profiles compiled once per actor). Deterministic scoring formula —
+    stopword hit 1.0, accent-char presence 0.5, argmax with name-order ties —
+    VALUE-replayed by the DuckDB oracle from the same embedded profiles."""
     ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
     out = F_text.lang_id(ds)
 
@@ -4891,10 +4912,12 @@ def _q_image_phash_near_dups(sf_dir: str):
 def _q_simhash_near_dups(sf_dir: str):
     """SimHash near-duplicate pairs at hamming <= 3 (Charikar 2002 + the
     pigeonhole band blocking): 64-bit sign-sum fingerprints per doc, 4-band
-    exact-agreement candidates, popcount verification. Rows-only (the
-    fingerprint is not SQL-expressible); banding pytest-verified lossless."""
+    exact-agreement candidates, popcount verification. md5 token hashing
+    makes the fingerprints SQL-replayable, so the DuckDB oracle brute-forces
+    all pairs with bit_count(xor(...)) <= 3 — value-checking BOTH the
+    fingerprint math and the losslessness of the banding."""
     ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
-    hashed = F_dedup.simhash64(ds, "doc_id", "text")
+    hashed = F_dedup.simhash64(ds, "doc_id", "text", hash_fn="md5")
 
     def to_int(b: pd.DataFrame) -> pd.DataFrame:
         # simhash64 emits hex (uint64-portable); banding wants int64 bits
@@ -4904,7 +4927,11 @@ def _q_simhash_near_dups(sf_dir: str):
     out = F_dedup.hamming_near_dups(
         hashed.map_batches(to_int, batch_format="pandas"), "doc_id", "sh", max_hamming=3
     )
-    return out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    df = out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # bucket_truncated is an operational flag SQL cannot replay; the oracle
+    # brute-force is exhaustive, so a truncated bucket would surface as a
+    # row-count mismatch anyway.
+    return df[["id_a", "id_b", "hamming"]].astype("int64")
 
 
 def _q_ann_pq(sf_dir: str):
@@ -6019,6 +6046,204 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # MinHash-LSH full value-replay: the permutation coefficients come from
+    # the SAME seeded generator the engine uses (_MinHasher, seed 42), the
+    # rolling/band hashes reproduce numpy's uint64 wraparound via
+    # HUGEINT % 2**64, and the universal hash reduces mod 2**61-1 exactly
+    # as the engine's (a*h + b) % _MERSENNE does AFTER the uint64 wrap.
+    _mh = F_dedup._MinHasher(num_perm=64, shingle_k=5)
+    _perm_rows = ",\n                ".join(
+        f"({p}, {int(_mh.a[p])}::HUGEINT, {int(_mh.b[p])}::HUGEINT)" for p in range(64)
+    )
+    _T = 1 << 64  # numpy uint64 wraparound modulus
+    # CTE body shared by the minhash_pairs and near_dup_dedup oracles.
+    # `mh` is MATERIALIZED: DuckDB re-inlines plain CTEs per reference, and
+    # the downstream est/verify stages reference the chain several times —
+    # un-materialized this replay was ~100x slower (366 s vs 3.7 s measured).
+    _minhash_chain = f"""
+            perms(p, pa, pb) AS (VALUES {_perm_rows}),
+            chars AS (
+                SELECT doc_id, i, ascii(substr(t, CAST(i AS INT), 1))::HUGEINT AS c,
+                       length(t) AS n
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN length(text) >= 5 THEN text
+                                ELSE rpad(text, 5, ' ') END AS t,
+                           unnest(range(1, length(CASE WHEN length(text) >= 5 THEN text
+                                                       ELSE rpad(text, 5, ' ') END) + 1)) AS i
+                    FROM documents
+                )
+            ),
+            grams AS (
+                SELECT doc_id, i, n, c AS c0,
+                       lead(c, 1) OVER w AS c1, lead(c, 2) OVER w AS c2,
+                       lead(c, 3) OVER w AS c3, lead(c, 4) OVER w AS c4
+                FROM chars
+                WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       ((((((((c0 * 1099511628211 + c1) % {_T}) * 1099511628211 + c2) % {_T})
+                           * 1099511628211 + c3) % {_T}) * 1099511628211 + c4) % {_T}) AS h
+                FROM grams WHERE i <= n - 4
+            ),
+            mh AS MATERIALIZED (
+                SELECT doc_id, p,
+                       MIN((((pa * h) % {_T} + pb) % {_T}) % 2305843009213693951) AS m
+                FROM sh, perms GROUP BY doc_id, p
+            ),
+            bands AS (
+                SELECT doc_id, p // 4 AS band,
+                       MAX(CASE WHEN p % 4 = 0 THEN m END) AS m0,
+                       MAX(CASE WHEN p % 4 = 1 THEN m END) AS m1,
+                       MAX(CASE WHEN p % 4 = 2 THEN m END) AS m2,
+                       MAX(CASE WHEN p % 4 = 3 THEN m END) AS m3
+                FROM mh GROUP BY doc_id, p // 4
+            ),
+            bhash AS (
+                SELECT doc_id, band,
+                       ((((((m0 * 1099511628211 + m1) % {_T}) * 1099511628211 + m2) % {_T})
+                         * 1099511628211 + m3) % {_T}) AS bh
+                FROM bands
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bhash a
+                JOIN bhash b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            ),
+            est AS (
+                SELECT c.id_a, c.id_b,
+                       SUM(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+                FROM cand c
+                JOIN mh x ON x.doc_id = c.id_a
+                JOIN mh y ON y.doc_id = c.id_b AND y.p = x.p
+                GROUP BY c.id_a, c.id_b
+            )
+    """
+    _minhash_pairs_sql = (
+        "WITH " + _minhash_chain
+        + "\n            SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5"
+    )
+    # near_dup_dedup replay: the SAME chain continued through the exact
+    # char-5-shingle Jaccard verify (>= 0.8), connected components as a
+    # recursive min-label closure, and the canonical-keep filter — the whole
+    # RefinedWeb-style removal chain value-matched in one SQL statement.
+    _near_dup_sql = (
+        "WITH RECURSIVE " + _minhash_chain + f""",
+            cpairs AS MATERIALIZED (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+            participants AS (SELECT id_a AS doc_id FROM cpairs
+                             UNION SELECT id_b FROM cpairs),
+            psh AS MATERIALIZED (
+                SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS g
+                FROM (
+                    SELECT doc_id, text,
+                           unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+                    FROM documents JOIN participants USING (doc_id)
+                )
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM psh GROUP BY doc_id),
+            inter AS (
+                SELECT p.id_a, p.id_b, COUNT(*) AS ic
+                FROM cpairs p
+                JOIN psh x ON x.doc_id = p.id_a
+                JOIN psh y ON y.doc_id = p.id_b AND y.g = x.g
+                GROUP BY p.id_a, p.id_b
+            ),
+            verified AS MATERIALIZED (
+                SELECT p.id_a, p.id_b
+                FROM cpairs p
+                JOIN sizes na ON na.doc_id = p.id_a
+                JOIN sizes nb ON nb.doc_id = p.id_b
+                LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+                WHERE CASE WHEN na.n + nb.n - COALESCE(i.ic, 0) = 0 THEN 1.0
+                           ELSE COALESCE(i.ic, 0)::DOUBLE
+                                / (na.n + nb.n - COALESCE(i.ic, 0)) END >= 0.8
+            ),
+            vnodes AS (SELECT id_a AS node FROM verified
+                       UNION SELECT id_b FROM verified),
+            vedges AS (SELECT id_a AS a, id_b AS b FROM verified
+                       UNION SELECT id_b, id_a FROM verified),
+            reach(node, r) AS (
+                SELECT node, node FROM vnodes
+                UNION
+                SELECT e.a, reach.r FROM vedges e JOIN reach ON reach.node = e.b
+            ),
+            comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+            drops AS (SELECT node FROM comp WHERE node <> component)
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM drops)
+    """
+    )
+    # Language-ID replay: profiles embedded from the SAME module constants
+    # the LangId actor compiles (textstats._STOPWORDS / accent sets).
+    _sw_rows = ",".join(
+        f"('{l}','{w}')" for l, ws in sorted(F_text._STOPWORDS.items()) for w in sorted(ws)
+    )
+    _accents = {"de": "äöüß", "fr": "éèêàçùâîôû", "es": "ñáéíóúü"}
+    _ac_rows = ",".join(f"('{l}','{c}')" for l, cs in sorted(_accents.items()) for c in cs)
+    _lang_rows = ",".join(f"('{l}')" for l in sorted(F_text._STOPWORDS))
+    _lang_id_sql = f"""
+            WITH sw(lang, w) AS (VALUES {_sw_rows}),
+            ac(lang, ch) AS (VALUES {_ac_rows}),
+            langs(lang) AS (VALUES {_lang_rows}),
+            toks AS (
+                SELECT doc_id, unnest(l[1:200]) AS tok
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-zäöüéèêàáíóúñç]+') AS l
+                      FROM documents)
+            ),
+            s1 AS (
+                SELECT t.doc_id, s.lang, COUNT(*)::DOUBLE AS sc
+                FROM toks t JOIN sw s ON t.tok = s.w GROUP BY t.doc_id, s.lang
+            ),
+            s2 AS (
+                SELECT t.doc_id, a.lang, 0.5 * COUNT(*) AS sc
+                FROM toks t JOIN ac a ON contains(t.tok, a.ch) GROUP BY t.doc_id, a.lang
+            ),
+            scores AS (
+                SELECT d.doc_id, langs.lang,
+                       COALESCE(s1.sc, 0) + COALESCE(s2.sc, 0) AS sc
+                FROM (SELECT doc_id FROM documents) d
+                CROSS JOIN langs
+                LEFT JOIN s1 ON s1.doc_id = d.doc_id AND s1.lang = langs.lang
+                LEFT JOIN s2 ON s2.doc_id = d.doc_id AND s2.lang = langs.lang
+            ),
+            best AS (
+                SELECT doc_id, lang, sc,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY sc DESC, lang ASC) AS rn
+                FROM scores
+            )
+            SELECT doc_id, CASE WHEN sc > 0 THEN lang ELSE 'unknown' END AS lang_pred
+            FROM best WHERE rn = 1
+    """
+    # Shared simhash-fingerprint CTE: tokenize like Python str.split()
+    # (\\s+ runs, empties dropped), md5 -> uint64 token hash, ±1 bit votes
+    # over all occurrences, bit b set iff its vote sum > 0.
+    _simhash_fp_sql = """
+            WITH th AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                FROM (
+                    SELECT doc_id, unnest(
+                        list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                                    x -> x <> '')) AS tok
+                    FROM documents
+                )
+            ),
+            votes AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM th, (SELECT unnest(range(0, 64)) AS b) bits
+                GROUP BY doc_id, b
+            ),
+            fp AS (
+                SELECT doc_id,
+                       bit_or(CASE WHEN v > 0 THEN (1::HUGEINT << b)::UBIGINT
+                              ELSE 0::UBIGINT END) AS f
+                FROM votes GROUP BY doc_id
+            )
+    """
     _events_roundtrip_sql = """
             SELECT event_type, COUNT(*) AS n,
                    CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
@@ -8042,5 +8267,62 @@ def oracle_sql() -> dict[str, str]:
                         // SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                            OVER (PARTITION BY o_custkey) AS BIGINT) AS share_e6
             FROM orders
+        """,
+        "minhash_pairs": _minhash_pairs_sql,
+        "near_dup_dedup": _near_dup_sql,
+        "lang_id": _lang_id_sql,
+        # Full value-replay of the md5-token simhash (Charikar 2002): token
+        # hash = first 8 big-endian md5 bytes, ±1 vote per bit per token
+        # OCCURRENCE, bit set iff the vote sum is strictly positive.
+        "simhash": _simhash_fp_sql + """
+            SELECT d.doc_id,
+                   COALESCE(lower(lpad(hex(fp.f), 16, '0')),
+                            '0000000000000000') AS simhash
+            FROM documents d LEFT JOIN fp USING (doc_id)
+        """,
+        # Exhaustive popcount(xor) brute force over the replayed
+        # fingerprints — also proves the Ray side's pigeonhole banding
+        # (hamming_near_dups) lost no pair.
+        "simhash_near_dups": _simhash_fp_sql + """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 3
+        """,
+        # Winnowing replay (Schleimer et al. 2003 shape): md5 token hashes,
+        # trailing-window minima at complete window starts (all hashes when
+        # the doc is shorter than one window), DISTINCT selected set folded
+        # with bit_xor.
+        "fingerprint": """
+            WITH th AS (
+                SELECT doc_id, pos,
+                       ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n
+                FROM (
+                    SELECT doc_id, unnest(l) AS tok,
+                           unnest(range(1, len(l) + 1)) AS pos
+                    FROM (
+                        SELECT doc_id,
+                               list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                                           x -> x <> '') AS l
+                        FROM documents
+                    )
+                )
+            ),
+            spans AS (
+                SELECT doc_id, n, h,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh,
+                       COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn
+                FROM th
+            ),
+            sel AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN n < 8 THEN h ELSE mh END AS v
+                FROM spans WHERE n < 8 OR wn = 8
+            )
+            SELECT doc_id, lower(lpad(hex(bit_xor(v)), 16, '0')) AS fingerprint
+            FROM sel GROUP BY doc_id
         """,
     }

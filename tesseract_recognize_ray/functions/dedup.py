@@ -492,7 +492,9 @@ def near_dup_dedup(
     return broadcast_anti_join(ds, drops, id_col, "__drop_id")
 
 
-def simhash64(ds: Dataset, id_col: str, text_col: str) -> Dataset:
+def simhash64(
+    ds: Dataset, id_col: str, text_col: str, *, hash_fn: str = "blake2b"
+) -> Dataset:
     """64-bit simhash fingerprint per doc (token-level, blake2b token hashes).
     Returns (id_col, simhash: hex string) — hex keeps uint64 portable.
 
@@ -501,7 +503,21 @@ def simhash64(ds: Dataset, id_col: str, text_col: str) -> Dataset:
     bit-rows gathered and summed per doc with np.add.reduceat. Stateless
     task map (no actor pool): the per-batch vocabulary dedupe captures
     nearly all the cache win without paying actor spawn latency on small
-    inputs. Output byte-identical to hashing every occurrence."""
+    inputs. Output byte-identical to hashing every occurrence.
+
+    ``hash_fn="md5"`` hashes each token as the first 8 big-endian bytes of
+    md5 — the one 64-bit hash ANSI SQL engines also expose
+    (``('0x'||substr(md5(tok),1,16))::UBIGINT`` in DuckDB), making the
+    whole fingerprint VALUE-replayable by a SQL oracle. blake2b stays the
+    default (keyed/faster; not SQL-expressible)."""
+    if hash_fn == "md5":
+        def tok_hash(tok: str) -> int:
+            return int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+    elif hash_fn == "blake2b":
+        def tok_hash(tok: str) -> int:
+            return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'blake2b' or 'md5')")
     shifts = np.arange(64, dtype=np.uint64)
     pows = np.uint64(1) << shifts
 
@@ -519,9 +535,7 @@ def simhash64(ds: Dataset, id_col: str, text_col: str) -> Dataset:
             codes, uniques = pd.factorize(all_toks)
             mat = np.empty((len(uniques), 64), dtype=np.int8)
             for i, tok in enumerate(uniques):
-                h = np.uint64(
-                    int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
-                )
+                h = np.uint64(tok_hash(tok))
                 mat[i] = np.where(((h >> shifts) & np.uint64(1)).astype(bool), 1, -1)
             rows = mat[codes].astype(np.int32)
             offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]

@@ -320,14 +320,30 @@ def json_extract_int(ds: Dataset, json_col: str, key: str, out_col: str) -> Data
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def fingerprint(ds: Dataset, text_col: str, out_col: str = "fingerprint", window: int = 8) -> Dataset:
+def fingerprint(
+    ds: Dataset,
+    text_col: str,
+    out_col: str = "fingerprint",
+    window: int = 8,
+    *,
+    hash_fn: str = "blake2b",
+) -> Dataset:
     """Winnowed rolling-hash document fingerprint (Rabin-Karp over tokens,
     min-hash per window — the standard winnowing scheme). Hex string.
 
     Vectorized: ONE pd.factorize over the batch's tokens, blake2b only for
     the batch-unique vocabulary, window minima via a vectorized sliding
     window. Stateless task map (no actor-pool spawn latency); output
-    byte-identical to hashing every token occurrence."""
+    byte-identical to hashing every token occurrence.
+
+    ``hash_fn="md5"`` makes the whole computation VALUE-replayable by an
+    ANSI-SQL oracle: token hash = first 8 big-endian bytes of md5 (the one
+    64-bit hash SQL engines expose) and the per-doc digest is the XOR of
+    the DISTINCT window minima (winnowing's selected-fingerprint SET,
+    folded with SQL's bit_xor aggregate) instead of a blake2b digest over
+    the minima sequence. Default blake2b output is unchanged."""
+    if hash_fn not in ("blake2b", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'blake2b' or 'md5')")
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         from numpy.lib.stride_tricks import sliding_window_view
@@ -343,14 +359,21 @@ def fingerprint(ds: Dataset, text_col: str, out_col: str = "fingerprint", window
                 itertools.chain.from_iterable(tok_lists), dtype=object, count=total
             )
             codes, uniques = pd.factorize(all_toks)
-            huniq = np.fromiter(
-                (
-                    int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-                    for t in uniques
-                ),
-                dtype=np.uint64,
-                count=len(uniques),
-            )
+            if hash_fn == "md5":
+                huniq = np.fromiter(
+                    (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in uniques),
+                    dtype=np.uint64,
+                    count=len(uniques),
+                )
+            else:
+                huniq = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+                        for t in uniques
+                    ),
+                    dtype=np.uint64,
+                    count=len(uniques),
+                )
             hs_all = huniq[codes]
             offsets = np.concatenate(([0], np.cumsum(counts)))
             for i, n in enumerate(counts):
@@ -361,7 +384,13 @@ def fingerprint(ds: Dataset, text_col: str, out_col: str = "fingerprint", window
                     mins = np.ascontiguousarray(sliding_window_view(hs, window).min(axis=1))
                 else:
                     mins = hs
-                out[i] = hashlib.blake2b(mins.tobytes(), digest_size=8).hexdigest()
+                if hash_fn == "md5":
+                    acc = np.uint64(0)
+                    for v in np.unique(mins):
+                        acc ^= v
+                    out[i] = f"{int(acc):016x}"
+                else:
+                    out[i] = hashlib.blake2b(mins.tobytes(), digest_size=8).hexdigest()
         batch[out_col] = out
         return batch
 
