@@ -4891,6 +4891,28 @@ def _q_bpe_merges(sf_dir: str):
     return F_text.bpe_train_merges(ds, "text", 30)
 
 
+def _q_bpe_encoded_docs(sf_dir: str):
+    """Tokenizer ENCODE half (train -> encode -> pack): the 30 merges
+    learned by bpe_merges applied back over the corpus on an actor pool
+    with a persistent word->tokens cache (merges ray.put once). Rows-only:
+    BPE apply is iterative per word; segmentation parity with the trainer's
+    own vocabulary evolution is pytest-gated
+    (tests/test_round3.py::test_bpe_encode_matches_trainer_vocab)."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    merges = F_text.bpe_train_merges(ds, "text", 30)
+    out = F_text.bpe_encode(ds, "text", merges)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_bpe_tokens": b["n_bpe_tokens"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def _q_image_phash_near_dups(sf_dir: str):
     """Multimodal near-duplicate image pairs: 64-bit aHash on the actor
     pool, then pigeonhole hamming banding (max_hamming+1 bands — any pair
@@ -5867,6 +5889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_variety": _q_q16_supplier_variety,
         "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encoded_docs": _q_bpe_encoded_docs,
         "image_phash_near_dups": _q_image_phash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_pq": _q_ann_pq,

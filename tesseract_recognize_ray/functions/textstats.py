@@ -13,6 +13,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
 
 _TOKEN_RE = r"\S+"
@@ -869,6 +870,101 @@ def flat_ngrams_pos(
     row_idx_full = np.repeat(np.arange(len(lists), dtype=np.int64), np.diff(off2))[:m]
     pos_full = np.arange(m, dtype=np.int64) - off2[row_idx_full]
     return ngrams, row_idx_full[valid], pos_full[valid]
+
+
+class _BPEEncoder:
+    """Stateful BPE applier for map_batches actor pools: merge-rank table
+    built once per actor from the broadcast merges, plus a word -> tokens
+    cache that persists across batches (Zipf: most occurrences hit it).
+
+    Encoding merges the lowest-rank adjacent pair present, all occurrences
+    at once, until none applies — provably identical to replaying the
+    trainer's merges in rank order (a merge's output symbol can only feed
+    pairs learned LATER, so no earlier-rank pair ever reappears); the
+    equivalence is pytest-checked against the sequential replay."""
+
+    def __init__(self, merges_ref, text_col: str, out_col: str):
+        merges = ray.get(merges_ref) if not isinstance(merges_ref, list) else merges_ref
+        self.ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+        self.text_col = text_col
+        self.out_col = out_col
+        self.cache: dict[str, list[str]] = {}
+
+    def _encode_word(self, w: str) -> list[str]:
+        toks = self.cache.get(w)
+        if toks is not None:
+            return toks
+        sym = list(w)
+        ranks = self.ranks
+        while len(sym) > 1:
+            best = None
+            bi = 0
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            left, right = sym[bi], sym[bi + 1]
+            merged = left + right
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        self.cache[w] = sym
+        return sym
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        enc = self._encode_word
+        toks_out, counts = [], []
+        for t in batch[self.text_col].fillna("").tolist():
+            toks: list[str] = []
+            for w in t.split():
+                toks.extend(enc(w))
+            toks_out.append(toks)
+            counts.append(len(toks))
+        batch = batch.drop(columns=[self.text_col])
+        batch[self.out_col] = toks_out
+        batch["n_bpe_tokens"] = np.asarray(counts, dtype=np.int64)
+        return batch
+
+
+def bpe_encode(
+    ds: Dataset,
+    text_col: str,
+    merges: pd.DataFrame,
+    *,
+    out_col: str = "bpe_tokens",
+    concurrency=(1, 4),
+) -> Dataset:
+    """Apply learned BPE merges (bpe_train_merges output, or any
+    (left, right) list in rank order) to a text column — the encode half of
+    the tokenizer story (train -> encode -> pack_sequences). Emits
+    `out_col` (list<str> subword tokens, whitespace-word boundaries
+    preserved) and `n_bpe_tokens`.
+
+    Scale shape: the merge table is tiny and ships ONCE via ray.put; the
+    encoder is an actor pool whose per-word cache persists across batches,
+    so per-occurrence cost is a dict lookup and only DISTINCT words pay the
+    merge loop. Not SQL-expressible (iterative); dual-path pytest parity
+    with the trainer's own vocabulary evolution."""
+    if isinstance(merges, pd.DataFrame):
+        pairs = list(zip(merges["left"].tolist(), merges["right"].tolist()))
+    else:
+        pairs = [(l, r) for l, r in merges]
+    ref = ray.put(pairs)
+    return ds.map_batches(
+        _BPEEncoder,
+        fn_constructor_kwargs={"merges_ref": ref, "text_col": text_col, "out_col": out_col},
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 def bpe_train_merges(

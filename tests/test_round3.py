@@ -286,6 +286,44 @@ def test_bpe_train_both_paths_match_reference(ray_session):
         assert list(zip(got["left"], got["right"], got["pair_count"])) == want, label
 
 
+def test_bpe_encode_matches_trainer_vocab(ray_session):
+    """bpe_encode's lowest-rank-first merging must equal replaying the
+    trainer's merges sequentially in rank order (the trainer's own apply
+    loop) — the classic BPE equivalence, checked word for word."""
+    from tesseract_recognize_ray.functions import textstats as F_text
+
+    rng = np.random.default_rng(31)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "lowest", "lower", "low", "a1-b2"]
+    texts = [" ".join(rng.choice(vocab, 25)) for _ in range(50)] + ["", "x"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(4)
+    merges = F_text.bpe_train_merges(ds, "text", 15)
+    pairs = list(zip(merges["left"], merges["right"]))
+
+    def seq_encode(w):
+        sym = list(w)
+        for a, b in pairs:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    got = F_text.bpe_encode(ds, "text", merges).to_pandas().set_index("doc_id")
+    assert len(got) == len(texts)
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        want = [t for w in text.split() for t in seq_encode(w)]
+        assert list(got.loc[doc_id, "bpe_tokens"]) == want, doc_id
+        assert int(got.loc[doc_id, "n_bpe_tokens"]) == len(want)
+    # the learned merges really do compress: some multi-char token exists
+    assert any(len(t) > 1 for toks in got["bpe_tokens"] for t in toks)
+
+
 # ---------------------------------------------------- hamming_near_dups
 def test_hamming_near_dups_lossless_vs_brute_force(ray_session):
     from tesseract_recognize_ray.functions import dedup as F_dedup
