@@ -4891,6 +4891,34 @@ def _q_bpe_merges(sf_dir: str):
     return F_text.bpe_train_merges(ds, "text", 30)
 
 
+def _q_cross_corpus_near_dups(sf_dir: str):
+    """Cross-RUN near-dup detection: docs with doc_id >= 100 play the
+    accumulated corpus (persisted MinHash-LSH index: band rows partitioned
+    by the composite band-group, signatures by stable id hash), docs < 100
+    play the new crawl shard — query_lsh_index reads ONLY the band-group
+    partitions the shard's hashes probe and the sig partitions of paired
+    ids. Seed-deterministic, so the DuckDB oracle replays the joint banding
+    chain and keeps the old x new pairs (value-match proves the persisted
+    index finds EXACTLY what in-job joint banding finds)."""
+    import tempfile
+
+    from tesseract_recognize_ray.functions.dedup import build_lsh_index, query_lsh_index
+
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    old = ds.filter(expr="doc_id >= 100")
+    new = ds.filter(expr="doc_id < 100")
+    idx = tempfile.mkdtemp(prefix="trr_lshidx_")
+    build_lsh_index(old, "doc_id", "text", idx)
+    out = query_lsh_index(new, "doc_id", "text", idx, min_est=0.5)
+    return pd.DataFrame(
+        {
+            "id_old": out["id_old"].astype("int64"),
+            "id_new": out["id_new"].astype("int64"),
+            "est_jaccard": out["est_jaccard"].astype("float64"),
+        }
+    )
+
+
 def _q_bpe_encoded_docs(sf_dir: str):
     """Tokenizer ENCODE half (train -> encode -> pack): the 30 merges
     learned by bpe_merges applied back over the corpus on an actor pool
@@ -5890,6 +5918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
         "bpe_merges": _q_bpe_merges,
         "bpe_encoded_docs": _q_bpe_encoded_docs,
+        "cross_corpus_near_dups": _q_cross_corpus_near_dups,
         "image_phash_near_dups": _q_image_phash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_pq": _q_ann_pq,
@@ -8293,6 +8322,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_pairs_sql,
         "near_dup_dedup": _near_dup_sql,
+        # joint banding restricted to old x new — what the persisted-index
+        # query must reproduce exactly (cand keeps id_a < id_b, and the new
+        # shard is doc_id < 100, so id_a is the new side)
+        "cross_corpus_near_dups": "WITH " + _minhash_chain + """
+            SELECT id_b AS id_old, id_a AS id_new, est_jaccard
+            FROM est
+            WHERE est_jaccard >= 0.5 AND id_a < 100 AND id_b >= 100
+    """,
         "lang_id": _lang_id_sql,
         # Full value-replay of the md5-token simhash (Charikar 2002): token
         # hash = first 8 big-endian md5 bytes, ±1 vote per bit per token

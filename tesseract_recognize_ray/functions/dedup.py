@@ -172,6 +172,50 @@ def minhash_signatures(
     )
 
 
+def _explode_band_rows(sigs: Dataset, *, num_perm: int, bands: int, lsh_groups: int) -> Dataset:
+    """(id, sig) rows -> (id, band, bh, group) — one row per (id, band).
+    Band hashes are a vectorized polynomial hash over the band's
+    components (equal chunks hash equal; a collision only adds a false
+    candidate, which the est_jaccard filter removes). The group key is the
+    composite hash(band, bh) % lsh_groups so no group ever splits an LSH
+    bucket and none holds 1/bands of the corpus."""
+    if num_perm % bands:
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
+    rows_per_band = num_perm // bands
+    _FNV = np.uint64(1099511628211)
+
+    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "__id": pd.Series(dtype="object"),
+                    "band": pd.Series(dtype="int32"),
+                    "bh": pd.Series(dtype="int64"),
+                    "__g": pd.Series(dtype="int32"),
+                }
+            )
+        ids = batch["__id"].to_numpy()
+        sig = np.stack([np.asarray(s, dtype=np.int64) for s in batch["__sig"].tolist()]).view(np.uint64)
+        cube = sig.reshape(n, bands, rows_per_band)
+        bh = np.zeros((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(rows_per_band):
+                bh = bh * _FNV + cube[:, :, j]
+            band_ids = np.tile(np.arange(bands, dtype=np.uint64), n)
+            grp = (band_ids * np.uint64(0x9E3779B97F4A7C15) + bh.reshape(-1)) % np.uint64(lsh_groups)
+        return pd.DataFrame(
+            {
+                "__id": np.repeat(ids, bands),
+                "band": band_ids.astype(np.int32),
+                "bh": bh.reshape(-1).view(np.int64),
+                "__g": grp.astype(np.int32),
+            }
+        )
+
+    return sigs.map_batches(explode_bands, batch_format="pandas")
+
+
 def minhash_lsh_pairs(
     ds: Dataset,
     id_col: str,
@@ -212,48 +256,12 @@ def minhash_lsh_pairs(
             f"num_perm ({num_perm}) must be divisible by bands ({bands}); the "
             "banding scheme uses every signature component exactly once"
         )
-    rows_per_band = num_perm // bands
     # materialize: consumed by the banding pass AND the est-attach lookup
     # (no lineage cache in Ray); pinned payload is (id, 8*num_perm bytes)
     sigs = minhash_signatures(
         ds, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency
     ).materialize()
-    _FNV = np.uint64(1099511628211)
-
-    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        """(id, sig) rows -> (id, band, bh, group) — one row per (id, band).
-        Band hashes are a vectorized polynomial hash over the band's
-        components (equal chunks hash equal; a collision only adds a false
-        candidate, which the est_jaccard filter removes)."""
-        n = len(batch)
-        if n == 0:
-            return pd.DataFrame(
-                {
-                    "__id": pd.Series(dtype="object"),
-                    "band": pd.Series(dtype="int32"),
-                    "bh": pd.Series(dtype="int64"),
-                    "__g": pd.Series(dtype="int32"),
-                }
-            )
-        ids = batch["__id"].to_numpy()
-        sig = np.stack([np.asarray(s, dtype=np.int64) for s in batch["__sig"].tolist()]).view(np.uint64)
-        cube = sig.reshape(n, bands, rows_per_band)
-        bh = np.zeros((n, bands), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for j in range(rows_per_band):
-                bh = bh * _FNV + cube[:, :, j]
-            band_ids = np.tile(np.arange(bands, dtype=np.uint64), n)
-            grp = (band_ids * np.uint64(0x9E3779B97F4A7C15) + bh.reshape(-1)) % np.uint64(lsh_groups)
-        return pd.DataFrame(
-            {
-                "__id": np.repeat(ids, bands),
-                "band": band_ids.astype(np.int32),
-                "bh": bh.reshape(-1).view(np.int64),
-                "__g": grp.astype(np.int32),
-            }
-        )
-
-    banded = sigs.map_batches(explode_bands, batch_format="pandas")
+    banded = _explode_band_rows(sigs, num_perm=num_perm, bands=bands, lsh_groups=lsh_groups)
 
     group_pairs = _bucket_pairs_fn(["band", "bh"], max_bucket)
 
@@ -490,6 +498,184 @@ def near_dup_dedup(
 
     drops = comp.map_batches(non_canonical, batch_format="pyarrow")
     return broadcast_anti_join(ds, drops, id_col, "__drop_id")
+
+
+def build_lsh_index(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    lsh_groups: int = 64,
+    sig_groups: int = 64,
+) -> dict:
+    """Persist a MinHash-LSH index for CROSS-RUN near-dup detection: dedupe
+    tomorrow's crawl shard against today's 100 TB corpus WITHOUT recomputing
+    the corpus's signatures. Two parquet trees under `out_dir`:
+
+      bands/g=<G>/   (id, band, bh)  — band rows partitioned by the same
+                     composite hash(band, bh) % lsh_groups group key the
+                     in-job LSH shuffle uses, so a query shard reads ONLY
+                     the band-groups its own band hashes land in;
+      sigs/sg=<S>/   (id, sig)       — full signatures partitioned by a
+                     stable id hash, read only for the ids that actually
+                     appear in a candidate pair (est_jaccard attach);
+      meta.json      — the signature parameters (a query MUST hash with the
+                     same seed/num_perm/shingle_k or candidates are noise).
+
+    Index build is one signature pass + two shuffle-free partitioned
+    writes — no pairwise work at build time."""
+    import json
+    import os
+
+    from ..hashing import stable_bucket
+
+    sigs = minhash_signatures(
+        ds, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k
+    ).materialize()
+    banded = _explode_band_rows(sigs, num_perm=num_perm, bands=bands, lsh_groups=lsh_groups)
+
+    def prep_band(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id": b["__id"], "band": b["band"], "bh": b["bh"], "g": b["__g"]}
+        )
+
+    def prep_sig(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": b["__id"],
+                "sig": b["__sig"],
+                "sg": stable_bucket(b["__id"], sig_groups),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    banded.map_batches(prep_band, batch_format="pandas").write_parquet(
+        os.path.join(out_dir, "bands"), partition_cols=["g"]
+    )
+    sigs.map_batches(prep_sig, batch_format="pandas").write_parquet(
+        os.path.join(out_dir, "sigs"), partition_cols=["sg"]
+    )
+    meta = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "lsh_groups": lsh_groups,
+        "sig_groups": sig_groups,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def query_lsh_index(
+    ds_new: Dataset,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    *,
+    min_est: float = 0.5,
+) -> pd.DataFrame:
+    """Candidate near-duplicate pairs between a NEW document shard and a
+    persisted `build_lsh_index` corpus: (id_old, id_new, est_jaccard).
+
+    Scale shape: the new shard is the small side by design (one crawl
+    increment vs the accumulated corpus). Its band hashes are computed with
+    the index's own parameters, pulled to the driver (|new| x bands rows of
+    ~20 B) and broadcast ONCE via ray.put; only the band-group partitions
+    those hashes land in are read from the index (directory-level pruning,
+    same layout trick as the IVF index), and each index batch probes the
+    broadcast dict vectorized — no shuffle touches the corpus side.
+    est_jaccard then reads ONLY the sig partitions holding a paired old id.
+    Returns a DataFrame (the pair set is the operator's output and is
+    candidate-bounded, like the in-job LSH path)."""
+    import glob
+    import json
+    import os
+
+    import ray.data as rd
+
+    from ..hashing import stable_bucket
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    sigs_new = minhash_signatures(
+        ds_new, id_col, text_col, num_perm=meta["num_perm"], shingle_k=meta["shingle_k"]
+    ).materialize()
+    banded_new = _explode_band_rows(
+        sigs_new, num_perm=meta["num_perm"], bands=meta["bands"], lsh_groups=meta["lsh_groups"]
+    ).to_pandas()
+
+    empty = pd.DataFrame(
+        {
+            "id_old": pd.Series(dtype="object"),
+            "id_new": pd.Series(dtype="object"),
+            "est_jaccard": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(banded_new):
+        return empty
+    probed = sorted(set(banded_new["__g"].tolist()))
+    band_paths = [
+        f
+        for g in probed
+        for f in sorted(glob.glob(os.path.join(index_dir, "bands", f"g={g}", "*.parquet")))
+    ]
+    if not band_paths:
+        return empty
+    # (band, bh) -> [new ids]; bands are int<=64 and bh int64 — pack the key
+    lookup: dict = {}
+    for band, bh, nid in zip(banded_new["band"], banded_new["bh"], banded_new["__id"]):
+        lookup.setdefault((int(band), int(bh)), []).append(nid)
+    lref = ray.put(lookup)
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lref)
+        olds, news = [], []
+        for oid, band, bh in zip(b["id"], b["band"], b["bh"]):
+            hit = lk.get((int(band), int(bh)))
+            if hit:
+                for nid in hit:
+                    olds.append(oid)
+                    news.append(nid)
+        return pd.DataFrame({"id_old": olds, "id_new": news})
+
+    pairs = (
+        rd.read_parquet(band_paths, columns=["id", "band", "bh"])
+        .map_batches(probe, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if not len(pairs):
+        return empty
+    # est attach: old sigs from ONLY the partitions holding a paired id
+    old_ids = pd.unique(pairs["id_old"])
+    sgs = sorted(set(stable_bucket(old_ids, meta["sig_groups"]).tolist()))
+    sig_paths = [
+        f
+        for sg in sgs
+        for f in sorted(glob.glob(os.path.join(index_dir, "sigs", f"sg={sg}", "*.parquet")))
+    ]
+    old_set = set(old_ids.tolist())
+    sig_map: dict = {}
+    for b in rd.read_parquet(sig_paths, columns=["id", "sig"]).iter_batches(
+        batch_size=65536, batch_format="pandas"
+    ):
+        for i, s in zip(b["id"].tolist(), b["sig"].tolist()):
+            if i in old_set:
+                sig_map[i] = np.asarray(s, dtype=np.int64)
+    for b in sigs_new.iter_batches(batch_size=65536, batch_format="pandas"):
+        for i, s in zip(b["__id"].tolist(), b["__sig"].tolist()):
+            sig_map[i] = np.asarray(s, dtype=np.int64)
+    sa = np.stack([sig_map[i] for i in pairs["id_old"]])
+    sb = np.stack([sig_map[i] for i in pairs["id_new"]])
+    pairs = pairs.copy()
+    pairs["est_jaccard"] = (sa == sb).mean(axis=1)
+    pairs = pairs[pairs["est_jaccard"] >= min_est]
+    return pairs.sort_values(["id_old", "id_new"]).reset_index(drop=True)
 
 
 def simhash64(

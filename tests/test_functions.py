@@ -827,3 +827,62 @@ def test_time_fill_span_cap_raises(ray_session):
         F_st.time_fill(
             rd.from_pandas(df), "uid", "ts", "cents", 3600.0, max_windows_per_key=100
         ).to_pandas()
+
+
+def test_lsh_index_cross_run_equals_joint_banding(ray_session, tmp_path):
+    """query_lsh_index(new, index(old)) must produce EXACTLY the old-new
+    pairs the in-job minhash_lsh_pairs finds over old+new jointly (same
+    signature math, same banding, same est filter) — plus the read must
+    prune: one new doc probes at most `bands` of the lsh_groups partitions."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import dedup as F_dedup
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota"]
+    texts = {}
+    for i in range(60):
+        texts[i] = " ".join(rng.choice(vocab, 40))
+    # plant cross near-dups: new docs 100/101 are tweaks of old docs 3/17
+    texts[100] = texts[3].replace("alpha", "beta", 1)
+    texts[101] = texts[17] + " zeta"
+    texts[102] = " ".join(rng.choice(vocab, 40))
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    old_df = df[df["doc_id"] < 100]
+    new_df = df[df["doc_id"] >= 100]
+
+    idx = str(tmp_path / "lshidx")
+    meta = F_dedup.build_lsh_index(
+        rd.from_pandas(old_df).repartition(3), "doc_id", "text", idx
+    )
+    got = F_dedup.query_lsh_index(
+        rd.from_pandas(new_df).repartition(2), "doc_id", "text", idx, min_est=0.5
+    )
+
+    joint = F_dedup.minhash_lsh_pairs(
+        rd.from_pandas(df).repartition(4), "doc_id", "text", min_est=0.5
+    ).to_pandas()
+    cross = joint[(joint["id_a"] < 100) & (joint["id_b"] >= 100)]
+    # in this test the OLD corpus is ids < 100 (= id_a, the smaller side of
+    # the sorted pair) and the new shard is ids >= 100 (= id_b)
+    want = sorted(
+        (int(a), int(b), float(e))
+        for a, b, e in zip(cross["id_a"], cross["id_b"], cross["est_jaccard"])
+    )
+    have = sorted(
+        (int(o), int(n), float(e))
+        for o, n, e in zip(got["id_old"], got["id_new"], got["est_jaccard"])
+    )
+    assert have == want and len(have) >= 2  # the planted pairs surface
+
+    # pruning: a single new doc's band hashes land in <= bands of the
+    # lsh_groups partition dirs, so the query reads a strict subset
+    import glob as _glob
+    import os as _os
+
+    sigs1 = F_dedup.minhash_signatures(rd.from_pandas(new_df.head(1)), "doc_id", "text")
+    b1 = F_dedup._explode_band_rows(
+        sigs1, num_perm=meta["num_perm"], bands=meta["bands"], lsh_groups=meta["lsh_groups"]
+    ).to_pandas()
+    n_groups = len(_glob.glob(_os.path.join(idx, "bands", "g=*")))
+    assert len(set(b1["__g"])) <= meta["bands"] < n_groups
