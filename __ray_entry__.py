@@ -4891,6 +4891,49 @@ def _q_bpe_merges(sf_dir: str):
     return F_text.bpe_train_merges(ds, "text", 30)
 
 
+def _q_event_value_collision_pairs(sf_dir: str):
+    """General THETA join (no equality component): cross-USER pairs of
+    high-value events whose amounts collide within 2 cents — the
+    1-Bucket-Theta grid (functions/relational.theta_join, Okcan & Riedewald
+    2011): both sides hash to grid blocks and replicate along their row /
+    column, each cell scans its chunked local cross product; no
+    broadcastable side, skew-immune by construction. Value filter pushed
+    into the parquet scan."""
+    from tesseract_recognize_ray.functions.relational import theta_join
+
+    ds = F.load(
+        sf_dir,
+        "events",
+        columns=["event_id", "user_id", "value"],
+        filter=pc.field("value") > 150.0,
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "c": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64()),
+            }
+        )
+
+    e = ds.map_batches(cents, batch_format="pyarrow").materialize()  # both theta sides
+
+    def pred(m: pd.DataFrame) -> np.ndarray:
+        return (m["user_id"].to_numpy() < m["user_id_r"].to_numpy()) & (
+            np.abs(m["c"].to_numpy() - m["c_r"].to_numpy()) <= 2
+        )
+
+    out = theta_join(e, e, pred, grid=(8, 8)).to_pandas()
+    return pd.DataFrame(
+        {
+            "id_a": out["event_id"].astype("int64"),
+            "id_b": out["event_id_r"].astype("int64"),
+            "diff_cents": (out["c"] - out["c_r"]).abs().astype("int64"),
+        }
+    )
+
+
 def _q_cross_corpus_near_dups(sf_dir: str):
     """Cross-RUN near-dup detection: docs with doc_id >= 100 play the
     accumulated corpus (persisted MinHash-LSH index: band rows partitioned
@@ -5919,6 +5962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_encoded_docs": _q_bpe_encoded_docs,
         "cross_corpus_near_dups": _q_cross_corpus_near_dups,
+        "event_value_collision_pairs": _q_event_value_collision_pairs,
         "image_phash_near_dups": _q_image_phash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_pq": _q_ann_pq,
@@ -8322,6 +8366,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_pairs_sql,
         "near_dup_dedup": _near_dup_sql,
+        "event_value_collision_pairs": """
+            WITH e AS (
+                SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+                FROM events WHERE value > 150.0
+            )
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   abs(a.c - b.c) AS diff_cents
+            FROM e a JOIN e b
+              ON a.user_id < b.user_id AND abs(a.c - b.c) <= 2
+        """,
         # joint banding restricted to old x new — what the persisted-index
         # query must reproduce exactly (cand keeps id_a < id_b, and the new
         # shard is doc_id < 100, so id_a is the new side)

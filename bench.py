@@ -150,6 +150,9 @@ _BENCH_QUERIES = [
     "zorder_pruned_events",
     "label_intra_variance",
     "label_between_variance",
+    "bpe_encoded_docs",
+    "cross_corpus_near_dups",
+    "event_value_collision_pairs",
 ]
 
 

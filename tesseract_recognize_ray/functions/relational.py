@@ -2406,3 +2406,110 @@ def write_zordered(
     keyed.sort("__z").repartition(num_files).map_batches(
         lambda t: t.drop_columns(["__z"]), batch_format="pyarrow"
     ).write_parquet(out_dir)
+
+
+def theta_join(
+    left: Dataset,
+    right: Dataset,
+    pred,
+    *,
+    grid: tuple[int, int] = (8, 8),
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    chunk_rows: int = 4096,
+) -> Dataset:
+    """General THETA join (arbitrary predicate, no equality component
+    required) via the 1-Bucket-Theta cross-product grid (Okcan &
+    Riedewald, SIGMOD 2011 — public literature): the conceptual |L| x |R|
+    pair matrix is tiled into a gr x gc grid; every left row is
+    stable-hashed to ONE row-block and replicated to that row's gc cells,
+    every right row to ONE column-block and replicated down its gr cells,
+    and each of the gr*gc cells evaluates the predicate over its local
+    cross product (chunked so no cell materializes its full pair block).
+
+    Scale shape: works for ANY predicate with NO broadcastable side —
+    shipped volume is |L|*gc + |R|*gr rows (pick gr ~ gc ~ sqrt(cells)),
+    and every cell gets ~|L||R|/(gr*gc) pairs regardless of value skew
+    (balance comes from hashing, not from the data). The total work IS the
+    cross product — that is the price of generality. Prefer, in order:
+    hash/bucket_join when the predicate has an equality component;
+    asof/grid_range_join when it is a band over an orderable key (sort
+    prunes the pair space); this operator when neither applies (e.g.
+    |f(a) - g(b)| conditions over unrelated keys).
+
+    `pred(merged: pd.DataFrame) -> bool mask` over the cross-merged chunk
+    with final column names (right columns colliding with left names get
+    `suffix`). Output columns: left_cols + right_cols (renamed)."""
+    from ..hashing import stable_bucket_table
+
+    gr, gc = grid
+    lcols = left_cols or [str(c) for c in left.schema().names]
+    rcols_in = right_cols or [str(c) for c in right.schema().names]
+    ren = {c: (c + suffix if c in lcols else c) for c in rcols_in}
+    rcols_out = [ren[c] for c in rcols_in]
+
+    def explode_left(t: pa.Table) -> pa.Table:
+        t = t.select(lcols)
+        n = len(t)
+        if not n:
+            return t.append_column("__cell", pa.array([], pa.int32()))
+        blocks = stable_bucket_table(t, lcols, gr).astype(np.int64)
+        idx = np.repeat(np.arange(n), gc)
+        cells = (np.repeat(blocks, gc) * gc + np.tile(np.arange(gc), n)).astype(np.int32)
+        return t.take(pa.array(idx)).append_column("__cell", pa.array(cells, pa.int32()))
+
+    def explode_right(t: pa.Table) -> pa.Table:
+        t = t.select(rcols_in).rename_columns(rcols_out)
+        n = len(t)
+        if not n:
+            return t.append_column("__cell", pa.array([], pa.int32()))
+        blocks = stable_bucket_table(t, rcols_out, gc).astype(np.int64)
+        idx = np.repeat(np.arange(n), gr)
+        cells = (np.tile(np.arange(gr), n) * gc + np.repeat(blocks, gr)).astype(np.int32)
+        return t.take(pa.array(idx)).append_column("__cell", pa.array(cells, pa.int32()))
+
+    # pad each side onto the shared (left + right) schema IN ARROW; the
+    # cell fn prunes back per side before pandas, so null padding never
+    # coerces an int column (same trick as bucket_join)
+    l_ex = left.map_batches(explode_left, batch_format="pyarrow").materialize()
+    r_ex = right.map_batches(explode_right, batch_format="pyarrow").materialize()
+    l_schema = l_ex.schema().base_schema
+    r_schema = r_ex.schema().base_schema
+
+    def pad(to_left: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            side = pa.array(np.full(n, 0 if to_left else 1, dtype=np.int8))
+            cols = {"__side": side}
+            for name in lcols + rcols_out + ["__cell"]:
+                if name in t.column_names:
+                    cols[name] = t.column(name)
+                else:
+                    src = r_schema if to_left else l_schema
+                    cols[name] = pa.nulls(n, src.field(name).type)
+            return pa.table(cols)
+
+        return fn
+
+    both = l_ex.map_batches(pad(True), batch_format="pyarrow").union(
+        r_ex.map_batches(pad(False), batch_format="pyarrow")
+    )
+
+    def cell(t: pa.Table) -> pd.DataFrame:
+        side = t.column("__side")
+        lf = t.filter(pc.equal(side, 0)).select(lcols).to_pandas()
+        rf = t.filter(pc.equal(side, 1)).select(rcols_out).to_pandas()
+        # dtype-correct empty frame (head(0) cross merge keeps both schemas)
+        empty = lf.head(0).merge(rf.head(0), how="cross")
+        if not len(lf) or not len(rf):
+            return empty
+        outs = []
+        for s in range(0, len(lf), chunk_rows):
+            merged = lf.iloc[s : s + chunk_rows].merge(rf, how="cross")
+            mask = np.asarray(pred(merged), dtype=bool)
+            if mask.any():
+                outs.append(merged[mask])
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return both.groupby("__cell").map_groups(cell, batch_format="pyarrow")

@@ -886,3 +886,44 @@ def test_lsh_index_cross_run_equals_joint_banding(ray_session, tmp_path):
     ).to_pandas()
     n_groups = len(_glob.glob(_os.path.join(idx, "bands", "g=*")))
     assert len(set(b1["__g"])) <= meta["bands"] < n_groups
+
+
+def test_theta_join_matches_cross_product_reference(ray_session):
+    """1-Bucket-Theta grid join must equal the brute-force cross product
+    under an arbitrary (no-equality) predicate, for several grid shapes and
+    with empty cells present."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.relational import theta_join
+
+    rng = np.random.default_rng(11)
+    L = pd.DataFrame(
+        {"a_id": np.arange(150, dtype=np.int64), "x": rng.integers(0, 60, 150)}
+    )
+    R = pd.DataFrame(
+        {"b_id": np.arange(90, dtype=np.int64), "x": rng.integers(0, 60, 90)}
+    )
+
+    def pred(m):
+        return (np.abs(m["x"].to_numpy() - m["x_r"].to_numpy()) <= 1) & (
+            m["a_id"].to_numpy() % 3 != m["b_id"].to_numpy() % 3
+        )
+
+    ref = L.merge(R.rename(columns={"x": "x_r"}), how="cross")
+    ref = ref[
+        (np.abs(ref["x"] - ref["x_r"]) <= 1) & (ref["a_id"] % 3 != ref["b_id"] % 3)
+    ]
+    want = sorted(map(tuple, ref[["a_id", "b_id"]].to_numpy()))
+    assert want  # predicate actually selects something
+
+    for grid in [(1, 1), (4, 4), (8, 2), (3, 5)]:
+        out = theta_join(
+            rd.from_pandas(L).repartition(3),
+            rd.from_pandas(R).repartition(2),
+            pred,
+            grid=grid,
+            chunk_rows=37,
+        ).to_pandas()
+        got = sorted(map(tuple, out[["a_id", "b_id"]].to_numpy()))
+        assert got == want, grid
+        assert out["x"].dtype == np.int64 and out["x_r"].dtype == np.int64
