@@ -973,6 +973,46 @@ def _q_top_bigrams(sf_dir: str):
     )
 
 
+def _q_bigram_pmi(sf_dir: str):
+    """Collocation mining: pointwise mutual information for every bigram
+    with count >= 5 — PMI = ln(n_ab * N_uni^2 / (N_bi * n_a * n_b)) from
+    EXACT integer counts (the bigram/unigram wordcount combiners plus two
+    driver scalars), rounded to 1e-6. The unigram attach is
+    participant-pruned: only the tokens of the surviving hot bigrams are
+    pulled (bounded by the min-count filter regardless of vocabulary
+    size)."""
+    import ray
+
+    from tesseract_recognize_ray.functions.relational import _key_filter
+
+    ds = F.load(sf_dir, "documents", columns=["text"], num_blocks=16)
+    big = F_text.bigram_counts(ds, "text").materialize()  # filter + total
+    uni = F_text.term_counts(ds, "text").materialize()  # total + pruned attach
+    hot = big.filter(expr="n >= 5").to_pandas()
+    n_uni = int(uni.sum("n"))
+    n_bi = int(big.sum("n"))
+    if not len(hot):
+        return pd.DataFrame(
+            {
+                "bigram": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "pmi": pd.Series(dtype="float64"),
+            }
+        )
+    parts = hot["bigram"].str.split(" ")
+    toks = sorted({t for ab in parts for t in ab})
+    flt = _key_filter(uni, "token", ray.put(pa.array(toks)), keep_matches=True).to_pandas()
+    cnt = dict(zip(flt["token"], flt["n"]))
+    na = parts.str[0].map(cnt).to_numpy(dtype=np.int64)
+    nb = parts.str[1].map(cnt).to_numpy(dtype=np.int64)
+    num = hot["n"].to_numpy(dtype=np.int64) * n_uni * n_uni
+    den = n_bi * na * nb
+    pmi = np.round(np.log(num.astype(np.float64) / den.astype(np.float64)), 6)
+    return pd.DataFrame(
+        {"bigram": hot["bigram"], "n": hot["n"].astype("int64"), "pmi": pmi}
+    ).sort_values("bigram").reset_index(drop=True)
+
+
 def _q_cumsum_user_value(sf_dir: str):
     """Running total window: per-user cumulative sum of exact-cents values
     ordered by (ts, event_id) — SUM OVER (... ROWS UNBOUNDED PRECEDING)."""
@@ -6060,6 +6100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumsum_user_value": _q_cumsum_user_value,
         "top_terms": _q_top_terms,
         "top_bigrams": _q_top_bigrams,
+        "bigram_pmi": _q_bigram_pmi,
         "shipping_priority": _q_shipping_priority,
         "top3_events_per_user": _q_top3_events_per_user,
         "customer_order_full": _q_customer_order_full,
@@ -8375,6 +8416,33 @@ def oracle_sql() -> dict[str, str]:
                    abs(a.c - b.c) AS diff_cents
             FROM e a JOIN e b
               ON a.user_id < b.user_id AND abs(a.c - b.c) <= 2
+        """,
+        "bigram_pmi": """
+            WITH toks AS (
+                SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+                FROM (
+                    SELECT doc_id,
+                           list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> '') AS l
+                    FROM documents
+                )
+            ),
+            uni AS MATERIALIZED (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+            pairs AS (
+                SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+                FROM toks
+            ),
+            bigc AS MATERIALIZED (
+                SELECT a, b, COUNT(*) AS n FROM pairs WHERE b IS NOT NULL GROUP BY a, b
+            )
+            SELECT bigc.a || ' ' || bigc.b AS bigram,
+                   CAST(bigc.n AS BIGINT) AS n,
+                   ROUND(ln((bigc.n * (SELECT SUM(n) FROM uni) * (SELECT SUM(n) FROM uni))::DOUBLE
+                            / ((SELECT SUM(n) FROM bigc) * ua.n * ub.n)::DOUBLE), 6) AS pmi
+            FROM bigc
+            JOIN uni ua ON ua.tok = bigc.a
+            JOIN uni ub ON ub.tok = bigc.b
+            WHERE bigc.n >= 5
         """,
         # joint banding restricted to old x new — what the persisted-index
         # query must reproduce exactly (cand keeps id_a < id_b, and the new
