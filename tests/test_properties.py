@@ -209,3 +209,45 @@ def test_lossless_codecs_roundtrip_through_dispatch(h, w, seed, enc):
     pages = list(iter_page_images(payload))
     assert len(pages) == 1 and pages[0][0] == 0
     assert np.array_equal(pages[0][1], img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=" abcdefgh\t\n", min_size=0, max_size=60), min_size=1, max_size=8
+    )
+)
+def test_simhash_md5_vectorized_equals_naive(texts):
+    """The factorize/reduceat simhash path (md5 mode) must equal the naive
+    per-token-occurrence definition — including duplicate tokens (vote
+    weighting), empty docs, and mixed whitespace."""
+    import hashlib
+
+    import pandas as pd
+
+    from tesseract_recognize_ray.functions import dedup as F_dedup
+
+    got = None
+
+    # capture the per-batch fn via a stub dataset and run it in-process
+    # (no Ray session needed for a property test)
+    class _StubDS:
+        def map_batches(self, fn, batch_format=None):
+            nonlocal got
+            got = fn(pd.DataFrame({"id": range(len(texts)), "t": texts}))
+            return None
+
+    F_dedup.simhash64(_StubDS(), "id", "t", hash_fn="md5")
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            want = "0" * 16
+        else:
+            acc = [0] * 64
+            for w in toks:
+                h = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+                for b in range(64):
+                    acc[b] += 1 if (h >> b) & 1 else -1
+            v = sum(1 << b for b in range(64) if acc[b] > 0)
+            want = f"{v:016x}"
+        assert got["simhash"].iloc[i] == want, (i, t)
