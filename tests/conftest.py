@@ -1,9 +1,35 @@
 import os
+import signal
 import sys
 
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Per-test watchdog: one Ray streaming-executor stall was observed to hang a
+# test indefinitely (idle MapWorker, pipeline never completing, under heavy
+# external CPU contention). SIGALRM interrupts the blocked wait (ray.get is
+# signal-interruptible) and fails THAT test with a traceback at the hang
+# point instead of stalling the whole suite. The slowest legitimate test
+# finishes in well under a minute uncontended.
+_TEST_TIMEOUT_S = int(os.environ.get("TRR_TEST_TIMEOUT", "300"))
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"test exceeded {_TEST_TIMEOUT_S}s watchdog (TRR_TEST_TIMEOUT) — "
+            "likely a stalled Ray pipeline; failing fast instead of hanging"
+        )
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(_TEST_TIMEOUT_S)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture(scope="session")
