@@ -2471,11 +2471,27 @@ def theta_join(
 
     # pad each side onto the shared (left + right) schema IN ARROW; the
     # cell fn prunes back per side before pandas, so null padding never
-    # coerces an int column (same trick as bucket_join)
-    l_ex = left.map_batches(explode_left, batch_format="pyarrow").materialize()
-    r_ex = right.map_batches(explode_right, batch_format="pyarrow").materialize()
-    l_schema = l_ex.schema().base_schema
-    r_schema = r_ex.schema().base_schema
+    # coerces an int column (same trick as bucket_join). Pad types come
+    # from the INPUT schemas: an all-empty exploded side loses its schema
+    # entirely (Ray 2.49 empty-block pitfall) and must not crash the pad.
+    def _arrow_schema(ds_in: Dataset, names: list[str], rename: dict | None) -> pa.Schema:
+        base = ds_in.schema().base_schema
+        if isinstance(base, pa.Schema):
+            types = {f.name: f.type for f in base}
+        else:  # pandas-backed block schema: numpy dtypes / classes
+            types = {}
+            for n, t in zip(base.names, base.types):
+                try:
+                    types[n] = pa.from_numpy_dtype(np.dtype(t))
+                except (TypeError, pa.ArrowNotImplementedError):
+                    types[n] = pa.string()
+        inv = {v: k for k, v in rename.items()} if rename else {}
+        return pa.schema([pa.field(n, types[inv.get(n, n)]) for n in names])
+
+    l_schema = _arrow_schema(left, lcols, None)
+    r_schema = _arrow_schema(right, rcols_out, ren)
+    l_ex = left.map_batches(explode_left, batch_format="pyarrow")
+    r_ex = right.map_batches(explode_right, batch_format="pyarrow")
 
     def pad(to_left: bool):
         def fn(t: pa.Table) -> pa.Table:

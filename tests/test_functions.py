@@ -927,3 +927,9 @@ def test_theta_join_matches_cross_product_reference(ray_session):
         got = sorted(map(tuple, out[["a_id", "b_id"]].to_numpy()))
         assert got == want, grid
         assert out["x"].dtype == np.int64 and out["x_r"].dtype == np.int64
+
+    # an all-empty side must yield an empty result, not a schema crash
+    out0 = theta_join(
+        rd.from_pandas(L.head(0)), rd.from_pandas(R), pred, grid=(2, 2)
+    ).to_pandas()
+    assert len(out0) == 0
