@@ -571,6 +571,50 @@ def build_lsh_index(
     return meta
 
 
+def append_lsh_index(ds_new: Dataset, id_col: str, text_col: str, index_dir: str) -> None:
+    """Fold a new document shard INTO an existing `build_lsh_index` corpus —
+    the maintenance half of the cross-run dedup loop (query the shard
+    against the index, drop its dups, then append the survivors). Hashes
+    with the index's OWN meta parameters and writes additional parquet
+    files into the same band-group / sig-group partition directories
+    (parquet partitions are directories; appending is new files, no
+    rewrite of existing data). After append, queries see old + new."""
+    import json
+    import os
+
+    from ..hashing import stable_bucket
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    sigs = minhash_signatures(
+        ds_new, id_col, text_col, num_perm=meta["num_perm"], shingle_k=meta["shingle_k"]
+    ).materialize()
+    banded = _explode_band_rows(
+        sigs, num_perm=meta["num_perm"], bands=meta["bands"], lsh_groups=meta["lsh_groups"]
+    )
+
+    def prep_band(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id": b["__id"], "band": b["band"], "bh": b["bh"], "g": b["__g"]}
+        )
+
+    def prep_sig(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": b["__id"],
+                "sig": b["__sig"],
+                "sg": stable_bucket(b["__id"], meta["sig_groups"]),
+            }
+        )
+
+    banded.map_batches(prep_band, batch_format="pandas").write_parquet(
+        os.path.join(index_dir, "bands"), partition_cols=["g"]
+    )
+    sigs.map_batches(prep_sig, batch_format="pandas").write_parquet(
+        os.path.join(index_dir, "sigs"), partition_cols=["sg"]
+    )
+
+
 def query_lsh_index(
     ds_new: Dataset,
     id_col: str,

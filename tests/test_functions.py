@@ -887,6 +887,22 @@ def test_lsh_index_cross_run_equals_joint_banding(ray_session, tmp_path):
     n_groups = len(_glob.glob(_os.path.join(idx, "bands", "g=*")))
     assert len(set(b1["__g"])) <= meta["bands"] < n_groups
 
+    # incremental maintenance: build(A) + append(B) must answer queries
+    # exactly like build(A + B) — new parquet files land in the same
+    # partition dirs, nothing is rewritten
+    split = old_df["doc_id"] < 30
+    idx2 = str(tmp_path / "lshidx_inc")
+    F_dedup.build_lsh_index(rd.from_pandas(old_df[split]), "doc_id", "text", idx2)
+    F_dedup.append_lsh_index(rd.from_pandas(old_df[~split]), "doc_id", "text", idx2)
+    got2 = F_dedup.query_lsh_index(
+        rd.from_pandas(new_df).repartition(2), "doc_id", "text", idx2, min_est=0.5
+    )
+    have2 = sorted(
+        (int(o), int(n), float(e))
+        for o, n, e in zip(got2["id_old"], got2["id_new"], got2["est_jaccard"])
+    )
+    assert have2 == want
+
 
 def test_theta_join_matches_cross_product_reference(ray_session):
     """1-Bucket-Theta grid join must equal the brute-force cross product
