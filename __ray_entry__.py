@@ -5971,6 +5971,78 @@ def _q_order_share_of_customer(sf_dir: str):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_phrase_match_docs(sf_dir: str):
+    """Token-boundary phrase search ("hash join" as consecutive alpha
+    tokens, not a substring): a pure map over the corpus — each document is
+    one row, so the operator shuffles NOTHING at any scale. Oracle replays
+    the tokenization with string_split_regex + generate_subscripts."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    return F_text.phrase_match(ds, "doc_id", "text", "hash join")
+
+
+def _q_scd2_user_type_history(sf_dir: str):
+    """SCD Type-2 compaction of the event change-log: per user (ordered by
+    ts, event_id) consecutive runs of one event_type collapse to a single
+    validity interval [valid_from, valid_to) with the run length; the open
+    run closes at the 2100-01-01 sentinel (SCD-2 convention — also dodges
+    NaT/int64 casts in the hash compare). One bucketed co-location shuffle,
+    one mergesort + numpy run-length pass per bucket."""
+    ds = F.load(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return F.scd2_compact(
+        ds, "user_id", ["ts", "event_id"], "event_type", "ts", open_end="2100-01-01"
+    )
+
+
+def _q_nb_lang_predict(sf_dir: str):
+    """Distributed multinomial Naive Bayes, trained AND scored over the
+    corpus in one job: per-block (label, token) combiner -> bucketed count
+    reduce -> driver-held V x L log-prob model broadcast once via ray.put ->
+    map-only argmax scoring. The oracle replays the exact chain in SQL
+    (same [^a-z]+ tokenizer, add-1 smoothing, log priors); ties break to
+    the lexicographically first label on both sides. Emitting only the
+    argmax label keeps the compare float-safe: the corpus' minimum top-2
+    score margin is ~3e-4 vs ~1e-12 summation-order noise."""
+    from tesseract_recognize_ray.functions import ml as F_ml
+
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    model = F_ml.nb_train(ds, "lang", "text")
+    return F_ml.nb_predict(
+        ds, "doc_id", "text", model, out_col="pred_lang", keep_cols=("lang",)
+    )
+
+
+def _q_incremental_agg_refresh(sf_dir: str):
+    """Materialized-view maintenance: per-user (count, sum) partials of the
+    even-event_id half persist as parquet state (built once per sf_dir, like
+    the LSH index cache), then the odd half arrives as a delta and merges in
+    O(delta + |keys|) WITHOUT rescanning the base — the refreshed aggregate
+    must equal a from-scratch GROUP BY over the full table, which is exactly
+    what the oracle computes."""
+    import os
+
+    from tesseract_recognize_ray.state.agg_state import (
+        agg_state_build,
+        agg_state_refresh,
+    )
+
+    specs = [("event_id", "count", "n_events"), ("value", "sum", "sum_value")]
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def half(even: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(b.column("event_id"), 1), 0 if even else 1)
+            return b.filter(m)
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    path = f"/tmp/trr_aggstate_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(path):
+        agg_state_build(half(True), ["user_id"], specs, path)
+    return agg_state_refresh(half(False), ["user_id"], specs, path)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6183,6 +6255,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wavg_discount_by_brand": _q_wavg_discount_by_brand,
         "parts_never_discounted": _q_parts_never_discounted,
         "order_share_of_customer": _q_order_share_of_customer,
+        "phrase_match_docs": _q_phrase_match_docs,
+        "scd2_user_type_history": _q_scd2_user_type_history,
+        "nb_lang_predict": _q_nb_lang_predict,
+        "incremental_agg_refresh": _q_incremental_agg_refresh,
     }
 
 
@@ -8510,5 +8586,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lower(lpad(hex(bit_xor(v)), 16, '0')) AS fingerprint
             FROM sel GROUP BY doc_id
+        """,
+        "phrase_match_docs": """
+            WITH t AS MATERIALIZED (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                   x -> x <> '') AS ts
+                FROM documents
+            ),
+            pos AS MATERIALIZED (
+                SELECT doc_id, ts, generate_subscripts(ts, 1) AS p,
+                       unnest(ts) AS tok
+                FROM t
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_phrase
+            FROM pos
+            WHERE p < len(ts) AND tok = 'hash' AND ts[p+1] = 'join'
+            GROUP BY doc_id
+        """,
+        "scd2_user_type_history": """
+            WITH e AS MATERIALIZED (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(event_type) OVER w
+                            IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            g AS MATERIALIZED (
+                SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS grp
+                FROM e
+            ),
+            runs AS MATERIALIZED (
+                SELECT user_id, grp, min(ts) AS valid_from,
+                       min(event_type) AS event_type, count(*)::BIGINT AS n_events
+                FROM g GROUP BY 1, 2
+            )
+            SELECT user_id, event_type, valid_from,
+                   coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                                                   ORDER BY valid_from),
+                            TIMESTAMP '2100-01-01') AS valid_to,
+                   n_events
+            FROM runs
+        """,
+        "nb_lang_predict": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ),
+            counts AS MATERIALIZED (
+                SELECT lang, tok, count(*)::DOUBLE AS c FROM toks GROUP BY 1, 2
+            ),
+            totals AS MATERIALIZED (SELECT lang, sum(c) AS tot FROM counts GROUP BY 1),
+            vocab AS MATERIALIZED (SELECT count(DISTINCT tok)::DOUBLE AS v FROM toks),
+            priors AS MATERIALIZED (
+                SELECT lang,
+                       ln(count(*)::DOUBLE / (SELECT count(*) FROM documents)) AS lp
+                FROM documents GROUP BY 1
+            ),
+            scored AS MATERIALIZED (
+                SELECT dt.doc_id, l.lang AS cand,
+                       sum(ln((coalesce(c.c, 0) + 1.0)
+                              / (t.tot + (SELECT v FROM vocab)))) AS s
+                FROM toks dt
+                CROSS JOIN (SELECT lang FROM priors) l
+                LEFT JOIN counts c ON c.lang = l.lang AND c.tok = dt.tok
+                JOIN totals t ON t.lang = l.lang
+                GROUP BY 1, 2
+            ),
+            final AS MATERIALIZED (
+                SELECT d.doc_id, d.lang, p.lang AS cand,
+                       coalesce(s.s, 0) + p.lp AS score
+                FROM documents d
+                CROSS JOIN priors p
+                LEFT JOIN scored s ON s.doc_id = d.doc_id AND s.cand = p.lang
+            )
+            SELECT doc_id, lang, cand AS pred_lang
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY score DESC, cand ASC) AS rn
+                  FROM final)
+            WHERE rn = 1
+        """,
+        "incremental_agg_refresh": """
+            SELECT user_id, count(*)::BIGINT AS n_events, sum(value) AS sum_value
+            FROM events GROUP BY user_id
         """,
     }

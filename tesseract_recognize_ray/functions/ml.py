@@ -234,3 +234,126 @@ def dsir_select(
 
     keyed = weights.map_batches(add_key, batch_format="pandas")
     return topk(keyed, "sample_key", k, descending=True, tiebreak=[id_col])
+
+
+def nb_train(
+    ds: "Dataset",
+    label_col: str,
+    text_col: str,
+    *,
+    alpha: float = 1.0,
+) -> dict:
+    """Distributed multinomial Naive Bayes trainer (add-alpha smoothing)
+    over lowercased alpha tokens ([^a-z]+ is a separator — the exact
+    tokenization the SQL oracle replays with string_split_regex).
+
+    Scale shape: the ONLY exchange is the (label, token) count reduce — each
+    block pre-aggregates its own explode with a pyarrow group_by before the
+    bucketed shuffle (grouped_agg combine path), so the wire carries at most
+    |labels| x |block vocab| rows per block, never per-token rows. The model
+    (V x L log-prob matrix) is driver-held and must fit one worker's heap —
+    the same broadcast contract as every small-side lookup here; for
+    unbounded vocabularies hash tokens into 2^20 buckets first (the
+    dsir_weights layout in this module) and train on bucket ids.
+
+    Returns a plain dict: sorted labels, a pandas vocab Index, logp (V, L),
+    unseen (L,), log_prior (L,) — pass to nb_predict."""
+    from .relational import grouped_agg
+    from .textstats import flat_ngrams
+
+    def explode(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(b.column(text_col)), "[^a-z]+", " "
+        )
+        toks, ridx = flat_ngrams(norm, 1)
+        labels = b.column(label_col).take(pa.array(ridx))
+        return pa.table(
+            {
+                "label": labels,
+                "tok": toks,
+                "n": pa.array(np.ones(len(toks), dtype=np.int64)),
+            }
+        )
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+    # combiner output is |labels| x |vocab| per block — reducer-sized
+    counts = grouped_agg(
+        pairs, ["label", "tok"], [("n", "sum", "n")], reduce_blocks=8
+    ).to_pandas()
+    prior = grouped_agg(
+        ds, [label_col], [(label_col, "count", "n_docs")]
+    ).to_pandas()
+
+    labels = sorted(prior[label_col].astype(str))
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    n_docs = np.zeros(len(labels), dtype=np.float64)
+    for l, c in zip(prior[label_col].astype(str), prior["n_docs"]):
+        n_docs[lab_idx[l]] = float(c)
+    vocab = pd.Index(np.sort(counts["tok"].unique()))
+    cnt = np.zeros((len(vocab), len(labels)), dtype=np.float64)
+    if len(vocab):
+        vi = vocab.get_indexer(counts["tok"])
+        li = counts["label"].astype(str).map(lab_idx).to_numpy()
+        cnt[vi, li] = counts["n"].to_numpy(dtype=np.float64)
+    tot = cnt.sum(axis=0)
+    denom = tot + alpha * len(vocab)
+    return {
+        "labels": labels,
+        "vocab": vocab,
+        "logp": np.log((cnt + alpha) / denom),
+        "unseen": np.log(np.full(len(labels), alpha) / denom),
+        "log_prior": np.log(n_docs / n_docs.sum()),
+    }
+
+
+def nb_predict(
+    ds: "Dataset",
+    id_col: str,
+    text_col: str,
+    model: dict,
+    *,
+    out_col: str = "pred_label",
+    keep_cols: tuple = (),
+) -> "Dataset":
+    """Score every document against an nb_train model and emit the argmax
+    label (ties — structurally only possible for token-free docs under
+    equal priors — break to the lexicographically first label, matching a
+    SQL ``ORDER BY score DESC, label ASC`` window). Map-only: the model
+    ships once via ray.put (zero-copy numpy views per worker), scoring is
+    one vocab hash-probe + one bincount per label per batch — no shuffle."""
+    from .textstats import flat_ngrams
+
+    mref = ray.put(model)
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        m = ray.get(mref)
+        nrows = b.num_rows
+        out = {id_col: b.column(id_col).to_pandas()}
+        for c in keep_cols:
+            out[c] = b.column(c).to_pandas()
+        if nrows == 0:
+            out[out_col] = pd.Series([], dtype="object")
+            return pd.DataFrame(out)
+        scores = np.tile(m["log_prior"], (nrows, 1))
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(b.column(text_col)), "[^a-z]+", " "
+        )
+        toks, ridx = flat_ngrams(norm, 1)
+        if len(toks) and len(m["vocab"]):
+            ta = toks.to_pandas()
+            vi = m["vocab"].get_indexer(ta)
+            hit = vi >= 0
+            vi_safe = np.where(hit, vi, 0)
+            for li in range(len(m["labels"])):
+                w = np.where(hit, m["logp"][vi_safe, li], m["unseen"][li])
+                scores[:, li] += np.bincount(ridx, weights=w, minlength=nrows)
+        # labels are sorted, argmax takes the FIRST max -> lexicographic ties
+        pred = np.asarray(m["labels"], dtype=object)[np.argmax(scores, axis=1)]
+        out[out_col] = pred
+        return pd.DataFrame(out)
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2529,3 +2529,79 @@ def theta_join(
         return pd.concat(outs, ignore_index=True) if outs else empty
 
     return both.groupby("__cell").map_groups(cell, batch_format="pyarrow")
+
+
+def scd2_compact(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    ts_col: str,
+    *,
+    open_end: str | None = None,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Change-log -> SCD Type-2 validity intervals: per key, ordered by
+    order_cols, collapse each consecutive run of an unchanged ``value_col``
+    into ONE row (key, value, valid_from = first ts of the run, valid_to =
+    first ts of the NEXT run, n_events = run length) — the
+    slowly-changing-dimension compaction a warehouse backfill runs over an
+    event stream. The last (open) run's valid_to is ``open_end`` (an ISO
+    timestamp sentinel, SCD-2 convention) or NaT when None.
+
+    Scale shape: ONE hash(key) % num_buckets shuffle (all rows of a key
+    share a bucket — the same co-location contract as window_lag), then per
+    bucket a single mergesort + numpy run-length pass: no per-key Python
+    dispatch, no state beyond the bucket. Output is one row per run — a
+    large compaction of the input, so the result stream is strictly smaller
+    than what was shuffled in. Equality on value_col is numpy ``!=`` per
+    adjacent pair: None == None counts as "unchanged" (SQL IS NOT DISTINCT
+    FROM); float NaN values would each start a new run — use a sentinel
+    for NaN-able change columns."""
+    from ..hashing import stable_bucket
+
+    sentinel = np.datetime64(open_end) if open_end is not None else np.datetime64("NaT")
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__bucket"] = stable_bucket(batch[key], num_buckets)
+        return batch
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values(
+            [key, *order_cols], kind="mergesort"
+        )
+        k = g[key].to_numpy()
+        v = g[value_col].to_numpy()
+        ts = g[ts_col].to_numpy()
+        n = len(g)
+        newkey = np.empty(n, dtype=bool)
+        newkey[0] = True
+        np.not_equal(k[1:], k[:-1], out=newkey[1:])
+        chg = np.empty(n, dtype=bool)
+        chg[0] = True
+        np.not_equal(v[1:], v[:-1], out=chg[1:])
+        starts = np.flatnonzero(newkey | chg)
+        ends = np.append(starts[1:], n)
+        rk, rv, vf = k[starts], v[starts], ts[starts]
+        vt = np.empty(len(starts), dtype=ts.dtype)
+        vt[:-1] = vf[1:]
+        vt[-1] = sentinel
+        open_run = np.empty(len(starts), dtype=bool)
+        open_run[:-1] = rk[1:] != rk[:-1]
+        open_run[-1] = True
+        vt[open_run] = sentinel
+        return pd.DataFrame(
+            {
+                key: rk,
+                value_col: rv,
+                "valid_from": vf,
+                "valid_to": vt,
+                "n_events": (ends - starts).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(fn, batch_format="pandas")
+    )

@@ -1078,3 +1078,50 @@ def bpe_train_merges(
             "pair_count": np.array([m[2] for m in merges], dtype=np.int64),
         }
     )
+
+
+def phrase_match(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+    out_col: str = "n_phrase",
+) -> Dataset:
+    """Token-boundary phrase search: per document, the number of occurrences
+    of ``phrase`` as consecutive lowercased alpha tokens ("Hash-JOIN!"
+    matches the phrase "hash join"; the substring "hashjoin" does not).
+    Documents with zero occurrences are dropped.
+
+    Scale shape: pure map — each document's text lives in one row, so phrase
+    counting shuffles NOTHING at any corpus size; the positional-postings
+    alternative (explode (token, pos), self-join on pos+1 — see
+    ``inverted_index`` in relational.py) only pays when single documents are
+    split across rows. Vectorized: one regex normalize + one
+    ``flat_ngrams(n=len(phrase))`` window pass + one bincount per batch.
+    """
+    want_toks = [t for t in re.split(r"[^a-z]+", phrase.lower()) if t]
+    if not want_toks:
+        raise ValueError("phrase_match: phrase has no alpha tokens")
+    want = " ".join(want_toks)
+    n = len(want_toks)
+
+    def fn(b: pa.Table) -> pd.DataFrame:
+        ids = b.column(id_col).to_pandas()
+        if b.num_rows == 0:
+            return pd.DataFrame(
+                {id_col: ids, out_col: pd.Series([], dtype="int64")}
+            )
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(b.column(text_col)), "[^a-z]+", " "
+        )
+        ng, ridx = flat_ngrams(norm, n)
+        cnt = np.zeros(b.num_rows, dtype=np.int64)
+        if len(ng):
+            # ng is never null: _ws_token_lists fill_nulls the text upstream
+            hit = np.asarray(pc.equal(ng, want)).astype(bool)
+            if hit.any():
+                cnt = np.bincount(ridx[hit], minlength=b.num_rows).astype(np.int64)
+        keep = cnt > 0
+        return pd.DataFrame({id_col: ids[keep].to_numpy(), out_col: cnt[keep]})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,266 @@
+"""Round-4 late additions: phrase search, SCD-2 compaction, distributed
+Naive Bayes, and incrementally-maintained aggregate state."""
+
+import math
+import re
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+
+# ------------------------------------------------------------ phrase_match
+def test_phrase_match_token_boundaries(ray_session):
+    from tesseract_recognize_ray.functions.textstats import phrase_match
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "hash join hash join end",  # 2 occurrences
+                "no match at all",  # dropped
+                "Hash-JOIN! punctuated",  # normalization matches
+                "the hashjoin substring",  # NOT a token-boundary match
+                "hash  join (double space)",  # whitespace runs collapse
+            ],
+        }
+    )
+    out = (
+        phrase_match(ray.data.from_pandas(df).repartition(3), "doc_id", "text", "hash join")
+        .to_pandas()
+        .set_index("doc_id")["n_phrase"]
+        .to_dict()
+    )
+    assert out == {1: 2, 3: 1, 5: 1}
+
+
+def test_phrase_match_overlapping_windows(ray_session):
+    from tesseract_recognize_ray.functions.textstats import phrase_match
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["a a a a"]})
+    out = phrase_match(ray.data.from_pandas(df), "doc_id", "text", "a a").to_pandas()
+    assert out["n_phrase"].tolist() == [3]  # sliding, overlapping windows
+
+
+# ------------------------------------------------------------ scd2_compact
+def _scd2_reference(df, key, order_cols, value_col, ts_col, sentinel):
+    rows = []
+    for k, g in df.sort_values([key, *order_cols], kind="mergesort").groupby(key, sort=True):
+        vals = g[value_col].tolist()
+        tss = g[ts_col].tolist()
+        runs = []
+        for v, t in zip(vals, tss):
+            if not runs or runs[-1][0] != v:
+                runs.append([v, t, 0])
+            runs[-1][2] += 1
+        for i, (v, t, n) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else sentinel
+            rows.append((k, v, t, vt, n))
+    return pd.DataFrame(
+        rows, columns=[key, value_col, "valid_from", "valid_to", "n_events"]
+    )
+
+
+def test_scd2_compact_matches_reference(ray_session):
+    from tesseract_recognize_ray.functions.relational import scd2_compact
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    sent = pd.Timestamp("2100-01-01")
+    got = (
+        scd2_compact(
+            ray.data.from_pandas(df).repartition(5),
+            "user_id",
+            ["ts", "event_id"],
+            "event_type",
+            "ts",
+            open_end="2100-01-01",
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "valid_from", "event_type"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        _scd2_reference(df, "user_id", ["ts", "event_id"], "event_type", "ts", sent)
+        .sort_values(["user_id", "valid_from", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"n_events": "int64"}), ref.astype({"n_events": "int64"}))
+    # compaction invariant: run lengths cover every input row exactly once
+    assert got["n_events"].sum() == n
+
+
+def test_scd2_compact_none_equality(ray_session):
+    """None == None is 'unchanged' (IS NOT DISTINCT FROM), so a run of
+    nulls compacts to one interval."""
+    from tesseract_recognize_ray.functions.relational import scd2_compact
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+            "event_id": [1, 2, 3],
+            "event_type": pd.array([None, None, "a"], dtype=object),
+        }
+    )
+    out = scd2_compact(
+        ray.data.from_pandas(df), "user_id", ["ts", "event_id"], "event_type", "ts"
+    ).to_pandas()
+    assert len(out) == 2
+    assert out["n_events"].tolist() == [2, 1]
+
+
+# -------------------------------------------------------------- Naive Bayes
+def _nb_reference(docs, alpha=1.0):
+    """Pure-python multinomial NB with the same [^a-z]+ tokenizer."""
+    tok = lambda s: [t for t in re.split(r"[^a-z]+", s.lower()) if t]
+    labels = sorted(set(docs["lang"]))
+    counts = {l: {} for l in labels}
+    n_docs = {l: 0 for l in labels}
+    vocab = set()
+    for _, r in docs.iterrows():
+        n_docs[r["lang"]] += 1
+        for t in tok(r["text"]):
+            counts[r["lang"]][t] = counts[r["lang"]].get(t, 0) + 1
+            vocab.add(t)
+    V = len(vocab)
+    tot = {l: sum(counts[l].values()) for l in labels}
+    preds = []
+    for _, r in docs.iterrows():
+        best, best_s = None, -math.inf
+        for l in labels:  # sorted -> lexicographic tie-break like argmax
+            s = math.log(n_docs[l] / len(docs))
+            for t in tok(r["text"]):
+                s += math.log((counts[l].get(t, 0) + alpha) / (tot[l] + alpha * V))
+            if s > best_s + 1e-12:
+                best, best_s = l, s
+        preds.append(best)
+    return preds
+
+
+def test_nb_matches_pure_python(ray_session):
+    from tesseract_recognize_ray.functions.ml import nb_predict, nb_train
+
+    rng = np.random.default_rng(11)
+    words = {
+        "en": ["the", "cat", "dog", "run", "blue"],
+        "de": ["der", "hund", "katze", "lauf", "blau"],
+        "fr": ["le", "chat", "chien", "cours", "bleu"],
+    }
+    shared = ["data", "table", "row"]
+    rows = []
+    for i in range(120):
+        lang = ["en", "de", "fr"][i % 3]
+        pool = words[lang] * 3 + shared  # shared words blur the margin
+        rows.append((i, lang, " ".join(rng.choice(pool, size=12))))
+    docs = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+
+    ds = ray.data.from_pandas(docs).repartition(4)
+    model = nb_train(ds, "lang", "text")
+    got = (
+        nb_predict(ds, "doc_id", "text", model, out_col="pred")
+        .to_pandas()
+        .sort_values("doc_id")["pred"]
+        .tolist()
+    )
+    assert got == _nb_reference(docs)
+    # the signal is real: self-classification is far above the 1/3 prior
+    acc = np.mean([g == l for g, l in zip(got, docs["lang"])])
+    assert acc > 0.9
+
+
+def test_nb_unseen_tokens_and_empty_doc(ray_session):
+    from tesseract_recognize_ray.functions.ml import nb_predict, nb_train
+
+    train = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "lang": ["x", "y"],
+            "text": ["alpha alpha beta", "gamma gamma delta"],
+        }
+    )
+    ds = ray.data.from_pandas(train)
+    model = nb_train(ds, "lang", "text")
+    test = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["alpha", "zzz qqq", "123 !!"]}
+    )
+    out = (
+        nb_predict(ray.data.from_pandas(test), "doc_id", "text", model, out_col="pred")
+        .to_pandas()
+        .sort_values("doc_id")["pred"]
+        .tolist()
+    )
+    # unseen-only and token-free docs fall back to the (tied) prior -> 'x'
+    assert out == ["x", "x", "x"]
+
+
+# ---------------------------------------------------------------- agg state
+def test_agg_state_refresh_equals_full_recompute(ray_session, tmp_path):
+    from tesseract_recognize_ray.state.agg_state import (
+        agg_state_build,
+        agg_state_refresh,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 200, n),
+            "v": np.round(rng.normal(100, 10, n), 2),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    base, delta = df.iloc[: n // 2], df.iloc[n // 2 :]
+    specs = [("id", "count", "n"), ("v", "sum", "s")]
+    path = str(tmp_path / "state")
+    agg_state_build(ray.data.from_pandas(base).repartition(4), ["k"], specs, path)
+    got = (
+        agg_state_refresh(
+            ray.data.from_pandas(delta).repartition(4), ["k"], specs, path, update=True
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.groupby("k")
+        .agg(n=("id", "count"), s=("v", "sum"))
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["n"].tolist() == ref["n"].tolist()
+    np.testing.assert_allclose(got["s"].to_numpy(), ref["s"].to_numpy(), rtol=1e-12)
+
+    # update=True swapped the state: an empty-delta refresh reproduces it
+    again = (
+        agg_state_refresh(
+            ray.data.from_pandas(delta.iloc[:0]), ["k"], specs, path
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert again["n"].tolist() == ref["n"].tolist()
+
+
+def test_agg_state_rejects_non_mergeable(ray_session, tmp_path):
+    from tesseract_recognize_ray.state.agg_state import agg_state_build
+
+    df = pd.DataFrame({"k": [1], "v": [1.0]})
+    with pytest.raises(ValueError, match="mergeable"):
+        agg_state_build(
+            ray.data.from_pandas(df), ["k"], [("v", "mean", "m")], str(tmp_path / "s")
+        )
