@@ -6043,6 +6043,23 @@ def _q_incremental_agg_refresh(sf_dir: str):
     return agg_state_refresh(half(False), ["user_id"], specs, path)
 
 
+def _q_doc_backoff_lm_score(sf_dir: str):
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007): the LM trains
+    on the even-doc_id half and scores EVERY document, so held-out docs
+    exercise the backoff and OOV-floor paths. Integer micro-nat
+    quantization per token (the doc_lm_score trick) makes the per-doc sum
+    order-independent, so the oracle's SQL replay is bit-exact; float
+    compositions (alpha * (c/T)) are kept in the same op order on both
+    sides."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def even(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0))
+
+    train = ds.map_batches(even, batch_format="pyarrow")
+    return F_text.backoff_bigram_logprob(ds, train, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6259,6 +6276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_user_type_history": _q_scd2_user_type_history,
         "nb_lang_predict": _q_nb_lang_predict,
         "incremental_agg_refresh": _q_incremental_agg_refresh,
+        "doc_backoff_lm_score": _q_doc_backoff_lm_score,
     }
 
 
@@ -8671,5 +8689,49 @@ def oracle_sql() -> dict[str, str]:
         "incremental_agg_refresh": """
             SELECT user_id, count(*)::BIGINT AS n_events, sum(value) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        # float compositions mirror the engine exactly: seen unigram c/T,
+        # OOV floor 0.4/T, backoff 0.4 * (that unigram value) — alpha times
+        # the already-divided prob, never (alpha*c)/T, so both sides round
+        # identical float64 bits into micro-nats.
+        "doc_backoff_lm_score": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+            ),
+            pos AS MATERIALIZED (
+                SELECT doc_id, ts, generate_subscripts(ts, 1) AS p,
+                       unnest(ts) AS tok
+                FROM toks
+            ),
+            t1 AS MATERIALIZED (
+                SELECT tok, count(*)::DOUBLE AS c FROM pos
+                WHERE doc_id % 2 = 0 GROUP BY 1
+            ),
+            tt AS MATERIALIZED (SELECT sum(c) AS T FROM t1),
+            t2 AS MATERIALIZED (
+                SELECT ts[p-1] || ' ' || tok AS big, count(*)::DOUBLE AS c
+                FROM pos WHERE doc_id % 2 = 0 AND p > 1 GROUP BY 1
+            ),
+            contrib AS MATERIALIZED (
+                SELECT pos.doc_id,
+                       CASE
+                           WHEN p = 1 THEN
+                               CAST(ROUND(ln(coalesce(u.c, 0.4) / tt.T) * 1e6) AS BIGINT)
+                           WHEN b.c IS NOT NULL THEN
+                               CAST(ROUND(ln(b.c / up.c) * 1e6) AS BIGINT)
+                           ELSE
+                               CAST(ROUND(ln(0.4 * (coalesce(u.c, 0.4) / tt.T)) * 1e6) AS BIGINT)
+                       END AS q
+                FROM pos
+                CROSS JOIN tt
+                LEFT JOIN t1 u ON u.tok = pos.tok
+                LEFT JOIN t1 up ON p > 1 AND up.tok = pos.ts[p-1]
+                LEFT JOIN t2 b ON p > 1 AND b.big = pos.ts[p-1] || ' ' || pos.tok
+            )
+            SELECT d.doc_id, count(c.q)::BIGINT AS n_tokens,
+                   coalesce(sum(c.q), 0)::BIGINT AS lm_micro
+            FROM documents d
+            LEFT JOIN contrib c ON c.doc_id = d.doc_id
+            GROUP BY d.doc_id
         """,
     }

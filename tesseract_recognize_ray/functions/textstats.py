@@ -1125,3 +1125,93 @@ def phrase_match(
         return pd.DataFrame({id_col: ids[keep].to_numpy(), out_col: cnt[keep]})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def backoff_bigram_logprob(
+    score_ds: Dataset,
+    train_ds: Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    alpha: float = 0.4,
+) -> Dataset:
+    """Stupid-backoff bigram LM score (Brants et al. 2007, "Large Language
+    Models in Machine Translation") in integer micro-nats, so the
+    distributed per-doc sum is order-independent and a SQL oracle replays
+    it bit-for-bit (the unigram_logprob quantization trick):
+
+        q(w)   = CAST(ROUND(ln(S) * 1e6) AS BIGINT)
+        S(w|p) = c2(p w) / c1(p)       if the bigram occurs in train
+               = alpha * S(w)          otherwise (backoff)
+        S(w)   = c1(w) / T             if w occurs in train
+               = alpha / T             otherwise (OOV floor)
+
+    and lm_micro(doc) = q(first token) + sum of q(token | prev) — a doc's
+    first token always takes the unigram path. Float compositions are kept
+    IDENTICAL on both sides (alpha * (c/T), never (alpha*c)/T): same
+    float64 ops in the same order give the same bits before rounding.
+
+    Scale shape: the two count exchanges run over the TRAIN corpus only
+    (term_counts / bigram_counts — map-side combined, one row per distinct
+    token/bigram per block); the model ships once via ray.put (pandas hash
+    Indexes + count arrays, bounded by the train vocabulary — the same
+    fits-one-heap broadcast contract as unigram_logprob; hash n-grams into
+    buckets for unbounded vocabularies); scoring is map-only, one vocab
+    probe + one bigram probe per batch."""
+    counts1 = term_counts(train_ds, text_col).to_pandas()
+    counts2 = bigram_counts(train_ds, text_col).to_pandas()
+    T = float(counts1["n"].sum())
+    model = (
+        pd.Index(counts1["token"]),
+        counts1["n"].to_numpy(np.float64),
+        pd.Index(counts2["bigram"]),
+        counts2["n"].to_numpy(np.float64),
+        T,
+    )
+    mref = ray.put(model)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        uni_idx, uni_n, bi_idx, bi_n, tot = ray.get(mref)
+        toks, ridx = flat_ngrams(batch.column(text_col), 1)
+        n = batch.num_rows
+        sums = np.zeros(n, dtype=np.int64)
+        ntok = np.zeros(n, dtype=np.int64)
+        if len(toks):
+            ntok = np.bincount(ridx, minlength=n).astype(np.int64)
+            ta = toks.to_pandas()
+            ui = uni_idx.get_indexer(ta)
+            seen = ui >= 0
+            uni_p = np.where(seen, uni_n[np.where(seen, ui, 0)] / tot, alpha / tot)
+            first = np.empty(len(ridx), dtype=bool)
+            first[0] = True
+            np.not_equal(ridx[1:], ridx[:-1], out=first[1:])
+            # default: unigram path for firsts, backoff for the rest
+            q = np.round(
+                np.log(np.where(first, uni_p, alpha * uni_p)) * 1e6
+            ).astype(np.int64)
+            later = np.flatnonzero(~first)
+            if len(later):
+                ta_np = ta.to_numpy()
+                prev = ta_np[later - 1]  # same row: later is never position 0
+                keys = pd.Series(prev, dtype=object) + " " + pd.Series(
+                    ta_np[later], dtype=object
+                )
+                bi = bi_idx.get_indexer(keys)
+                known = bi >= 0
+                if known.any():
+                    c2 = bi_n[np.where(known, bi, 0)]
+                    upi = uni_idx.get_indexer(pd.Index(prev))
+                    # a train bigram implies its prefix token is in train
+                    c1p = uni_n[np.where(upi >= 0, upi, 0)]
+                    q_bi = np.round(np.log(c2 / c1p) * 1e6).astype(np.int64)
+                    q[later[known]] = q_bi[known]
+            np.add.at(sums, ridx, q)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(ntok),
+                "lm_micro": pa.array(sums),
+            }
+        )
+
+    return score_ds.map_batches(fn, batch_format="pyarrow")

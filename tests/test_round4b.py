@@ -264,3 +264,66 @@ def test_agg_state_rejects_non_mergeable(ray_session, tmp_path):
         agg_state_build(
             ray.data.from_pandas(df), ["k"], [("v", "mean", "m")], str(tmp_path / "s")
         )
+
+
+# ------------------------------------------------------ stupid-backoff LM
+def test_backoff_bigram_logprob_bit_exact(ray_session):
+    """Micro-nat sums match a sequential pure-python scorer bit-for-bit,
+    across empty docs, OOV-only docs, and backoff (unseen-bigram) paths."""
+    from tesseract_recognize_ray.functions.textstats import backoff_bigram_logprob
+
+    rng = np.random.default_rng(5)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "text": [
+                " ".join(rng.choice(vocab, size=rng.integers(0, 15)))
+                for _ in range(60)
+            ],
+        }
+    )
+    docs.loc[3, "text"] = ""  # empty doc scores (0, 0)
+    docs.loc[7, "text"] = "zz qq"  # OOV-only (odd id -> held out)
+    train = docs[docs.doc_id % 2 == 0]
+
+    alpha = 0.4
+    c1, c2, total = {}, {}, 0
+    for t in train["text"]:
+        toks = t.split()
+        for w in toks:
+            c1[w] = c1.get(w, 0) + 1
+            total += 1
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    ref = {}
+    for _, r in docs.iterrows():
+        toks = r["text"].split()
+        s = 0
+        for i, w in enumerate(toks):
+            uni = (c1[w] / total) if w in c1 else (alpha / total)
+            if i == 0:
+                p = uni
+            elif (toks[i - 1], w) in c2:
+                p = c2[(toks[i - 1], w)] / c1[toks[i - 1]]
+            else:
+                p = alpha * uni
+            s += int(np.round(np.log(p) * 1e6))
+        ref[r["doc_id"]] = (len(toks), s)
+
+    got = (
+        backoff_bigram_logprob(
+            ray.data.from_pandas(docs).repartition(4),
+            ray.data.from_pandas(train).repartition(3),
+            "doc_id",
+            "text",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert all(
+        ref[r.doc_id] == (r.n_tokens, r.lm_micro) for r in got.itertuples()
+    )
+    # held-out docs with unseen bigrams must score LOWER than the bigram
+    # path would give (alpha < 1 penalty) — sanity that backoff engaged
+    assert got.loc[got.doc_id == 7, "lm_micro"].iloc[0] < 0
