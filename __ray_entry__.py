@@ -6060,6 +6060,20 @@ def _q_doc_backoff_lm_score(sf_dir: str):
     return F_text.backoff_bigram_logprob(ds, train, "doc_id", "text")
 
 
+def _q_mmr_diverse_topk(sf_dir: str):
+    """Maximal-marginal-relevance diverse retrieval (Carbonell & Goldstein
+    1998): relevance scan distributed (broadcast query, deterministic local
+    prune, one n_candidates-row exchange), the k sequential greedy steps on
+    the driver over the bounded shortlist. Rows-only: the greedy recurrence
+    is not SQL-expressible; exact equality vs a sequential reference and
+    partitioning invariance are pytest-gated (tests/test_round4b.py)."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(emb.loc[emb["vec_id"] == 0, "embedding"].iloc[0], dtype=np.float64)
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
+    out = F_sim.mmr_select(ds, "vec_id", "embedding", q, k=10, lambda_=0.7, n_candidates=200)
+    return out[["rank", "vec_id"]].astype({"rank": "int64", "vec_id": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6277,6 +6291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_predict": _q_nb_lang_predict,
         "incremental_agg_refresh": _q_incremental_agg_refresh,
         "doc_backoff_lm_score": _q_doc_backoff_lm_score,
+        "mmr_diverse_topk": _q_mmr_diverse_topk,
     }
 
 

@@ -942,3 +942,83 @@ def grouped_embedding_variance(
         .groupby("__bucket")
         .map_groups(lambda d: merge(d.drop(columns="__bucket")), batch_format="pandas")
     )
+
+
+def mmr_select(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    lambda_: float = 0.7,
+    n_candidates: int = 1024,
+) -> pd.DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998): greedily pick argmax over remaining candidates of
+
+        lambda * cos(query, d) - (1 - lambda) * max_{s in selected} cos(d, s)
+
+    — the retrieval re-ranker that trades relevance against redundancy
+    (lambda=1 degenerates to plain top-k).
+
+    Scale shape: the greedy loop is inherently sequential, so the operator
+    splits relevance from diversity — stage 1 is DISTRIBUTED (cosine to the
+    broadcast query per block, deterministic local prune, one
+    n_candidates-row exchange: the same shape as brute_force_topk), stage 2
+    runs the k greedy steps on the DRIVER over only the C = n_candidates
+    shortlisted rows (C x dim floats, bounded and small — the standard
+    two-phase re-rank layout). Deterministic: all float64, score ties break
+    on id ASC at both stages. Returns (rank 1..k, id, mmr_score)."""
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    qref = ray.put(q)
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(qref)
+        ids = batch[id_col].to_numpy()
+        if not len(ids):
+            return pd.DataFrame({id_col: [], "__sim": [], vec_col: []})
+        v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        sims = v @ qv
+        idx = np.lexsort((ids, -sims))[: min(n_candidates, len(ids))]
+        return pd.DataFrame(
+            {
+                id_col: ids[idx],
+                "__sim": sims[idx],
+                vec_col: list(v[idx]),  # ship normalized vectors, pruned
+            }
+        )
+
+    cand = ds.map_batches(prune, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(
+        ["__sim", id_col], ascending=[False, True], kind="mergesort"
+    ).head(n_candidates)
+    if not len(cand):
+        return pd.DataFrame({"rank": [], id_col: [], "mmr_score": []})
+
+    ids = cand[id_col].to_numpy()
+    rel = cand["__sim"].to_numpy()
+    mat = np.stack(cand[vec_col].to_numpy())  # already normalized
+    kk = min(k, len(ids))
+    selected: list[int] = []
+    sel_scores: list[float] = []
+    max_div = np.zeros(len(ids))  # no selected yet -> zero diversity penalty
+    taken = np.zeros(len(ids), dtype=bool)
+    for step in range(kk):
+        score = lambda_ * rel - (1.0 - lambda_) * (max_div if step else 0.0)
+        score[taken] = -np.inf
+        # argmax with id-ASC tie-break (scores mix rel and div, so the
+        # candidate frame's (sim, id) order does not imply score order)
+        best = np.lexsort((ids, -score))[0]
+        selected.append(best)
+        sel_scores.append(float(score[best]))
+        taken[best] = True
+        np.maximum(max_div, mat @ mat[best], out=max_div)
+    sel = np.asarray(selected)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, kk + 1, dtype=np.int64),
+            id_col: ids[sel],
+            "mmr_score": np.asarray(sel_scores),
+        }
+    )

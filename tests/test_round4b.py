@@ -327,3 +327,76 @@ def test_backoff_bigram_logprob_bit_exact(ray_session):
     # held-out docs with unseen bigrams must score LOWER than the bigram
     # path would give (alpha < 1 penalty) — sanity that backoff engaged
     assert got.loc[got.doc_id == 7, "lm_micro"].iloc[0] < 0
+
+
+# ----------------------------------------------------------------- MMR
+def _mmr_reference(ids, vecs, q, k, lam):
+    """Sequential greedy MMR, quadratic and obvious."""
+    import numpy as np
+
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    rel = vn @ qn
+    chosen = []
+    while len(chosen) < k:
+        best, best_key = None, None
+        for i in range(len(ids)):
+            if i in chosen:
+                continue
+            div = max((float(vn[i] @ vn[j]) for j in chosen), default=0.0)
+            s = lam * rel[i] - (1 - lam) * div
+            key = (-s, ids[i])
+            if best is None or key < best_key:
+                best, best_key = i, key
+        chosen.append(best)
+    return [ids[i] for i in chosen]
+
+
+def test_mmr_select_matches_reference_and_diversifies(ray_session):
+    from tesseract_recognize_ray.functions.similarity import mmr_select
+
+    rng = np.random.default_rng(19)
+    # 3 tight clusters; the query sits nearest cluster 0
+    centers = np.array([[10, 0, 0], [7, 7, 0], [7, 0, 7]], dtype=float)
+    vecs = np.vstack(
+        [c + rng.normal(0, 0.1, size=(20, 3)) for c in centers]
+    )
+    ids = np.arange(len(vecs), dtype=np.int64)
+    q = np.array([10.0, 1.0, 1.0])
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    got = mmr_select(ds, "vec_id", "embedding", q, k=6, lambda_=0.5)
+    ref = _mmr_reference(ids, vecs, q, 6, 0.5)
+    assert got["vec_id"].tolist() == ref
+
+    # diversity engaged: lambda=1 (plain top-k) stays inside cluster 0,
+    # lambda=0.5 must reach into other clusters
+    plain = mmr_select(ds, "vec_id", "embedding", q, k=6, lambda_=1.0)
+    assert set(plain["vec_id"] // 20) == {0}
+    assert len(set(got["vec_id"] // 20)) >= 2
+
+
+def test_mmr_select_candidate_prune_is_deterministic(ray_session):
+    """n_candidates smaller than the corpus prunes by (sim desc, id asc) —
+    the same result at any partitioning."""
+    from tesseract_recognize_ray.functions.similarity import mmr_select
+
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(200, 8))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(vecs)}
+    )
+    q = rng.normal(size=8)
+    outs = [
+        mmr_select(
+            ray.data.from_pandas(df).repartition(p),
+            "vec_id",
+            "embedding",
+            q,
+            k=5,
+            n_candidates=30,
+        )["vec_id"].tolist()
+        for p in (1, 7)
+    ]
+    assert outs[0] == outs[1]
