@@ -10,11 +10,11 @@ recomputes every run and keeps no state); same persistence philosophy as
 state/shard_index.py (cross-run dedup) and functions/dedup.build_lsh_index
 (cross-run LSH): state lives in parquet, each run is a pure Ray Data job.
 
-Only count and sum are accepted: they are their own merge (sum of partials
-== aggregate of the union), so a refresh is one bucketed reduce over
-|state keys| + |delta combiner| rows. min/max are also mergeable and could
-be added; mean/quantiles must be derived from mergeable parts (sum+count /
-sketches — see functions/sketches.py)."""
+Only self-mergeable aggregates are accepted — count/sum merge by summing
+the partials, min/max by re-min/maxing them — so a refresh is one bucketed
+reduce over |state keys| + |delta combiner| rows. mean/quantiles must be
+derived from mergeable parts (sum+count / sketches — see
+functions/sketches.py)."""
 
 from __future__ import annotations
 
@@ -25,21 +25,23 @@ import ray.data
 
 from ..functions.relational import grouped_agg
 
-_MERGEABLE = {"count", "sum"}
+# alias -> the reduce that merges two partials of that aggregate
+_MERGE_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
 
-def _check_specs(specs: list[tuple[str, str, str]]) -> list[str]:
-    aliases = []
+def _check_specs(specs: list[tuple[str, str, str]]) -> list[tuple[str, str]]:
+    merges = []
     for col, fn, alias in specs:
-        if fn not in _MERGEABLE:
+        if fn not in _MERGE_FN:
             raise ValueError(
-                f"agg_state: fn {fn!r} is not self-mergeable (count/sum only); "
-                "decompose mean into sum+count, quantiles into a sketch"
+                f"agg_state: fn {fn!r} is not self-mergeable "
+                f"({sorted(_MERGE_FN)} only); decompose mean into sum+count, "
+                "quantiles into a sketch"
             )
-        aliases.append(alias)
-    if len(set(aliases)) != len(aliases):
+        merges.append((alias, _MERGE_FN[fn]))
+    if len({a for a, _ in merges}) != len(merges):
         raise ValueError("agg_state: duplicate aliases")
-    return aliases
+    return merges
 
 
 def agg_state_build(
@@ -72,10 +74,10 @@ def agg_state_refresh(
     base ∪ delta from scratch, at O(delta) cost. With ``update=True`` the
     merged state replaces the stored one (write-new / swap — a failed run
     leaves the old state intact, the resume contract of state/manifest.py)."""
-    aliases = _check_specs(specs)
+    merges = _check_specs(specs)
     state = ray.data.read_parquet(path)
     dp = grouped_agg(delta, keys, specs)
-    merged = grouped_agg(state.union(dp), keys, [(a, "sum", a) for a in aliases])
+    merged = grouped_agg(state.union(dp), keys, [(a, fn, a) for a, fn in merges])
     if update:
         merged = merged.materialize()
         nxt = path.rstrip("/") + ".next"

@@ -400,3 +400,37 @@ def test_mmr_select_candidate_prune_is_deterministic(ray_session):
         for p in (1, 7)
     ]
     assert outs[0] == outs[1]
+
+
+def test_agg_state_min_max_merge(ray_session, tmp_path):
+    """min/max partials re-min/max on refresh (NOT sum) — the refreshed
+    extrema equal a from-scratch scan of base ∪ delta."""
+    from tesseract_recognize_ray.state.agg_state import (
+        agg_state_build,
+        agg_state_refresh,
+    )
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 30, 2000), "v": rng.normal(0, 50, 2000)}
+    )
+    base, delta = df.iloc[:1000], df.iloc[1000:]
+    specs = [("v", "min", "vmin"), ("v", "max", "vmax"), ("v", "count", "n")]
+    path = str(tmp_path / "mm")
+    agg_state_build(ray.data.from_pandas(base).repartition(3), ["k"], specs, path)
+    got = (
+        agg_state_refresh(
+            ray.data.from_pandas(delta).repartition(3), ["k"], specs, path
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.groupby("k")
+        .agg(vmin=("v", "min"), vmax=("v", "max"), n=("v", "count"))
+        .reset_index()
+    )
+    np.testing.assert_allclose(got["vmin"], ref["vmin"], rtol=0)
+    np.testing.assert_allclose(got["vmax"], ref["vmax"], rtol=0)
+    assert got["n"].tolist() == ref["n"].tolist()
