@@ -6040,7 +6040,9 @@ def _q_incremental_agg_refresh(sf_dir: str):
     path = f"/tmp/trr_aggstate_{os.path.basename(os.path.normpath(sf_dir))}"
     if not os.path.exists(path):
         agg_state_build(half(True), ["user_id"], specs, path)
-    return agg_state_refresh(half(False), ["user_id"], specs, path)
+    # user_id domain is 1.5k keys at sf0.1 — reducer-sized, so coalescing
+    # the two partial exchanges is safe here (grouped_agg docstring rule)
+    return agg_state_refresh(half(False), ["user_id"], specs, path, reduce_blocks=8)
 
 
 def _q_doc_backoff_lm_score(sf_dir: str):

@@ -153,6 +153,12 @@ _BENCH_QUERIES = [
     "bpe_encoded_docs",
     "cross_corpus_near_dups",
     "event_value_collision_pairs",
+    "nb_lang_predict",
+    "doc_backoff_lm_score",
+    "scd2_user_type_history",
+    "incremental_agg_refresh",
+    "mmr_diverse_topk",
+    "phrase_match_docs",
 ]
 
 

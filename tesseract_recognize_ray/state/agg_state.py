@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pyarrow as pa
 import ray.data
 
 from ..functions.relational import grouped_agg
@@ -67,17 +68,40 @@ def agg_state_refresh(
     path: str,
     *,
     update: bool = False,
+    reduce_blocks: int | None = None,
 ) -> "ray.data.Dataset":
     """Merge a delta batch into the persisted state: aggregate ONLY the
     delta (combiner path), union with the stored per-key partials, and
     re-reduce by summing each alias — exactly equal to re-aggregating
     base ∪ delta from scratch, at O(delta) cost. With ``update=True`` the
     merged state replaces the stored one (write-new / swap — a failed run
-    leaves the old state intact, the resume contract of state/manifest.py)."""
+    leaves the old state intact, the resume contract of state/manifest.py).
+
+    ``reduce_blocks`` forwards to both grouped_agg exchanges (the sort
+    exchange pays per input block — see grouped_agg's docstring): set it
+    ONLY when the key domain is known reducer-sized; the default None is
+    the scale-safe choice for unbounded key domains."""
     merges = _check_specs(specs)
     state = ray.data.read_parquet(path)
-    dp = grouped_agg(delta, keys, specs)
-    merged = grouped_agg(state.union(dp), keys, [(a, fn, a) for a, fn in merges])
+    # the delta needs only the MAP-SIDE combiner (one pyarrow group_by per
+    # block), not its own bucketed reduce: the single merge reduce below is
+    # shared with the state partials — one exchange total, not two
+    uniq = list(dict.fromkeys((col, fn) for col, fn, _ in specs))
+
+    def partial(b: "pa.Table") -> "pa.Table":
+        gb = b.group_by(keys).aggregate(uniq)
+        cols = {k: gb.column(k) for k in keys}
+        for col, fn, alias in specs:
+            cols[alias] = gb.column(f"{col}_{fn}")
+        return pa.table(cols)
+
+    dp = delta.map_batches(partial, batch_format="pyarrow")
+    merged = grouped_agg(
+        state.union(dp),
+        keys,
+        [(a, fn, a) for a, fn in merges],
+        reduce_blocks=reduce_blocks,
+    )
     if update:
         merged = merged.materialize()
         nxt = path.rstrip("/") + ".next"
