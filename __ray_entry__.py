@@ -6076,6 +6076,36 @@ def _q_mmr_diverse_topk(sf_dir: str):
     return out[["rank", "vec_id"]].astype({"rank": "int64", "vec_id": "int64"})
 
 
+def _q_events_snapshot_diff(sf_dir: str):
+    """CDC snapshot compare: two deterministic views of the events table
+    play yesterday's and today's snapshot — event_id % 4 == 1 rows exist
+    only in new (added), % 4 == 2 only in base (removed), % 8 == 0 rows
+    have value bumped in new (changed) — and the diff ships only the churn:
+    one side-tagged union, one bucketed co-location exchange, one
+    vectorized merge+compare per bucket. Oracle is the FULL OUTER JOIN /
+    IS DISTINCT FROM replay."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def mk(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            eid = b.column("event_id")
+            m4 = pc.bit_wise_and(eid, 3)
+            if side == "base":
+                t = b.filter(pc.not_equal(m4, 1))
+            else:
+                t = b.filter(pc.not_equal(m4, 2))
+                bump = pc.equal(pc.bit_wise_and(t.column("event_id"), 7), 0)
+                val = pc.if_else(bump, pc.add(t.column("value"), 1.0), t.column("value"))
+                t = t.set_column(t.schema.get_field_index("value"), "value", val)
+            return t
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    return F.snapshot_diff(
+        mk("base"), mk("new"), ["event_id"], ["event_type", "value"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6294,6 +6324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg_refresh": _q_incremental_agg_refresh,
         "doc_backoff_lm_score": _q_doc_backoff_lm_score,
         "mmr_diverse_topk": _q_mmr_diverse_topk,
+        "events_snapshot_diff": _q_events_snapshot_diff,
     }
 
 
@@ -8750,5 +8781,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN contrib c ON c.doc_id = d.doc_id
             GROUP BY d.doc_id
+        """,
+        "events_snapshot_diff": """
+            WITH base AS MATERIALIZED (
+                SELECT event_id, event_type, value FROM events WHERE event_id % 4 != 1
+            ),
+            curr AS MATERIALIZED (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 8 = 0 THEN value + 1.0 ELSE value END AS value
+                FROM events WHERE event_id % 4 != 2
+            )
+            SELECT coalesce(b.event_id, n.event_id) AS event_id,
+                   CASE WHEN b.event_id IS NULL THEN 'added'
+                        WHEN n.event_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM base b FULL OUTER JOIN curr n ON b.event_id = n.event_id
+            WHERE b.event_id IS NULL OR n.event_id IS NULL
+               OR b.value IS DISTINCT FROM n.value
+               OR b.event_type IS DISTINCT FROM n.event_type
         """,
     }

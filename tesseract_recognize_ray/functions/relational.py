@@ -2605,3 +2605,70 @@ def scd2_compact(
         .groupby("__bucket")
         .map_groups(fn, batch_format="pandas")
     )
+
+
+def snapshot_diff(
+    base: Dataset,
+    new: Dataset,
+    keys: list[str],
+    compare_cols: list[str],
+    *,
+    num_buckets: int = 64,
+    out_col: str = "change",
+) -> Dataset:
+    """CDC-style snapshot compare: rows keyed by ``keys`` are classified as
+    'added' (key only in new), 'removed' (key only in base) or 'changed'
+    (key in both, any compare_col differs under IS DISTINCT FROM — NaN/None
+    equal themselves, matching the SQL oracle). UNCHANGED ROWS ARE DROPPED
+    map-side of nothing — they simply never leave the per-bucket compare,
+    so the output is proportional to the churn, not the table.
+
+    Scale shape: one side-tagged union + one hash(keys) % num_buckets
+    co-location exchange (the bucket_join layout), then per bucket a single
+    vectorized pandas merge + column compare. Assumes keys are unique per
+    snapshot (a snapshot is a keyed table); duplicate keys raise."""
+    from ..hashing import stable_bucket_table
+
+    cols = keys + compare_cols
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            bk = stable_bucket_table(t, keys, num_buckets)
+            return t.append_column(
+                "__bucket", pa.array(bk, pa.int32())
+            ).append_column("__side", pa.array(np.full(t.num_rows, side, np.int8)))
+
+        return fn
+
+    both = base.map_batches(tag(0), batch_format="pyarrow").union(
+        new.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[g["__side"] == 0].drop(columns=["__bucket", "__side"])
+        n = g[g["__side"] == 1].drop(columns=["__bucket", "__side"])
+        for side, frame in (("base", b), ("new", n)):
+            if frame.duplicated(keys).any():
+                raise ValueError(f"snapshot_diff: duplicate keys in {side} snapshot")
+        m = b.merge(n, on=keys, how="outer", suffixes=("__b", "__n"), indicator=True)
+        status = np.where(
+            m["_merge"] == "right_only",
+            "added",
+            np.where(m["_merge"] == "left_only", "removed", ""),
+        ).astype(object)
+        in_both = (m["_merge"] == "both").to_numpy()
+        if in_both.any():
+            differs = np.zeros(len(m), dtype=bool)
+            for c in compare_cols:
+                lv, rv = m[f"{c}__b"], m[f"{c}__n"]
+                # IS DISTINCT FROM: NaN == NaN, None == None
+                neq = (lv != rv) & ~(lv.isna() & rv.isna())
+                differs |= neq.to_numpy()
+            status[in_both & differs] = "changed"
+        keep = status != ""
+        out = m.loc[keep, keys].copy()
+        out[out_col] = status[keep]
+        return out
+
+    return both.groupby("__bucket").map_groups(diff, batch_format="pandas")

@@ -434,3 +434,76 @@ def test_agg_state_min_max_merge(ray_session, tmp_path):
     np.testing.assert_allclose(got["vmin"], ref["vmin"], rtol=0)
     np.testing.assert_allclose(got["vmax"], ref["vmax"], rtol=0)
     assert got["n"].tolist() == ref["n"].tolist()
+
+
+# -------------------------------------------------------------- snapshot diff
+def test_snapshot_diff_classification(ray_session):
+    from tesseract_recognize_ray.functions.relational import snapshot_diff
+
+    base = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4, 5],
+            "a": ["x", "y", "z", "w", "v"],
+            "v": [1.0, 2.0, np.nan, 4.0, 5.0],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "k": [2, 3, 4, 5, 6],  # 1 removed, 6 added
+            "a": ["y", "z", "W", "v"] + ["n"],  # 4 changed (casing)
+            "v": [2.0, np.nan, 4.0, 5.0, 6.0],  # NaN == NaN -> 3 unchanged
+        }
+    )
+    out = (
+        snapshot_diff(
+            ray.data.from_pandas(base).repartition(2),
+            ray.data.from_pandas(new).repartition(3),
+            ["k"],
+            ["a", "v"],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    got = dict(zip(out["k"], out["change"]))
+    assert got == {1: "removed", 4: "changed", 6: "added"}
+
+
+def test_snapshot_diff_rejects_duplicate_keys(ray_session):
+    from tesseract_recognize_ray.functions.relational import snapshot_diff
+
+    dup = pd.DataFrame({"k": [1, 1], "v": [1.0, 2.0]})
+    ok = pd.DataFrame({"k": [1], "v": [1.0]})
+    with pytest.raises(Exception, match="duplicate keys"):
+        snapshot_diff(
+            ray.data.from_pandas(dup),
+            ray.data.from_pandas(ok),
+            ["k"],
+            ["v"],
+        ).materialize()
+
+
+def test_snapshot_diff_random_matches_pandas(ray_session):
+    from tesseract_recognize_ray.functions.relational import snapshot_diff
+
+    rng = np.random.default_rng(21)
+    keys = rng.permutation(3000)
+    base = pd.DataFrame({"k": keys[:2000], "v": rng.integers(0, 5, 2000).astype(float)})
+    new_keys = keys[1000:3000]  # 1000 shared, 1000 added, 1000 removed
+    new = pd.DataFrame({"k": new_keys, "v": rng.integers(0, 5, 2000).astype(float)})
+    out = snapshot_diff(
+        ray.data.from_pandas(base).repartition(5),
+        ray.data.from_pandas(new).repartition(4),
+        ["k"],
+        ["v"],
+    ).to_pandas()
+    m = base.merge(new, on="k", how="outer", suffixes=("_b", "_n"), indicator=True)
+    ref = {}
+    for r in m.to_dict("records"):
+        if r["_merge"] == "right_only":
+            ref[r["k"]] = "added"
+        elif r["_merge"] == "left_only":
+            ref[r["k"]] = "removed"
+        elif r["v_b"] != r["v_n"]:
+            ref[r["k"]] = "changed"
+    assert dict(zip(out["k"], out["change"])) == ref
