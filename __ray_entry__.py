@@ -6106,6 +6106,31 @@ def _q_events_snapshot_diff(sf_dir: str):
     )
 
 
+def _q_events_quality_audit(sf_dir: str):
+    """Declarative data-quality gate (the Deequ shape): five constraints
+    evaluated in one streaming pass — row-local checks fold |checks| int64
+    partials per block through a tiny reduce; the uniqueness checks add the
+    one key-count exchange a uniqueness proof fundamentally needs. Output
+    is one (check_name, n_violations) row per constraint."""
+    ds = F.load(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value", "props"]
+    )
+    return F.constraint_audit(
+        ds,
+        [
+            ("value_le_100", "max_value", {"col": "value", "hi": 100.0}),
+            (
+                "event_type_core",
+                "in_set",
+                {"col": "event_type", "values": ["click", "view", "purchase"]},
+            ),
+            ("props_not_null", "not_null", {"col": "props"}),
+            ("event_id_unique", "unique", {"cols": ["event_id"]}),
+            ("user_id_unique", "unique", {"cols": ["user_id"]}),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6325,6 +6350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_backoff_lm_score": _q_doc_backoff_lm_score,
         "mmr_diverse_topk": _q_mmr_diverse_topk,
         "events_snapshot_diff": _q_events_snapshot_diff,
+        "events_quality_audit": _q_events_quality_audit,
     }
 
 
@@ -8799,5 +8825,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.event_id IS NULL OR n.event_id IS NULL
                OR b.value IS DISTINCT FROM n.value
                OR b.event_type IS DISTINCT FROM n.event_type
+        """,
+        "events_quality_audit": """
+            SELECT 'value_le_100' AS check_name,
+                   count(*) FILTER (WHERE value > 100)::BIGINT AS n_violations
+            FROM events
+            UNION ALL
+            SELECT 'event_type_core',
+                   count(*) FILTER (
+                       WHERE event_type NOT IN ('click', 'view', 'purchase')
+                   )::BIGINT
+            FROM events
+            UNION ALL
+            SELECT 'props_not_null',
+                   count(*) FILTER (WHERE props IS NULL)::BIGINT
+            FROM events
+            UNION ALL
+            SELECT 'event_id_unique',
+                   (count(*) - count(DISTINCT event_id))::BIGINT
+            FROM events
+            UNION ALL
+            SELECT 'user_id_unique',
+                   (count(*) - count(DISTINCT user_id))::BIGINT
+            FROM events
         """,
     }

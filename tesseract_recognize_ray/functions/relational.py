@@ -2672,3 +2672,87 @@ def snapshot_diff(
         return out
 
     return both.groupby("__bucket").map_groups(diff, batch_format="pandas")
+
+
+def constraint_audit(
+    ds: Dataset,
+    checks: list[tuple[str, str, dict]],
+) -> Dataset:
+    """Deequ-style data-quality audit: evaluate a list of declarative
+    constraints in one streaming pass and emit (check_name, n_violations)
+    — one tiny row per constraint, the pre-ingest gate a training pipeline
+    runs before accepting a shard.
+
+    checks = [(name, kind, params)] with kinds:
+      not_null(col)            — nulls violate
+      min_value(col, lo) / max_value(col, hi) — out-of-range violates
+                                 (nulls do NOT violate value checks; add a
+                                 not_null check for that)
+      in_set(col, values)      — membership
+      unique(cols)             — rows beyond the first per key violate
+                                 (keys assumed non-null)
+
+    Scale shape: every ROW-LOCAL kind folds in ONE shared map pass — each
+    block emits |checks| int64 partial rows, so the reduce sees
+    |checks| x |blocks| rows regardless of data size. Each unique() check
+    adds one grouped_agg key-count exchange (per-block combiner, the only
+    shuffle a uniqueness proof fundamentally needs) whose count stream
+    folds to a single row per block before the shared tiny reduce
+    (reduce_blocks is safe here: the stream is |checks|-bounded)."""
+    rowlocal = [(n, k, p) for n, k, p in checks if k != "unique"]
+    uniques = [(n, k, p) for n, k, p in checks if k == "unique"]
+    kinds = {"not_null", "min_value", "max_value", "in_set", "unique"}
+    for _, k, _ in checks:
+        if k not in kinds:
+            raise ValueError(f"constraint_audit: unknown kind {k!r}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns = [], []
+        for name, kind, p in rowlocal:
+            col = t.column(p["col"])
+            if kind == "not_null":
+                bad = pc.is_null(col)
+            elif kind == "max_value":
+                bad = pc.fill_null(pc.greater(col, p["hi"]), False)
+            elif kind == "min_value":
+                bad = pc.fill_null(pc.less(col, p["lo"]), False)
+            else:  # in_set — pc.is_in maps null to False (never null), so
+                # mask nulls explicitly: they don't violate membership
+                bad = pc.and_(
+                    pc.invert(pc.is_in(col, value_set=pa.array(list(p["values"])))),
+                    pc.is_valid(col),
+                )
+            names.append(name)
+            ns.append(pc.sum(pc.cast(bad, pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "check_name": pa.array(names, pa.string()),
+                "n_violations": pa.array(ns, pa.int64()),
+            }
+        )
+
+    streams = [ds.map_batches(partial, batch_format="pyarrow")] if rowlocal else []
+    for name, _, p in uniques:
+        cols = list(p["cols"])
+        cnt = grouped_agg(ds, cols, [(cols[0], "count", "__c")])
+
+        def over(t: pa.Table, name=name) -> pa.Table:
+            dup = pc.sum(pc.subtract(t.column("__c"), 1)).as_py() or 0
+            return pa.table(
+                {
+                    "check_name": pa.array([name], pa.string()),
+                    "n_violations": pa.array([int(dup)], pa.int64()),
+                }
+            )
+
+        streams.append(cnt.map_batches(over, batch_format="pyarrow"))
+
+    allp = streams[0]
+    for s in streams[1:]:
+        allp = allp.union(s)
+    return grouped_agg(
+        allp,
+        ["check_name"],
+        [("n_violations", "sum", "n_violations")],
+        reduce_blocks=4,
+    )

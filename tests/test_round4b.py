@@ -507,3 +507,44 @@ def test_snapshot_diff_random_matches_pandas(ray_session):
         elif r["v_b"] != r["v_n"]:
             ref[r["k"]] = "changed"
     assert dict(zip(out["k"], out["change"])) == ref
+
+
+# ----------------------------------------------------------- constraint audit
+def test_constraint_audit_counts(ray_session):
+    from tesseract_recognize_ray.functions.relational import constraint_audit
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 4, 5],
+            "v": [0.5, -1.0, 2.5, np.nan, 3.0, 9.9],
+            "cat": ["a", "b", "zz", None, "a", "b"],
+        }
+    )
+    out = constraint_audit(
+        ray.data.from_pandas(df).repartition(3),
+        [
+            ("v_nonneg", "min_value", {"col": "v", "lo": 0.0}),
+            ("v_le_5", "max_value", {"col": "v", "hi": 5.0}),
+            ("cat_in_ab", "in_set", {"col": "cat", "values": ["a", "b"]}),
+            ("cat_not_null", "not_null", {"col": "cat"}),
+            ("id_unique", "unique", {"cols": ["id"]}),
+        ],
+    ).to_pandas()
+    got = dict(zip(out["check_name"], out["n_violations"]))
+    assert got == {
+        "v_nonneg": 1,  # -1.0; NaN does not violate value checks
+        "v_le_5": 1,  # 9.9
+        "cat_in_ab": 1,  # 'zz'; null does not violate in_set
+        "cat_not_null": 1,
+        "id_unique": 1,  # id 4 twice -> 1 row beyond the first
+    }
+
+
+def test_constraint_audit_rejects_unknown_kind(ray_session):
+    from tesseract_recognize_ray.functions.relational import constraint_audit
+
+    with pytest.raises(ValueError, match="unknown kind"):
+        constraint_audit(
+            ray.data.from_pandas(pd.DataFrame({"x": [1]})),
+            [("bad", "regex", {"col": "x"})],
+        )
