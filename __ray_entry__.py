@@ -1625,15 +1625,18 @@ def _q_events_in_type_windows(sf_dir: str):
 def _q_approx_value_quantiles(sf_dir: str):
     """Mergeable histogram quantile sketch (functions/sketches.py): p50/p90/
     p99 of event value within one bin width of exact, moving only bin
-    summaries through the shuffle (vs a full sort for exact). Deterministic;
-    error-bound gated in pytest (no SQL expression of the sketch)."""
+    summaries through the shuffle (vs a full sort for exact). The sketch is
+    fully DETERMINISTIC — exact extremes, exact integer bin counts (integer
+    sums in float64 are exact and order-free), one fixed interpolation —
+    so the oracle replays the whole chain in SQL (same float op order:
+    w=(hi-lo)/nbins, bin=min(floor((v-lo)/w), nbins-1), first bin with
+    cum >= q*total, est = lo + (bin + min(frac,1))*w) and value-matches;
+    the error bound stays pytest-gated."""
     from tesseract_recognize_ray.functions.sketches import histogram_quantile_sketch
 
     ds = F.load(sf_dir, "events", columns=["value"])
     est = histogram_quantile_sketch(ds, "value", [0.5, 0.9, 0.99], nbins=4096)
-    return pd.DataFrame(
-        {"q": list(est.keys()), "est": [round(v, 6) for v in est.values()]}
-    )
+    return pd.DataFrame({"q": list(est.keys()), "est": list(est.values())})
 
 
 def _q_normalize_docs(sf_dir: str):
@@ -6131,6 +6134,34 @@ def _q_events_quality_audit(sf_dir: str):
     )
 
 
+def _q_loo_target_encoding(sf_dir: str):
+    """Leave-one-out target encoding of event_type by value (the
+    CatBoost-family categorical feature, minus self-leakage): category
+    (sum, count) fold once map-side, broadcast, then a map-only encode.
+    Bit-stable floats via the integer-cents trick — numerator and
+    denominator are exact int64 on both sides before the one division."""
+    ds = F.load(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "cents": c,
+            }
+        )
+
+    from tesseract_recognize_ray.functions import ml as F_ml
+
+    return F_ml.loo_target_encoding(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "event_type",
+        "cents",
+        keep_cols=("event_id",),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6351,6 +6382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_diverse_topk": _q_mmr_diverse_topk,
         "events_snapshot_diff": _q_events_snapshot_diff,
         "events_quality_audit": _q_events_quality_audit,
+        "loo_target_encoding": _q_loo_target_encoding,
     }
 
 
@@ -8826,6 +8858,32 @@ def oracle_sql() -> dict[str, str]:
                OR b.value IS DISTINCT FROM n.value
                OR b.event_type IS DISTINCT FROM n.event_type
         """,
+        "approx_value_quantiles": """
+            WITH ext AS MATERIALIZED (SELECT min(value) AS lo, max(value) AS hi FROM events),
+            params AS MATERIALIZED (SELECT lo, hi, (hi - lo) / 4096 AS w FROM ext),
+            bins AS MATERIALIZED (
+                SELECT least(CAST(floor((value - p.lo) / p.w) AS BIGINT), 4095) AS bin,
+                       count(*)::DOUBLE AS n
+                FROM events, params p GROUP BY 1
+            ),
+            cum AS MATERIALIZED (
+                SELECT bin, n,
+                       sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c
+                FROM bins
+            ),
+            tot AS MATERIALIZED (SELECT max(c) AS total FROM cum),
+            qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+            pick AS MATERIALIZED (
+                SELECT q, bin, n, c - n AS prev,
+                       row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+                FROM qs, cum, tot
+                WHERE c >= q * total
+            )
+            SELECT pk.q,
+                   p.lo + (pk.bin + least((pk.q * t.total - pk.prev) / pk.n, 1.0)) * p.w AS est
+            FROM pick pk, params p, tot t
+            WHERE pk.rn = 1
+        """,
         "events_quality_audit": """
             SELECT 'value_le_100' AS check_name,
                    count(*) FILTER (WHERE value > 100)::BIGINT AS n_violations
@@ -8848,5 +8906,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'user_id_unique',
                    (count(*) - count(DISTINCT user_id))::BIGINT
             FROM events
+        """,
+        "loo_target_encoding": """
+            WITH c AS MATERIALIZED (
+                SELECT event_id, event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            agg AS MATERIALIZED (
+                SELECT event_type, sum(cents) AS s, count(*)::BIGINT AS n
+                FROM c GROUP BY 1
+            )
+            SELECT c.event_id, c.event_type,
+                   CAST(agg.s - c.cents AS DOUBLE)
+                       / (100.0 * (agg.n - 1)) AS loo_enc
+            FROM c JOIN agg USING (event_type)
+            WHERE agg.n > 1
         """,
     }

@@ -357,3 +357,56 @@ def nb_predict(
         return pd.DataFrame(out)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def loo_target_encoding(
+    ds: "Dataset",
+    cat_col: str,
+    target_cents_col: str,
+    *,
+    scale: float = 100.0,
+    out_col: str = "loo_enc",
+    keep_cols: tuple = (),
+) -> "Dataset":
+    """Leave-one-out target encoding (the CatBoost-family categorical
+    feature): each row's category is replaced by the mean target of all
+    OTHER rows in that category, enc_i = (sum_cat - x_i) / (n_cat - 1) —
+    leave-one-out removes the self-leakage a plain mean encoding has.
+    Singleton categories are dropped (no peers to average).
+
+    Bit-stable by construction: the target must be pre-quantized to int64
+    (e.g. cents for 2-decimal monetary doubles; ``scale`` converts back —
+    100.0 for cents), so the category sums are EXACT in any execution order
+    and both numerator and denominator reach the one float division as
+    identical integers on the Ray and SQL sides.
+
+    Scale shape: one grouped_agg (sum, count) per category — map-side
+    combined, |categories| rows total — broadcast once via ray.put; the
+    encode pass is map-only."""
+    from .relational import grouped_agg
+
+    agg = grouped_agg(
+        ds,
+        [cat_col],
+        [(target_cents_col, "sum", "__s"), (target_cents_col, "count", "__n")],
+    ).to_pandas()
+    sums = dict(zip(agg[cat_col], agg["__s"].astype(np.int64)))
+    ns = dict(zip(agg[cat_col], agg["__n"].astype(np.int64)))
+    mref = ray.put((sums, ns))
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        sums, ns = ray.get(mref)
+        cats = b[cat_col]
+        n = cats.map(ns).to_numpy(dtype=np.float64)
+        s = cats.map(sums).to_numpy(dtype=np.int64)
+        cents = b[target_cents_col].to_numpy(dtype=np.int64)
+        keep = n > 1
+        out = {cat_col: cats[keep].to_numpy()}
+        for c in keep_cols:
+            out[c] = b[c][keep].to_numpy()
+        out[out_col] = (s[keep] - cents[keep]).astype(np.float64) / (
+            scale * (n[keep] - 1.0)
+        )
+        return pd.DataFrame(out)
+
+    return ds.map_batches(encode, batch_format="pandas")

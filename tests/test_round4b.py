@@ -548,3 +548,29 @@ def test_constraint_audit_rejects_unknown_kind(ray_session):
             ray.data.from_pandas(pd.DataFrame({"x": [1]})),
             [("bad", "regex", {"col": "x"})],
         )
+
+
+# -------------------------------------------------------- LOO target encoding
+def test_loo_target_encoding(ray_session):
+    from tesseract_recognize_ray.functions.ml import loo_target_encoding
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "cat": ["a", "a", "a", "b", "c"],  # c is a singleton -> dropped
+            "cents": [100, 200, 600, 400, 900],
+        }
+    )
+    out = (
+        loo_target_encoding(
+            ray.data.from_pandas(df).repartition(3),
+            "cat",
+            "cents",
+            keep_cols=("id",),
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out["id"].tolist() == [1, 2, 3]  # b is also a singleton
+    # enc_1 = (200+600)/2/100, enc_2 = (100+600)/2/100, enc_3 = (100+200)/2/100
+    np.testing.assert_allclose(out["loo_enc"].to_numpy(), [4.0, 3.5, 1.5])
