@@ -5230,8 +5230,11 @@ def _q_user_value_p90_approx(sf_dir: str):
     domain quantile path (sketches.grouped_histogram_quantile): per-key
     state is <= nbins bin counts REGARDLESS of group size, so a hot user
     never has to fit one worker (the exact grouped_quantile family's
-    documented bound). Error <= one bin width, deterministic; rows-only
-    (approximate by construction, bin-width bound pytest-gated)."""
+    documented bound). Error <= one bin width and DETERMINISTIC (exact
+    global extremes, exact integer per-(key, bin) counts, fixed
+    interpolation) — so the oracle replays the whole sketch per key in SQL
+    with identical float op order and value-matches; the bin-width error
+    bound stays pytest-gated."""
     from tesseract_recognize_ray.functions import sketches as F_sk
 
     ds = F.load(sf_dir, "events", columns=["user_id", "value"])
@@ -5242,7 +5245,7 @@ def _q_user_value_p90_approx(sf_dir: str):
             {
                 "user_id": b["user_id"].astype("int64"),
                 "q": b["q"].astype("float64"),
-                "value": np.round(b["value"].to_numpy(np.float64), 6),
+                "value": b["value"].to_numpy(np.float64),
             }
         )
 
@@ -8906,6 +8909,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'user_id_unique',
                    (count(*) - count(DISTINCT user_id))::BIGINT
             FROM events
+        """,
+        # the per-key replay of the grouped histogram sketch: shared global
+        # bin edges, per-(key, bin) exact counts, per-key cumsum over the
+        # NONZERO bins (searchsorted over g rows in the fold), first bin
+        # with cum >= q*total, value = lo + (bin + least(frac, 1)) * w
+        "user_value_p90_approx": """
+            WITH ext AS MATERIALIZED (SELECT min(value) AS lo, max(value) AS hi FROM events),
+            params AS MATERIALIZED (SELECT lo, hi, (hi - lo) / 1024 AS w FROM ext),
+            bins AS MATERIALIZED (
+                SELECT user_id,
+                       least(CAST(floor((value - p.lo) / p.w) AS BIGINT), 1023) AS bin,
+                       count(*)::DOUBLE AS n
+                FROM events, params p GROUP BY 1, 2
+            ),
+            cum AS MATERIALIZED (
+                SELECT user_id, bin, n,
+                       sum(n) OVER (PARTITION BY user_id ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS c
+                FROM bins
+            ),
+            tot AS MATERIALIZED (SELECT user_id, max(c) AS total FROM cum GROUP BY 1),
+            qs AS (SELECT unnest([0.5, 0.9]) AS q),
+            pick AS MATERIALIZED (
+                SELECT cum.user_id, q, bin, n, c - n AS prev,
+                       row_number() OVER (PARTITION BY cum.user_id, q
+                                          ORDER BY bin) AS rn
+                FROM qs, cum JOIN tot ON tot.user_id = cum.user_id
+                WHERE c >= q * total
+            )
+            SELECT pk.user_id, pk.q,
+                   p.lo + (pk.bin + least((pk.q * t.total - pk.prev) / pk.n, 1.0)) * p.w
+                       AS value
+            FROM pick pk
+            JOIN tot t ON t.user_id = pk.user_id, params p
+            WHERE pk.rn = 1
         """,
         "loo_target_encoding": """
             WITH c AS MATERIALIZED (
