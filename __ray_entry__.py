@@ -2398,13 +2398,15 @@ def _q_hopping_events(sf_dir: str):
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user_id) (p=14, ~0.8% standard
     error): register partials per batch, registers-only shuffle, driver
-    folds ≤16384 rows. No SQL oracle by nature (the estimate is
-    deliberately approximate); tests/test_sketches.py bounds the error vs
-    the exact count."""
+    folds ≤16384 rows. hash_fn='md5' makes the SKETCH ITSELF the oracle
+    target: SQL recomputes registers from md5 prefixes (exact bit-length
+    ranks via bin()), replays the estimator arithmetic, and value-matches
+    the estimate; tests/test_sketches.py still bounds the error vs the
+    exact count."""
     from tesseract_recognize_ray.functions import sketches as F_sk
 
     ds = F.load(sf_dir, "events", columns=["user_id"])
-    n = F_sk.hll_approx_distinct(ds, "user_id")
+    n = F_sk.hll_approx_distinct(ds, "user_id", hash_fn="md5")
     return pd.DataFrame({"approx_distinct_users": [n]})
 
 
@@ -3184,12 +3186,14 @@ def _q_event_type_share(sf_dir: str):
 def _q_approx_users_by_type(sf_dir: str):
     """Grouped HyperLogLog (sketches.hll_grouped_distinct, p=12 -> ~1.6%
     std error): approximate distinct users per event type — register
-    partials, never raw user ids, cross the shuffle. Approximate by design
-    -> rows-only check; the estimate-vs-exact bound is pytest-gated."""
+    partials, never raw user ids, cross the shuffle. hash_fn='md5' lets the
+    oracle replay the per-key registers and estimator in SQL and
+    value-match the estimates; the estimate-vs-exact bound stays
+    pytest-gated."""
     from tesseract_recognize_ray.functions.sketches import hll_grouped_distinct
 
     ds = F.load(sf_dir, "events", columns=["event_type", "user_id"])
-    return hll_grouped_distinct(ds, "event_type", "user_id", p=12)
+    return hll_grouped_distinct(ds, "event_type", "user_id", p=12, hash_fn="md5")
 
 
 def _q_first_event_per_user_day(sf_dir: str):
@@ -3552,17 +3556,19 @@ def _q_approx_user_counts(sf_dir: str):
     """Count-Min sketch frequency estimates (mergeable fixed-size partials;
     the raw column never leaves the map stage): per-user event-count
     estimates for a fixed probe set. Estimates are >= the true counts by
-    construction (rows-only driver check; the error bound is pytest-gated)."""
+    construction (error bound pytest-gated); hash_fn='md5' makes sketch AND
+    probes SQL-replayable — the oracle rebuilds the counter matrix from md5
+    prefixes and the split-multiply mod-2^64 remix and value-matches."""
     from tesseract_recognize_ray.functions.sketches import (
         count_min_query,
         count_min_sketch,
     )
 
     ds = F.load(sf_dir, "events", columns=["user_id"])
-    sk = count_min_sketch(ds, "user_id", depth=4, width=4096)
+    sk = count_min_sketch(ds, "user_id", depth=4, width=4096, hash_fn="md5")
     probe = pd.Series(np.arange(20, dtype="int64"))
     return pd.DataFrame(
-        {"user_id": probe, "est_events": count_min_query(sk, probe)}
+        {"user_id": probe, "est_events": count_min_query(sk, probe, hash_fn="md5")}
     )
 
 
@@ -8944,6 +8950,109 @@ def oracle_sql() -> dict[str, str]:
             FROM pick pk
             JOIN tot t ON t.user_id = pk.user_id, params p
             WHERE pk.rn = 1
+        """,
+        # HyperLogLog full replay (hash_fn='md5'): registers from md5
+        # prefixes, exact bit-length ranks via length(bin(tail)), the same
+        # estimator arithmetic (alpha*m^2 / sum(2^-rank) with the linear-
+        # counting small-range correction). Hashing all rows == hashing
+        # DISTINCT values (same hash per value under register max).
+        "approx_distinct_users": """
+            WITH h AS MATERIALIZED (
+                SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS h
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            rr AS MATERIALIZED (
+                SELECT (h >> 50)::BIGINT AS reg,
+                       max(CASE WHEN (h & ((1::UBIGINT << 50) - 1)) = 0 THEN 51
+                                ELSE 50 - length(bin(h & ((1::UBIGINT << 50) - 1))) + 1
+                           END)::BIGINT AS rank
+                FROM h GROUP BY 1
+            ),
+            agg AS (SELECT count(*) AS nz, sum(pow(2.0, -rank)) AS snz FROM rr)
+            SELECT CASE WHEN raw_est <= 2.5 * 16384.0 AND zeros > 0
+                        THEN CAST(ROUND(16384.0 * ln(16384.0 / zeros)) AS BIGINT)
+                        ELSE CAST(ROUND(raw_est) AS BIGINT)
+                   END AS approx_distinct_users
+            FROM (SELECT 0.7213 / (1.0 + 1.079 / 16384.0) * 16384.0 * 16384.0
+                             / (snz + (16384 - nz) * 1.0) AS raw_est,
+                         16384 - nz AS zeros
+                  FROM agg)
+        """,
+        "approx_users_by_type": """
+            WITH h AS MATERIALIZED (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS h
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            rr AS MATERIALIZED (
+                SELECT event_type, (h >> 52)::BIGINT AS reg,
+                       max(CASE WHEN (h & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+                                ELSE 52 - length(bin(h & ((1::UBIGINT << 52) - 1))) + 1
+                           END)::BIGINT AS rank
+                FROM h GROUP BY 1, 2
+            ),
+            agg AS (SELECT event_type, count(*) AS nz, sum(pow(2.0, -rank)) AS snz
+                    FROM rr GROUP BY 1)
+            SELECT event_type,
+                   CASE WHEN raw_est <= 2.5 * 4096.0 AND zeros > 0
+                        THEN CAST(ROUND(4096.0 * ln(4096.0 / zeros)) AS BIGINT)
+                        ELSE CAST(ROUND(raw_est) AS BIGINT)
+                   END AS approx_distinct
+            FROM (SELECT event_type,
+                         0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                             / (snz + (4096 - nz) * 1.0) AS raw_est,
+                         4096 - nz AS zeros
+                  FROM agg)
+        """,
+        # Count-Min full replay (hash_fn='md5'): per-depth splitmix remix as
+        # mod-2^64 arithmetic — the 64x64 product is split into 32-bit
+        # halves because a full product overflows INT128:
+        # (x*C) % 2^64 = (lo*C) % 2^64 + ((hi*(C % 2^32)) % 2^32)*2^32.
+        "approx_user_counts": """
+            WITH depths(d, salt) AS (VALUES
+                (0, 11400714819323198485::UBIGINT),
+                (1, 4354685564936845354::UBIGINT),
+                (2, 15755430384260043839::UBIGINT),
+                (3, 8709371129873690708::UBIGINT)),
+            base AS MATERIALIZED (
+                SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS h
+                FROM events
+            ),
+            mix AS MATERIALIZED (
+                SELECT d, xor(hp, hp >> 31) AS hd
+                FROM (SELECT d,
+                             ((((xor(h, salt) % 4294967296)::HUGEINT
+                                * 13787848793156543929::HUGEINT)
+                               % 18446744073709551616::HUGEINT
+                               + ((((xor(h, salt) >> 32) * 485285305) % 4294967296)::HUGEINT
+                                  * 4294967296::HUGEINT))
+                              % 18446744073709551616::HUGEINT)::UBIGINT AS hp
+                      FROM base, depths)
+            ),
+            sk AS MATERIALIZED (
+                SELECT d, (hd % 4096)::BIGINT AS cell, count(*)::BIGINT AS n
+                FROM mix GROUP BY 1, 2
+            ),
+            probes AS (
+                SELECT r AS user_id,
+                       ('0x' || substr(md5(r::VARCHAR), 1, 16))::UBIGINT AS h
+                FROM range(0, 20) t(r)
+            ),
+            pmix AS (
+                SELECT user_id, d, xor(hp, hp >> 31) AS hd
+                FROM (SELECT user_id, d,
+                             ((((xor(h, salt) % 4294967296)::HUGEINT
+                                * 13787848793156543929::HUGEINT)
+                               % 18446744073709551616::HUGEINT
+                               + ((((xor(h, salt) >> 32) * 485285305) % 4294967296)::HUGEINT
+                                  * 4294967296::HUGEINT))
+                              % 18446744073709551616::HUGEINT)::UBIGINT AS hp
+                      FROM probes, depths)
+            )
+            SELECT user_id, min(coalesce(sk.n, 0))::BIGINT AS est_events
+            FROM (SELECT user_id, d, (hd % 4096)::BIGINT AS cell FROM pmix) pc
+            LEFT JOIN sk USING (d, cell)
+            GROUP BY user_id
         """,
         "loo_target_encoding": """
             WITH c AS MATERIALIZED (

@@ -31,7 +31,40 @@ def _hash64(values: pd.Series) -> np.ndarray:
     return pd.util.hash_pandas_object(values, index=False).to_numpy()
 
 
-def hll_approx_distinct(ds: Dataset, col: str, p: int = 14) -> int:
+def _md5_hash64(values: pd.Series) -> np.ndarray:
+    """First 8 big-endian bytes of md5(str(value)) as uint64 — the one
+    64-bit hash an ANSI-SQL oracle can recompute exactly
+    (``('0x' || substr(md5(v::VARCHAR), 1, 16))::UBIGINT`` in DuckDB; same
+    pattern as textstats.fingerprint's hash_fn='md5'). Hashes each DISTINCT
+    value once (python md5 per unique, vectorized map-back) — bounded by
+    the batch's value cardinality, not its row count."""
+    import hashlib
+
+    uniq = pd.unique(values)
+    lut = {
+        v: np.uint64(int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16))
+        for v in uniq
+    }
+    return values.map(lut).to_numpy(dtype=np.uint64)
+
+
+def _pick_hash(hash_fn: str):
+    if hash_fn == "pandas":
+        return _hash64
+    if hash_fn == "md5":
+        return _md5_hash64
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'pandas' or 'md5')")
+
+
+def _bit_length(tail: np.ndarray) -> np.ndarray:
+    """Exact bit length of non-negative int64/uint64 values < 2^53 via
+    frexp (x = mant * 2^exp, mant in [0.5, 1) -> exp IS the bit length;
+    float64 conversion is exact below 2^53, unlike floor(log2(x)) whose
+    correctly-rounded log can round up at 2^k boundaries)."""
+    return np.frexp(tail.astype(np.float64))[1].astype(np.int64)
+
+
+def hll_approx_distinct(ds: Dataset, col: str, p: int = 14, *, hash_fn: str = "pandas") -> int:
     """Approximate COUNT(DISTINCT col) with a 2^p-register HyperLogLog
     (standard error ≈ 1.04/sqrt(2^p); p=14 → ~0.8%).
 
@@ -39,22 +72,22 @@ def hll_approx_distinct(ds: Dataset, col: str, p: int = 14) -> int:
     (already maximized locally), the groupby(register).max shuffle moves
     register summaries only, and the final estimate folds ≤2^p rows on the
     driver — the raw column never leaves the map stage. Deterministic: the
-    hash is fixed-key, so the estimate is reproducible run to run."""
+    hash is fixed-key, so the estimate is reproducible run to run.
+    ``hash_fn='md5'`` makes the whole sketch VALUE-replayable by a SQL
+    oracle (registers from md5 prefixes, exact bit-length ranks, the same
+    estimator arithmetic)."""
+    hasher = _pick_hash(hash_fn)
     m = 1 << p
     tail_bits = 64 - p
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        h = _hash64(b[col].dropna())
+        h = hasher(b[col].dropna())
         if len(h) == 0:
             return pd.DataFrame({"reg": pd.Series(dtype="int64"), "rank": pd.Series(dtype="int64")})
         reg = (h >> np.uint64(tail_bits)).astype(np.int64)
         tail = h & np.uint64((1 << tail_bits) - 1)
         # rank = leading zeros of the tail (within tail_bits) + 1
-        # bit_length via log2 on float64 — exact for < 2^53 (tail_bits ≤ 50)
-        bl = np.zeros(len(tail), dtype=np.int64)
-        nz = tail > 0
-        bl[nz] = np.floor(np.log2(tail[nz].astype(np.float64))).astype(np.int64) + 1
-        rank = tail_bits - bl + 1
+        rank = tail_bits - _bit_length(tail) + 1
         df = pd.DataFrame({"reg": reg, "rank": rank})
         return df.groupby("reg", as_index=False)["rank"].max()
 
@@ -147,7 +180,7 @@ def frequent_terms(
 
 
 def count_min_sketch(
-    ds: Dataset, col: str, depth: int = 4, width: int = 2048
+    ds: Dataset, col: str, depth: int = 4, width: int = 2048, *, hash_fn: str = "pandas"
 ) -> np.ndarray:
     """Count-Min sketch of a column's value frequencies (Cormode &
     Muthukrishnan 2005): a depth x width int64 counter matrix; query an
@@ -160,10 +193,15 @@ def count_min_sketch(
     flattened partial rows keyed by cell index, and a groupby-sum reduce
     yields the global matrix (counters are additive, so partials compose
     exactly like the 100 TB tree-reduce would). The driver folds depth*width
-    rows, independent of input size."""
+    rows, independent of input size.
+
+    ``hash_fn='md5'`` makes sketch AND queries SQL-replayable: the base
+    hash is the md5 prefix and the per-row remix is plain mod-2^64
+    arithmetic + xor-shift (DuckDB: HUGEINT products % 2^64, xor(), >>)."""
+    hasher = _pick_hash(hash_fn)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        h = _hash64(b[col])
+        h = hasher(b[col])
         mat = np.zeros(depth * width, dtype=np.int64)
         for d in range(depth):
             # row-d hash: splitmix-style remix of the base hash, then mod width
@@ -182,11 +220,14 @@ def count_min_sketch(
     return acc.reshape(depth, width)
 
 
-def count_min_query(sketch: np.ndarray, items: pd.Series) -> np.ndarray:
+def count_min_query(
+    sketch: np.ndarray, items: pd.Series, *, hash_fn: str = "pandas"
+) -> np.ndarray:
     """Frequency estimates for `items` from a count_min_sketch matrix: the
-    min across depth rows (vectorized over the whole probe set)."""
+    min across depth rows (vectorized over the whole probe set). hash_fn
+    must match the sketch's."""
     depth, width = sketch.shape
-    h = _hash64(items)
+    h = _pick_hash(hash_fn)(items)
     est = np.full(len(items), np.iinfo(np.int64).max, dtype=np.int64)
     for d in range(depth):
         salt = np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF)
@@ -204,6 +245,7 @@ def hll_grouped_distinct(
     *,
     out_col: str = "approx_distinct",
     num_buckets: int = 64,
+    hash_fn: str = "pandas",
 ) -> Dataset:
     """Per-group approximate COUNT(DISTINCT col) — the grouped HyperLogLog
     (standard error ~1.04/sqrt(2^p); p=12 -> ~1.6%). The scale primitive
@@ -219,6 +261,7 @@ def hll_grouped_distinct(
     order and partitioning cannot change the estimate."""
     from tesseract_recognize_ray.hashing import stable_bucket_table
 
+    hasher = _pick_hash(hash_fn)
     m = 1 << p
     tail_bits = 64 - p
 
@@ -228,13 +271,10 @@ def hll_grouped_distinct(
             return pd.DataFrame(
                 {key: d[key], "reg": pd.Series(dtype="int64"), "rank": pd.Series(dtype="int64")}
             )
-        h = _hash64(d[col])
+        h = hasher(d[col])
         reg = (h >> np.uint64(tail_bits)).astype(np.int64)
         tail = h & np.uint64((1 << tail_bits) - 1)
-        bl = np.zeros(len(tail), dtype=np.int64)
-        nz = tail > 0
-        bl[nz] = np.floor(np.log2(tail[nz].astype(np.float64))).astype(np.int64) + 1
-        rank = tail_bits - bl + 1
+        rank = tail_bits - _bit_length(tail) + 1
         df = pd.DataFrame({key: d[key].to_numpy(), "reg": reg, "rank": rank})
         return df.groupby([key, "reg"], as_index=False, dropna=False)["rank"].max()
 

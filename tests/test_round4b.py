@@ -574,3 +574,29 @@ def test_loo_target_encoding(ray_session):
     assert out["id"].tolist() == [1, 2, 3]  # b is also a singleton
     # enc_1 = (200+600)/2/100, enc_2 = (100+600)/2/100, enc_3 = (100+200)/2/100
     np.testing.assert_allclose(out["loo_enc"].to_numpy(), [4.0, 3.5, 1.5])
+
+
+# --------------------------------------------------------- md5 sketch modes
+def test_md5_sketches_error_bounds(ray_session):
+    """hash_fn='md5' (the SQL-replayable mode) keeps the sketches'
+    statistical contracts: HLL within its standard-error envelope,
+    count-min never an undercount."""
+    from tesseract_recognize_ray.functions.sketches import (
+        count_min_query,
+        count_min_sketch,
+        hll_approx_distinct,
+    )
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 2000, 20000)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+    exact = len(np.unique(vals))
+    est = hll_approx_distinct(ds, "v", p=12, hash_fn="md5")
+    assert abs(est - exact) / exact < 0.05  # ~3 sigma at p=12
+
+    sk = count_min_sketch(ds, "v", depth=4, width=4096, hash_fn="md5")
+    probe = pd.Series(np.arange(50, dtype="int64"))
+    est_counts = count_min_query(sk, probe, hash_fn="md5")
+    true_counts = pd.Series(vals).value_counts().reindex(probe).fillna(0).to_numpy()
+    assert (est_counts >= true_counts).all()  # CM never undercounts
+    assert (est_counts - true_counts).max() <= 0.01 * len(vals)
