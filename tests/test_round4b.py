@@ -600,3 +600,80 @@ def test_md5_sketches_error_bounds(ray_session):
     true_counts = pd.Series(vals).value_counts().reindex(probe).fillna(0).to_numpy()
     assert (est_counts >= true_counts).all()  # CM never undercounts
     assert (est_counts - true_counts).max() <= 0.01 * len(vals)
+
+
+# -------------------------------------------------- roundtrip properties
+def test_snapshot_diff_patch_roundtrip(ray_session):
+    """Applying a diff to the base reconstructs the new snapshot exactly:
+    drop removed+changed keys, take added+changed rows from new."""
+    from tesseract_recognize_ray.functions.relational import snapshot_diff
+
+    rng = np.random.default_rng(33)
+    base = pd.DataFrame(
+        {"k": rng.permutation(500)[:400], "v": rng.integers(0, 9, 400)}
+    )
+    new = pd.DataFrame(
+        {"k": rng.permutation(500)[:400], "v": rng.integers(0, 9, 400)}
+    )
+    diff = snapshot_diff(
+        ray.data.from_pandas(base).repartition(3),
+        ray.data.from_pandas(new).repartition(3),
+        ["k"],
+        ["v"],
+    ).to_pandas()
+    dead = set(diff.loc[diff["change"].isin(["removed", "changed"]), "k"])
+    fresh = set(diff.loc[diff["change"].isin(["added", "changed"]), "k"])
+    patched = pd.concat(
+        [base[~base["k"].isin(dead)], new[new["k"].isin(fresh)]]
+    ).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        patched, new.sort_values("k").reset_index(drop=True)
+    )
+    # self-diff is empty
+    self_diff = snapshot_diff(
+        ray.data.from_pandas(base),
+        ray.data.from_pandas(base),
+        ["k"],
+        ["v"],
+    ).to_pandas()
+    assert len(self_diff) == 0
+
+
+def test_scd2_intervals_partition_history(ray_session):
+    """Per key, SCD-2 intervals are disjoint, contiguous (valid_to of run i
+    == valid_from of run i+1), and their run lengths sum to the input."""
+    from tesseract_recognize_ray.functions.relational import scd2_compact
+
+    rng = np.random.default_rng(41)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 25, n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 50_000, n), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b"], n),
+        }
+    )
+    out = (
+        scd2_compact(
+            ray.data.from_pandas(df).repartition(4),
+            "user_id",
+            ["ts", "event_id"],
+            "event_type",
+            "ts",
+            open_end="2100-01-01",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "valid_from"])
+    )
+    assert out["n_events"].sum() == n
+    sent = pd.Timestamp("2100-01-01")
+    for _, g in out.groupby("user_id"):
+        vf = g["valid_from"].to_numpy()
+        vt = g["valid_to"].to_numpy()
+        assert (vt[:-1] == vf[1:]).all()  # contiguous chain
+        assert vt[-1] == np.datetime64(sent)  # open run hits the sentinel
+        # adjacent runs always change value (maximal runs)
+        tp = g["event_type"].to_numpy()
+        assert (tp[1:] != tp[:-1]).all()
