@@ -6171,6 +6171,47 @@ def _q_loo_target_encoding(sf_dir: str):
     )
 
 
+def _q_pdf_text_layer_extract(sf_dir: str):
+    """Born-digital PDF text-layer extraction (S3's vector-PDF half, the
+    path the reference can only rasterize+OCR): stage 1 wraps each
+    document's first 48 tokens into a real multi-page vector PDF (Helvetica
+    Tj lines, FlateDecode content streams — pdfcodec.encode_pdf_text);
+    stage 2 PARSES the binary back — object table, page tree, content
+    stream tokenizer, text operators, (-y, x) reading order. The oracle
+    recomputes the deterministic 8-token line wrap in SQL, so a value-match
+    proves the whole encode -> parse -> extract -> order chain."""
+    from tesseract_recognize_ray.pdfcodec import encode_pdf_text, iter_pdf_page_text
+
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        expr="doc_id < 40"
+    )
+
+    def wrap(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            toks = str(text).split()
+            lines = [
+                " ".join(toks[i : i + 8]) for i in range(0, min(len(toks), 48), 8)
+            ]
+            if not lines:
+                continue
+            pages = [lines[i : i + 3] for i in range(0, len(lines), 3)]
+            rows.append((int(doc_id), encode_pdf_text(pages)))
+        return pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for doc_id, pdf in zip(b["doc_id"], b["pdf"]):
+            for page, spans in enumerate(iter_pdf_page_text(pdf)):
+                for idx, s in enumerate(spans):
+                    out.append((int(doc_id), page, idx, s["text"]))
+        return pd.DataFrame(out, columns=["doc_id", "page", "span_idx", "text"])
+
+    return ds.map_batches(wrap, batch_format="pandas").map_batches(
+        extract, batch_format="pandas"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6392,6 +6433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_snapshot_diff": _q_events_snapshot_diff,
         "events_quality_audit": _q_events_quality_audit,
         "loo_target_encoding": _q_loo_target_encoding,
+        "pdf_text_layer_extract": _q_pdf_text_layer_extract,
     }
 
 
@@ -9053,6 +9095,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT user_id, d, (hd % 4096)::BIGINT AS cell FROM pmix) pc
             LEFT JOIN sk USING (d, cell)
             GROUP BY user_id
+        """,
+        "pdf_text_layer_extract": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
+                FROM documents WHERE doc_id < 40
+            ),
+            pos AS MATERIALIZED (
+                SELECT doc_id, generate_subscripts(ts, 1) AS p, unnest(ts) AS tok
+                FROM toks
+            )
+            SELECT doc_id,
+                   ((p - 1) // 8 // 3)::BIGINT AS page,
+                   ((p - 1) // 8 % 3)::BIGINT AS span_idx,
+                   string_agg(tok, ' ' ORDER BY p) AS text
+            FROM pos
+            WHERE p <= 48
+            GROUP BY doc_id, (p - 1) // 8
         """,
         "loo_target_encoding": """
             WITH c AS MATERIALIZED (

@@ -329,3 +329,277 @@ def encode_pdf_scanned(pages: "list[np.ndarray]", *, image_filter: str = "flate"
         out.extend(b"%010d 00000 n \n" % offsets[num])
     out.extend(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (nobj + 1, xref_at))
     return bytes(out)
+
+
+# ------------------------------------------------------- text-layer extract
+# Vector (born-digital) PDFs carry their text as content-stream operators —
+# no OCR needed. The reference pipeline rasterizes+OCRs everything
+# (tesseract-recognize.cc:490-511); extracting the embedded text layer
+# directly is the beyond-reference fast path for the born-digital half of a
+# mixed crawl. Scope (simple-font subset of ISO 32000-1 §9):
+#   * BT/ET text blocks with Tf, Td, TD, TL, T*, Tm, Tj, ', TJ operators;
+#   * literal strings with escapes + octal, and hex strings;
+#   * simple fonts assumed byte == Latin-1 code point (covers the
+#     standard-14 / WinAnsi ASCII range); composite /Type0 fonts (CID +
+#     CMap decoding) raise a scoped ValueError — honest rejection, not
+#     mojibake.
+
+_STR_ESC = {
+    ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t", ord("b"): b"\b",
+    ord("f"): b"\x0c", ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
+}
+
+
+def _content_tokens(buf: bytes):
+    """Tokenize a content stream: yields ('num', f), ('str', bytes),
+    ('name', str), ('arr', list), ('op', bytes)."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        c = buf[pos]
+        if c in _WS:
+            pos += 1
+            continue
+        if c == ord("%"):  # comment to EOL
+            e = buf.find(b"\n", pos)
+            pos = n if e < 0 else e + 1
+            continue
+        if c == ord("("):
+            out, depth, pos = bytearray(), 1, pos + 1
+            while pos < n and depth:
+                b = buf[pos]
+                if b == ord("\\") and pos + 1 < n:
+                    nxt = buf[pos + 1]
+                    if nxt in _STR_ESC:
+                        out += _STR_ESC[nxt]
+                        pos += 2
+                    elif ord("0") <= nxt <= ord("7"):  # octal, 1-3 digits
+                        j = pos + 1
+                        while j < min(pos + 4, n) and ord("0") <= buf[j] <= ord("7"):
+                            j += 1
+                        out.append(int(buf[pos + 1 : j], 8) & 0xFF)
+                        pos = j
+                    else:  # line continuation / unknown escape: literal
+                        out.append(nxt)
+                        pos += 2
+                    continue
+                if b == ord("("):
+                    depth += 1
+                elif b == ord(")"):
+                    depth -= 1
+                    if depth == 0:
+                        pos += 1
+                        break
+                out.append(b)
+                pos += 1
+            yield ("str", bytes(out))
+            continue
+        if c == ord("<") and pos + 1 < n and buf[pos + 1] != ord("<"):
+            e = buf.find(b">", pos)
+            if e < 0:
+                raise ValueError("PDF text: unterminated hex string")
+            hx = re.sub(rb"\s", b"", buf[pos + 1 : e])
+            if len(hx) % 2:
+                hx += b"0"
+            yield ("str", bytes.fromhex(hx.decode("ascii")))
+            pos = e + 1
+            continue
+        if c == ord("/"):
+            m = _NAME_RE.match(buf, pos)
+            yield ("name", m.group(1).decode("latin-1"))
+            pos = m.end()
+            continue
+        if c in b"[]":
+            yield ("mark", chr(c))
+            pos += 1
+            continue
+        m = _NUM_RE.match(buf, pos)
+        if m and m.start() == pos:
+            yield ("num", float(m.group(0)))
+            pos = m.end()
+            continue
+        # operator: run of non-delimiter bytes
+        j = pos
+        while j < n and buf[j] not in _WS and buf[j] not in b"()<>[]/%":
+            j += 1
+        if j == pos:
+            raise ValueError(f"PDF text: cannot tokenize at {pos}: {buf[pos:pos+10]!r}")
+        yield ("op", buf[pos:j])
+        pos = j
+
+
+def _page_content(objs, page: dict) -> bytes:
+    """Concatenate a page's /Contents stream(s), inflating FlateDecode."""
+    cont = _deref(objs, page.get("Contents"))
+    refs = cont if isinstance(cont, list) else [page.get("Contents")]
+    parts = []
+    for r in refs:
+        r = r if isinstance(r, _Ref) else None
+        if r is None:
+            raise ValueError("PDF text: /Contents is not a stream ref")
+        cdict, stream = objs[r.num]
+        length = _deref(objs, cdict.get("Length"))
+        raw = stream[: int(length)] if isinstance(length, (int, float)) else stream
+        filt = _deref(objs, cdict.get("Filter"))
+        if filt == "/FlateDecode":
+            raw = zlib.decompress(raw)
+        elif filt is not None:
+            raise ValueError(f"PDF text: content filter {filt} not supported")
+        parts.append(raw)
+    return b"\n".join(parts)
+
+
+def _reject_composite_fonts(objs, page: dict):
+    res = _deref(objs, page.get("Resources", {}))
+    fonts = _deref(objs, res.get("Font", {}))
+    for _name, ref in (fonts or {}).items():
+        fdict = _deref(objs, ref)
+        if isinstance(fdict, dict) and _deref(objs, fdict.get("Subtype")) == "/Type0":
+            raise ValueError(
+                "PDF text: composite /Type0 font (CID/CMap decoding) not "
+                "supported — rasterize+OCR this document instead"
+            )
+
+
+def iter_pdf_page_text(buf, *, reading_order: bool = True):
+    """Yield a list of text spans per page of a born-digital PDF:
+    dicts {text, x, y, size} with PDF user-space coordinates (origin
+    bottom-left). With reading_order=True spans are sorted top-to-bottom,
+    left-to-right (-y, x) — the XY order a single-column page reads in;
+    stream order otherwise."""
+    data = bytes(memoryview(buf))
+    if not data.startswith(b"%PDF"):
+        raise ValueError("PDF: bad magic")
+    objs = _parse_objects(data)
+    pages_node = None
+    trailers = list(re.finditer(rb"trailer", data))
+    if trailers:
+        try:
+            tdict, _ = _parse_value(data, trailers[-1].end())
+            pages_node = _deref(objs, _deref(objs, tdict["Root"])["Pages"])
+        except (KeyError, ValueError, IndexError):
+            pages_node = None
+    if pages_node is None:
+        cats = [d for d, _s in objs.values() if isinstance(d, dict) and _deref(objs, d.get("Type")) == "/Catalog"]
+        if len(cats) != 1:
+            raise ValueError("PDF: cannot locate the page tree")
+        pages_node = _deref(objs, cats[0]["Pages"])
+    pages: list[dict] = []
+    _page_kids(objs, pages_node, pages)
+    if not pages:
+        raise ValueError("PDF: page tree has no pages")
+    for page in pages:
+        _reject_composite_fonts(objs, page)
+        spans = []
+        x = y = 0.0
+        size = leading = 0.0
+        in_text = False
+        stack: list = []
+
+        def show(raw: bytes):
+            txt = raw.decode("latin-1")
+            if txt:
+                spans.append({"text": txt, "x": x, "y": y, "size": size})
+
+        for kind, val in _content_tokens(_page_content(objs, page)):
+            if kind == "mark":  # assemble [ ... ] into one ('arr', items)
+                if val == "[":
+                    stack.append(("mark", "["))
+                else:
+                    items = []
+                    while stack and stack[-1] != ("mark", "["):
+                        items.append(stack.pop())
+                    if not stack:
+                        raise ValueError("PDF text: ']' without '['")
+                    stack.pop()
+                    items.reverse()
+                    stack.append(("arr", items))
+                continue
+            if kind != "op":
+                stack.append((kind, val))
+                continue
+            op = val
+            try:
+                if op == b"BT":
+                    in_text, x, y = True, 0.0, 0.0
+                elif op == b"ET":
+                    in_text = False
+                elif op == b"Tf" and len(stack) >= 2:
+                    size = float(stack[-1][1])
+                elif op in (b"Td", b"TD") and len(stack) >= 2:
+                    x += float(stack[-2][1])
+                    y += float(stack[-1][1])
+                    if op == b"TD":
+                        leading = -float(stack[-1][1])
+                elif op == b"TL":
+                    leading = float(stack[-1][1])
+                elif op == b"Tm" and len(stack) >= 6:
+                    x, y = float(stack[-2][1]), float(stack[-1][1])
+                elif op == b"T*":
+                    y -= leading
+                elif op == b"Tj" and in_text and stack and stack[-1][0] == "str":
+                    show(stack[-1][1])
+                elif op == b"'" and in_text and stack and stack[-1][0] == "str":
+                    y -= leading
+                    show(stack[-1][1])
+                elif op == b"TJ" and in_text and stack and stack[-1][0] == "arr":
+                    show(b"".join(v for k, v in stack[-1][1] if k == "str"))
+            finally:
+                stack.clear()
+        if reading_order:
+            spans.sort(key=lambda s: (-s["y"], s["x"]))
+        yield spans
+
+
+def encode_pdf_text(pages: "list[list[str]]", *, compress: bool = True) -> bytes:
+    """Fixture writer for the born-digital class: per page, each string
+    becomes one Helvetica 12pt line (72 720 Td start, 14pt leading, Tj),
+    content stream FlateDecode-compressed by default. Round-trips through
+    iter_pdf_page_text for golden tests."""
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def put(num: int, body: bytes):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    def esc(s: str) -> bytes:
+        return (
+            s.encode("latin-1")
+            .replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(")
+            .replace(b")", b"\\)")
+        )
+
+    n = len(pages)
+    kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n))
+    put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    put(2, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n))
+    put(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, lines in enumerate(pages):
+        pnum, cnum = 4 + 2 * i, 5 + 2 * i
+        put(
+            pnum,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % cnum,
+        )
+        body = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td ")
+        for j, line in enumerate(lines):
+            if j:
+                body.extend(b"T* ")
+            body.extend(b"(%s) Tj " % esc(line))
+        body.extend(b"ET")
+        if compress:
+            data = zlib.compress(bytes(body), 6)
+            put(cnum, b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data) + data + b"\nendstream")
+        else:
+            put(cnum, b"<< /Length %d >>\nstream\n" % len(body) + bytes(body) + b"\nendstream")
+    xref_at = len(out)
+    nobj = 3 + 2 * n
+    out.extend(b"xref\n0 %d\n" % (nobj + 1))
+    out.extend(b"0000000000 65535 f \n")
+    for num in range(1, nobj + 1):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (nobj + 1, xref_at))
+    return bytes(out)

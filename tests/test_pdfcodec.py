@@ -141,3 +141,99 @@ def test_e2e_span_equality_on_pdf_corpus(ray_session):
     golden = pq.read_table(paths["golden_spans"]).to_pandas()
     out = extract_spans(paths["docs"], paths["media"]).to_pandas()
     pd.testing.assert_frame_equal(_norm(out), _norm(golden))
+
+
+# ------------------------------------------------------- text-layer extract
+def _minimal_text_pdf(content: bytes) -> bytes:
+    """Uncompressed single-page text PDF around a raw content stream."""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n"
+    )
+
+
+def test_pdf_text_roundtrip_escapes_and_pages():
+    from tesseract_recognize_ray.pdfcodec import encode_pdf_text, iter_pdf_page_text
+
+    pages_in = [
+        ["Hello world", "Second (with parens)", "back\\slash and \ttab"],
+        ["Page two"],
+    ]
+    pages = list(iter_pdf_page_text(encode_pdf_text(pages_in)))
+    assert [[s["text"] for s in p] for p in pages] == pages_in
+    # lines carry descending y at 14pt leading from 720
+    ys = [s["y"] for s in pages[0]]
+    assert ys == [720.0, 706.0, 692.0]
+
+
+def test_pdf_text_tj_arrays_hex_strings_tm():
+    from tesseract_recognize_ray.pdfcodec import iter_pdf_page_text
+
+    content = (
+        b"BT /F1 10 Tf 1 0 0 1 100 500 Tm "
+        b"[(A)(B) -120 (C)] TJ "  # kerning numbers are ignored
+        b"0 -20 Td <4445> Tj ET"  # hex string 'DE'
+    )
+    spans = list(iter_pdf_page_text(_minimal_text_pdf(content)))[0]
+    assert [(s["text"], s["x"], s["y"]) for s in spans] == [
+        ("ABC", 100.0, 500.0),
+        ("DE", 100.0, 480.0),
+    ]
+
+
+def test_pdf_text_reading_order_sorts_stream_disorder():
+    from tesseract_recognize_ray.pdfcodec import iter_pdf_page_text
+
+    # stream emits bottom line FIRST; reading order must flip them
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 72 100 Tm (bottom) Tj "
+        b"1 0 0 1 72 700 Tm (top) Tj ET"
+    )
+    spans = list(iter_pdf_page_text(_minimal_text_pdf(content)))[0]
+    assert [s["text"] for s in spans] == ["top", "bottom"]
+    raw = list(iter_pdf_page_text(_minimal_text_pdf(content), reading_order=False))[0]
+    assert [s["text"] for s in raw] == ["bottom", "top"]
+
+
+def test_pdf_text_octal_escape_and_tstar():
+    from tesseract_recognize_ray.pdfcodec import iter_pdf_page_text
+
+    content = b"BT /F1 12 Tf 20 TL 72 700 Td (\\101\\102) Tj T* (next) Tj ET"
+    spans = list(iter_pdf_page_text(_minimal_text_pdf(content)))[0]
+    assert [(s["text"], s["y"]) for s in spans] == [("AB", 700.0), ("next", 680.0)]
+
+
+def test_pdf_text_rejects_composite_fonts():
+    from tesseract_recognize_ray.pdfcodec import encode_pdf_text, iter_pdf_page_text
+
+    t0 = encode_pdf_text([["x"]]).replace(b"/Subtype /Type1", b"/Subtype /Type0")
+    with pytest.raises(ValueError, match="Type0"):
+        list(iter_pdf_page_text(t0))
+
+
+def test_pdf_text_layer_vs_scanned_dispatch():
+    """A scanned PDF still rasterizes; a text PDF raises in the rasterizer
+    and extracts through the text path — the two classes stay separable."""
+    import numpy as np
+
+    from tesseract_recognize_ray.pdfcodec import (
+        encode_pdf_scanned,
+        encode_pdf_text,
+        iter_pdf_page_images,
+        iter_pdf_page_text,
+    )
+
+    img = (np.arange(400, dtype=np.uint8).reshape(20, 20) % 251).astype(np.uint8)
+    scanned = encode_pdf_scanned([img])
+    assert next(iter_pdf_page_images(scanned)).shape == (20, 20)
+    text_pdf = encode_pdf_text([["only text"]])
+    with pytest.raises(ValueError, match="image XObjects"):
+        list(iter_pdf_page_images(text_pdf))
+    assert [s["text"] for s in next(iter_pdf_page_text(text_pdf))] == ["only text"]
