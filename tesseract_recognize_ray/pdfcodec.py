@@ -460,12 +460,14 @@ def _reject_composite_fonts(objs, page: dict):
             )
 
 
-def iter_pdf_page_text(buf, *, reading_order: bool = True):
+def iter_pdf_page_text(buf, *, reading_order: bool = True, with_boxes: bool = False):
     """Yield a list of text spans per page of a born-digital PDF:
     dicts {text, x, y, size} with PDF user-space coordinates (origin
     bottom-left). With reading_order=True spans are sorted top-to-bottom,
     left-to-right (-y, x) — the XY order a single-column page reads in;
-    stream order otherwise."""
+    stream order otherwise. With with_boxes=True yields
+    (spans, (width, height)) from the page's /MediaBox (US-Letter default
+    when absent)."""
     data = bytes(memoryview(buf))
     if not data.startswith(b"%PDF"):
         raise ValueError("PDF: bad magic")
@@ -547,7 +549,12 @@ def iter_pdf_page_text(buf, *, reading_order: bool = True):
                 stack.clear()
         if reading_order:
             spans.sort(key=lambda s: (-s["y"], s["x"]))
-        yield spans
+        if with_boxes:
+            mb = _deref(objs, page.get("MediaBox", [0, 0, 612, 792]))
+            mb = [float(_deref(objs, v)) for v in mb]
+            yield spans, (mb[2] - mb[0], mb[3] - mb[1])
+        else:
+            yield spans
 
 
 def encode_pdf_text(pages: "list[list[str]]", *, compress: bool = True) -> bytes:

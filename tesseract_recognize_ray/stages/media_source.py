@@ -24,6 +24,7 @@ never a whole file of rasters).
 
 from __future__ import annotations
 
+import itertools
 import os
 
 import numpy as np
@@ -180,8 +181,26 @@ class MediaPathReader:
         seen = 0
         # magic-byte dispatch (PNG / uncompressed TIFF / raw fixture blobs):
         # raw pages stay zero-copy frombuffer views; encoded formats decode
-        # once per page here, inside the actor (imagecodecs module docstring)
-        for p, img in iter_page_images(buf):
+        # once per page here, inside the actor (imagecodecs module docstring).
+        # PDFs come in two classes: scanned (image-wrapped -> rasterize+OCR
+        # below) and born-digital (vector text -> no pixels to OCR). The
+        # rasterizer rejects the latter BEFORE yielding any page, so a
+        # first-page probe cleanly routes them to the embedded text layer
+        # (pdfcodec.iter_pdf_page_text) — the reference can only ghostscript-
+        # render this class (tesseract-recognize.cc:490-511); extracting the
+        # text layer directly is exact and skips OCR entirely.
+        pages = iter_page_images(buf)
+        try:
+            first = next(pages, None)
+        except ValueError:
+            if bytes(buf[:4]) == b"%PDF" and self._emit_pdf_text_layer(emit, ref, n_pages, buf):
+                return
+            raise
+        if first is None:
+            pages = iter(())
+        else:
+            pages = itertools.chain([first], pages)
+        for p, img in pages:
             seen += 1
             if self.pset is not None and p not in self.pset:
                 continue
@@ -220,6 +239,46 @@ class MediaPathReader:
                 f"({seen} pages); reference errors likewise "
                 "(tesseract-recognize.cc:461-466)"
             )
+
+    def _emit_pdf_text_layer(self, emit, ref: str, n_pages: int, buf: memoryview) -> bool:
+        """Born-digital PDF path: emit one 'line' row per embedded text span
+        in (-y, x) reading order, conf 100.0 (the layer is exact, not
+        recognized). Coordinates map PDF bottom-left user space to the
+        top-down pixel convention (y0 = page_h - y - size); x1 is a
+        0.5*size-per-char advance ESTIMATE — widths need font metrics the
+        simple-font subset doesn't carry. Returns False (caller re-raises
+        the rasterizer's error) when the text layer is absent or itself
+        unsupported (e.g. /Type0 fonts). Honors the page set with the same
+        out-of-range contract as the OCR path; word rows are not emitted
+        (no glyph grid to derive word cells from)."""
+        from tesseract_recognize_ray.pdfcodec import iter_pdf_page_text
+
+        try:
+            text_pages = list(iter_pdf_page_text(buf, with_boxes=True))
+        except ValueError:
+            return False
+        if not any(spans for spans, _box in text_pages):
+            return False
+        for p, (spans, (pw, ph)) in enumerate(text_pages):
+            if self.pset is not None and p not in self.pset:
+                continue
+            for idx, s in enumerate(spans):
+                x0 = int(round(s["x"]))
+                y1 = int(round(ph - s["y"]))
+                y0 = int(round(ph - s["y"] - s["size"]))
+                x1 = x0 + int(round(0.5 * s["size"] * len(s["text"])))
+                text = None if self.only_layout else s["text"]
+                conf = None if self.only_layout else 100.0
+                emit(ref, p, n_pages, 0, 0, idx, -1, "line",
+                     x0, y0, x1, y1, y1, 1, 0, int(round(pw)), int(round(ph)),
+                     text, conf)
+        if self.pset is not None and max(self.pset, default=-1) >= len(text_pages):
+            raise ValueError(
+                f"page selection {sorted(self.pset)} out of range for {ref} "
+                f"({len(text_pages)} pages); reference errors likewise "
+                "(tesseract-recognize.cc:461-466)"
+            )
+        return True
 
     def _save_crop(self, ref: str, page: int, b, crop_ink: np.ndarray) -> None:
         """K3 --save-crops debug sink (tesseract-recognize.cc:48,551-555)."""

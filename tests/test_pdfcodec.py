@@ -237,3 +237,76 @@ def test_pdf_text_layer_vs_scanned_dispatch():
     with pytest.raises(ValueError, match="image XObjects"):
         list(iter_pdf_page_images(text_pdf))
     assert [s["text"] for s in next(iter_pdf_page_text(text_pdf))] == ["only text"]
+
+
+def test_media_path_routes_text_pdfs_to_text_layer(ray_session, tmp_path):
+    """A mixed media table — one scanned PDF, one born-digital PDF — flows
+    through the fused MediaPathReader: the scanned one OCRs, the text one
+    emits its embedded layer as exact 'line' rows (conf 100), and nothing
+    becomes an error row."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.config import PipelineConfig
+    from tesseract_recognize_ray.fixtures import render_page
+    from tesseract_recognize_ray.pdfcodec import encode_pdf_scanned, encode_pdf_text
+    from tesseract_recognize_ray.stages.media_source import recognized_lines_from_files
+
+    pg = render_page(np.random.default_rng(3), rotate=False)
+    scanned = encode_pdf_scanned([pg.img])
+    born = encode_pdf_text([["alpha beta", "gamma"], ["delta"]])
+    media = pa.table(
+        {
+            "media_ref": ["m_scan", "m_text"],
+            "bytes": [scanned, born],
+            "kind": ["pdf", "pdf"],
+            "n_pages": pa.array([1, 2], pa.int32()),
+        }
+    )
+    f = str(tmp_path / "media.parquet")
+    pq.write_table(media, f)
+    out = (
+        recognized_lines_from_files([f], PipelineConfig(quarantine=True))
+        .to_pandas()
+        .sort_values(["media_ref", "page", "line"])
+    )
+    assert not (out["level"] == "error").any()
+    scan_rows = out[out["media_ref"] == "m_scan"]
+    # the scanned page still OCRs: every rendered line recognized verbatim
+    assert scan_rows["text"].tolist() == [ln.text for ln in pg.lines]
+    text_rows = out[out["media_ref"] == "m_text"]
+    assert text_rows["text"].tolist() == ["alpha beta", "gamma", "delta"]
+    assert text_rows["page"].tolist() == [0, 0, 1]
+    assert (text_rows["conf"] == 100.0).all()
+    # reading order: second line of page 0 sits lower (larger y1)
+    assert text_rows.iloc[1]["y1"] > text_rows.iloc[0]["y1"]
+
+
+def test_media_path_text_pdf_page_set_contract(ray_session, tmp_path):
+    """--pages selection applies to the text-layer path with the same
+    out-of-range error contract as the OCR path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.config import PipelineConfig
+    from tesseract_recognize_ray.pdfcodec import encode_pdf_text
+    from tesseract_recognize_ray.stages.media_source import recognized_lines_from_files
+
+    born = encode_pdf_text([["one"], ["two"]])
+    media = pa.table(
+        {
+            "media_ref": ["m"],
+            "bytes": [born],
+            "kind": ["pdf"],
+            "n_pages": pa.array([2], pa.int32()),
+        }
+    )
+    f = str(tmp_path / "media.parquet")
+    pq.write_table(media, f)
+    only_p1 = recognized_lines_from_files(
+        [f], PipelineConfig(page_set="1")
+    ).to_pandas()
+    assert only_p1["text"].tolist() == ["two"] and only_p1["page"].tolist() == [1]
+    bad = recognized_lines_from_files([f], PipelineConfig(page_set="5", quarantine=True)).to_pandas()
+    assert (bad["level"] == "error").all() and "out of range" in bad["text"].iloc[0]
