@@ -235,6 +235,10 @@ def build_tables(
               multi-page;
       "pdf"   image-wrapped scanned PDF (drawn FlateDecode / DCTDecode),
               natively multi-page via the /Kids page tree;
+      "pdf_text"  born-digital text PDFs — no raster at all; the payload
+              is the embedded text layer (Helvetica Tj lines), golden
+              truth is the generated lines (region 0, line j per page);
+              exercises the media source's text-layer route end-to-end;
       "mixed" deterministic per-media rng choice among the four
               single-draw encodings (raw/png/tiff/jpeg).
     Decode dispatch is on magic bytes (imagecodecs.iter_page_images), so
@@ -264,6 +268,34 @@ def build_tables(
                 multi = rng.random() < multipage_frac
                 n_pages = int(rng.integers(2, 4)) if multi else 1
                 mkind = "tiff_multi" if multi else "page"
+                if media_encoding == "pdf_text":
+                    # born-digital media: the payload IS a text layer (no
+                    # raster at all) — the golden truth is the generated
+                    # lines themselves, region 0 / line j per page in the
+                    # writer's reading order, which is exactly what the
+                    # media source's text-layer route must reproduce
+                    from tesseract_recognize_ray.pdfcodec import encode_pdf_text
+
+                    pages_lines = []
+                    for p in range(n_pages):
+                        lines = [
+                            _sentence(rng, int(rng.integers(2, 7)))
+                            for _ in range(int(rng.integers(2, 6)))
+                        ]
+                        pages_lines.append(lines)
+                        for j, text in enumerate(lines):
+                            rid = make_region_id(0, page=p, n_pages=n_pages)
+                            lid = make_line_id(rid, para=0, line=j)
+                            golden.append((offset, p, 0, j, "text", text, media_ref, rid, lid))
+                    media_rows["media_ref"].append(media_ref)
+                    media_rows["bytes"].append(encode_pdf_text(pages_lines))
+                    media_rows["width"].append(612)
+                    media_rows["height"].append(792 * n_pages)
+                    media_rows["kind"].append("pdf")
+                    media_rows["n_pages"].append(n_pages)
+                    spans.append({"kind": "media", "text": None, "media_ref": media_ref, "offset": offset})
+                    offset += 1
+                    continue
                 if not multi and rng.random() < 0.15:
                     mkind = "pdf"  # same raster encoding; exercises kind dispatch (M1)
                 blobs, page_imgs, tot_h, max_w = [], [], 0, 0

@@ -310,3 +310,26 @@ def test_media_path_text_pdf_page_set_contract(ray_session, tmp_path):
     assert only_p1["text"].tolist() == ["two"] and only_p1["page"].tolist() == [1]
     bad = recognized_lines_from_files([f], PipelineConfig(page_set="5", quarantine=True)).to_pandas()
     assert (bad["level"] == "error").all() and "out of range" in bad["text"].iloc[0]
+
+
+def test_e2e_span_equality_on_born_digital_corpus(ray_session):
+    """Golden-span gate over a BORN-DIGITAL corpus: every media is a text
+    PDF, so the whole flagship — source routing, text-layer extraction,
+    reading order, span assembly — must reproduce the generated lines
+    exactly, with the same region/line id scheme as the OCR path."""
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.fixtures import corpus_cached
+    from tesseract_recognize_ray.pipelines.extract import extract_spans
+
+    paths = corpus_cached(
+        "/tmp/trr_test_corpus_tiny_pdftext", 48, media_encoding="pdf_text"
+    )
+    media = pq.read_table(paths["media"])
+    n_pdf = sum(bytes(b)[:4] == b"%PDF" for b in media.column("bytes").to_pylist())
+    assert n_pdf == media.num_rows, "every media must be a text PDF"
+    multi = sum(np >= 2 for np in media.column("n_pages").to_pylist())
+    assert multi > 0, "corpus should contain multi-page text PDFs"
+    golden = pq.read_table(paths["golden_spans"]).to_pandas()
+    out = extract_spans(paths["docs"], paths["media"]).to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _norm(golden))
