@@ -6212,6 +6212,22 @@ def _q_pdf_text_layer_extract(sf_dir: str):
     )
 
 
+def _q_media_metadata_profile(sf_dir: str):
+    """Header-only media profiling over the interleaved entry corpus: per
+    blob (format, width, height, bit_depth, n_pages) WITHOUT decoding a
+    pixel — the pre-decode planning pass (exact pixel-cost estimates for
+    cost-balanced splits, format-mix dashboards). Rows-only (binary headers
+    are not SQL-parseable); header-only behavior — corrupt PIXEL data with
+    a valid header still profiles — is pytest-proven."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.multimodal import media_metadata
+
+    paths = _corpus()
+    ds = rd.read_parquet(paths["media"], columns=["media_ref", "bytes"])
+    return media_metadata(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6434,6 +6450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quality_audit": _q_events_quality_audit,
         "loo_target_encoding": _q_loo_target_encoding,
         "pdf_text_layer_extract": _q_pdf_text_layer_extract,
+        "media_metadata_profile": _q_media_metadata_profile,
     }
 
 

@@ -324,3 +324,34 @@ def phash_near_dups(
 
     hashed = image_phash(ds, concurrency=concurrency)
     return hamming_near_dups(hashed, id_col, "phash", max_hamming=max_hamming)
+
+
+def media_metadata(
+    ds: Dataset, ref_col: str = "media_ref", bytes_col: str = "bytes"
+) -> Dataset:
+    """HEADER-ONLY media profiling (imagecodecs.sniff_metadata): per blob,
+    (format, width, height, bit_depth, n_pages) without decoding a pixel —
+    no inflate, no entropy decode, no strip reads. The pre-decode planning
+    pass a 100 TB ingest runs first: exact pixel-cost estimates for
+    cost-balanced splits, page-count and format-mix histograms, oversized-
+    media quarantine — all at a small fraction of decode cost. Unparseable
+    headers become format='error' rows (metadata passes must never abort
+    on one corrupt blob). Map-only; per-row parse is inherent to binary
+    headers and bounded by header size, not payload size."""
+    from ..imagecodecs import sniff_metadata
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        out = {ref_col: [], "format": [], "width": [], "height": [], "bit_depth": [], "n_pages": []}
+        for ref, blob in zip(b[ref_col], b[bytes_col]):
+            try:
+                m = sniff_metadata(blob)
+            except Exception:  # noqa: BLE001 — quarantine, never abort
+                m = {"format": "error", "width": -1, "height": -1, "bit_depth": -1, "n_pages": -1}
+            out[ref_col].append(ref)
+            for k in ("format", "width", "height", "bit_depth", "n_pages"):
+                out[k].append(m[k])
+        return pd.DataFrame(out).astype(
+            {"width": "int64", "height": "int64", "bit_depth": "int64", "n_pages": "int64"}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -671,3 +671,156 @@ def iter_page_images(buf):
         yield p, np.frombuffer(mv, dtype=np.uint8, offset=off + 8, count=w * h).reshape(h, w)
         off += 8 + w * h
         p += 1
+
+
+def sniff_metadata(buf) -> dict:
+    """HEADER-ONLY media profile: {format, width, height, bit_depth,
+    n_pages} for the first page WITHOUT decoding a single pixel — no
+    inflate, no entropy decode, no strip reads. The crawl-ops primitive a
+    100 TB ingest runs BEFORE the expensive decode pass: size/page-count
+    histograms, cost-balanced split planning (media_splits_by_cost uses
+    byte size as the proxy; this gives exact pixel counts), and
+    format-mix dashboards, all at metadata cost.
+
+    Per format: PNG reads IHDR; JPEG walks marker segments to the first
+    SOF (skips by declared lengths, never entropy data); TIFF walks the
+    IFD chain (tag tables only — the same bounded walk as
+    iter_tiff_pages, strips untouched); GIF skips sub-block chains (count
+    of image separators = frame count); BMP/PNM read their fixed headers;
+    PDF parses the object table and page tree but inflates NO streams
+    (dims from /MediaBox in points); raw walks the 8-byte page headers."""
+    data = bytes(memoryview(buf))
+    fmt = sniff_format(data)
+    if fmt == "png":
+        if len(data) < 26 or data[12:16] != b"IHDR":
+            raise ValueError("PNG: truncated IHDR")
+        w, h = struct.unpack_from(">II", data, 16)
+        depth = data[24]
+        return {"format": fmt, "width": w, "height": h, "bit_depth": depth, "n_pages": 1}
+    if fmt == "jpeg":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("JPEG: marker desync in header walk")
+            marker = data[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # baseline/ext/progressive SOF
+                prec = data[pos + 4]
+                h, w = struct.unpack_from(">HH", data, pos + 5)
+                return {"format": fmt, "width": w, "height": h, "bit_depth": prec, "n_pages": 1}
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack_from(">H", data, pos + 2)
+            pos += 2 + seglen
+        raise ValueError("JPEG: no SOF marker before end of header walk")
+    if fmt == "tiff":
+        mv = memoryview(data)
+        bo = "<" if data[:2] == b"II" else ">"
+        (off,) = struct.unpack_from(bo + "I", mv, 4)
+        n_pages, first = 0, None
+        seen = set()
+        while off:
+            if off in seen or len(seen) >= 65536:
+                raise ValueError("TIFF: corrupt IFD chain")
+            seen.add(off)
+            tags, off = _read_ifd(mv, off, bo)
+            if first is None:
+                first = (
+                    tags.get(256, [0])[0],
+                    tags.get(257, [0])[0],
+                    tags.get(258, [8])[0],
+                )
+            n_pages += 1
+        if first is None:
+            raise ValueError("TIFF: no IFDs")
+        return {"format": fmt, "width": first[0], "height": first[1], "bit_depth": first[2], "n_pages": n_pages}
+    if fmt == "gif":
+        w, h = struct.unpack_from("<HH", data, 6)
+        flags = data[10]
+        pos = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+        frames = 0
+        while pos < len(data):
+            b = data[pos]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(data) and data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                frames += 1
+                lflags = data[pos + 9]
+                pos += 10 + (3 * (2 << (lflags & 7)) if lflags & 0x80 else 0)
+                pos += 1  # LZW min code size
+                while pos < len(data) and data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+            else:
+                raise ValueError(f"GIF: unknown block 0x{b:02x} in header walk")
+        return {"format": fmt, "width": w, "height": h, "bit_depth": 8, "n_pages": max(frames, 1)}
+    if fmt == "bmp":
+        w, h = struct.unpack_from("<ii", data, 18)
+        (bpp,) = struct.unpack_from("<H", data, 28)
+        return {"format": fmt, "width": w, "height": abs(h), "bit_depth": bpp, "n_pages": 1}
+    if fmt == "pnm":
+        toks, pos = [], 2
+        while len(toks) < 3 and pos < len(data):
+            if data[pos : pos + 1].isspace():
+                pos += 1
+            elif data[pos] == ord("#"):
+                pos = data.find(b"\n", pos) + 1 or len(data)
+            else:
+                j = pos
+                while j < len(data) and not data[j : j + 1].isspace():
+                    j += 1
+                toks.append(int(data[pos:j]))
+                pos = j
+            if data[1:2] == b"4" and len(toks) == 2:
+                break
+        w, h = toks[0], toks[1]
+        depth = 1 if data[1:2] == b"4" else (8 if len(toks) < 3 or toks[2] < 256 else 16)
+        return {"format": fmt, "width": w, "height": h, "bit_depth": depth, "n_pages": 1}
+    if fmt == "pdf":
+        from tesseract_recognize_ray.pdfcodec import _deref, _page_kids, _parse_objects, _parse_value
+        import re as _re
+
+        objs = _parse_objects(data)
+        pages_node = None
+        trailers = list(_re.finditer(rb"trailer", data))
+        if trailers:
+            try:
+                tdict, _ = _parse_value(data, trailers[-1].end())
+                pages_node = _deref(objs, _deref(objs, tdict["Root"])["Pages"])
+            except (KeyError, ValueError, IndexError):
+                pages_node = None
+        if pages_node is None:
+            cats = [d for d, _s in objs.values() if isinstance(d, dict) and _deref(objs, d.get("Type")) == "/Catalog"]
+            if len(cats) != 1:
+                raise ValueError("PDF: cannot locate the page tree")
+            pages_node = _deref(objs, cats[0]["Pages"])
+        pages: list[dict] = []
+        _page_kids(objs, pages_node, pages)
+        if not pages:
+            raise ValueError("PDF: page tree has no pages")
+        mb = _deref(objs, pages[0].get("MediaBox", [0, 0, 612, 792]))
+        mb = [float(_deref(objs, v)) for v in mb]
+        return {
+            "format": fmt,
+            "width": int(round(mb[2] - mb[0])),
+            "height": int(round(mb[3] - mb[1])),
+            "bit_depth": 8,
+            "n_pages": len(pages),
+        }
+    # raw fixture blobs: 8-byte (w, h) LE headers per page
+    off, n_pages, first = 0, 0, None
+    while off + 8 <= len(data):
+        w = int.from_bytes(data[off : off + 4], "little")
+        h = int.from_bytes(data[off + 4 : off + 8], "little")
+        if first is None:
+            first = (w, h)
+        n_pages += 1
+        off += 8 + w * h
+    if first is None or off != len(data):
+        raise ValueError("raw: truncated page chain")
+    return {"format": "raw", "width": first[0], "height": first[1], "bit_depth": 8, "n_pages": n_pages}

@@ -98,3 +98,79 @@ def test_phash_dups_planted(ray_session):
     assert groups.get("a") == {"a", "a_copy"}
     assert groups.get("b") == {"b", "b_scaled"}
     assert "c" not in set(out["media_ref"])
+
+
+# ------------------------------------------------------ header-only metadata
+def test_sniff_metadata_header_only_every_format():
+    """sniff_metadata reports (format, dims, depth, pages) for every codec
+    WITHOUT touching pixel data — corrupting the payload (but not the
+    header) must not change the result."""
+    import numpy as np
+
+    from tesseract_recognize_ray import legacycodecs as lcod
+    from tesseract_recognize_ray.imagecodecs import (
+        encode_png_gray,
+        encode_tiff_gray,
+        sniff_metadata,
+    )
+    from tesseract_recognize_ray.jpegcodec import encode_jpeg_gray
+    from tesseract_recognize_ray.pdfcodec import encode_pdf_scanned, encode_pdf_text
+
+    img = (np.add.outer(np.arange(24), np.arange(31)) % 251).astype(np.uint8)
+    img2 = img[:16, :20].copy()
+    cases = [
+        (encode_png_gray(img), ("png", 31, 24, 8, 1)),
+        (encode_tiff_gray([img, img2]), ("tiff", 31, 24, 8, 2)),
+        (encode_jpeg_gray(img, quality=95, mode="gray"), ("jpeg", 31, 24, 8, 1)),
+        (lcod.encode_gif_gray(img), ("gif", 31, 24, 8, 1)),
+        (lcod.encode_bmp_gray(img), ("bmp", 31, 24, 8, 1)),
+        (lcod.encode_pnm_gray(img), ("pnm", 31, 24, 8, 1)),
+        (lcod.encode_pnm_gray(img, bilevel=True), ("pnm", 31, 24, 1, 1)),
+        # scanned-PDF MediaBox equals the page pixel dims (encoder contract)
+        (encode_pdf_scanned([img, img2]), ("pdf", 31, 24, 8, 2)),
+        (encode_pdf_text([["a"], ["b"], ["c"]]), ("pdf", 612, 792, 8, 3)),
+    ]
+    for blob, want in cases:
+        m = sniff_metadata(blob)
+        got = (m["format"], m["width"], m["height"], m["bit_depth"], m["n_pages"])
+        assert got == want, (got, want)
+
+    # header-only proof: corrupt the PNG pixel stream body (IDAT payload),
+    # keep IHDR — metadata identical, while a decode would fail
+    png = bytearray(encode_png_gray(img))
+    idat = png.find(b"IDAT")
+    png[idat + 8 : idat + 24] = b"\x00" * 16
+    m = sniff_metadata(bytes(png))
+    assert (m["width"], m["height"]) == (31, 24)
+    import pytest as _pytest
+
+    from tesseract_recognize_ray.imagecodecs import decode_png
+
+    with _pytest.raises(Exception):
+        decode_png(bytes(png))
+
+
+def test_media_metadata_operator_and_quarantine(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from tesseract_recognize_ray.functions.multimodal import media_metadata
+    from tesseract_recognize_ray.imagecodecs import encode_png_gray
+
+    img = np.zeros((10, 12), np.uint8)
+    df = pd.DataFrame(
+        {
+            "media_ref": ["ok", "bad"],
+            "bytes": [encode_png_gray(img), b"\x89PNG\r\n\x1a\n trunc"],
+        }
+    )
+    out = (
+        media_metadata(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("media_ref")
+    )
+    assert out.loc["ok", "format"] == "png"
+    assert (out.loc["ok", ["width", "height", "n_pages"]] == [12, 10, 1]).all()
+    assert out.loc["bad", "format"] == "error"
+    assert out.loc["bad", "n_pages"] == -1
