@@ -677,3 +677,101 @@ def test_scd2_intervals_partition_history(ray_session):
         # adjacent runs always change value (maximal runs)
         tp = g["event_type"].to_numpy()
         assert (tp[1:] != tp[:-1]).all()
+
+
+# ------------------------------------------------------------ compaction
+def test_compact_parquet_dir_preserves_rows_and_converges(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.state.compact import (
+        compact_bin,
+        compact_parquet_dir,
+        plan_compaction,
+    )
+
+    root = str(tmp_path / "state")
+    rng = np.random.default_rng(2)
+    want = {}
+    for part in ("k=0", "k=1"):
+        d = os.path.join(root, part)
+        os.makedirs(d)
+        rows = []
+        for i in range(7):  # 7 small files per partition
+            t = pa.table({"a": rng.integers(0, 100, 20), "b": rng.normal(size=20)})
+            pq.write_table(t, os.path.join(d, f"part-{i:04d}.parquet"))
+            rows.append(t)
+        want[part] = pa.concat_tables(rows)
+
+    summary = compact_parquet_dir(root, target_bytes=1 << 30)
+    assert len(summary) == 2 and not summary["skipped"].any()
+    for part in ("k=0", "k=1"):
+        d = os.path.join(root, part)
+        files = sorted(os.listdir(d))
+        assert len(files) == 1 and files[0].startswith("compact-")
+        got = pq.read_table(os.path.join(d, files[0]))
+        # row content identical (order within the dir is not part of the
+        # contract; sort both)
+        a = want[part].to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        g = got.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, g)
+
+    # idempotence: a second pass finds nothing to do
+    assert plan_compaction(root) == []
+
+    # crash-resume: final file exists but one member resurfaced (crash
+    # between replace and deletes) -> re-running the bin deletes the
+    # member WITHOUT rewriting (skipped=True), so rows never duplicate
+    d = os.path.join(root, "k=0")
+    pq.write_table(want["k=0"].slice(0, 20), os.path.join(d, "part-0000.parquet"))
+    members = ["part-0000.parquet"] + [
+        f for f in sorted(os.listdir(d)) if f.startswith("compact-")
+    ]
+    # simulate the ORIGINAL bin (same member list -> same final name)
+    orig_members = [f"part-{i:04d}.parquet" for i in range(7)]
+    res = compact_bin(d, orig_members)
+    assert res["skipped"] is True
+    assert sorted(os.listdir(d))[0].startswith("compact-")
+    assert not os.path.exists(os.path.join(d, "part-0000.parquet"))
+
+
+def test_compacted_lsh_index_answers_identically(ray_session, tmp_path):
+    """Compacting the persisted cross-run LSH index must not change query
+    results — the operator's real consumer."""
+    from tesseract_recognize_ray.functions.dedup import (
+        append_lsh_index,
+        build_lsh_index,
+        query_lsh_index,
+    )
+    from tesseract_recognize_ray.state.compact import compact_parquet_dir
+
+    rng = np.random.default_rng(17)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    mk = lambda n, base: pd.DataFrame(
+        {
+            "doc_id": np.arange(base, base + n, dtype=np.int64),
+            "text": [" ".join(rng.choice(vocab, size=30)) for _ in range(n)],
+        }
+    )
+    olds = mk(40, 100)
+    olds.loc[20:, "text"] = olds.loc[:19, "text"].to_numpy()  # planted dups
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(ray.data.from_pandas(olds.iloc[:25]).repartition(3), "doc_id", "text", idx)
+    append_lsh_index(ray.data.from_pandas(olds.iloc[25:]).repartition(3), "doc_id", "text", idx)
+    new = mk(12, 0)
+    new["text"] = olds["text"].iloc[:12].to_numpy()  # every new doc matches
+    before = (
+        query_lsh_index(ray.data.from_pandas(new), "doc_id", "text", idx, min_est=0.5)
+        .sort_values(["id_new", "id_old"])
+        .reset_index(drop=True)
+    )
+    summary = compact_parquet_dir(idx)
+    assert len(summary) > 0  # append created multiple files somewhere
+    after = (
+        query_lsh_index(ray.data.from_pandas(new), "doc_id", "text", idx, min_est=0.5)
+        .sort_values(["id_new", "id_old"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after)
