@@ -85,6 +85,46 @@ def media_splits_by_cost(files: list[str], n_splits: int) -> list[dict]:
     return out
 
 
+def media_splits_by_pixel_cost(files: list[str], n_splits: int) -> list[dict]:
+    """EXACT pixel-cost split planning (the north_star's "explicit
+    repartitioning by estimated pixel-count cost"): the media table carries
+    width/height columns, so per-row cost = w*h*n_pages is a cheap COLUMN
+    read — no payload bytes move at planning time. Split boundaries cut
+    each file's prefix-sum of row costs into equal-cost ranges, so a run of
+    2400x1600 pads lands in many short splits while a thumbnail run shares
+    one — row-level balancing where media_splits_by_cost (byte proxy,
+    uniform-within-file assumption) can only balance across files. Falls
+    back to the byte planner for files missing the dimension columns."""
+    per_file = []
+    total = 0.0
+    for f in sorted(files):
+        md = pq.read_metadata(f)
+        names = md.schema.names
+        if not {"width", "height", "n_pages"} <= set(names):
+            return media_splits_by_cost(files, n_splits)
+        t = pq.read_table(f, columns=["width", "height", "n_pages"])
+        cost = (
+            t.column("width").to_numpy().astype(np.float64)
+            * t.column("height").to_numpy().astype(np.float64)
+            * np.maximum(t.column("n_pages").to_numpy().astype(np.float64), 1.0)
+        )
+        per_file.append((f, cost))
+        total += float(cost.sum())
+    target = max(total / max(1, n_splits), 1.0)
+    out = []
+    for f, cost in per_file:
+        csum = np.cumsum(cost)
+        start = 0
+        acc0 = 0.0
+        for i in range(len(cost)):
+            if csum[i] - acc0 >= target and i + 1 > start:
+                out.append({"path": f, "row_start": start, "row_count": i + 1 - start})
+                start, acc0 = i + 1, float(csum[i])
+        if start < len(cost):
+            out.append({"path": f, "row_start": start, "row_count": len(cost) - start})
+    return out
+
+
 class MediaPathReader:
     """read+decode+segment+recognize for one split, pixels never leaving the
     task. __init__ = once-per-actor state (A1); __call__ = generator over
@@ -345,9 +385,10 @@ def recognized_lines_from_files(
     if splits is None:
         splits = media_splits(files, rows_per_split)
         if rows_per_split is None and len(splits) < min_splits:
-            # few large files: re-split with byte-balanced budgets so one
-            # big-page shard doesn't become the straggler (§4 skew)
-            splits = media_splits_by_cost(files, min_splits)
+            # few large files: re-split with exact pixel-cost budgets (row-
+            # level prefix-sum cuts; §4 skew) so one big-page shard doesn't
+            # become the straggler — byte-proxy fallback inside the planner
+            splits = media_splits_by_pixel_cost(files, min_splits)
     if not splits:
         return rd.from_arrow(
             pa.Table.from_pydict({f.name: pa.array([], f.type) for f in REC_SCHEMA})

@@ -775,3 +775,55 @@ def test_compacted_lsh_index_answers_identically(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(before, after)
+
+
+# ------------------------------------------------- pixel-cost split planning
+def test_media_splits_by_pixel_cost_balances_row_level_skew(ray_session, tmp_path):
+    """A file whose second half carries 64x the pixels per row: the pixel
+    planner gives the heavy half proportionally more, smaller splits; the
+    byte planner (uniform rows within a file) cannot. Every row is covered
+    exactly once either way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.stages.media_source import (
+        media_splits_by_cost,
+        media_splits_by_pixel_cost,
+    )
+
+    w = np.array([20] * 100 + [160] * 100)
+    h = np.array([20] * 100 + [160] * 100)
+    t = pa.table(
+        {
+            "media_ref": [f"m{i}" for i in range(200)],
+            "bytes": [b"x" for _ in range(200)],  # payload irrelevant here
+            "width": pa.array(w, pa.int64()),
+            "height": pa.array(h, pa.int64()),
+            "kind": ["page"] * 200,
+            "n_pages": pa.array([1] * 200, pa.int32()),
+        }
+    )
+    f = str(tmp_path / "m.parquet")
+    pq.write_table(t, f)
+
+    splits = media_splits_by_pixel_cost([f], 8)
+    # full single coverage
+    covered = sorted(
+        (s["row_start"], s["row_start"] + s["row_count"]) for s in splits
+    )
+    assert covered[0][0] == 0 and covered[-1][1] == 200
+    assert all(a[1] == b[0] for a, b in zip(covered, covered[1:]))
+    # balance: per-split pixel cost within 2x of the ideal share
+    cost = (w * h).astype(float)
+    ideal = cost.sum() / 8
+    sums = [cost[s["row_start"] : s["row_start"] + s["row_count"]].sum() for s in splits]
+    assert max(sums) <= 2 * ideal
+    # the heavy half gets most of the splits; the byte planner splits
+    # uniformly by rows so its worst split carries ~64x a light one
+    heavy_splits = sum(1 for s in splits if s["row_start"] >= 100)
+    assert heavy_splits >= len(splits) * 0.6
+    bsplits = media_splits_by_cost([f], 8)
+    bsums = [cost[s["row_start"] : s["row_start"] + s["row_count"]].sum() for s in bsplits]
+    # the proxy planner's straggler carries strictly more than the pixel
+    # planner's worst split (uniform rows-per-split can't see row skew)
+    assert max(bsums) > 1.4 * max(sums)
