@@ -6228,6 +6228,15 @@ def _q_media_metadata_profile(sf_dir: str):
     return media_metadata(ds)
 
 
+def _q_decayed_user_activity(sf_dir: str):
+    """Recency-weighted activity score per user (24h half-life, anchored at
+    the table's max ts): each event contributes 2^(-age/half_life),
+    quantized to integer 1e-9 units BEFORE the sum so the bucketed reduce
+    is exact in any order and the SQL replay matches bit-for-bit."""
+    ds = F.load(sf_dir, "events", columns=["user_id", "ts"])
+    return F.decayed_count(ds, "user_id", "ts", half_life_s=86400.0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6451,6 +6460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "loo_target_encoding": _q_loo_target_encoding,
         "pdf_text_layer_extract": _q_pdf_text_layer_extract,
         "media_metadata_profile": _q_media_metadata_profile,
+        "decayed_user_activity": _q_decayed_user_activity,
     }
 
 
@@ -9129,6 +9139,16 @@ def oracle_sql() -> dict[str, str]:
             FROM pos
             WHERE p <= 48
             GROUP BY doc_id, (p - 1) // 8
+        """,
+        "decayed_user_activity": """
+            WITH anchor AS MATERIALIZED (SELECT max(ts) AS t FROM events)
+            SELECT user_id,
+                   sum(CAST(ROUND(exp(-(ln(2.0) / 86400.0)
+                                      * (date_diff('microsecond', ts, a.t)
+                                         / 1000000.0)) * 1e9) AS BIGINT))
+                       AS decay_e9
+            FROM events, anchor a
+            GROUP BY user_id
         """,
         "loo_target_encoding": """
             WITH c AS MATERIALIZED (

@@ -159,6 +159,11 @@ _BENCH_QUERIES = [
     "incremental_agg_refresh",
     "mmr_diverse_topk",
     "phrase_match_docs",
+    "events_snapshot_diff",
+    "events_quality_audit",
+    "loo_target_encoding",
+    "pdf_text_layer_extract",
+    "media_metadata_profile",
 ]
 
 

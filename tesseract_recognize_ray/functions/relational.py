@@ -2756,3 +2756,41 @@ def constraint_audit(
         [("n_violations", "sum", "n_violations")],
         reduce_blocks=4,
     )
+
+
+def decayed_count(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    *,
+    half_life_s: float,
+    now=None,
+    out_col: str = "decay_e9",
+) -> Dataset:
+    """Exponentially-decayed event count per key (the trending-topics /
+    recency-weighted-frequency primitive): score = sum over the key's
+    events of 2^(-(now - t)/half_life). Each addend is quantized to an
+    int64 BEFORE the sum (round(w * 1e9) — the unigram_logprob micro-unit
+    trick), so the distributed reduce is exact integer addition in any
+    order and a SQL oracle replays it bit-for-bit; emitting the raw float
+    sum instead would flip 1e-9-rounded comparisons at ~1e-12 probability
+    per key, which a 10^9-key corpus turns into certainties.
+
+    Scale shape: one tiny Max(ts) pass when ``now`` is None (the decay
+    anchor must be one global constant), then per-block pyarrow partials
+    feed grouped_agg's bucketed combiner reduce — one row per key per
+    block on the wire."""
+    if now is None:
+        agg = ds.aggregate(Max(ts_col))
+        now = agg[f"max({ts_col})"]
+    now64 = np.datetime64(now, "us").astype("int64")
+    lam = np.log(2.0) / float(half_life_s)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        dt_s = (now64 - ts.astype("int64")).astype(np.float64) / 1e6
+        q = np.round(np.exp(-lam * dt_s) * 1e9).astype(np.int64)
+        return pa.table({key: t.column(key), "__q": pa.array(q)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(parts, [key], [("__q", "sum", out_col)])

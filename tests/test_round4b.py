@@ -827,3 +827,40 @@ def test_media_splits_by_pixel_cost_balances_row_level_skew(ray_session, tmp_pat
     # the proxy planner's straggler carries strictly more than the pixel
     # planner's worst split (uniform rows-per-split can't see row skew)
     assert max(bsums) > 1.4 * max(sums)
+
+
+# ------------------------------------------------------------ decayed count
+def test_decayed_count_exact_and_partition_invariant(ray_session):
+    from tesseract_recognize_ray.functions.relational import decayed_count
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, n),
+            "ts": pd.to_datetime("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 86400 * 14, n), unit="s"),
+        }
+    )
+    now = df["ts"].max()
+    lam = np.log(2.0) / 86400.0
+    dt = (np.datetime64(now, "us").astype("int64")
+          - df["ts"].to_numpy("datetime64[us]").astype("int64")) / 1e6
+    df["q"] = np.round(np.exp(-lam * dt) * 1e9).astype(np.int64)
+    ref = df.groupby("k")["q"].sum().sort_index()
+
+    for parts in (1, 9):
+        got = (
+            decayed_count(
+                ray.data.from_pandas(df[["k", "ts"]]).repartition(parts),
+                "k",
+                "ts",
+                half_life_s=86400.0,
+            )
+            .to_pandas()
+            .set_index("k")["decay_e9"]
+            .sort_index()
+        )
+        assert got.tolist() == ref.tolist()  # exact ints, any partitioning
+    # sanity: a key's freshest event dominates its oldest
+    assert df[df.ts == now]["q"].iloc[0] == 10**9
