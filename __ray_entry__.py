@@ -6237,6 +6237,18 @@ def _q_decayed_user_activity(sf_dir: str):
     return F.decayed_count(ds, "user_id", "ts", half_life_s=86400.0)
 
 
+def _q_banned_phrase_scan(sf_dir: str):
+    """Safety-filter stage: scan the corpus against a blocklist of phrases
+    of MIXED token lengths in one vectorized map (one flat_ngrams pass +
+    one hash probe per distinct length per batch — a 1000-phrase list costs
+    a handful of Arrow kernels). Oracle replays each length's position
+    windows in SQL and joins the phrase list as VALUES."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    return F_text.multi_phrase_match(
+        ds, "doc_id", "text", ["vector", "table scan", "sort merge join"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6461,6 +6473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_text_layer_extract": _q_pdf_text_layer_extract,
         "media_metadata_profile": _q_media_metadata_profile,
         "decayed_user_activity": _q_decayed_user_activity,
+        "banned_phrase_scan": _q_banned_phrase_scan,
     }
 
 
@@ -9139,6 +9152,31 @@ def oracle_sql() -> dict[str, str]:
             FROM pos
             WHERE p <= 48
             GROUP BY doc_id, (p - 1) // 8
+        """,
+        "banned_phrase_scan": """
+            WITH t AS MATERIALIZED (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                   x -> x <> '') AS ts
+                FROM documents
+            ),
+            pos AS MATERIALIZED (
+                SELECT doc_id, ts, generate_subscripts(ts, 1) AS p,
+                       unnest(ts) AS tok
+                FROM t
+            ),
+            grams AS MATERIALIZED (
+                SELECT doc_id, tok AS g FROM pos
+                UNION ALL
+                SELECT doc_id, tok || ' ' || ts[p+1] FROM pos WHERE p < len(ts)
+                UNION ALL
+                SELECT doc_id, tok || ' ' || ts[p+1] || ' ' || ts[p+2]
+                FROM pos WHERE p + 1 < len(ts)
+            ),
+            blocklist(phrase) AS (VALUES ('vector'), ('table scan'), ('sort merge join'))
+            SELECT g.doc_id, b.phrase, count(*)::BIGINT AS n_hits
+            FROM grams g JOIN blocklist b ON g.g = b.phrase
+            GROUP BY 1, 2
         """,
         "decayed_user_activity": """
             WITH anchor AS MATERIALIZED (SELECT max(ts) AS t FROM events)

@@ -864,3 +864,48 @@ def test_decayed_count_exact_and_partition_invariant(ray_session):
         assert got.tolist() == ref.tolist()  # exact ints, any partitioning
     # sanity: a key's freshest event dominates its oldest
     assert df[df.ts == now]["q"].iloc[0] == 10**9
+
+
+# ------------------------------------------------------- multi-phrase scan
+def test_multi_phrase_match_mixed_lengths(ray_session):
+    from tesseract_recognize_ray.functions.textstats import multi_phrase_match
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "Ban-word here; table SCAN twice: table scan!",
+                "sort merge join and ban word",
+                "nothing of note",
+            ],
+        }
+    )
+    out = (
+        multi_phrase_match(
+            ray.data.from_pandas(df).repartition(2),
+            "doc_id",
+            "text",
+            ["ban word", "table scan", "sort merge join"],
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "phrase"])
+    )
+    got = {(r.doc_id, r.phrase): r.n_hits for r in out.itertuples()}
+    assert got == {
+        (1, "ban word"): 1,  # 'Ban-word' normalizes to the phrase
+        (1, "table scan"): 2,
+        (2, "ban word"): 1,
+        (2, "sort merge join"): 1,
+    }
+
+
+def test_multi_phrase_match_rejects_empty_phrase(ray_session):
+    from tesseract_recognize_ray.functions.textstats import multi_phrase_match
+
+    with pytest.raises(ValueError, match="no alpha tokens"):
+        multi_phrase_match(
+            ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]})),
+            "doc_id",
+            "text",
+            ["123"],
+        )
