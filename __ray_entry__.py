@@ -6249,6 +6249,55 @@ def _q_banned_phrase_scan(sf_dir: str):
     )
 
 
+def _q_incremental_stream_sim(sf_dir: str):
+    """Micro-batch ingest simulation (the agg-state swap path under load):
+    events split into four chronological windows; window 1 builds the
+    persisted per-user state, windows 2-4 each arrive as a delta and
+    refresh WITH update=True (write-new / swap per batch — three swaps),
+    never rescanning history. The final state must equal a from-scratch
+    GROUP BY over the whole table, which is what the oracle computes.
+    State is rebuilt per call (a re-refresh of already-folded deltas would
+    double-count — exactly the property the sim demonstrates)."""
+    import shutil
+
+    from tesseract_recognize_ray.state.agg_state import (
+        agg_state_build,
+        agg_state_refresh,
+    )
+
+    from ray.data.aggregate import Max as _RayMax
+    from ray.data.aggregate import Min as _RayMin
+
+    ds = F.load(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    lohi = ds.aggregate(_RayMin("ts"), _RayMax("ts"))
+    lo = np.datetime64(lohi["min(ts)"], "us").astype("int64")
+    hi = np.datetime64(lohi["max(ts)"], "us").astype("int64") + 1
+    edges = [lo + (hi - lo) * k // 4 for k in range(5)]
+
+    def window(k: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ts = pc.cast(b.column("ts"), pa.int64())
+            m = pc.and_(
+                pc.greater_equal(ts, edges[k]), pc.less(ts, edges[k + 1])
+            )
+            return b.filter(m).drop_columns(["ts"])
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    specs = [("event_id", "count", "n_events"), ("value", "sum", "sum_value")]
+    import os
+
+    path = f"/tmp/trr_streamsim_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(path, ignore_errors=True)
+    agg_state_build(window(0), ["user_id"], specs, path)
+    out = None
+    for k in (1, 2, 3):
+        out = agg_state_refresh(
+            window(k), ["user_id"], specs, path, update=True, reduce_blocks=8
+        )
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6474,6 +6523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata_profile": _q_media_metadata_profile,
         "decayed_user_activity": _q_decayed_user_activity,
         "banned_phrase_scan": _q_banned_phrase_scan,
+        "incremental_stream_sim": _q_incremental_stream_sim,
     }
 
 
@@ -9177,6 +9227,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, b.phrase, count(*)::BIGINT AS n_hits
             FROM grams g JOIN blocklist b ON g.g = b.phrase
             GROUP BY 1, 2
+        """,
+        "incremental_stream_sim": """
+            SELECT user_id, count(*)::BIGINT AS n_events, sum(value) AS sum_value
+            FROM events GROUP BY user_id
         """,
         "decayed_user_activity": """
             WITH anchor AS MATERIALIZED (SELECT max(ts) AS t FROM events)
