@@ -1242,6 +1242,11 @@ def multi_phrase_match(
         if not toks:
             raise ValueError(f"multi_phrase_match: phrase {ph!r} has no alpha tokens")
         normed = " ".join(toks)
+        if any(normed == c for c, _ in canon):
+            raise ValueError(
+                f"multi_phrase_match: {ph!r} normalizes to {normed!r}, which "
+                "another phrase in the list already covers"
+            )
         norm_phrases.setdefault(len(toks), []).append(normed)
         canon.append((normed, ph))
     by_len = {
