@@ -6298,6 +6298,19 @@ def _q_incremental_stream_sim(sf_dir: str):
     return out
 
 
+def _q_exact_value_quantiles(sf_dir: str):
+    """EXACT p50/p90/p99 of event value via distributed 2-pass selection
+    (sketches.exact_quantile_2pass): pass 1's bin summaries locate the
+    k-th order statistic's bin, pass 2 materializes only that bin's values
+    (~N/4096 rows) — no all-to-all sort ever runs. Values are exact source
+    doubles, so the ORDER BY row_number oracle matches bit-for-bit."""
+    from tesseract_recognize_ray.functions.sketches import exact_quantile_2pass
+
+    ds = F.load(sf_dir, "events", columns=["value"])
+    est = exact_quantile_2pass(ds, "value", [0.5, 0.9, 0.99])
+    return pd.DataFrame({"q": list(est.keys()), "exact_q": list(est.values())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6524,6 +6537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_user_activity": _q_decayed_user_activity,
         "banned_phrase_scan": _q_banned_phrase_scan,
         "incremental_stream_sim": _q_incremental_stream_sim,
+        "exact_value_quantiles": _q_exact_value_quantiles,
     }
 
 
@@ -9231,6 +9245,17 @@ def oracle_sql() -> dict[str, str]:
         "incremental_stream_sim": """
             SELECT user_id, count(*)::BIGINT AS n_events, sum(value) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        "exact_value_quantiles": """
+            WITH qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+            r AS MATERIALIZED (
+                SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                       count(*) OVER () AS n
+                FROM events
+            )
+            SELECT q, value AS exact_q
+            FROM qs JOIN r
+              ON r.rn = greatest(1, least(CAST(ceil(q * r.n) AS BIGINT), r.n))
         """,
         "decayed_user_activity": """
             WITH anchor AS MATERIALIZED (SELECT max(ts) AS t FROM events)

@@ -374,3 +374,68 @@ def grouped_histogram_quantile(
         return pd.DataFrame({key: [g[key].iloc[0]] * len(qs), "q": qs, "value": vals})
 
     return merged.groupby(key).map_groups(fold, batch_format="pandas")
+
+
+def exact_quantile_2pass(
+    ds: Dataset, col: str, qs: list[float], nbins: int = 4096
+) -> dict[float, float]:
+    """EXACT quantiles (k-th order statistics, k = ceil(q*N), discrete /
+    lower semantics) in TWO streaming passes — no all-to-all sort:
+
+      pass 1: the histogram_quantile_sketch layout (Min/Max + exact
+              per-bin counts, one bin-summary exchange) locates, for every
+              requested q, the bin that CONTAINS the k-th value and how
+              many values fall below that bin;
+      pass 2: ONE filtered scan materializes only the candidate bins'
+              values (expected N/nbins rows per bin — bounded and tiny),
+              and the driver picks the (k - below)-th smallest inside each.
+
+    The classic distributed-selection contrast: an exact quantile via sort
+    moves EVERY row through an all-to-all; this moves bin summaries plus
+    one bin's worth of raw values per quantile. Ties are harmless (the
+    k-th order statistic is tie-order-independent). NaNs are excluded,
+    matching SQL aggregate semantics."""
+    stats = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    if hi == lo:
+        return {q: lo for q in qs}
+    w = (hi - lo) / nbins
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        bins = np.minimum(((v - lo) / w).astype(np.int64), nbins - 1)
+        cnt = np.bincount(bins, minlength=nbins)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bin": nz.astype(np.int64), "n": cnt[nz].astype(np.int64)})
+
+    hdf = ds.map_batches(partial, batch_format="pandas").groupby("bin").sum("n").to_pandas()
+    counts = np.zeros(nbins, dtype=np.int64)
+    counts[hdf["bin"].to_numpy()] = hdf["sum(n)"].to_numpy()
+    csum = np.cumsum(counts)
+    total = int(csum[-1])
+
+    want: dict[float, tuple[int, int, int]] = {}  # q -> (bin, k, below)
+    for q in qs:
+        k = max(1, int(-(-q * total // 1)))  # ceil, 1-based
+        k = min(k, total)
+        b = int(np.searchsorted(csum, k, side="left"))
+        below = int(csum[b - 1]) if b else 0
+        want[q] = (b, k, below)
+
+    target_bins = sorted({b for b, _k, _below in want.values()})
+    blo = {b: lo + b * w for b in target_bins}
+
+    def grab(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        bins = np.minimum(((v - lo) / w).astype(np.int64), nbins - 1)
+        keep = np.isin(bins, target_bins)
+        return pd.DataFrame({"bin": bins[keep], "v": v[keep]})
+
+    cand = ds.map_batches(grab, batch_format="pandas").to_pandas()
+    out: dict[float, float] = {}
+    for q, (b, k, below) in want.items():
+        vals = np.sort(cand.loc[cand["bin"] == b, "v"].to_numpy())
+        out[q] = float(vals[k - below - 1])
+    return out

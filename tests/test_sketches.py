@@ -70,3 +70,39 @@ def test_frequent_terms_undercount_bound(ray_session):
     assert "hh" in out.index  # any item with freq > N/(m+1) must survive
     n_total = 100 * 12
     assert 400 - n_total / 9 <= out.loc["hh", "n_min"] <= 400
+
+
+def test_exact_quantile_2pass_matches_numpy_order_statistic(ray_session):
+    """The 2-pass selection returns the EXACT k-th smallest (k=ceil(q*N)),
+    including duplicate-heavy distributions where bins collapse."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from tesseract_recognize_ray.functions.sketches import exact_quantile_2pass
+
+    rng = np.random.default_rng(6)
+    # heavy duplicates + outliers: many values collapse into few bins
+    v = np.concatenate(
+        [
+            np.round(rng.normal(100, 5, 20_000), 1),
+            np.full(5_000, 42.0),
+            rng.uniform(0, 10_000, 50),
+        ]
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"value": v})).repartition(7)
+    got = exact_quantile_2pass(ds, "value", [0.01, 0.5, 0.9, 0.999])
+    sv = np.sort(v)
+    for q, val in got.items():
+        k = max(1, int(np.ceil(q * len(v))))
+        assert val == sv[k - 1], (q, val, sv[k - 1])
+
+
+def test_exact_quantile_2pass_constant_column(ray_session):
+    import pandas as pd
+    import ray
+
+    from tesseract_recognize_ray.functions.sketches import exact_quantile_2pass
+
+    ds = ray.data.from_pandas(pd.DataFrame({"value": [7.0] * 100}))
+    assert exact_quantile_2pass(ds, "value", [0.5]) == {0.5: 7.0}
