@@ -6311,6 +6311,15 @@ def _q_exact_value_quantiles(sf_dir: str):
     return pd.DataFrame({"q": list(est.keys()), "exact_q": list(est.values())})
 
 
+def _q_bool_search_docs(sf_dir: str):
+    """Boolean retrieval (AND of must-terms, NOT of banned terms) as a
+    zero-shuffle map: one tokenize + one hash probe per term set per batch,
+    per-row containment by distinct (row, term) pair counting. The oracle
+    is the list_contains conjunction."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"])
+    return F_text.bool_search(ds, "doc_id", "text", must=["hash", "join"], must_not=["slow"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6538,6 +6547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "banned_phrase_scan": _q_banned_phrase_scan,
         "incremental_stream_sim": _q_incremental_stream_sim,
         "exact_value_quantiles": _q_exact_value_quantiles,
+        "bool_search_docs": _q_bool_search_docs,
     }
 
 
@@ -9245,6 +9255,17 @@ def oracle_sql() -> dict[str, str]:
         "incremental_stream_sim": """
             SELECT user_id, count(*)::BIGINT AS n_events, sum(value) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        "bool_search_docs": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                   x -> x <> '') AS ts
+                FROM documents
+            )
+            SELECT doc_id FROM toks
+            WHERE list_contains(ts, 'hash') AND list_contains(ts, 'join')
+              AND NOT list_contains(ts, 'slow')
         """,
         "exact_value_quantiles": """
             WITH qs(q) AS (VALUES (0.5), (0.9), (0.99)),

@@ -1289,3 +1289,53 @@ def multi_phrase_match(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bool_search(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    must: list[str],
+    must_not: list[str] = (),
+) -> Dataset:
+    """Boolean retrieval over lowercased alpha tokens: keep documents that
+    contain EVERY `must` term and NO `must_not` term (the AND/NOT filter a
+    corpus curation pass runs before ranking). Pure map — per batch, one
+    tokenize + one pc.is_in probe per term set, then per-row containment
+    via bincount over matched (row, term) pairs. No shuffle at any scale."""
+    must_n = [t.lower() for t in must]
+    if not must_n:
+        raise ValueError("bool_search: empty must list")
+    must_arr = pa.array(sorted(set(must_n)), pa.string())
+    not_arr = pa.array(sorted({t.lower() for t in must_not}), pa.string())
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select([id_col])
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(b.column(text_col)), "[^a-z]+", " "
+        )
+        toks, ridx = flat_ngrams(norm, 1)
+        n = b.num_rows
+        ok = np.zeros(n, dtype=bool)
+        if len(toks):
+            mi = pc.index_in(toks, value_set=must_arr)
+            valid = mi.is_valid().to_numpy(zero_copy_only=False)
+            # distinct (row, term) pairs -> a row qualifies when it holds
+            # ALL len(must_arr) distinct terms
+            if valid.any():
+                key = ridx[valid] * len(must_arr) + mi.fill_null(0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)[valid]
+                pairs = np.unique(key)
+                per_row = np.bincount(pairs // len(must_arr), minlength=n)
+                ok = per_row == len(must_arr)
+            if len(not_arr):
+                banned = pc.is_in(toks, value_set=not_arr).to_numpy(
+                    zero_copy_only=False
+                )
+                if banned.any():
+                    ok[np.unique(ridx[banned])] = False
+        return b.select([id_col]).filter(pa.array(ok))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -251,3 +251,44 @@ def test_simhash_md5_vectorized_equals_naive(texts):
             v = sum(1 << b for b in range(64) if acc[b] > 0)
             want = f"{v:016x}"
         assert got["simhash"].iloc[i] == want, (i, t)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=90),
+    h=st.integers(min_value=1, max_value=70),
+    fmt=st.sampled_from(["png", "tiff", "jpeg", "gif", "bmp", "pnm", "pdf"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_sniff_metadata_agrees_with_encoder_input(w, h, fmt, seed):
+    """Property: for every encoder and any dims, header-only metadata
+    reports exactly the encoded dimensions and page count."""
+    import numpy as np
+
+    from tesseract_recognize_ray import legacycodecs as lcod
+    from tesseract_recognize_ray.imagecodecs import (
+        encode_png_gray,
+        encode_tiff_gray,
+        sniff_metadata,
+    )
+    from tesseract_recognize_ray.jpegcodec import encode_jpeg_gray
+    from tesseract_recognize_ray.pdfcodec import encode_pdf_scanned
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    if fmt == "png":
+        blob, pages = encode_png_gray(img), 1
+    elif fmt == "tiff":
+        blob, pages = encode_tiff_gray([img, img]), 2
+    elif fmt == "jpeg":
+        blob, pages = encode_jpeg_gray(img, quality=95, mode="gray"), 1
+    elif fmt == "gif":
+        blob, pages = lcod.encode_gif_gray(img), 1
+    elif fmt == "bmp":
+        blob, pages = lcod.encode_bmp_gray(img), 1
+    elif fmt == "pnm":
+        blob, pages = lcod.encode_pnm_gray(img), 1
+    else:
+        blob, pages = encode_pdf_scanned([img]), 1
+    m = sniff_metadata(blob)
+    assert (m["format"], m["width"], m["height"], m["n_pages"]) == (fmt, w, h, pages)

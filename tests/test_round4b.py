@@ -909,3 +909,31 @@ def test_multi_phrase_match_rejects_empty_phrase(ray_session):
             "text",
             ["123"],
         )
+
+
+# -------------------------------------------------------------- bool search
+def test_bool_search_and_not_semantics(ray_session):
+    from tesseract_recognize_ray.functions.textstats import bool_search
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "hash and join here",  # both musts -> kept
+                "hash only",  # missing 'join' -> dropped
+                "hash join but slow",  # banned term -> dropped
+                "JOIN... hash!",  # normalization still matches
+                "",  # empty -> dropped
+            ],
+        }
+    )
+    out = bool_search(
+        ray.data.from_pandas(df).repartition(3),
+        "doc_id",
+        "text",
+        must=["hash", "join"],
+        must_not=["slow"],
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 4]
+    with pytest.raises(ValueError, match="empty must"):
+        bool_search(ray.data.from_pandas(df), "doc_id", "text", must=[])
