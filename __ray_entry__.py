@@ -6320,6 +6320,17 @@ def _q_bool_search_docs(sf_dir: str):
     return F_text.bool_search(ds, "doc_id", "text", must=["hash", "join"], must_not=["slow"])
 
 
+def _q_user_value_quantiles_exact(sf_dir: str):
+    """EXACT per-user p50/p90 via grouped 2-pass selection — the
+    unbounded-key upgrade of the exact grouped_quantile family (those
+    co-locate each key's FULL history; here only candidate-bin values move,
+    ~N*|qs|/nbins rows). Oracle is the per-key k-th order statistic."""
+    from tesseract_recognize_ray.functions.sketches import grouped_exact_quantile
+
+    ds = F.load(sf_dir, "events", columns=["user_id", "value"])
+    return grouped_exact_quantile(ds, "user_id", "value", [0.5, 0.9])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rolling_min_events": _q_rolling_min_events,
@@ -6548,6 +6559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_stream_sim": _q_incremental_stream_sim,
         "exact_value_quantiles": _q_exact_value_quantiles,
         "bool_search_docs": _q_bool_search_docs,
+        "user_value_quantiles_exact": _q_user_value_quantiles_exact,
     }
 
 
@@ -9255,6 +9267,18 @@ def oracle_sql() -> dict[str, str]:
         "incremental_stream_sim": """
             SELECT user_id, count(*)::BIGINT AS n_events, sum(value) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        "user_value_quantiles_exact": """
+            WITH qs(q) AS (VALUES (0.5), (0.9)),
+            r AS MATERIALIZED (
+                SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events
+            )
+            SELECT user_id, q, value
+            FROM qs JOIN r
+              ON r.rn = greatest(1, least(CAST(ceil(q * r.n) AS BIGINT), r.n))
         """,
         "bool_search_docs": """
             WITH toks AS MATERIALIZED (

@@ -439,3 +439,127 @@ def exact_quantile_2pass(
         vals = np.sort(cand.loc[cand["bin"] == b, "v"].to_numpy())
         out[q] = float(vals[k - below - 1])
     return out
+
+
+def grouped_exact_quantile(
+    ds: Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    nbins: int = 1024,
+    num_buckets: int = 64,
+) -> Dataset:
+    """EXACT per-key quantiles (k-th order statistics, k = ceil(q*n_key))
+    for UNBOUNDED key domains — the selection upgrade of
+    grouped_histogram_quantile, and the scale upgrade of the exact
+    grouped_quantile_* family (those co-locate each key's FULL history;
+    here a hot key never ships more than its candidate-bin values):
+
+      pass 1: per-(key, bin) exact counts (map-side combiner, bucketed
+              reduce) -> per-key locate (one vectorized pandas pass per
+              bucket) -> candidate set {key -> (q, bin, k, below)};
+      pass 2: rows prune MAP-SIDE against the broadcast candidate pairs
+              (expected N*|qs|/nbins rows survive), one co-location
+              shuffle, and a per-key sort of ONLY those values picks each
+              (k - below)-th.
+
+    The broadcast candidate set is |keys| x |qs| entries — the same size
+    as the operator's OUTPUT, the fits-one-heap contract every
+    output-sized driver structure here documents. Ties are harmless
+    (order statistics are tie-order-independent); NaNs excluded."""
+    from tesseract_recognize_ray.hashing import stable_bucket
+
+    import ray
+
+    if key in ("q", "value"):
+        raise ValueError("grouped_exact_quantile: key may not be named 'q' or 'value'")
+    stats = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    if hi == lo:
+        keys = ds.groupby(key).count().to_pandas()
+        rows = [(k, q, lo) for k in keys[key] for q in qs]
+        return ray.data.from_pandas(
+            pd.DataFrame(rows, columns=[key, "q", "value"])
+        )
+    w = (hi - lo) / nbins
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        bins = np.minimum(((v[ok] - lo) / w).astype(np.int64), nbins - 1)
+        g = (
+            pd.DataFrame({key: b[key].to_numpy()[ok], "bin": bins})
+            .groupby([key, "bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    from .relational import grouped_agg
+
+    merged = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"), [key, "bin"], [("n", "sum", "n")]
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = stable_bucket(b[key], num_buckets)
+        return b
+
+    def locate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values([key, "bin"], kind="mergesort")
+        out = []
+        for k_, sub in g.groupby(key, sort=False):
+            c = sub["n"].to_numpy().cumsum()
+            total = int(c[-1])
+            for q in qs:
+                kth = min(max(1, int(-(-q * total // 1))), total)
+                i = int(np.searchsorted(c, kth, side="left"))
+                below = int(c[i - 1]) if i else 0
+                out.append((k_, float(q), int(sub["bin"].iloc[i]), kth, below))
+        # dunder names: the caller's key column may be called anything
+        return pd.DataFrame(out, columns=[key, "__q", "__bin", "__kth", "__below"])
+
+    cand = (
+        merged.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(locate, batch_format="pandas")
+        .to_pandas()
+    )
+    # broadcast: (key, bin) -> list of (q, k, below); output-sized
+    pairs: dict = {}
+    for kv, qv, bv, kt, bl in zip(
+        cand[key], cand["__q"], cand["__bin"], cand["__kth"], cand["__below"]
+    ):
+        pairs.setdefault((kv, bv), []).append((qv, kt, bl))
+    pref = ray.put(pairs)
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(pref)
+        v = b[col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        kk = b[key].to_numpy()[ok]
+        v = v[ok]
+        bins = np.minimum(((v - lo) / w).astype(np.int64), nbins - 1)
+        # vectorized membership: MultiIndex.isin is a C hash probe
+        mi = pd.MultiIndex.from_arrays([kk, bins])
+        keep = mi.isin(list(pm.keys()))
+        out = pd.DataFrame({key: kk[keep], "__bin": bins[keep], "__v": v[keep]})
+        out["__bucket"] = stable_bucket(out[key], num_buckets)
+        return out
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(pref)
+        g = g.drop(columns="__bucket")
+        out = []
+        for (k_, b_), sub in g.groupby([key, "__bin"], sort=False):
+            vals = np.sort(sub["__v"].to_numpy())
+            for q, kth, below in pm[(k_, b_)]:
+                out.append((k_, float(q), float(vals[kth - below - 1])))
+        return pd.DataFrame(out, columns=[key, "q", "value"])
+
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(pick, batch_format="pandas")
+    )

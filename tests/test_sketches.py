@@ -106,3 +106,33 @@ def test_exact_quantile_2pass_constant_column(ray_session):
 
     ds = ray.data.from_pandas(pd.DataFrame({"value": [7.0] * 100}))
     assert exact_quantile_2pass(ds, "value", [0.5]) == {0.5: 7.0}
+
+
+def test_grouped_exact_quantile_matches_per_key_order_statistics(ray_session):
+    """Exact per-key k-th order statistics under heavy key skew (one key
+    holds half the rows) and duplicate-laden values."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from tesseract_recognize_ray.functions.sketches import grouped_exact_quantile
+
+    rng = np.random.default_rng(14)
+    keys = np.concatenate([np.zeros(10_000, dtype=np.int64), rng.integers(1, 40, 10_000)])
+    vals = np.round(rng.normal(50, 20, 20_000), 1)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    qs = [0.25, 0.5, 0.99]
+    got = (
+        grouped_exact_quantile(
+            ray.data.from_pandas(df).repartition(6), "k", "v", qs, nbins=128
+        )
+        .to_pandas()
+        .set_index(["k", "q"])["value"]
+        .sort_index()
+    )
+    for k_, g in df.groupby("k"):
+        sv = np.sort(g["v"].to_numpy())
+        for q in qs:
+            kk = max(1, int(np.ceil(q * len(sv))))
+            assert got.loc[(k_, q)] == sv[kk - 1], (k_, q)
+    assert len(got) == df["k"].nunique() * len(qs)
