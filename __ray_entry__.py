@@ -9177,11 +9177,13 @@ def oracle_sql() -> dict[str, str]:
         # halves because a full product overflows INT128:
         # (x*C) % 2^64 = (lo*C) % 2^64 + ((hi*(C % 2^32)) % 2^32)*2^32.
         "approx_user_counts": """
-            WITH depths(d, salt) AS (VALUES
-                (0, 11400714819323198485::UBIGINT),
-                (1, 4354685564936845354::UBIGINT),
-                (2, 15755430384260043839::UBIGINT),
-                (3, 8709371129873690708::UBIGINT)),
+            -- salts are (d+1)*0x9E3779B97F4A7C15 mod 2^64, computed rather
+            -- than written as literals so they cannot drift from the engine
+            WITH depths AS (
+                SELECT d,
+                       (((d + 1)::HUGEINT * 11400714819323198485::HUGEINT)
+                        % 18446744073709551616::HUGEINT)::UBIGINT AS salt
+                FROM range(0, 4) t(d)),
             base AS MATERIALIZED (
                 SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS h
                 FROM events

@@ -396,6 +396,17 @@ def exact_quantile_2pass(
     k-th order statistic is tie-order-independent). NaNs are excluded,
     matching SQL aggregate semantics."""
     stats = ds.aggregate(Min(col), Max(col))
+    if (
+        stats is None
+        or stats.get(f"min({col})") is None
+        or np.isnan(float(stats[f"min({col})"]))
+    ):
+        # empty dataset or all-NaN column: there is no order statistic to
+        # return; fail loudly instead of indexing an empty candidate array
+        # in pass 2 (and instead of letting w=NaN poison the binning)
+        raise ValueError(
+            f"exact_quantile_2pass: column {col!r} has no non-NaN values"
+        )
     lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
     if hi == lo:
         return {q: lo for q in qs}
@@ -474,6 +485,14 @@ def grouped_exact_quantile(
     if key in ("q", "value"):
         raise ValueError("grouped_exact_quantile: key may not be named 'q' or 'value'")
     stats = ds.aggregate(Min(col), Max(col))
+    if (
+        stats is None
+        or stats.get(f"min({col})") is None
+        or np.isnan(float(stats[f"min({col})"]))
+    ):
+        raise ValueError(
+            f"grouped_exact_quantile: column {col!r} has no non-NaN values"
+        )
     lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
     if hi == lo:
         keys = ds.groupby(key).count().to_pandas()

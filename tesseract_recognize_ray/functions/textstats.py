@@ -1282,7 +1282,7 @@ def multi_phrase_match(
                     out_n.append(int(cnt[k]))
         return pd.DataFrame(
             {
-                id_col: pd.Series(out_ids, dtype=ids.dtype if len(out_ids) else "int64"),
+                id_col: pd.Series(out_ids, dtype=ids.dtype),
                 "phrase": pd.Series(out_ph, dtype="object"),
                 out_col: pd.Series(out_n, dtype="int64"),
             }
@@ -1303,11 +1303,26 @@ def bool_search(
     corpus curation pass runs before ranking). Pure map — per batch, one
     tokenize + one pc.is_in probe per term set, then per-row containment
     via bincount over matched (row, term) pairs. No shuffle at any scale."""
-    must_n = [t.lower() for t in must]
+    def _norm_term(term: str, which: str) -> str:
+        # run each query term through the SAME tokenizer the documents get,
+        # so a term like "hash-join" fails loudly instead of silently never
+        # matching any [^a-z]+-split token
+        toks = [t for t in re.split(r"[^a-z]+", term.lower()) if t]
+        if len(toks) != 1:
+            raise ValueError(
+                f"bool_search: {which} term {term!r} normalizes to "
+                f"{len(toks)} alpha tokens ({toks!r}); terms must be single "
+                "alpha words — use phrase_match for multi-token queries"
+            )
+        return toks[0]
+
+    must_n = [_norm_term(t, "must") for t in must]
     if not must_n:
         raise ValueError("bool_search: empty must list")
     must_arr = pa.array(sorted(set(must_n)), pa.string())
-    not_arr = pa.array(sorted({t.lower() for t in must_not}), pa.string())
+    not_arr = pa.array(
+        sorted({_norm_term(t, "must_not") for t in must_not}), pa.string()
+    )
 
     def fn(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

@@ -7,13 +7,18 @@ scan. The compactor rewrites each leaf directory's small files into
 content.
 
 Crash safety is idempotence, not atomicity: a bin's output name is derived
-from the SHA-1 of its member file names, so
-  * finishing a bin = write tmp -> os.replace(final) -> delete members;
+from the SHA-1 of its member file names, and the member list is stamped
+into the compact file's parquet key-value metadata, so
+  * finishing a bin = write tmp (with member manifest) -> os.replace(final)
+    -> delete members;
   * a crash BEFORE the replace leaves members intact (re-run redoes the bin);
-  * a crash AFTER the replace but before all deletes is detected on re-run
-    (final exists) — the rewrite is skipped and only the leftover member
-    deletes run, so rows are never duplicated in the directory's final
-    state and a re-run always converges.
+  * a crash AFTER the replace but before all deletes is repaired by
+    ``plan_compaction`` itself: before forming any new bins it reads the
+    manifest of every existing compact-* file and deletes members that
+    still exist. Without this sweep, surviving members would be grouped
+    into a DIFFERENT bin (different SHA key) on the re-run and their rows
+    written twice. With it, rows are never duplicated in the directory's
+    final state and a re-run always converges.
 Readers racing a compaction see either members or the compacted file plus
 not-yet-deleted members — so compact state dirs between jobs, not under a
 live reader (the same discipline as agg_state's write-new/swap update)."""
@@ -27,13 +32,48 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+_MANIFEST_KEY = b"trr.compact.members"
+
+
+def _finish_pending_deletes(dirpath: str, filenames: list[str]) -> set[str]:
+    """Recovery sweep: for every existing compact-* file, read its member
+    manifest (parquet footer metadata — no data pages touched) and delete
+    members a crashed run left behind. Returns the set of member names
+    removed so the caller can exclude them from bin planning even if the
+    unlink itself races."""
+    swept: set[str] = set()
+    for f in filenames:
+        if not (f.startswith("compact-") and f.endswith(".parquet")):
+            continue
+        try:
+            meta = pq.read_schema(os.path.join(dirpath, f)).metadata or {}
+        except Exception:
+            continue  # unreadable compact file: leave it for the operator
+        raw = meta.get(_MANIFEST_KEY)
+        if not raw:
+            continue
+        for m in raw.decode().split("\n"):
+            fp = os.path.join(dirpath, m)
+            if os.path.exists(fp):
+                os.remove(fp)
+                swept.add(m)
+    return swept
+
+
 def plan_compaction(path: str, target_bytes: int = 64 << 20) -> list[dict]:
     """Walk leaf directories under ``path`` and greedily group their
     parquet files (sorted by name) into bins of up to ``target_bytes``
-    total. Bins with a single member are skipped — nothing to gain."""
+    total. Bins with a single member are skipped — nothing to gain.
+    Before planning, finishes any pending member deletes recorded in
+    existing compact-* manifests (see module docstring)."""
     bins: list[dict] = []
     for dirpath, _dirnames, filenames in os.walk(path):
-        files = sorted(f for f in filenames if f.endswith(".parquet") and not f.startswith("compact-"))
+        swept = _finish_pending_deletes(dirpath, filenames)
+        files = sorted(
+            f
+            for f in filenames
+            if f.endswith(".parquet") and not f.startswith("compact-") and f not in swept
+        )
         # already-compacted files join new members on a later pass only if
         # they are below target (they keep their compact- name but count as
         # members then); first pass: compact the raw small files
@@ -65,6 +105,9 @@ def compact_bin(dirpath: str, members: list[str]) -> dict:
         tables = [pq.read_table(os.path.join(dirpath, m)) for m in members]
         merged = pa.concat_tables(tables, promote_options="default")
         rows = merged.num_rows
+        meta = dict(merged.schema.metadata or {})
+        meta[_MANIFEST_KEY] = "\n".join(members).encode()
+        merged = merged.replace_schema_metadata(meta)
         tmp = final + ".tmp"
         pq.write_table(merged, tmp)
         os.replace(tmp, final)

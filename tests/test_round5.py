@@ -1,0 +1,143 @@
+"""Round-5 fixes: compactor crash-mid-delete recovery, schema-stable
+multi_phrase_match, bool_search term normalization, degenerate-input
+guards for the 2-pass exact quantiles."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+
+# ------------------------------------------------------- compact recovery
+def test_compact_plan_finishes_pending_deletes(ray_session, tmp_path):
+    """Crash AFTER os.replace but mid-delete: compact-X exists, some
+    members survive. A re-run of compact_parquet_dir must delete the
+    survivors via compact-X's manifest, NOT regroup them into a new bin
+    (which would duplicate their rows in a second compact file)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.state.compact import (
+        compact_parquet_dir,
+        plan_compaction,
+    )
+
+    d = str(tmp_path / "state" / "k=0")
+    os.makedirs(d)
+    rng = np.random.default_rng(5)
+    tables = []
+    for i in range(6):
+        t = pa.table({"a": rng.integers(0, 100, 25), "b": rng.normal(size=25)})
+        pq.write_table(t, os.path.join(d, f"part-{i:04d}.parquet"))
+        tables.append(t)
+    want = pa.concat_tables(tables).to_pandas().sort_values(["a", "b"])
+
+    compact_parquet_dir(str(tmp_path / "state"), target_bytes=1 << 30)
+    (compact_file,) = os.listdir(d)
+    assert compact_file.startswith("compact-")
+
+    # simulate the crash: members 1 and 3 come back from the dead
+    for i in (1, 3):
+        pq.write_table(tables[i], os.path.join(d, f"part-{i:04d}.parquet"))
+
+    # re-running planning must sweep them (manifest-driven) and plan NOTHING
+    assert plan_compaction(str(tmp_path / "state")) == []
+    assert sorted(os.listdir(d)) == [compact_file]
+
+    got = (
+        pq.read_table(os.path.join(d, compact_file))
+        .to_pandas()
+        .sort_values(["a", "b"])
+    )
+    pd.testing.assert_frame_equal(
+        want.reset_index(drop=True), got.reset_index(drop=True)
+    )
+
+
+def test_compact_manifest_stamped(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.state.compact import (
+        _MANIFEST_KEY,
+        compact_parquet_dir,
+    )
+
+    d = str(tmp_path / "s" / "leaf")
+    os.makedirs(d)
+    for i in range(3):
+        pq.write_table(pa.table({"x": [i]}), os.path.join(d, f"p{i}.parquet"))
+    compact_parquet_dir(str(tmp_path / "s"))
+    (f,) = os.listdir(d)
+    meta = pq.read_schema(os.path.join(d, f)).metadata
+    assert meta[_MANIFEST_KEY].decode().split("\n") == [
+        "p0.parquet",
+        "p1.parquet",
+        "p2.parquet",
+    ]
+
+
+# ------------------------------------- multi_phrase_match schema stability
+def test_multi_phrase_match_string_ids_zero_hit_batches(ray_session):
+    """A batch with zero hits must emit the id column in the id's REAL
+    dtype (string here), not a hardcoded int64 — otherwise Arrow schema
+    unification across blocks fails downstream."""
+    from tesseract_recognize_ray.functions.textstats import multi_phrase_match
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(8)],
+            "text": ["nothing here"] * 7 + ["hash join wins"],
+        }
+    )
+    out = multi_phrase_match(
+        ray.data.from_pandas(df).repartition(4),
+        "doc_id",
+        "text",
+        ["hash join"],
+    ).to_pandas()
+    assert out["doc_id"].tolist() == ["d7"]
+    assert out["n_hits"].tolist() == [1]
+
+
+# ---------------------------------------------- bool_search normalization
+def test_bool_search_rejects_non_alpha_terms(ray_session):
+    from tesseract_recognize_ray.functions.textstats import bool_search
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["hash join"]})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(ValueError, match="must term"):
+        bool_search(ds, "doc_id", "text", must=["hash-join"])
+    with pytest.raises(ValueError, match="must_not term"):
+        bool_search(ds, "doc_id", "text", must=["hash"], must_not=["don't"])
+
+
+def test_bool_search_case_normalizes_terms(ray_session):
+    from tesseract_recognize_ray.functions.textstats import bool_search
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["Hash wins", "loses"]})
+    out = bool_search(
+        ray.data.from_pandas(df), "doc_id", "text", must=["HASH"]
+    ).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+
+
+# ------------------------------------------- quantile degenerate guards
+def test_exact_quantile_2pass_rejects_all_nan(ray_session):
+    from tesseract_recognize_ray.functions.sketches import exact_quantile_2pass
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [np.nan, np.nan, np.nan]}))
+    with pytest.raises(ValueError, match="no non-NaN"):
+        exact_quantile_2pass(ds, "v", [0.5])
+
+
+def test_grouped_exact_quantile_rejects_all_nan(ray_session):
+    from tesseract_recognize_ray.functions.sketches import grouped_exact_quantile
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2], "v": [np.nan, np.nan]})
+    )
+    with pytest.raises(ValueError, match="no non-NaN"):
+        grouped_exact_quantile(ds, "k", "v", [0.5])
