@@ -6212,6 +6212,50 @@ def _q_pdf_text_layer_extract(sf_dir: str):
     )
 
 
+def _q_pdf_text_type0_extract(sf_dir: str):
+    """Composite-font born-digital extraction (the real-world subset-font
+    norm the round-4 simple-font route could not read): same deterministic
+    8-token/3-line wrap as pdf_text_layer_extract, but the PDF is written
+    with ONE /Type0 /Identity-H font whose CIDs are sorted-codepoint ranks
+    (pdfcodec.encode_pdf_text_type0) — latin-1'ing the bytes yields
+    garbage, so a value-match proves the /ToUnicode CMap parse (bfchar +
+    bfrange) and 2-byte CID framing recover the exact text. Oracle = the
+    same SQL line-wrap replay."""
+    from tesseract_recognize_ray.pdfcodec import (
+        encode_pdf_text_type0,
+        iter_pdf_page_text,
+    )
+
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        expr="doc_id < 40"
+    )
+
+    def wrap(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            toks = str(text).split()
+            lines = [
+                " ".join(toks[i : i + 8]) for i in range(0, min(len(toks), 48), 8)
+            ]
+            if not lines:
+                continue
+            pages = [lines[i : i + 3] for i in range(0, len(lines), 3)]
+            rows.append((int(doc_id), encode_pdf_text_type0(pages)))
+        return pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for doc_id, pdf in zip(b["doc_id"], b["pdf"]):
+            for page, spans in enumerate(iter_pdf_page_text(pdf)):
+                for idx, s in enumerate(spans):
+                    out.append((int(doc_id), page, idx, s["text"]))
+        return pd.DataFrame(out, columns=["doc_id", "page", "span_idx", "text"])
+
+    return ds.map_batches(wrap, batch_format="pandas").map_batches(
+        extract, batch_format="pandas"
+    )
+
+
 def _q_media_metadata_profile(sf_dir: str):
     """Header-only media profiling over the interleaved entry corpus: per
     blob (format, width, height, bit_depth, n_pages) WITHOUT decoding a
@@ -6553,6 +6597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quality_audit": _q_events_quality_audit,
         "loo_target_encoding": _q_loo_target_encoding,
         "pdf_text_layer_extract": _q_pdf_text_layer_extract,
+        "pdf_text_type0_extract": _q_pdf_text_type0_extract,
         "media_metadata_profile": _q_media_metadata_profile,
         "decayed_user_activity": _q_decayed_user_activity,
         "banned_phrase_scan": _q_banned_phrase_scan,
@@ -9225,6 +9270,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
         """,
         "pdf_text_layer_extract": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
+                FROM documents WHERE doc_id < 40
+            ),
+            pos AS MATERIALIZED (
+                SELECT doc_id, generate_subscripts(ts, 1) AS p, unnest(ts) AS tok
+                FROM toks
+            )
+            SELECT doc_id,
+                   ((p - 1) // 8 // 3)::BIGINT AS page,
+                   ((p - 1) // 8 % 3)::BIGINT AS span_idx,
+                   string_agg(tok, ' ' ORDER BY p) AS text
+            FROM pos
+            WHERE p <= 48
+            GROUP BY doc_id, (p - 1) // 8
+        """,
+        "pdf_text_type0_extract": """
             WITH toks AS MATERIALIZED (
                 SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
                 FROM documents WHERE doc_id < 40

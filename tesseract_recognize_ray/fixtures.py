@@ -239,6 +239,11 @@ def build_tables(
               is the embedded text layer (Helvetica Tj lines), golden
               truth is the generated lines (region 0, line j per page);
               exercises the media source's text-layer route end-to-end;
+      "pdf_text_type0"  like "pdf_text" but through a composite /Type0
+              /Identity-H font with subset-style CIDs + /ToUnicode CMap
+              (pdfcodec.encode_pdf_text_type0) — the real-world
+              born-digital class; exercises the CID decode path
+              end-to-end with the same golden truth;
       "mixed" deterministic per-media rng choice among the four
               single-draw encodings (raw/png/tiff/jpeg).
     Decode dispatch is on magic bytes (imagecodecs.iter_page_images), so
@@ -268,13 +273,22 @@ def build_tables(
                 multi = rng.random() < multipage_frac
                 n_pages = int(rng.integers(2, 4)) if multi else 1
                 mkind = "tiff_multi" if multi else "page"
-                if media_encoding == "pdf_text":
+                if media_encoding in ("pdf_text", "pdf_text_type0"):
                     # born-digital media: the payload IS a text layer (no
                     # raster at all) — the golden truth is the generated
                     # lines themselves, region 0 / line j per page in the
                     # writer's reading order, which is exactly what the
                     # media source's text-layer route must reproduce
-                    from tesseract_recognize_ray.pdfcodec import encode_pdf_text
+                    from tesseract_recognize_ray.pdfcodec import (
+                        encode_pdf_text,
+                        encode_pdf_text_type0,
+                    )
+
+                    enc_text = (
+                        encode_pdf_text_type0
+                        if media_encoding == "pdf_text_type0"
+                        else encode_pdf_text
+                    )
 
                     pages_lines = []
                     for p in range(n_pages):
@@ -288,7 +302,7 @@ def build_tables(
                             lid = make_line_id(rid, para=0, line=j)
                             golden.append((offset, p, 0, j, "text", text, media_ref, rid, lid))
                     media_rows["media_ref"].append(media_ref)
-                    media_rows["bytes"].append(encode_pdf_text(pages_lines))
+                    media_rows["bytes"].append(enc_text(pages_lines))
                     media_rows["width"].append(612)
                     media_rows["height"].append(792 * n_pages)
                     media_rows["kind"].append("pdf")

@@ -340,9 +340,13 @@ def encode_pdf_scanned(pages: "list[np.ndarray]", *, image_filter: str = "flate"
 #   * BT/ET text blocks with Tf, Td, TD, TL, T*, Tm, Tj, ', TJ operators;
 #   * literal strings with escapes + octal, and hex strings;
 #   * simple fonts assumed byte == Latin-1 code point (covers the
-#     standard-14 / WinAnsi ASCII range); composite /Type0 fonts (CID +
-#     CMap decoding) raise a scoped ValueError — honest rejection, not
-#     mojibake.
+#     standard-14 / WinAnsi ASCII range);
+#   * composite /Type0 fonts with /Encoding /Identity-H|-V and an embedded
+#     /ToUnicode CMap (the real-world subset-font norm): 2-byte CIDs
+#     decoded through the parsed bfchar/bfrange map — exact text, where
+#     the reference can only rasterize+OCR; a Type0 font with NO
+#     /ToUnicode (or a non-Identity encoding CMap) still raises the
+#     scoped ValueError — honest rejection, not mojibake.
 
 _STR_ESC = {
     ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t", ord("b"): b"\b",
@@ -393,7 +397,14 @@ def _content_tokens(buf: bytes):
                 pos += 1
             yield ("str", bytes(out))
             continue
-        if c == ord("<") and pos + 1 < n and buf[pos + 1] != ord("<"):
+        if buf[pos : pos + 2] == b"<<" or buf[pos : pos + 2] == b">>":
+            # dict marks appear in CMap streams (/CIDSystemInfo << ... >>)
+            # and BDC property lists; the text interpreter ignores them as
+            # unknown operators, the CMap parser skips their spans.
+            yield ("op", buf[pos : pos + 2])
+            pos += 2
+            continue
+        if c == ord("<"):
             e = buf.find(b">", pos)
             if e < 0:
                 raise ValueError("PDF text: unterminated hex string")
@@ -448,16 +459,139 @@ def _page_content(objs, page: dict) -> bytes:
     return b"\n".join(parts)
 
 
-def _reject_composite_fonts(objs, page: dict):
+def _stream_bytes(objs, ref) -> bytes:
+    """Raw bytes of a stream object, /Length-clamped, FlateDecode inflated."""
+    if not isinstance(ref, _Ref):
+        raise ValueError("PDF text: expected a stream reference")
+    sdict, stream = objs[ref.num]
+    if stream is None:
+        raise ValueError("PDF text: referenced object carries no stream")
+    length = _deref(objs, sdict.get("Length"))
+    raw = stream[: int(length)] if isinstance(length, (int, float)) else stream
+    filt = _deref(objs, sdict.get("Filter"))
+    if filt == "/FlateDecode":
+        raw = zlib.decompress(raw)
+    elif filt is not None:
+        raise ValueError(f"PDF text: stream filter {filt} not supported")
+    return raw
+
+
+def _bf_increment(dst: bytes, offset: int) -> str:
+    """bfrange destination for (start + offset): the UTF-16BE dst string
+    incremented as a big-endian integer (ISO 32000-1 9.10.3 increments the
+    last byte and legal ranges never carry past it; full-integer increment
+    is the equivalent common-reader behavior)."""
+    width = len(dst)
+    val = int.from_bytes(dst, "big") + offset
+    return val.to_bytes(width, "big").decode("utf-16-be", errors="replace")
+
+
+def _parse_tounicode(data: bytes) -> dict[bytes, str]:
+    """Parse a /ToUnicode CMap stream (ISO 32000-1 §9.10.3) into a
+    code-bytes -> unicode-string map. Handles begincodespacerange (skipped —
+    Identity-H fixes the code width at 2), beginbfchar <src> <dst> pairs and
+    beginbfrange triples in both the string-destination and
+    array-of-destinations forms. All other CMap boilerplate (findresource /
+    begincmap / CIDSystemInfo dicts / defineresource) is ignored."""
+    cmap: dict[bytes, str] = {}
+    toks = list(_content_tokens(data))
+    i, n = 0, len(toks)
+    while i < n:
+        kind, val = toks[i]
+        if kind != "op":
+            i += 1
+            continue
+        if val == b"beginbfchar":
+            i += 1
+            while i < n and toks[i] != ("op", b"endbfchar"):
+                if i + 1 < n and toks[i][0] == "str" and toks[i + 1][0] == "str":
+                    src, dst = toks[i][1], toks[i + 1][1]
+                    cmap[src] = dst.decode("utf-16-be", errors="replace")
+                    i += 2
+                else:
+                    raise ValueError("PDF text: malformed bfchar entry")
+        elif val == b"beginbfrange":
+            i += 1
+            while i < n and toks[i] != ("op", b"endbfrange"):
+                if i + 1 >= n or toks[i][0] != "str" or toks[i + 1][0] != "str":
+                    raise ValueError("PDF text: malformed bfrange entry")
+                lo, hi = toks[i][1], toks[i + 1][1]
+                width = len(lo)
+                lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+                if hi_i < lo_i or hi_i - lo_i > 0xFFFF:
+                    raise ValueError("PDF text: bfrange bounds out of order")
+                i += 2
+                if i < n and toks[i] == ("mark", "["):
+                    # array form: one explicit dst string per code
+                    i += 1
+                    for off in range(hi_i - lo_i + 1):
+                        if i >= n or toks[i][0] != "str":
+                            raise ValueError("PDF text: bfrange array too short")
+                        code = (lo_i + off).to_bytes(width, "big")
+                        cmap[code] = toks[i][1].decode("utf-16-be", errors="replace")
+                        i += 1
+                    if i >= n or toks[i] != ("mark", "]"):
+                        raise ValueError("PDF text: unterminated bfrange array")
+                    i += 1
+                elif i < n and toks[i][0] == "str":
+                    dst = toks[i][1]
+                    i += 1
+                    for off in range(hi_i - lo_i + 1):
+                        cmap[(lo_i + off).to_bytes(width, "big")] = _bf_increment(dst, off)
+                else:
+                    raise ValueError("PDF text: bfrange destination missing")
+        i += 1
+    return cmap
+
+
+def _page_fonts(objs, page: dict) -> dict[str, "dict[bytes, str] | None"]:
+    """Resource-name -> decoder table for a page's /Font dict. Simple fonts
+    (Type1 / TrueType / Type3) map to None (byte == Latin-1 code point, the
+    standard-14 / WinAnsi ASCII assumption documented above). Composite
+    /Type0 fonts require /Encoding /Identity-H|-V (2-byte code == CID) and
+    a /ToUnicode CMap — the embedded exact mapping real-world subset fonts
+    carry; a Type0 font WITHOUT /ToUnicode keeps the scoped rejection
+    (there is no text to extract without the map — rasterize+OCR instead,
+    which is all the reference ever does: tesseract-recognize.cc:490-511)."""
     res = _deref(objs, page.get("Resources", {}))
     fonts = _deref(objs, res.get("Font", {}))
-    for _name, ref in (fonts or {}).items():
+    out: dict[str, dict[bytes, str] | None] = {}
+    for name, ref in (fonts or {}).items():
         fdict = _deref(objs, ref)
-        if isinstance(fdict, dict) and _deref(objs, fdict.get("Subtype")) == "/Type0":
+        if not isinstance(fdict, dict):
+            continue
+        if _deref(objs, fdict.get("Subtype")) != "/Type0":
+            out[name] = None
+            continue
+        enc = _deref(objs, fdict.get("Encoding"))
+        if enc not in ("/Identity-H", "/Identity-V"):
             raise ValueError(
-                "PDF text: composite /Type0 font (CID/CMap decoding) not "
-                "supported — rasterize+OCR this document instead"
+                f"PDF text: /Type0 font with non-Identity encoding {enc!r} "
+                "not supported — rasterize+OCR this document instead"
             )
+        tu = fdict.get("ToUnicode")
+        if tu is None:
+            raise ValueError(
+                "PDF text: /Type0 font without /ToUnicode CMap carries no "
+                "recoverable text layer — rasterize+OCR this document instead"
+            )
+        out[name] = _parse_tounicode(_stream_bytes(objs, tu))
+    return out
+
+
+def _decode_shown(raw: bytes, cmap: "dict[bytes, str] | None") -> str:
+    """String-show bytes -> text under the CURRENT font: Latin-1 for simple
+    fonts; for Type0/Identity-H, consecutive 2-byte big-endian CIDs through
+    the ToUnicode map (unmapped CIDs become U+FFFD — a subset font that
+    omits a glyph's mapping loses exactly that glyph, never the line)."""
+    if cmap is None:
+        return raw.decode("latin-1")
+    parts = []
+    for k in range(0, len(raw) - 1, 2):
+        parts.append(cmap.get(raw[k : k + 2], "�"))
+    if len(raw) % 2:  # odd trailing byte: pad per spec, then map
+        parts.append(cmap.get(raw[-1:] + b"\x00", "�"))
+    return "".join(parts)
 
 
 def iter_pdf_page_text(buf, *, reading_order: bool = True, with_boxes: bool = False):
@@ -490,7 +624,8 @@ def iter_pdf_page_text(buf, *, reading_order: bool = True, with_boxes: bool = Fa
     if not pages:
         raise ValueError("PDF: page tree has no pages")
     for page in pages:
-        _reject_composite_fonts(objs, page)
+        fonts = _page_fonts(objs, page)
+        cur_cmap: dict[bytes, str] | None = None
         spans = []
         x = y = 0.0
         size = leading = 0.0
@@ -498,7 +633,7 @@ def iter_pdf_page_text(buf, *, reading_order: bool = True, with_boxes: bool = Fa
         stack: list = []
 
         def show(raw: bytes):
-            txt = raw.decode("latin-1")
+            txt = _decode_shown(raw, cur_cmap)
             if txt:
                 spans.append({"text": txt, "x": x, "y": y, "size": size})
 
@@ -527,6 +662,8 @@ def iter_pdf_page_text(buf, *, reading_order: bool = True, with_boxes: bool = Fa
                     in_text = False
                 elif op == b"Tf" and len(stack) >= 2:
                     size = float(stack[-1][1])
+                    if stack[-2][0] == "name":
+                        cur_cmap = fonts.get(stack[-2][1])
                 elif op in (b"Td", b"TD") and len(stack) >= 2:
                     x += float(stack[-2][1])
                     y += float(stack[-1][1])
@@ -544,7 +681,15 @@ def iter_pdf_page_text(buf, *, reading_order: bool = True, with_boxes: bool = Fa
                     y -= leading
                     show(stack[-1][1])
                 elif op == b"TJ" and in_text and stack and stack[-1][0] == "arr":
-                    show(b"".join(v for k, v in stack[-1][1] if k == "str"))
+                    # decode per element: an odd-length element must not
+                    # shift the 2-byte CID framing of its successors
+                    txt = "".join(
+                        _decode_shown(v, cur_cmap)
+                        for k, v in stack[-1][1]
+                        if k == "str"
+                    )
+                    if txt:
+                        spans.append({"text": txt, "x": x, "y": y, "size": size})
             finally:
                 stack.clear()
         if reading_order:
@@ -604,6 +749,142 @@ def encode_pdf_text(pages: "list[list[str]]", *, compress: bool = True) -> bytes
             put(cnum, b"<< /Length %d >>\nstream\n" % len(body) + bytes(body) + b"\nendstream")
     xref_at = len(out)
     nobj = 3 + 2 * n
+    out.extend(b"xref\n0 %d\n" % (nobj + 1))
+    out.extend(b"0000000000 65535 f \n")
+    for num in range(1, nobj + 1):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (nobj + 1, xref_at))
+    return bytes(out)
+
+
+def _tounicode_cmap(charset: "list[str]", *, bfrange_array: bool = False) -> bytes:
+    """ToUnicode CMap stream for a subset font whose CIDs are
+    1 + sorted-codepoint rank. Maximal consecutive-codepoint runs (BMP
+    only) become bfrange entries — string-destination form by default,
+    array-of-destinations form with bfrange_array — singletons and astral
+    chars become bfchar; sections chunked at the spec's 100-entry limit."""
+    cids = [(i + 1, ch) for i, ch in enumerate(charset)]
+    ranges: list[tuple[int, int, list[str]]] = []  # (lo_cid, hi_cid, chars)
+    chars: list[tuple[int, str]] = []
+    k = 0
+    while k < len(cids):
+        j = k
+        while (
+            j + 1 < len(cids)
+            and ord(cids[j + 1][1]) == ord(cids[j][1]) + 1
+            and len(cids[j][1].encode("utf-16-be")) == 2
+            and len(cids[j + 1][1].encode("utf-16-be")) == 2
+        ):
+            j += 1
+        if j > k:
+            ranges.append((cids[k][0], cids[j][0], [c for _, c in cids[k : j + 1]]))
+        else:
+            chars.append(cids[k])
+        k = j + 1
+    body = bytearray(
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    )
+    for s in range(0, len(chars), 100):
+        chunk = chars[s : s + 100]
+        body.extend(b"%d beginbfchar\n" % len(chunk))
+        for cid, ch in chunk:
+            body.extend(b"<%04X> <%s>\n" % (cid, ch.encode("utf-16-be").hex().upper().encode()))
+        body.extend(b"endbfchar\n")
+    for s in range(0, len(ranges), 100):
+        chunk = ranges[s : s + 100]
+        body.extend(b"%d beginbfrange\n" % len(chunk))
+        for lo, hi, run in chunk:
+            if bfrange_array:
+                dsts = b" ".join(
+                    b"<%s>" % c.encode("utf-16-be").hex().upper().encode() for c in run
+                )
+                body.extend(b"<%04X> <%04X> [%s]\n" % (lo, hi, dsts))
+            else:
+                body.extend(
+                    b"<%04X> <%04X> <%s>\n"
+                    % (lo, hi, run[0].encode("utf-16-be").hex().upper().encode())
+                )
+        body.extend(b"endbfrange\n")
+    body.extend(b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    return bytes(body)
+
+
+def encode_pdf_text_type0(
+    pages: "list[list[str]]",
+    *,
+    compress: bool = True,
+    bfrange_array: bool = False,
+    omit_tounicode: bool = False,
+) -> bytes:
+    """Fixture writer for the composite-font born-digital class: one
+    /Type0 /Identity-H font whose CIDs are subset-font-style (1 +
+    sorted-codepoint rank across the document — NOT the code points
+    themselves, so a decoder that latin-1s the bytes produces garbage and
+    only a real ToUnicode walk recovers the text), strings written as
+    2-byte-CID hex, same page geometry as `encode_pdf_text` (12pt, 14pt
+    leading, 72 720 Td start). `omit_tounicode` writes the reject-path
+    fixture: a Type0 font with no /ToUnicode — no recoverable text layer,
+    `iter_pdf_page_text` must raise its scoped error."""
+    charset = sorted({ch for lines in pages for line in lines for ch in line})
+    cid_of = {ch: i + 1 for i, ch in enumerate(charset)}
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def put(num: int, body: bytes):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    n = len(pages)
+    first_page = 6
+    kids = b" ".join(b"%d 0 R" % (first_page + 2 * i) for i in range(n))
+    put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    put(2, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n))
+    font = bytearray(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+TRRSubset "
+        b"/Encoding /Identity-H /DescendantFonts [4 0 R]"
+    )
+    if not omit_tounicode:
+        font.extend(b" /ToUnicode 5 0 R")
+    font.extend(b" >>")
+    put(3, bytes(font))
+    put(
+        4,
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /AAAAAA+TRRSubset "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /CIDToGIDMap /Identity >>",
+    )
+    cmap = _tounicode_cmap(charset, bfrange_array=bfrange_array)
+    if compress:
+        cdata = zlib.compress(cmap, 6)
+        put(5, b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cdata) + cdata + b"\nendstream")
+    else:
+        put(5, b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream")
+    for i, lines in enumerate(pages):
+        pnum, cnum = first_page + 2 * i, first_page + 2 * i + 1
+        put(
+            pnum,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % cnum,
+        )
+        body = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td ")
+        for j, line in enumerate(lines):
+            if j:
+                body.extend(b"T* ")
+            hx = b"".join(b"%04X" % cid_of[ch] for ch in line)
+            body.extend(b"<%s> Tj " % hx)
+        body.extend(b"ET")
+        if compress:
+            data = zlib.compress(bytes(body), 6)
+            put(cnum, b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data) + data + b"\nendstream")
+        else:
+            put(cnum, b"<< /Length %d >>\nstream\n" % len(body) + bytes(body) + b"\nendstream")
+    xref_at = len(out)
+    nobj = 5 + 2 * n
     out.extend(b"xref\n0 %d\n" % (nobj + 1))
     out.extend(b"0000000000 65535 f \n")
     for num in range(1, nobj + 1):

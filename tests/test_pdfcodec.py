@@ -333,3 +333,132 @@ def test_e2e_span_equality_on_born_digital_corpus(ray_session):
     golden = pq.read_table(paths["golden_spans"]).to_pandas()
     out = extract_spans(paths["docs"], paths["media"]).to_pandas()
     pd.testing.assert_frame_equal(_norm(out), _norm(golden))
+
+
+# ------------------------------------------------- Type0 / CID text layer
+def test_pdf_text_type0_roundtrip_all_forms():
+    """Composite /Type0 /Identity-H fonts with subset-style CIDs decode
+    through the embedded /ToUnicode CMap — string-destination bfrange,
+    array-of-destinations bfrange, compressed and raw CMap streams, and
+    astral (non-BMP) code points via bfchar."""
+    from tesseract_recognize_ray.pdfcodec import (
+        encode_pdf_text_type0,
+        iter_pdf_page_text,
+    )
+
+    pages = [["Hello World 123", "zebra ångström — em"], ["second page line"]]
+    for kw in ({}, {"compress": False}, {"bfrange_array": True}):
+        buf = encode_pdf_text_type0(pages, **kw)
+        got = [[s["text"] for s in spans] for spans in iter_pdf_page_text(buf)]
+        assert got == pages, kw
+    astral = [["emoji \U0001F600 end"]]
+    got = [[s["text"] for s in spans] for spans in iter_pdf_page_text(encode_pdf_text_type0(astral))]
+    assert got == astral
+
+
+def test_pdf_text_type0_cids_are_not_codepoints():
+    """The fixture's CIDs are sorted-codepoint ranks, NOT the code points —
+    a decoder that skips the CMap and latin-1s the bytes must produce
+    garbage, proving the ToUnicode walk is load-bearing."""
+    from tesseract_recognize_ray.pdfcodec import (
+        _page_content,
+        _parse_objects,
+        encode_pdf_text_type0,
+    )
+
+    buf = encode_pdf_text_type0([["cab"]], compress=False)
+    objs = _parse_objects(buf)
+    pages = [d for d, _ in objs.values() if isinstance(d, dict) and d.get("Type") == "/Page"]
+    content = _page_content(objs, pages[0])
+    # charset sorted = [a,b,c] -> CIDs a=1 b=2 c=3, so "cab" shows <000300010002>
+    assert b"<000300010002>" in content.replace(b" ", b"")
+
+
+def test_pdf_text_type0_reject_paths():
+    from tesseract_recognize_ray.pdfcodec import (
+        encode_pdf_text_type0,
+        iter_pdf_page_text,
+    )
+
+    no_map = encode_pdf_text_type0([["x y"]], omit_tounicode=True)
+    with pytest.raises(ValueError, match="ToUnicode"):
+        list(iter_pdf_page_text(no_map))
+    # a non-Identity encoding CMap name keeps the scoped rejection
+    kanji = encode_pdf_text_type0([["x y"]], compress=False).replace(
+        b"/Encoding /Identity-H", b"/Encoding /90ms-RKSJ-H"
+    )
+    with pytest.raises(ValueError, match="non-Identity"):
+        list(iter_pdf_page_text(kanji))
+
+
+def test_pdf_text_type0_unmapped_cid_and_odd_byte():
+    """A CID the subset CMap omits loses exactly that glyph (U+FFFD), and
+    an odd trailing byte is zero-padded per ISO 32000-1 — neither shifts
+    the 2-byte framing of following CIDs."""
+    from tesseract_recognize_ray.pdfcodec import encode_pdf_text_type0, iter_pdf_page_text
+
+    buf = encode_pdf_text_type0([["abc"]], compress=False)
+    # charset [a,b,c] -> a=1 b=2 c=3; show <0001 0063 0002> where 0x63 is unmapped
+    buf = buf.replace(b"<000100020003>", b"<000100630002>")
+    spans = list(iter_pdf_page_text(buf))[0]
+    assert [s["text"] for s in spans] == ["a�b"]
+    # odd trailing byte: <000200> is 3 bytes -> CID 0002 then trailing
+    # 0x00 zero-padded to CID 0x0000 (unmapped -> U+FFFD)
+    buf2 = encode_pdf_text_type0([["abc"]], compress=False).replace(
+        b"<000100020003>", b"<000200>"
+    )
+    spans2 = list(iter_pdf_page_text(buf2))[0]
+    assert [s["text"] for s in spans2] == ["b�"]
+
+
+def test_pdf_text_mixed_simple_and_type0_fonts():
+    """Tf switches the active decoder mid-page: a simple font's bytes stay
+    latin-1 while the Type0 font's bytes go through its CMap."""
+    from tesseract_recognize_ray.pdfcodec import _tounicode_cmap, iter_pdf_page_text
+
+    cmap = _tounicode_cmap(["X", "Y"])  # CID 1 -> X, CID 2 -> Y
+    content = (
+        b"BT /F1 12 Tf 14 TL 72 720 Td (plain) Tj T* "
+        b"/F2 12 Tf <00010002> Tj T* /F1 12 Tf (back) Tj ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> "
+        b"/Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+        b"6 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /S+Sub "
+        b"/Encoding /Identity-H /DescendantFonts [8 0 R] /ToUnicode 7 0 R >>\nendobj\n"
+        b"7 0 obj\n<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+        + cmap + b"\nendstream\nendobj\n"
+        b"8 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /S+Sub >>\nendobj\n"
+        b"trailer\n<< /Size 9 /Root 1 0 R >>\n"
+    )
+    spans = list(iter_pdf_page_text(pdf))[0]
+    assert [s["text"] for s in spans] == ["plain", "XY", "back"]
+
+
+def test_e2e_span_equality_on_type0_corpus(ray_session):
+    """Golden-span gate over a composite-font born-digital corpus: every
+    media is a /Type0 /Identity-H text PDF (the real-world subset-font
+    norm), so routing + CID decode + reading order + assembly must
+    reproduce the generated lines exactly."""
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.fixtures import corpus_cached
+    from tesseract_recognize_ray.pipelines.extract import extract_spans
+
+    paths = corpus_cached(
+        "/tmp/trr_test_corpus_tiny_pdft0", 48, media_encoding="pdf_text_type0"
+    )
+    media = pq.read_table(paths["media"])
+    payloads = [bytes(b) for b in media.column("bytes").to_pylist()]
+    assert all(b[:4] == b"%PDF" for b in payloads)
+    assert all(b"/Identity-H" in b for b in payloads), "every media must be Type0"
+    golden = pq.read_table(paths["golden_spans"]).to_pandas()
+    out = extract_spans(paths["docs"], paths["media"]).to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _norm(golden))
