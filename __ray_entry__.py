@@ -6256,6 +6256,25 @@ def _q_pdf_text_type0_extract(sf_dir: str):
     )
 
 
+def _q_pdf_vector_extract(sf_dir: str):
+    """S3's third class end-to-end: DRAWN PDFs (ink as filled paths — no
+    raster stream, no text layer, the class the reference can only
+    ghostscript-render at --density) through the fused source's
+    rasterize-at-density route (pdfcodec.rasterize_pdf_pages) into the
+    normal segment+OCR path, at density=144 (a 2x render, so the route's
+    scaling is exercised, not just the identity 72 dpi). Rows-only: OCR is
+    not SQL-expressible; golden span equality at BOTH densities is the
+    pytest gate (tests/test_pdfcodec.py::test_e2e_span_equality_on_vector_pdf_corpus)."""
+    from tesseract_recognize_ray.config import PipelineConfig
+    from tesseract_recognize_ray.fixtures import corpus_cached
+    from tesseract_recognize_ray.pipelines.extract import extract_spans
+
+    paths = corpus_cached(
+        _CORPUS_DIR + "_pdfvec", 48, media_encoding="pdf_vector"
+    )
+    return extract_spans(paths["docs"], paths["media"], PipelineConfig(density=144))
+
+
 def _q_media_metadata_profile(sf_dir: str):
     """Header-only media profiling over the interleaved entry corpus: per
     blob (format, width, height, bit_depth, n_pages) WITHOUT decoding a
@@ -6598,6 +6617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "loo_target_encoding": _q_loo_target_encoding,
         "pdf_text_layer_extract": _q_pdf_text_layer_extract,
         "pdf_text_type0_extract": _q_pdf_text_type0_extract,
+        "pdf_vector_extract": _q_pdf_vector_extract,
         "media_metadata_profile": _q_media_metadata_profile,
         "decayed_user_activity": _q_decayed_user_activity,
         "banned_phrase_scan": _q_banned_phrase_scan,

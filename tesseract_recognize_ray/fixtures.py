@@ -244,6 +244,11 @@ def build_tables(
               (pdfcodec.encode_pdf_text_type0) — the real-world
               born-digital class; exercises the CID decode path
               end-to-end with the same golden truth;
+      "pdf_vector"  DRAWN PDFs: each page's ink as filled paths (re +
+              m/l/h polygons + q/cm translations) in a 1-unit-=-1-px user
+              space — no raster stream, no text layer; readable only via
+              the rasterize-at-density route (pdfcodec.rasterize_pdf_pages,
+              bit-exact at any density that is an integer multiple of 72);
       "mixed" deterministic per-media rng choice among the four
               single-draw encodings (raw/png/tiff/jpeg).
     Decode dispatch is on magic bytes (imagecodecs.iter_page_images), so
@@ -406,6 +411,19 @@ def build_tables(
                         from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
 
                         payload = encode_tiff_gray(page_imgs)
+                elif enc == "pdf_vector":
+                    from tesseract_recognize_ray.pdfcodec import encode_pdf_vector
+
+                    # DRAWN pages: ink as filled paths (re + m/l/h polygons
+                    # + q/cm translations), no raster stream, no text layer
+                    # — the class only rasterize-at-density + OCR can read.
+                    # 1 user unit = 1 logical pixel, so any density that is
+                    # an integer multiple of 72 reproduces the glyph grid
+                    # exactly (pdfcodec.encode_pdf_vector docstring).
+                    payload = encode_pdf_vector(
+                        page_imgs, seed=int(rng.integers(0, 2**31))
+                    )
+                    mkind = "pdf"
                 elif enc == "tiff_lzw":
                     from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
 

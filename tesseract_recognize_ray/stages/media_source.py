@@ -140,11 +140,15 @@ class MediaPathReader:
         rows_per_chunk: int = 16,
         quarantine: bool = False,
         ref_filter=None,
+        density: int = 300,
     ):
         # once-per-actor state: template bank tables (the warm engine, A1)
         self.bank_exact = oc._EXACT
         self.bank_by_width = oc._BY_WIDTH
         self.pset = set(page_set) if page_set is not None else None
+        # --density render dpi for vector-content PDFs (reference
+        # tesseract-recognize.cc:45,108,132; config.PipelineConfig.density)
+        self.density = density
         self.only_layout = only_layout
         self.emit_words = emit_words
         self.emit_glyphs = emit_glyphs
@@ -222,19 +226,28 @@ class MediaPathReader:
         # magic-byte dispatch (PNG / uncompressed TIFF / raw fixture blobs):
         # raw pages stay zero-copy frombuffer views; encoded formats decode
         # once per page here, inside the actor (imagecodecs module docstring).
-        # PDFs come in two classes: scanned (image-wrapped -> rasterize+OCR
-        # below) and born-digital (vector text -> no pixels to OCR). The
-        # rasterizer rejects the latter BEFORE yielding any page, so a
-        # first-page probe cleanly routes them to the embedded text layer
-        # (pdfcodec.iter_pdf_page_text) — the reference can only ghostscript-
-        # render this class (tesseract-recognize.cc:490-511); extracting the
-        # text layer directly is exact and skips OCR entirely.
+        # PDFs come in three classes: scanned (image-wrapped -> unwrap+OCR
+        # below), born-digital (text layer -> extracted exactly, no OCR)
+        # and vector-drawn (paths only -> rasterize at --density + OCR).
+        # The image route rejects non-image PDFs BEFORE yielding any page,
+        # so a first-page probe cleanly cascades text-layer -> vector —
+        # the reference ghostscript-renders all three identically
+        # (tesseract-recognize.cc:490-511); extracting the text layer
+        # directly is exact and skips OCR entirely.
         pages = iter_page_images(buf)
         try:
             first = next(pages, None)
         except ValueError:
-            if bytes(buf[:4]) == b"%PDF" and self._emit_pdf_text_layer(emit, ref, n_pages, buf):
-                return
+            if bytes(buf[:4]) == b"%PDF":
+                if self._emit_pdf_text_layer(emit, ref, n_pages, buf):
+                    return
+                # third PDF class: vector-DRAWN content (outlined text,
+                # filled paths) — no image wrapper, no extractable text
+                # layer. Rasterize at --density dpi and OCR the pixels,
+                # which is the reference's route for EVERY pdf
+                # (tesseract-recognize.cc:490-511).
+                if self._emit_pdf_vector(emit, ref, n_pages, buf):
+                    return
             raise
         if first is None:
             pages = iter(())
@@ -244,41 +257,70 @@ class MediaPathReader:
             seen += 1
             if self.pset is not None and p not in self.pset:
                 continue
-            k_up, s, bands = oc.analyse_orientation_u8(img)
-            up = np.rot90(img, k_up) if k_up else img
-            for b in bands:
-                crop_ink = up[b.y0 : b.y1, b.x0 : b.x1] < oc.BIN_THRESHOLD
-                if self.save_crops_dir:
-                    self._save_crop(ref, p, b, crop_ink)
-                if self.only_layout:
-                    text, conf = None, None
-                else:
-                    text, conf = oc.recognize_line(crop_ink, s)
-                emit(ref, p, n_pages, b.block, 0, b.line, -1, "line",
-                     b.x0, b.y0, b.x1, b.y1, b.y1, s, k_up, up.shape[1], up.shape[0], text, conf)
-                if self.emit_words and text:
-                    pos = 0
-                    for w_idx, word in enumerate(text.split(" ")):
-                        if word:
-                            wx0 = b.x0 + pos * GLYPH_PITCH * s
-                            wx1 = wx0 + len(word) * GLYPH_PITCH * s - s
-                            emit(ref, p, n_pages, b.block, 0, b.line, w_idx, "word",
-                                 wx0, b.y0, wx1, b.y1, b.y1, s, k_up, up.shape[1], up.shape[0], word, conf)
-                        pos += len(word) + 1
-                if self.emit_glyphs and not self.only_layout:
-                    # RIL_SYMBOL depth (reference :758-788): one row per
-                    # glyph, band-local coords translated to page space
-                    for g_idx, (ch, gconf, gx0, gx1) in enumerate(
-                        oc.recognize_line_glyphs(crop_ink, s)
-                    ):
-                        emit(ref, p, n_pages, b.block, 0, b.line, g_idx, "glyph",
-                             b.x0 + gx0, b.y0, b.x0 + gx1, b.y1, b.y1, s, k_up, up.shape[1], up.shape[0], ch, gconf)
+            self._ocr_page(emit, ref, p, n_pages, img)
         if self.pset is not None and max(self.pset, default=-1) >= seen:
             raise ValueError(
                 f"page selection {sorted(self.pset)} out of range for {ref} "
                 f"({seen} pages); reference errors likewise "
                 "(tesseract-recognize.cc:461-466)"
             )
+
+    def _emit_pdf_vector(self, emit, ref: str, n_pages: int, buf: memoryview) -> bool:
+        """Vector-content PDF path: render each page at self.density dpi
+        (pdfcodec.rasterize_pdf_pages) and run the rendered pixels through
+        the SAME segment+recognize path as decoded images. Returns False
+        (caller re-raises the image route's error) when the PDF paints no
+        ink anywhere — a blank render must quarantine, not emit silence."""
+        from tesseract_recognize_ray.pdfcodec import rasterize_pdf_pages
+
+        try:
+            page_imgs = rasterize_pdf_pages(buf, dpi=self.density)
+        except ValueError:
+            return False
+        for p, img in enumerate(page_imgs):
+            if self.pset is not None and p not in self.pset:
+                continue
+            self._ocr_page(emit, ref, p, n_pages, img)
+        if self.pset is not None and max(self.pset, default=-1) >= len(page_imgs):
+            raise ValueError(
+                f"page selection {sorted(self.pset)} out of range for {ref} "
+                f"({len(page_imgs)} pages); reference errors likewise "
+                "(tesseract-recognize.cc:461-466)"
+            )
+        return True
+
+    def _ocr_page(self, emit, ref: str, p: int, n_pages: int, img) -> None:
+        """Segment + recognize one decoded page image (shared by the image
+        route and the vector-PDF rasterize route)."""
+        k_up, s, bands = oc.analyse_orientation_u8(img)
+        up = np.rot90(img, k_up) if k_up else img
+        for b in bands:
+            crop_ink = up[b.y0 : b.y1, b.x0 : b.x1] < oc.BIN_THRESHOLD
+            if self.save_crops_dir:
+                self._save_crop(ref, p, b, crop_ink)
+            if self.only_layout:
+                text, conf = None, None
+            else:
+                text, conf = oc.recognize_line(crop_ink, s)
+            emit(ref, p, n_pages, b.block, 0, b.line, -1, "line",
+                 b.x0, b.y0, b.x1, b.y1, b.y1, s, k_up, up.shape[1], up.shape[0], text, conf)
+            if self.emit_words and text:
+                pos = 0
+                for w_idx, word in enumerate(text.split(" ")):
+                    if word:
+                        wx0 = b.x0 + pos * GLYPH_PITCH * s
+                        wx1 = wx0 + len(word) * GLYPH_PITCH * s - s
+                        emit(ref, p, n_pages, b.block, 0, b.line, w_idx, "word",
+                             wx0, b.y0, wx1, b.y1, b.y1, s, k_up, up.shape[1], up.shape[0], word, conf)
+                    pos += len(word) + 1
+            if self.emit_glyphs and not self.only_layout:
+                # RIL_SYMBOL depth (reference :758-788): one row per
+                # glyph, band-local coords translated to page space
+                for g_idx, (ch, gconf, gx0, gx1) in enumerate(
+                    oc.recognize_line_glyphs(crop_ink, s)
+                ):
+                    emit(ref, p, n_pages, b.block, 0, b.line, g_idx, "glyph",
+                         b.x0 + gx0, b.y0, b.x0 + gx1, b.y1, b.y1, s, k_up, up.shape[1], up.shape[0], ch, gconf)
 
     def _emit_pdf_text_layer(self, emit, ref: str, n_pages: int, buf: memoryview) -> bool:
         """Born-digital PDF path: emit one 'line' row per embedded text span
@@ -404,6 +446,7 @@ def recognized_lines_from_files(
             "save_crops_dir": cfg.crops_dir if cfg.save_crops else None,
             "rows_per_chunk": cfg.decode_batch_size,
             "quarantine": cfg.quarantine,
+            "density": cfg.density,
             "ref_filter": ref_filter,
         },
         batch_size=1,

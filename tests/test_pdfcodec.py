@@ -462,3 +462,158 @@ def test_e2e_span_equality_on_type0_corpus(ray_session):
     golden = pq.read_table(paths["golden_spans"]).to_pandas()
     out = extract_spans(paths["docs"], paths["media"]).to_pandas()
     pd.testing.assert_frame_equal(_norm(out), _norm(golden))
+
+
+# --------------------------------------------- vector-content rasterizer
+def _vec_pdf(content: bytes, *, w: int = 60, h: int = 60, extra_objs: bytes = b"", res: bytes = b"") -> bytes:
+    """Minimal uncompressed one-page PDF around a raw content stream."""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        + b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] %s"
+        b"/Contents 4 0 R >>\nendobj\n" % (w, h, res)
+        + b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+        + extra_objs
+        + b"trailer\n<< /Size 9 /Root 1 0 R >>\n"
+    )
+
+
+def test_pdf_vector_fixture_roundtrip_bit_exact():
+    """encode_pdf_vector -> rasterize_pdf_pages is BIT-exact at 72 dpi and
+    reproduces the n-fold block upscale at 72*n (the --density semantics):
+    integer rect edges stay integral under integer scaling."""
+    from tesseract_recognize_ray.fixtures import render_page
+    from tesseract_recognize_ray.pdfcodec import encode_pdf_vector, rasterize_pdf_pages
+
+    rng = np.random.default_rng(7)
+    imgs = [render_page(rng, rotate=False).img, render_page(rng, rotate=True).img]
+    buf = encode_pdf_vector(imgs, seed=3)
+    out72 = rasterize_pdf_pages(buf, dpi=72)
+    assert len(out72) == 2
+    for got, want in zip(out72, imgs):
+        assert got.shape == want.shape and (got == want).all()
+    out144 = rasterize_pdf_pages(buf, dpi=144)
+    for got, want in zip(out144, imgs):
+        up = np.kron(want, np.ones((2, 2), dtype=np.uint8))
+        assert got.shape == up.shape and (got == up).all()
+
+
+def test_pdf_vector_winding_rules():
+    """Nested same-direction squares: nonzero (f) fills the hole, even-odd
+    (f*) leaves it."""
+    from tesseract_recognize_ray.pdfcodec import rasterize_pdf_pages
+
+    ring = b"10 10 m 50 10 l 50 50 l 10 50 l h 20 20 m 40 20 l 40 40 l 20 40 l h "
+    nz = rasterize_pdf_pages(_vec_pdf(ring + b"f"), dpi=72)[0]
+    eo = rasterize_pdf_pages(_vec_pdf(ring + b"f*"), dpi=72)[0]
+    # device y = 60 - user y: user (30,30) -> device row 30 either way here
+    assert nz[30, 30] == 0, "nonzero fills the nested square"
+    assert eo[30, 30] == 255, "even-odd leaves the nested square white"
+    assert nz[45, 15] == 0 and eo[45, 15] == 0, "both fill the ring body"
+    assert nz[5, 5] == 255 and eo[5, 5] == 255
+
+
+def test_pdf_vector_bezier_circle_area():
+    """Four-cubic unit-circle approximation fills ~pi*r^2 pixels."""
+    from tesseract_recognize_ray.pdfcodec import rasterize_pdf_pages
+
+    # four cubics around (30,30), r=20, kappa*r = 11.046
+    content = (
+        b"50 30 m "
+        b"50 41.046 41.046 50 30 50 c "
+        b"18.954 50 10 41.046 10 30 c "
+        b"10 18.954 18.954 10 30 10 c "
+        b"41.046 10 50 18.954 50 30 c h f"
+    )
+    img = rasterize_pdf_pages(_vec_pdf(content), dpi=72)[0]
+    area = int((img == 0).sum())
+    import math
+
+    assert abs(area - math.pi * 400) < 0.05 * math.pi * 400, area
+
+
+def test_pdf_vector_clip_and_stroke():
+    from tesseract_recognize_ray.pdfcodec import rasterize_pdf_pages
+
+    # clip to [20,40)^2 then fill the whole page: only the clip survives
+    content = b"20 20 20 20 re W n 0 0 60 60 re f"
+    img = rasterize_pdf_pages(_vec_pdf(content), dpi=72)[0]
+    ys, xs = np.nonzero(img == 0)
+    assert ys.min() >= 20 and ys.max() < 40 and xs.min() >= 20 and xs.max() < 40
+    assert (img == 0).sum() == 400
+    # stroke: a horizontal 1px line at lw 1
+    simg = rasterize_pdf_pages(_vec_pdf(b"1 w 10 30 m 50 30 l S"), dpi=72)[0]
+    assert (simg[:, 15:45] == 0).any()
+    rows = np.nonzero((simg == 0).any(axis=1))[0]
+    assert len(rows) <= 2, "1pt stroke stays ~1 device px tall at 72 dpi"
+
+
+def test_pdf_vector_form_and_image_xobjects():
+    from tesseract_recognize_ray.pdfcodec import rasterize_pdf_pages
+
+    # Form XObject: a 10x10 rect at origin, placed twice via /Matrix + cm
+    form = b"0 0 10 10 re f"
+    extra = (
+        b"5 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 10 10] "
+        b"/Matrix [1 0 0 1 5 5] /Length %d >>\nstream\n" % len(form)
+        + form
+        + b"\nendstream\nendobj\n"
+    )
+    res = b"/Resources << /XObject << /Fm0 5 0 R >> >> "
+    content = b"/Fm0 Do q 1 0 0 1 30 30 cm /Fm0 Do Q"
+    img = rasterize_pdf_pages(_vec_pdf(content, extra_objs=extra, res=res), dpi=72)[0]
+    # form draws [5,15)^2 user = rows 45..55 device; translated copy [35,45)
+    assert (img[45:55, 5:15] == 0).all()
+    assert (img[15:25, 35:45] == 0).all()
+    assert int((img == 0).sum()) == 200
+    # Image XObject via the scanned-PDF encoder: dpi=72 reproduces pixels
+    from tesseract_recognize_ray.pdfcodec import encode_pdf_scanned
+
+    grad = (np.arange(1200, dtype=np.uint8).reshape(30, 40) % 251)
+    out = rasterize_pdf_pages(encode_pdf_scanned([grad]), dpi=72)[0]
+    assert out.shape == grad.shape and (out == grad).all()
+
+
+def test_pdf_vector_blank_and_garbage_raise():
+    from tesseract_recognize_ray.pdfcodec import (
+        encode_pdf_text_type0,
+        rasterize_pdf_pages,
+    )
+
+    with pytest.raises(ValueError, match="no paintable vector content"):
+        rasterize_pdf_pages(_vec_pdf(b"0 0 60 60 re n"), dpi=72)
+    # a text-only PDF (no paths) renders blank -> same scoped error
+    with pytest.raises(ValueError, match="no paintable"):
+        rasterize_pdf_pages(encode_pdf_text_type0([["xy"]], omit_tounicode=True), dpi=72)
+    with pytest.raises(ValueError, match="inline images"):
+        rasterize_pdf_pages(_vec_pdf(b"BI /W 1 /H 1 ID x EI"), dpi=72)
+
+
+def test_e2e_span_equality_on_vector_pdf_corpus(ray_session):
+    """Golden-span gate over DRAWN PDFs (no raster stream, no text layer):
+    the fused source must route them through rasterize-at-density + OCR —
+    the reference's Ghostscript semantics — and reproduce the generated
+    lines exactly at density 72 AND at density 144 (2x render)."""
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.config import PipelineConfig
+    from tesseract_recognize_ray.fixtures import corpus_cached
+    from tesseract_recognize_ray.pipelines.extract import extract_spans
+
+    paths = corpus_cached(
+        "/tmp/trr_test_corpus_tiny_pdfvec", 36, media_encoding="pdf_vector"
+    )
+    media = pq.read_table(paths["media"])
+    payloads = [bytes(b) for b in media.column("bytes").to_pylist()]
+    assert all(b[:4] == b"%PDF" for b in payloads)
+    # object dicts are uncompressed: no image XObjects, no fonts anywhere
+    assert not any(b"/XObject" in b or b"/Font" in b for b in payloads), "drawn-only corpus"
+    golden = pq.read_table(paths["golden_spans"]).to_pandas()
+    for density in (72, 144):
+        out = extract_spans(
+            paths["docs"], paths["media"], PipelineConfig(density=density)
+        ).to_pandas()
+        pd.testing.assert_frame_equal(_norm(out), _norm(golden))
