@@ -3315,6 +3315,41 @@ GROUP BY x.vec_id, x.cid"""
     )
 
 
+def _q_semantic_dedup_capped(sf_dir: str):
+    """semantic_dedup under the mega-cluster straggler guard
+    (max_cluster_size=40): earlier-mate candidates restricted to each
+    cluster's 40 earliest vec_ids — O(n_c * 40) instead of O(n_c^2) — with
+    rows of over-cap clusters carrying truncated=TRUE. The oracle replays
+    the capped semantics exactly via a rank filter on the join's earlier
+    side, so the approximation itself is value-checked, not hand-waved."""
+    from tesseract_recognize_ray.functions.similarity import semantic_dedup
+
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    return semantic_dedup(
+        ds, "vec_id", "embedding", k=8, iters=3, threshold=0.9, max_cluster_size=40
+    )
+
+
+def _semantic_dedup_capped_oracle_sql(
+    k: int = 8, iters: int = 3, t: float = 0.9, cap: int = 40
+) -> str:
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes(k, iters))
+        + f""",
+ranked AS MATERIALIZED (
+    SELECT af.*, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rk,
+           COUNT(*) OVER (PARTITION BY cid) AS csz
+    FROM af
+)
+SELECT x.vec_id, x.cid AS cluster,
+       COALESCE(bool_or(ROUND(list_cosine_similarity(x.v, y.v), 6) >= {t}), FALSE) AS is_dup,
+       MAX(x.csz) > {cap} AS truncated
+FROM ranked x LEFT JOIN ranked y
+     ON x.cid = y.cid AND y.vec_id < x.vec_id AND y.rk <= {cap}
+GROUP BY x.vec_id, x.cid"""
+    )
+
+
 def _q_doc_lm_score(sf_dir: str):
     """CCNet-style unigram LM quality score: corpus term counts -> top-20
     vocabulary broadcast once -> per-doc integer micro-log10-prob sums
@@ -3741,8 +3776,10 @@ def _q_scaled_event_values(sf_dir: str):
 
     def scale(b: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(ref)
-        mn = b["event_type"].map(lambda t: m[t][0]).to_numpy(np.float64)
-        mx = b["event_type"].map(lambda t: m[t][1]).to_numpy(np.float64)
+        # Series.map(dict) is the vectorized (C-level) lookup; a lambda
+        # would call back into Python per row
+        mn = b["event_type"].map({t: v[0] for t, v in m.items()}).to_numpy(np.float64)
+        mx = b["event_type"].map({t: v[1] for t, v in m.items()}).to_numpy(np.float64)
         v = b["cents"].to_numpy(np.float64)
         rng_ = mx - mn
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -6489,6 +6526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sliding_chunks": _q_doc_sliding_chunks,
         "kmeans_clusters": _q_kmeans_clusters,
         "semantic_dedup": _q_semantic_dedup,
+        "semantic_dedup_capped": _q_semantic_dedup_capped,
         "doc_lm_score": _q_doc_lm_score,
         "event_transitions": _q_event_transitions,
         "balanced_doc_sample": _q_balanced_doc_sample,
@@ -7797,6 +7835,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "semantic_dedup_capped": _semantic_dedup_capped_oracle_sql(),
         "doc_lm_score": """
             WITH toks AS (
                 SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token

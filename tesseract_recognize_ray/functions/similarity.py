@@ -120,6 +120,11 @@ def build_ivf_centroids(
     regardless of corpus size."""
     frac = min(1.0, (n_centroids * 16) / max(1, ds.count()))
     sample = ds.random_sample(frac, seed=seed).take_all()
+    # driver-boundedness is the invariant this function sells: the sample
+    # is Binomial(N, frac) with mean 16*n — enforce, don't just comment
+    assert len(sample) <= 64 * n_centroids + 1024, (
+        f"ivf seeding sample blew its driver bound: {len(sample)} rows"
+    )
     vecs = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample]))
     cents = vecs[:n_centroids].copy()
     for _ in range(lloyd_iters):
@@ -424,6 +429,7 @@ def semantic_dedup(
     iters: int = 3,
     threshold: float = 0.9,
     round_digits: int = 6,
+    max_cluster_size: int | None = None,
 ) -> Dataset:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     embeddings with k-means, then inside each cluster flag every vector that
@@ -443,7 +449,18 @@ def semantic_dedup(
     matmul walks column chunks so peak memory is O(n x 1024), not O(n^2).
     k defaults to max(8, ceil(sqrt(N))) — the SemDeDup operating point — via
     one count() pass (pass k explicitly to skip it, and ALWAYS pass it when
-    an external oracle must replay the same clustering)."""
+    an external oracle must replay the same clustering).
+
+    max_cluster_size: straggler guard for skewed corpora. A mega-cluster
+    (one hot semantic mode) makes the per-cluster pair scan O(n_c^2) even
+    though memory stays chunk-bounded; with a cap C the candidate
+    "earlier-mate" set is restricted to the cluster's C earliest rows, so
+    work is O(n_c * C) — linear — at the cost of missing dup pairs whose
+    BOTH members rank past C. Rows of capped clusters carry
+    truncated=True (the hot-bucket-flag convention of minhash_lsh_pairs)
+    so downstream can count what the cap skipped; the capped semantics
+    stay exactly SQL-replayable (rank filter on the join's earlier side).
+    None (default) = exact."""
     import ray
 
     if k is None:
@@ -470,18 +487,23 @@ def semantic_dedup(
         nrm[nrm == 0] = 1.0  # zero vectors: cos := 0 (oracle-side NaN never >= t)
         xn = x / nrm[:, None]
         n = len(df)
+        cap = n if max_cluster_size is None else min(n, max_cluster_size)
         dup = np.zeros(n, dtype=bool)
         step = 1024
         for s in range(1, n, step):
             e = min(s + step, n)
-            sims = np.round(xn[:e] @ xn[s:e].T, round_digits)
-            jj = np.arange(e)[:, None]
+            lim = min(e, cap)  # earlier-mate candidates: first `cap` rows
+            if lim <= 0:
+                continue
+            sims = np.round(xn[:lim] @ xn[s:e].T, round_digits)
+            jj = np.arange(lim)[:, None]
             ii = np.arange(s, e)[None, :]
             sims[jj >= ii] = -2.0  # only strictly-earlier rows count
             dup[s:e] = (sims >= threshold).any(axis=0)
-        return pd.DataFrame(
-            {id_col: df[id_col], "cluster": df["cluster"], "is_dup": dup}
-        )
+        out = {id_col: df[id_col], "cluster": df["cluster"], "is_dup": dup}
+        if max_cluster_size is not None:
+            out["truncated"] = np.full(n, n > max_cluster_size)
+        return pd.DataFrame(out)
 
     return (
         ds.map_batches(assign_keep, batch_format="pandas")
@@ -601,6 +623,11 @@ def train_pq_codebooks(
     n_sample = ksub * 64
     frac = min(1.0, n_sample / max(1, ds.count()))
     sample = ds.random_sample(frac, seed=seed).take_all()
+    # same driver-boundedness invariant as build_ivf_centroids: mean
+    # sample size is 64*ksub — enforce the bound instead of trusting it
+    assert len(sample) <= 4 * n_sample + 1024, (
+        f"pq training sample blew its driver bound: {len(sample)} rows"
+    )
     vecs = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample]))
     if vecs.shape[0] < ksub:
         # corpus (or an improbable sample shortfall at the 64x margin)

@@ -141,3 +141,77 @@ def test_grouped_exact_quantile_rejects_all_nan(ray_session):
     )
     with pytest.raises(ValueError, match="no non-NaN"):
         grouped_exact_quantile(ds, "k", "v", [0.5])
+
+
+# ------------------------------------------- semantic_dedup straggler cap
+def test_semantic_dedup_cap_linear_and_flagged(ray_session):
+    """max_cluster_size: (a) cap >= cluster size == exact semantics with
+    truncated=False; (b) under a small cap, a dup whose earlier mate ranks
+    within the cap is still caught, a pair landing entirely PAST the cap is
+    skipped, and the cluster's rows carry truncated=True."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.similarity import semantic_dedup
+
+    rng = np.random.default_rng(55)
+    rows = []
+    # ids sort lexicographically: v00..v29. v01 duplicates v00 (early pair);
+    # v28 duplicates v27 (both past cap 10). All other rows are independent
+    # 64-dim gaussians — pairwise near-orthogonal, cosine << 0.9.
+    for i in range(30):
+        v = rng.normal(size=64)
+        rows.append({"vec_id": f"v{i:02d}", "embedding": v.tolist()})
+    rows[1]["embedding"] = rows[0]["embedding"]
+    rows[28]["embedding"] = rows[27]["embedding"]
+    ds = rd.from_items(rows)
+
+    exact = (
+        semantic_dedup(ds, "vec_id", "embedding", k=1, iters=1, max_cluster_size=100)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert not exact["truncated"].any()
+    assert bool(exact.loc["v01", "is_dup"]) and bool(exact.loc["v28", "is_dup"])
+
+    capped = (
+        semantic_dedup(ds, "vec_id", "embedding", k=1, iters=1, max_cluster_size=10)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert capped["truncated"].all(), "over-cap cluster flags every row"
+    assert bool(capped.loc["v01", "is_dup"]), "early pair still caught"
+    assert not bool(capped.loc["v28", "is_dup"]), "both-past-cap pair skipped"
+    # cap=None keeps the legacy schema (no truncated column)
+    legacy = semantic_dedup(ds, "vec_id", "embedding", k=1, iters=1).to_pandas()
+    assert "truncated" not in legacy.columns
+
+
+# --------------------------------------------------------- lance gate
+def test_lance_gate_behavior(ray_session, tmp_path):
+    """The Lance import gate (BASELINE.json input_hint names Lance; this
+    sandbox has no lance package): a .lance path must raise the scoped
+    ImportError naming the fallback — never a silent parquet misread — and
+    write_spans must fall back to parquet for non-.lance dirs. If a lance
+    package IS present (future env), the read path is exercised instead."""
+    import importlib.util
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tesseract_recognize_ray.sources.io import _read, write_spans
+
+    have_lance = importlib.util.find_spec("lance") is not None
+    if have_lance:
+        ds = rd.from_items([{"doc_id": "a", "n": 1}])
+        out = str(tmp_path / "t.lance")
+        ds.write_lance(out)
+        got = _read(out, columns=["doc_id"]).take_all()
+        assert got == [{"doc_id": "a"}]
+    else:
+        with pytest.raises(ImportError, match="use parquet"):
+            _read(str(tmp_path / "t.lance"))
+    # parquet fallback of the sink is gate-independent
+    ds = rd.from_items([{"doc_id": "b", "n": 2}])
+    out_dir = str(tmp_path / "spans_out")
+    write_spans(ds, out_dir)
+    assert pq.read_table(out_dir).num_rows == 1
