@@ -41,6 +41,19 @@ for _ch, _pat, _w in template_bank():
     pats.append(_pat)
 _BY_WIDTH = {w: (chs, np.stack(ps)) for w, (chs, ps) in _BY_WIDTH.items()}
 
+# integer-key template table for the vectorized line path: a 7 x w cell
+# pattern packs into sum_j colbits_j * 128^j (7 bits per column). Widths
+# cannot collide: ink-cropped glyphs have ink in their last column, so the
+# top base-128 digit is nonzero and the key range of width w sits strictly
+# above that of any narrower glyph.
+_COL_W = (1 << np.arange(GLYPH_H, dtype=np.int64))[:, None]  # (7, 1)
+_RUN_POW = 128 ** np.arange(6, dtype=np.int64)
+_EXACT_CODE: dict[int, str] = {}
+for (_w, _pb), _ch in _EXACT.items():
+    _pat = np.frombuffer(_pb, dtype=bool).reshape(GLYPH_H, _w)
+    _code = int(((_pat * _COL_W).sum(axis=0) * _RUN_POW[:_w]).sum())
+    _EXACT_CODE[_code] = _ch
+
 
 def binarize(img: np.ndarray) -> np.ndarray:
     """uint8 grayscale -> bool ink mask (ink = dark), reference binarization
@@ -93,14 +106,42 @@ def recognize_line(ink_band: np.ndarray, s: int) -> tuple[str, float]:
     h, w = ink_band.shape
     if h == GLYPH_H * s and w % s == 0 and w > 0:
         grid = ink_band.reshape(GLYPH_H, s, w // s, s).any(axis=(1, 3))  # (7, C)
-        cellprof = grid.any(axis=0)
-        runs = runs_1d(cellprof.astype(np.int8), merge_gap=0)
-        if not runs:
+        # pack columns to 7-bit codes ONCE; glyph runs, word gaps and the
+        # per-glyph template keys are then all integer arithmetic — no
+        # per-glyph slicing/copy/bytes-hash in the hot loop
+        colcodes = (grid * _COL_W).sum(axis=0)  # (C,) int64, 0 = blank col
+        nz = np.flatnonzero(colcodes)
+        if nz.size == 0:
             return "", 0.0
-        parts: list[str] = []
+        brk = np.flatnonzero(np.diff(nz) > 1)
+        starts = np.concatenate([nz[:1], nz[brk + 1]])
+        ends = np.concatenate([nz[brk], nz[-1:]]) + 1
+        lens = ends - starts
+        kmax = int(lens.max())
+        if kmax <= 5:
+            idx = np.minimum(starts[:, None] + np.arange(kmax), len(colcodes) - 1)
+            vals = np.where(np.arange(kmax) < lens[:, None], colcodes[idx], 0)
+            keys = (vals * _RUN_POW[:kmax]).sum(axis=1).tolist()
+            spaces = np.zeros(len(keys), dtype=bool)
+            spaces[1:] = (starts[1:] - ends[:-1]) >= 6
+            parts: list[str] = []
+            conf_sum = 0.0
+            for i, key in enumerate(keys):
+                if spaces[i]:
+                    parts.append(" ")
+                ch = _EXACT_CODE.get(key)
+                if ch is None:  # noisy cell pattern: nearest-Hamming fallback
+                    ch, cf = match_glyph(np.ascontiguousarray(grid[:, starts[i] : ends[i]]))
+                    conf_sum += cf
+                else:
+                    conf_sum += 1.0
+                parts.append(ch)
+            return "".join(parts), conf_sum / len(keys)
+        # a run wider than any template (merged blob): legacy per-run path
+        parts = []
         confs: list[float] = []
         prev_end: int | None = None
-        for c0, c1 in runs:
+        for c0, c1 in zip(starts.tolist(), ends.tolist()):
             if prev_end is not None and (c0 - prev_end) >= 6:
                 parts.append(" ")
             prev_end = c1

@@ -168,3 +168,28 @@ def test_quarantine_bad_media(ray_session, tmp_path):
 
     with _pytest.raises(ray.exceptions.RayTaskError):
         recognized_lines_from_files([path], PipelineConfig(quarantine=False)).to_pandas()
+
+
+def test_merged_blob_run_wider_than_any_template():
+    """Two glyphs bridged by an ink smear form one >5-cell run: the legacy
+    per-run path must keep the line (unknown blob -> '-', conf 0 for that
+    run) instead of crashing the vectorized key path."""
+    img = _render_line("AB CD", 2)
+    ink = oc.binarize(img)
+    # bridge A and B: fill the spacing column between their cells with ink
+    ink[: 7 * 2, 5 * 2 : 6 * 2] = True
+    text, conf = oc.recognize_line(ink, 2)
+    assert text.endswith(" CD")
+    assert 0.0 <= conf < 1.0
+
+
+def test_noisy_glyph_takes_hamming_fallback_not_garbage():
+    """A single flipped pixel inside one glyph cell: the packed-key lookup
+    misses, the nearest-Hamming fallback still recognizes the right char
+    with conf just under 1."""
+    img = _render_line("QUICK", 3)
+    ink = oc.binarize(img)
+    ink[1, 1] ^= True  # one pixel of the Q cell
+    text, conf = oc.recognize_line(ink, 3)
+    assert text == "QUICK"
+    assert 0.9 < conf < 1.0
