@@ -244,6 +244,11 @@ def build_tables(
               (pdfcodec.encode_pdf_text_type0) — the real-world
               born-digital class; exercises the CID decode path
               end-to-end with the same golden truth;
+      "pdf_objstm"  PDF 1.5+ COMPRESSED layout: the scanned-PDF class
+              repacked via pdfcodec.repack_pdf_objstm — non-stream objects
+              inside a /Type /ObjStm, cross-reference STREAM (drawn
+              predictor 1 / 12), no classic trailer; exercises the
+              object-stream expansion + XRef-root discovery;
       "pdf_vector"  DRAWN PDFs: each page's ink as filled paths (re +
               m/l/h polygons + q/cm translations) in a 1-unit-=-1-px user
               space — no raster stream, no text layer; readable only via
@@ -411,6 +416,23 @@ def build_tables(
                         from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
 
                         payload = encode_tiff_gray(page_imgs)
+                elif enc == "pdf_objstm":
+                    from tesseract_recognize_ray.pdfcodec import (
+                        encode_pdf_scanned,
+                        repack_pdf_objstm,
+                    )
+
+                    # PDF 1.5 compressed layout: the scanned class repacked
+                    # into ObjStm members + an xref STREAM (no trailer) —
+                    # the post-2005 on-disk norm
+                    payload = repack_pdf_objstm(
+                        encode_pdf_scanned(
+                            page_imgs,
+                            image_filter=("flate", "dct")[int(rng.integers(0, 2))],
+                        ),
+                        xref_predictor=(1, 12)[int(rng.integers(0, 2))],
+                    )
+                    mkind = "pdf"
                 elif enc == "pdf_vector":
                     from tesseract_recognize_ray.pdfcodec import encode_pdf_vector
 

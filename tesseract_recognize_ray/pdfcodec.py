@@ -162,6 +162,28 @@ def _parse_objects(buf: bytes) -> dict[int, tuple[dict, bytes | None]]:
         objs[int(m.group(1))] = (val, stream)
     if not objs:
         raise ValueError("PDF: no objects found")
+    # PDF 1.5+ compressed layout: objects hidden inside /Type /ObjStm
+    # streams are invisible to the byte scan — inflate each object stream
+    # (with predictor reversal) and parse its members. Header = /N pairs of
+    # "objnum offset" in the first /First bytes. Values are stored as-is
+    # (ObjStm members are never streams, ISO 32000-1 7.5.7); a member
+    # whose number the top-level scan already found is NOT overwritten
+    # (the visible revision wins, matching incremental-update semantics).
+    for d, stream in list(objs.values()):
+        if not isinstance(d, dict) or _deref(objs, d.get("Type")) != "/ObjStm" or stream is None:
+            continue
+        data = _stream_data(objs, d, stream)
+        first = int(_deref(objs, d["First"]))
+        n = int(_deref(objs, d["N"]))
+        hdr = data[:first].split()
+        if len(hdr) < 2 * n:
+            raise ValueError("PDF: object stream header shorter than /N pairs")
+        for i in range(n):
+            onum = int(hdr[2 * i])
+            if onum in objs:
+                continue
+            val, _pos = _parse_value(data, first + int(hdr[2 * i + 1]))
+            objs[onum] = (val, None)
     return objs
 
 
@@ -172,6 +194,52 @@ def _deref(objs, v):
     return v
 
 
+def _unpredict(data: bytes, parms: dict, objs) -> bytes:
+    """Reverse a FlateDecode /DecodeParms predictor: 2 = TIFF horizontal
+    differencing; 10-15 = the PNG row filters (ISO 32000-1 7.4.4.4 points
+    at the PNG spec), reversed by the SAME engine the PNG codec uses
+    (imagecodecs._unfilter). 8-bit components only — the layouts xref
+    streams and Flate-predicted images actually use."""
+    pred = int(_deref(objs, parms.get("Predictor", 1)) or 1)
+    if pred == 1:
+        return data
+    columns = int(_deref(objs, parms.get("Columns", 1)) or 1)
+    colors = int(_deref(objs, parms.get("Colors", 1)) or 1)
+    bpc = int(_deref(objs, parms.get("BitsPerComponent", 8)) or 8)
+    if bpc != 8:
+        raise ValueError(f"PDF: predictor with {bpc}-bit components not supported")
+    if pred == 2:  # TIFF horizontal differencing
+        stride = columns * colors
+        h = len(data) // stride
+        rows = np.frombuffer(data[: h * stride], np.uint8).reshape(h, columns, colors)
+        return rows.astype(np.int64).cumsum(axis=1).astype(np.uint8).tobytes()
+    if 10 <= pred <= 15:
+        from .imagecodecs import _unfilter
+
+        stride = columns * colors
+        h = len(data) // (1 + stride)
+        raw = np.frombuffer(data[: h * (1 + stride)], np.uint8)
+        return _unfilter(raw, h, stride, colors).tobytes()
+    raise ValueError(f"PDF: predictor {pred} not supported")
+
+
+def _stream_data(objs, sdict: dict, stream: bytes) -> bytes:
+    """Decoded bytes of a stream: /Length-clamped, /Filter applied
+    (FlateDecode, with /DecodeParms predictor reversal), none passthrough."""
+    length = _deref(objs, sdict.get("Length"))
+    raw = stream[: int(length)] if isinstance(length, (int, float)) else stream
+    filt = _deref(objs, sdict.get("Filter"))
+    if filt is None:
+        return raw
+    if filt == "/FlateDecode":
+        out = zlib.decompress(raw)
+        parms = _deref(objs, sdict.get("DecodeParms") or sdict.get("DP"))
+        if isinstance(parms, dict):
+            out = _unpredict(out, parms, objs)
+        return out
+    raise ValueError(f"PDF: stream filter {filt} not supported")
+
+
 def _decode_image(objs, xdict: dict, raw: bytes) -> np.ndarray:
     filters = _deref(objs, xdict.get("Filter"))
     if filters is None:
@@ -179,16 +247,16 @@ def _decode_image(objs, xdict: dict, raw: bytes) -> np.ndarray:
     elif not isinstance(filters, list):
         filters = [filters]
     parms = _deref(objs, xdict.get("DecodeParms"))
-    if parms:
-        parms_list = parms if isinstance(parms, list) else [parms]
-        for p in parms_list:
-            p = _deref(objs, p)
-            if isinstance(p, dict) and _deref(objs, p.get("Predictor", 1)) not in (None, 1):
-                raise ValueError("PDF: DecodeParms predictors not supported")
+    parms_list = [
+        _deref(objs, p) for p in (parms if isinstance(parms, list) else [parms])
+    ]
     data = raw
-    for f in filters:
+    for i, f in enumerate(filters):
         if f == "/FlateDecode":
             data = zlib.decompress(data)
+            p = parms_list[i] if i < len(parms_list) else None
+            if isinstance(p, dict):
+                data = _unpredict(data, p, objs)
         elif f == "/DCTDecode":
             from .jpegcodec import decode_jpeg
 
@@ -235,24 +303,35 @@ def _page_kids(objs, node: dict, out: list[dict], depth: int = 0):
         _page_kids(objs, _deref(objs, kid), out, depth + 1)
 
 
-def iter_pdf_page_images(buf):
-    """Yield (h, w) uint8 grayscale per page of an image-wrapped PDF."""
-    data = bytes(memoryview(buf))
-    if not data.startswith(b"%PDF"):
-        raise ValueError("PDF: bad magic")
-    objs = _parse_objects(data)
-    # root: trailer /Root -> Catalog -> /Pages; fallback: lone Catalog
+def _locate_pages(objs, data: bytes) -> "list[dict]":
+    """Page dicts in document order. Root discovery, in priority order:
+    classic trailer dict (LAST trailer wins — incremental updates append),
+    the /Type /XRef cross-reference STREAM's trailer fields (PDF 1.5+
+    files have no `trailer` keyword), then the lone-/Type /Catalog scan."""
     pages_node = None
     trailers = list(re.finditer(rb"trailer", data))
-    if trailers:  # incremental-update files append trailers; LAST wins
+    if trailers:
         try:
             tdict, _ = _parse_value(data, trailers[-1].end())
-            cat = _deref(objs, tdict["Root"])
-            pages_node = _deref(objs, cat["Pages"])
+            pages_node = _deref(objs, _deref(objs, tdict["Root"])["Pages"])
         except (KeyError, ValueError, IndexError):
             pages_node = None
     if pages_node is None:
-        cats = [d for d, _s in objs.values() if isinstance(d, dict) and _deref(objs, d.get("Type")) == "/Catalog"]
+        xrefs = [
+            d for d, _s in objs.values()
+            if isinstance(d, dict) and _deref(objs, d.get("Type")) == "/XRef"
+        ]
+        for xd in xrefs:
+            try:
+                pages_node = _deref(objs, _deref(objs, xd["Root"])["Pages"])
+                break
+            except (KeyError, ValueError, IndexError):
+                continue
+    if pages_node is None:
+        cats = [
+            d for d, _s in objs.values()
+            if isinstance(d, dict) and _deref(objs, d.get("Type")) == "/Catalog"
+        ]
         if len(cats) != 1:
             raise ValueError("PDF: cannot locate the page tree")
         pages_node = _deref(objs, cats[0]["Pages"])
@@ -260,7 +339,16 @@ def iter_pdf_page_images(buf):
     _page_kids(objs, pages_node, pages)
     if not pages:
         raise ValueError("PDF: page tree has no pages")
-    for page in pages:
+    return pages
+
+
+def iter_pdf_page_images(buf):
+    """Yield (h, w) uint8 grayscale per page of an image-wrapped PDF."""
+    data = bytes(memoryview(buf))
+    if not data.startswith(b"%PDF"):
+        raise ValueError("PDF: bad magic")
+    objs = _parse_objects(data)
+    for page in _locate_pages(objs, data):
         res = _deref(objs, page.get("Resources", {}))
         xobjs = _deref(objs, res.get("XObject", {}))
         imgs = []
@@ -466,20 +554,14 @@ def _page_content(objs, page: dict) -> bytes:
 
 
 def _stream_bytes(objs, ref) -> bytes:
-    """Raw bytes of a stream object, /Length-clamped, FlateDecode inflated."""
+    """Decoded bytes of a referenced stream object (delegates to
+    _stream_data: /Length clamp, FlateDecode, predictor reversal)."""
     if not isinstance(ref, _Ref):
         raise ValueError("PDF text: expected a stream reference")
     sdict, stream = objs[ref.num]
     if stream is None:
         raise ValueError("PDF text: referenced object carries no stream")
-    length = _deref(objs, sdict.get("Length"))
-    raw = stream[: int(length)] if isinstance(length, (int, float)) else stream
-    filt = _deref(objs, sdict.get("Filter"))
-    if filt == "/FlateDecode":
-        raw = zlib.decompress(raw)
-    elif filt is not None:
-        raise ValueError(f"PDF text: stream filter {filt} not supported")
-    return raw
+    return _stream_data(objs, sdict, stream)
 
 
 def _bf_increment(dst: bytes, offset: int) -> str:
@@ -612,24 +694,7 @@ def iter_pdf_page_text(buf, *, reading_order: bool = True, with_boxes: bool = Fa
     if not data.startswith(b"%PDF"):
         raise ValueError("PDF: bad magic")
     objs = _parse_objects(data)
-    pages_node = None
-    trailers = list(re.finditer(rb"trailer", data))
-    if trailers:
-        try:
-            tdict, _ = _parse_value(data, trailers[-1].end())
-            pages_node = _deref(objs, _deref(objs, tdict["Root"])["Pages"])
-        except (KeyError, ValueError, IndexError):
-            pages_node = None
-    if pages_node is None:
-        cats = [d for d, _s in objs.values() if isinstance(d, dict) and _deref(objs, d.get("Type")) == "/Catalog"]
-        if len(cats) != 1:
-            raise ValueError("PDF: cannot locate the page tree")
-        pages_node = _deref(objs, cats[0]["Pages"])
-    pages: list[dict] = []
-    _page_kids(objs, pages_node, pages)
-    if not pages:
-        raise ValueError("PDF: page tree has no pages")
-    for page in pages:
+    for page in _locate_pages(objs, data):
         fonts = _page_fonts(objs, page)
         cur_cmap: dict[bytes, str] | None = None
         spans = []
@@ -1377,25 +1442,8 @@ def rasterize_pdf_pages(buf, *, dpi: int = 300) -> "list[np.ndarray]":
     if not data.startswith(b"%PDF"):
         raise ValueError("PDF: bad magic")
     objs = _parse_objects(data)
-    pages_node = None
-    trailers = list(re.finditer(rb"trailer", data))
-    if trailers:
-        try:
-            tdict, _ = _parse_value(data, trailers[-1].end())
-            pages_node = _deref(objs, _deref(objs, tdict["Root"])["Pages"])
-        except (KeyError, ValueError, IndexError):
-            pages_node = None
-    if pages_node is None:
-        cats = [d for d, _s in objs.values() if isinstance(d, dict) and _deref(objs, d.get("Type")) == "/Catalog"]
-        if len(cats) != 1:
-            raise ValueError("PDF: cannot locate the page tree")
-        pages_node = _deref(objs, cats[0]["Pages"])
-    pages: list[dict] = []
-    _page_kids(objs, pages_node, pages)
-    if not pages:
-        raise ValueError("PDF: page tree has no pages")
     out, painted = [], False
-    for page in pages:
+    for page in _locate_pages(objs, data):
         vp = _VectorPage(objs, page, dpi)
         res = _deref(objs, page.get("Resources", {})) or {}
         vp.run(_page_content(objs, page), res)
@@ -1504,4 +1552,127 @@ def encode_pdf_vector(
     for num in range(1, nobj + 1):
         out.extend(b"%010d 00000 n \n" % offsets[num])
     out.extend(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (nobj + 1, xref_at))
+    return bytes(out)
+
+
+def _png_up_encode(rows: np.ndarray) -> bytes:
+    """Forward PNG Up filter (type 2) over (h, stride) uint8 rows — the
+    standard encoding for predictor-12 xref streams."""
+    prev = np.zeros(rows.shape[1], dtype=np.uint8)
+    out = bytearray()
+    for r in rows:
+        out.append(2)
+        out.extend(((r - prev) & 0xFF).astype(np.uint8).tobytes())
+        prev = r
+    return bytes(out)
+
+
+def repack_pdf_objstm(buf, *, xref_predictor: int = 12) -> bytes:
+    """Rewrite a classic-layout PDF into the PDF 1.5+ COMPRESSED layout the
+    post-2005 world actually ships: every non-stream object moves into one
+    FlateDecode /Type /ObjStm object stream, the cross-reference table and
+    `trailer` keyword are replaced by a /Type /XRef cross-reference STREAM
+    (W [1 2 1], PNG Up predictor by default), and stream-bearing objects
+    stay top-level (the spec forbids streams inside object streams,
+    ISO 32000-1 7.5.7). Fixture transformer: feeding each corpus class
+    through this proves the reader's ObjStm expansion + XRef-root discovery
+    end-to-end. Raw object bodies are carried as BYTES (never re-serialized
+    from parsed values), so the transform is content-exact."""
+    data = bytes(memoryview(buf))
+    if not data.startswith(b"%PDF"):
+        raise ValueError("PDF: bad magic")
+    stream_kw = re.compile(rb"[\x00\t\n\x0c\r ]*stream(\r\n|\n|\r)")
+    members: list[tuple[int, bytes]] = []  # (num, raw value bytes)
+    keeps: list[tuple[int, bytes, bytes]] = []  # (num, dict bytes, stream bytes)
+    root_num = None
+    last_end = 0
+    for m in _OBJ_RE.finditer(data):
+        if m.start() < last_end:
+            continue
+        try:
+            val, vpos = _parse_value(data, m.end())
+        except (ValueError, IndexError):
+            continue
+        num = int(m.group(1))
+        body = data[m.end() : vpos].strip()
+        if isinstance(val, dict) and val.get("Type") == "/Catalog":
+            root_num = num
+        sm = stream_kw.match(data, vpos) if isinstance(val, dict) else None
+        if sm:
+            length = val.get("Length")
+            if isinstance(length, (int, float)):
+                s0 = sm.end()
+                stream = data[s0 : s0 + int(length)]
+                last_end = s0 + int(length)
+            else:
+                e = data.find(b"endstream", sm.end())
+                if e < 0:
+                    continue
+                stream = data[sm.end() : e]
+                last_end = e
+            keeps.append((num, body, stream))
+        else:
+            last_end = vpos
+            members.append((num, body))
+    if root_num is None:
+        raise ValueError("PDF: no /Type /Catalog object to repack around")
+    max_num = max([n for n, *_ in members] + [n for n, _b, _s in keeps])
+    objstm_num, xref_num = max_num + 1, max_num + 2
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num, body, stream in keeps:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nstream\n")
+        out.extend(stream)
+        out.extend(b"\nendstream\nendobj\n")
+    # object stream: header pairs, then member bodies
+    hdr = bytearray()
+    payload = bytearray()
+    for num, body in members:
+        hdr.extend(b"%d %d " % (num, len(payload)))
+        payload.extend(body)
+        payload.extend(b"\n")
+    stm = bytes(hdr) + bytes(payload)
+    z = zlib.compress(stm, 6)
+    offsets[objstm_num] = len(out)
+    out.extend(
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % (objstm_num, len(members), len(hdr), len(z))
+    )
+    out.extend(z)
+    out.extend(b"\nendstream\nendobj\n")
+    # cross-reference stream: W [1 2 1]; type 0 free / 1 offset / 2 in-stream
+    size = xref_num + 1
+    rows = np.zeros((size, 4), dtype=np.uint8)
+
+    def put_row(num: int, t: int, f2: int, f3: int):
+        rows[num] = (t, (f2 >> 8) & 0xFF, f2 & 0xFF, f3)
+
+    for idx, (num, _b) in enumerate(members):
+        put_row(num, 2, objstm_num, idx)
+    xref_at = None
+    for num in offsets:
+        put_row(num, 1, offsets[num], 0)
+    xref_at = len(out)
+    put_row(xref_num, 1, xref_at, 0)
+    if xref_predictor == 12:
+        body = _png_up_encode(rows)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 4 >>"
+    elif xref_predictor in (0, 1):
+        body = rows.tobytes()
+        parms = b""
+    else:
+        raise ValueError("xref_predictor must be 1 or 12")
+    zb = zlib.compress(body, 6)
+    out.extend(
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Root %d 0 R /W [1 2 1] "
+        b"/Filter /FlateDecode%s /Length %d >>\nstream\n"
+        % (xref_num, size, root_num, parms, len(zb))
+    )
+    out.extend(zb)
+    out.extend(b"\nendstream\nendobj\n")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
     return bytes(out)
