@@ -163,6 +163,9 @@ _BENCH_QUERIES = [
     "events_quality_audit",
     "loo_target_encoding",
     "pdf_text_layer_extract",
+    "pdf_text_type0_extract",
+    "pdf_vector_extract",
+    "semantic_dedup_capped",
     "media_metadata_profile",
 ]
 

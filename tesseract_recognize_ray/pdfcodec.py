@@ -307,15 +307,34 @@ def _locate_pages(objs, data: bytes) -> "list[dict]":
     """Page dicts in document order. Root discovery, in priority order:
     classic trailer dict (LAST trailer wins — incremental updates append),
     the /Type /XRef cross-reference STREAM's trailer fields (PDF 1.5+
-    files have no `trailer` keyword), then the lone-/Type /Catalog scan."""
+    files have no `trailer` keyword), then the lone-/Type /Catalog scan.
+    Encrypted documents (an /Encrypt entry in any trailer dict) raise a
+    SCOPED error up front — their stream bytes are RC4/AES ciphertext and
+    would otherwise die deep inside a codec with a misleading message."""
     pages_node = None
     trailers = list(re.finditer(rb"trailer", data))
+
+    def _reject_encrypted(d: dict):
+        if isinstance(d, dict) and d.get("Encrypt") is not None:
+            raise ValueError(
+                "PDF: encrypted document (/Encrypt) — decryption is not "
+                "supported; decrypt upstream before ingestion"
+            )
+
     if trailers:
         try:
             tdict, _ = _parse_value(data, trailers[-1].end())
-            pages_node = _deref(objs, _deref(objs, tdict["Root"])["Pages"])
-        except (KeyError, ValueError, IndexError):
-            pages_node = None
+        except (ValueError, IndexError):
+            tdict = None
+        if isinstance(tdict, dict):
+            _reject_encrypted(tdict)
+            try:
+                pages_node = _deref(objs, _deref(objs, tdict["Root"])["Pages"])
+            except (KeyError, ValueError, IndexError):
+                pages_node = None
+    for d, _s in objs.values():
+        if isinstance(d, dict) and _deref(objs, d.get("Type")) == "/XRef":
+            _reject_encrypted(d)
     if pages_node is None:
         xrefs = [
             d for d, _s in objs.values()

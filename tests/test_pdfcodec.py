@@ -719,3 +719,50 @@ def test_e2e_span_equality_on_objstm_corpus(ray_session):
     golden = pq.read_table(paths["golden_spans"]).to_pandas()
     out = extract_spans(paths["docs"], paths["media"]).to_pandas()
     pd.testing.assert_frame_equal(_norm(out), _norm(golden))
+
+
+def test_incremental_update_later_revision_wins():
+    """Append-only incremental update: the SAME object number re-emitted at
+    the file tail (plus a new trailer) must shadow the original — both the
+    object map (file-order overwrite) and the trailer choice (last wins)."""
+    from tesseract_recognize_ray.pdfcodec import encode_pdf_text, iter_pdf_page_text
+
+    base = encode_pdf_text([["OLD TEXT"]], compress=False)
+    # object 5 0 is the page's content stream in encode_pdf_text's layout
+    new_content = b"BT /F1 12 Tf 14 TL 72 720 Td (NEW TEXT) Tj ET"
+    update = (
+        b"5 0 obj\n<< /Length %d >>\nstream\n" % len(new_content)
+        + new_content
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 7 /Root 1 0 R /Prev 0 >>\n"
+    )
+    spans = list(iter_pdf_page_text(base + update))[0]
+    assert [s["text"] for s in spans] == ["NEW TEXT"]
+
+
+def test_encrypted_pdf_rejected_scoped():
+    from tesseract_recognize_ray.pdfcodec import (
+        encode_pdf_scanned,
+        encode_pdf_text,
+        iter_pdf_page_images,
+        iter_pdf_page_text,
+        repack_pdf_objstm,
+    )
+
+    enc_txt = encode_pdf_text([["secret"]]).replace(
+        b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size"
+    )
+    with pytest.raises(ValueError, match="Encrypt"):
+        list(iter_pdf_page_text(enc_txt))
+    img = np.zeros((4, 4), np.uint8)
+    enc_img = encode_pdf_scanned([img]).replace(
+        b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size"
+    )
+    with pytest.raises(ValueError, match="Encrypt"):
+        list(iter_pdf_page_images(enc_img))
+    # 1.5 layout: /Encrypt sits in the xref STREAM's dict
+    enc_15 = repack_pdf_objstm(encode_pdf_text([["secret"]])).replace(
+        b"/Type /XRef /Size", b"/Type /XRef /Encrypt 99 0 R /Size"
+    )
+    with pytest.raises(ValueError, match="Encrypt"):
+        list(iter_pdf_page_text(enc_15))
