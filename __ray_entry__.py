@@ -4239,24 +4239,110 @@ def _q_embedding_covariance(sf_dir: str):
     )
 
 
+_PCA_K, _PCA_ITERS = 8, 12
+
+
 def _q_embedding_pca(sf_dir: str):
     """Distributed PCA over the full 64-dim embedding table (tall-skinny
-    layout: the corpus never moves, only block-level Gram partials; the
-    64 x 64 eigendecomposition runs on the driver). Emits the top-8
-    components' eigenvalue + explained-variance ratio; pytest cross-checks
-    the whole decomposition against exact numpy PCA on the materialized
-    matrix (no SQL oracle — DuckDB has no eigensolver)."""
+    layout: the corpus never moves, only block-level integer Gram partials;
+    the 64 x 64 solve runs on the driver). DuckDB has no eigensolver, so
+    the solve is INTEGER-EXACT power iteration + Hotelling deflation over
+    the micro-quantized covariance (similarity.pca_power_from_int_moments)
+    — a recurrence the oracle unrolls verbatim in HUGEINT CTEs, making the
+    8-component eigenvalue + explained-variance output value-matchable with
+    no float drift anywhere. `component` is EXTRACTION order: on a spectrum
+    with a clear gap that is descending-eigenvalue order (pytest-checked vs
+    np.linalg.eigh on a planted direction); on near-degenerate spectra like
+    the synthetic table's, any fixed-iteration method (including the
+    reference eigensolver's own float noise floor) returns the same
+    near-equal values in data-dependent order."""
     ds = F.load(sf_dir, "embeddings", columns=["embedding"])
-    n, s, sq = F_sim.embedding_moments(ds, "embedding")
-    w, comp, mean = F_sim.pca_from_moments(n, s, sq, k=8)
-    total_var = float(np.trace(sq / n - np.outer(s / n, s / n)))
+    n, s, sq = F_sim.embedding_int_moments(ds, "embedding")
+    comps = F_sim.pca_power_from_int_moments(n, s, sq, k=_PCA_K, iters=_PCA_ITERS)
     return pd.DataFrame(
         {
-            "component": np.arange(len(w), dtype=np.int64),
-            "eigenvalue": np.round(w, 9),
-            "explained": np.round(w / total_var, 9),
+            "component": np.arange(len(comps), dtype=np.int64),
+            "eigenvalue": [lam / 1e6 for lam, _tr in comps],
+            "explained": [lam / tr for lam, tr in comps],
         }
     )
+
+
+def _ir_sql(num: str, den: str) -> str:
+    """HUGEINT round-half-away-from-zero of num/den (den > 0) — the SQL
+    twin of similarity._iround."""
+    return (
+        f"CASE WHEN ({num}) >= 0 THEN (2*({num}) + ({den}))//(2*({den}))"
+        f" ELSE -((2*(-({num})) + ({den}))//(2*({den}))) END"
+    )
+
+
+def _pca_power_oracle_sql(k: int = _PCA_K, iters: int = _PCA_ITERS) -> str:
+    """Unrolled integer-exact power-iteration PCA (same recurrence as
+    pca_power_from_int_moments, HUGEINT throughout): quantize coordinates
+    with the identical floor(x*1e6 + 0.5) expression, build the exact
+    micro-covariance, then per component run `iters` matvec+normalize steps
+    from the all-ones vector, take the Rayleigh quotient, and deflate."""
+    parts = [
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings)",
+        "ex AS MATERIALIZED (SELECT ROW_NUMBER() OVER () AS r, embedding AS v FROM embeddings)",
+        "e AS MATERIALIZED (SELECT r, generate_subscripts(v, 1) - 1 AS dim,"
+        " CAST(FLOOR(CAST(unnest(v) AS DOUBLE) * 1000000 + 0.5) AS HUGEINT) AS x FROM ex)",
+        "sx AS MATERIALIZED (SELECT dim, SUM(x) AS s FROM e GROUP BY dim)",
+        "sq AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j, SUM(a.x * b.x) AS s"
+        " FROM e a JOIN e b ON a.r = b.r GROUP BY a.dim, b.dim)",
+        "c0 AS MATERIALIZED (SELECT sq.i, sq.j, "
+        + _ir_sql(
+            "(nn.n * sq.s - si.s * sj.s) * 1000000",
+            "nn.n * nn.n * CAST(1000000000000 AS HUGEINT)",
+        )
+        + " AS cm FROM sq JOIN sx si ON sq.i = si.dim JOIN sx sj ON sq.j = sj.dim CROSS JOIN nn)",
+        "tr AS MATERIALIZED (SELECT SUM(cm) AS t FROM c0 WHERE i = j)",
+    ]
+    sel = []
+    for c in range(k):
+        parts.append(
+            f"v{c}_0 AS MATERIALIZED (SELECT dim, CAST(1000000000 AS HUGEINT) AS val FROM sx)"
+        )
+        for t in range(1, iters + 1):
+            parts.append(
+                f"w{c}_{t} AS MATERIALIZED (SELECT c.i AS dim, SUM(c.cm * v.val) AS wv"
+                f" FROM c{c} c JOIN v{c}_{t-1} v ON c.j = v.dim GROUP BY c.i)"
+            )
+            parts.append(
+                f"m{c}_{t} AS MATERIALIZED (SELECT MAX(ABS(wv)) AS m FROM w{c}_{t})"
+            )
+            parts.append(
+                f"v{c}_{t} AS MATERIALIZED (SELECT dim, "
+                + _ir_sql("w.wv * 1000000000", "m.m")
+                + f" AS val FROM w{c}_{t} w CROSS JOIN m{c}_{t} m)"
+            )
+        vf = f"v{c}_{iters}"
+        parts.append(
+            f"dn{c} AS MATERIALIZED (SELECT SUM(val * val) AS den FROM {vf})"
+        )
+        parts.append(
+            f"rz{c} AS MATERIALIZED (SELECT SUM(v1.val * c.cm * v2.val) AS num"
+            f" FROM c{c} c JOIN {vf} v1 ON c.i = v1.dim JOIN {vf} v2 ON c.j = v2.dim)"
+        )
+        parts.append(
+            f"l{c} AS MATERIALIZED (SELECT "
+            + _ir_sql("rz.num", "dn.den")
+            + f" AS lam FROM rz{c} rz CROSS JOIN dn{c} dn)"
+        )
+        if c + 1 < k:
+            parts.append(
+                f"c{c+1} AS MATERIALIZED (SELECT c.i, c.j, c.cm - "
+                + _ir_sql("l.lam * v1.val * v2.val", "dn.den")
+                + f" AS cm FROM c{c} c JOIN {vf} v1 ON c.i = v1.dim"
+                f" JOIN {vf} v2 ON c.j = v2.dim CROSS JOIN l{c} l CROSS JOIN dn{c} dn)"
+            )
+        sel.append(
+            f"SELECT CAST({c} AS BIGINT) AS component,"
+            f" CAST(lam AS DOUBLE) / 1000000.0 AS eigenvalue,"
+            f" CAST(lam AS DOUBLE) / CAST(t AS DOUBLE) AS explained FROM l{c} CROSS JOIN tr"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
 
 
 def _q_q13_order_count_distribution(sf_dir: str):
@@ -7833,6 +7919,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d JOIN c USING (source)
             ) ORDER BY k DESC, doc_id LIMIT 200
         """,
+        "embedding_pca": _pca_power_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "semantic_dedup_capped": _semantic_dedup_capped_oracle_sql(),

@@ -589,6 +589,99 @@ def pca_from_moments(
     return w, comp * flip[:, None], mean
 
 
+def _iround(num: int, den: int) -> int:
+    """round-half-away-from-zero of num/den on EXACT integers (den > 0).
+    Mirrors the HUGEINT expression the DuckDB oracle unrolls — both sides
+    share this one formula so the replay is bit-identical, never float."""
+    if num >= 0:
+        return (2 * num + den) // (2 * den)
+    return -((2 * (-num) + den) // (2 * den))
+
+
+def embedding_int_moments(
+    ds: Dataset, vec_col: str, scale: int = 10**6
+) -> tuple[int, list[int], list[list[int]]]:
+    """EXACT integer first+second moments of an embedding column: each
+    coordinate is quantized to the 1/scale grid via floor(x*scale + 0.5)
+    (the identical IEEE expression the SQL oracle uses, so both sides see
+    the same integers), then per-block Gram partials accumulate in int64
+    chunks sized so no product sum can overflow, and the driver folds them
+    in arbitrary-precision Python ints. Same tall-skinny shape as
+    embedding_moments (d + d^2 numbers per BLOCK cross the wire), but the
+    fold is order-independent by construction — exact ints commute, so the
+    result is bit-identical under any partitioning. Returns
+    (n, sum (d,), sum-of-outer-products (d, d)) as Python ints."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):  # empty blocks drop schema in Ray 2.49; emit nothing
+            return pd.DataFrame({"__n": pd.Series([], dtype="int64"), "__sum": [], "__sq": []})
+        mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        q = np.floor(mat * scale + 0.5)
+        mx = float(np.abs(q).max())
+        if mx >= 2**31:
+            raise ValueError("embedding_int_moments: coordinate overflows the quantization grid")
+        qi = q.astype(np.int64)
+        step = max(1, int((2**62) / max(1.0, mx * mx)))  # per-chunk Gram sum stays < 2^62
+        acc = np.zeros((qi.shape[1], qi.shape[1]), dtype=object)
+        for i0 in range(0, qi.shape[0], step):
+            ch = qi[i0 : i0 + step]
+            acc = acc + (ch.T @ ch).astype(object)
+        return pd.DataFrame(
+            {
+                "__n": [np.int64(qi.shape[0])],
+                "__sum": [qi.sum(axis=0).astype(object)],
+                "__sq": [acc.reshape(-1)],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts) or "__n" not in parts.columns:
+        raise ValueError("embedding_int_moments: empty dataset")
+    n = int(parts["__n"].sum())
+    if n == 0:
+        raise ValueError("embedding_int_moments: empty dataset")
+    s = [int(x) for x in np.stack(parts["__sum"].to_numpy()).sum(axis=0)]
+    d = len(s)
+    sq_flat = np.stack(parts["__sq"].to_numpy()).sum(axis=0)
+    sq = [[int(sq_flat[i * d + j]) for j in range(d)] for i in range(d)]
+    return n, s, sq
+
+
+def pca_power_from_int_moments(
+    n: int, s: list[int], sq: list[list[int]], k: int = 8, iters: int = 12, scale: int = 10**6
+) -> list[tuple[int, int]]:
+    """Deterministic PCA eigenvalues by INTEGER-EXACT power iteration with
+    Hotelling deflation — every operation is exact integer arithmetic on the
+    micro-quantized covariance (entries rounded to 1e-6 via _iround), the
+    all-ones start vector, max-abs normalization to the 1e9 grid, Rayleigh
+    quotients, and rank-1 deflation. A DuckDB oracle unrolls the identical
+    recurrence in HUGEINT CTEs, so engine and SQL agree bit-for-bit
+    regardless of convergence; closeness to np.linalg.eigh is a separate
+    pytest with analytic tolerance. Returns [(micro_eigenvalue,
+    micro_trace)] per component (divide by 1e6 for real units)."""
+    d = len(s)
+    den_c = n * n * scale * scale
+    C = [
+        [_iround((n * sq[i][j] - s[i] * s[j]) * 10**6, den_c) for j in range(d)] for i in range(d)
+    ]
+    trace = sum(C[i][i] for i in range(d))
+    out: list[tuple[int, int]] = []
+    for _ in range(k):
+        v = [10**9] * d
+        for _t in range(iters):
+            w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+            m = max(abs(x) for x in w)
+            if m == 0:
+                raise ValueError("pca_power_from_int_moments: zero matvec (rank < k?)")
+            v = [_iround(x * 10**9, m) for x in w]
+        den = sum(x * x for x in v)
+        num = sum(v[i] * C[i][j] * v[j] for i in range(d) for j in range(d))
+        lam = _iround(num, den)
+        out.append((lam, trace))
+        C = [[C[i][j] - _iround(lam * v[i] * v[j], den) for j in range(d)] for i in range(d)]
+    return out
+
+
 def pca_project(
     ds: Dataset, id_col: str, vec_col: str, components: np.ndarray, mean: np.ndarray
 ) -> Dataset:

@@ -215,3 +215,65 @@ def test_lance_gate_behavior(ray_session, tmp_path):
     out_dir = str(tmp_path / "spans_out")
     write_spans(ds, out_dir)
     assert pq.read_table(out_dir).num_rows == 1
+
+
+# --------------------------------------------------- integer-exact PCA
+def test_pca_power_matches_eigh_on_gapped_spectrum(ray_session):
+    """Planted anisotropy: one direction with 10x the variance. The
+    integer-exact power iteration's first component must converge to the
+    eigh top eigenvalue (rtol covers the 1e-6 quantization grid), and the
+    remaining components must stay inside the residual spectrum range."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.similarity import (
+        embedding_int_moments,
+        pca_power_from_int_moments,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 4000
+    mat = rng.normal(size=(n, d)) * 0.1
+    mat[:, 3] += rng.normal(size=n) * 1.0  # the gap
+    ds = rd.from_pandas(pd.DataFrame({"embedding": list(mat)})).repartition(5)
+    cnt, s, sq = embedding_int_moments(ds, "embedding")
+    assert cnt == n
+    comps = pca_power_from_int_moments(cnt, s, sq, k=4, iters=12)
+
+    cov = np.cov(mat, rowvar=False, bias=True)
+    w = np.linalg.eigvalsh(cov)
+    lam0 = comps[0][0] / 1e6
+    assert abs(lam0 - w[-1]) / w[-1] < 1e-3
+    lo, hi = w.min() - 1e-5, w.max() + 1e-5
+    for lam, tr in comps:
+        assert lo <= lam / 1e6 <= hi
+        assert abs(tr / 1e6 - np.trace(cov)) < 1e-3
+
+
+def test_pca_int_moments_partition_invariant(ray_session):
+    """Exact ints commute: the fold must be bit-identical under any
+    partitioning (the float-moment path is only approximately so)."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.similarity import embedding_int_moments
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"embedding": list(rng.normal(size=(500, 8)))})
+    a = embedding_int_moments(rd.from_pandas(df).repartition(1), "embedding")
+    b = embedding_int_moments(rd.from_pandas(df).repartition(13), "embedding")
+    assert a == b
+
+
+def test_iround_matches_duckdb_expression():
+    """similarity._iround and the SQL twin (_ir_sql) must agree on signs and
+    half-boundaries — the whole PCA replay leans on this one formula."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from tesseract_recognize_ray.functions.similarity import _iround
+
+    cases = [(7, 2), (-7, 2), (5, 2), (-5, 2), (1, 3), (-1, 3), (0, 5), (10**20 + 1, 3)]
+    con = duckdb.connect()
+    for num, den in cases:
+        sql = entrymod._ir_sql(f"CAST('{num}' AS HUGEINT)", f"CAST('{den}' AS HUGEINT)")
+        got = con.sql(f"SELECT {sql} AS r").fetchone()[0]
+        assert int(got) == _iround(num, den), (num, den)
