@@ -5052,15 +5052,102 @@ def _q_q17_small_quantity_revenue(sf_dir: str):
     )
 
 
+_BPE_MERGES = 30
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE merge learning (tokenizer training prep): one
     corpus pass collapses to the (word, count) vocabulary, 30 merges learned
     with deterministic lex tie-breaks (functions/textstats.py
     bpe_train_merges; both the driver-fold and distributed-iteration paths
-    are pytest-verified against a naive reference — no SQL oracle: the
-    algorithm is iterative)."""
+    are pytest-verified against a naive reference). The DuckDB oracle
+    replays the trainer outright: 30 unrolled CTE iterations of
+    weighted-pair counting, (count DESC, pair ASC) argmax, and greedy
+    left-to-right application via run-parity selection — value-matched,
+    not rows-only."""
     ds = F.load(sf_dir, "documents", columns=["text"], num_blocks=16)
-    return F_text.bpe_train_merges(ds, "text", 30)
+    return F_text.bpe_train_merges(ds, "text", _BPE_MERGES)
+
+
+def _bpe_ctes(n_merges: int = _BPE_MERGES) -> list[str]:
+    """Unrolled BPE-training replay (shared by the bpe_merges and
+    bpe_encoded_docs oracles). Chain state v{i} = (word, symbol list,
+    corpus count); each iteration counts adjacent pairs weighted by count,
+    picks max-count/lex-smallest, and applies it greedily left-to-right.
+    Greedy selection is exact via run parity: within every maximal run of
+    consecutive match positions, positions at even offset from the run
+    start merge, the rest are consumed (for left != right, matches are
+    never adjacent and the rule degenerates to 'all match')."""
+    parts = [
+        "v0 AS MATERIALIZED (SELECT w, regexp_extract_all(w, '.') AS syms,"
+        " CAST(COUNT(*) AS BIGINT) AS n FROM"
+        " (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents) GROUP BY w)",
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT w, n, generate_subscripts(syms, 1) AS k,"
+            f" unnest(syms) AS s FROM v{i})"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT a, b, SUM(n) AS cnt FROM"
+            f" (SELECT n, s AS a, LEAD(s) OVER (PARTITION BY w ORDER BY k) AS b FROM x{i})"
+            f" WHERE b IS NOT NULL GROUP BY a, b)"
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i}"
+            f" ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT w, n, k, s, COALESCE("
+            f"s = (SELECT a FROM m{i}) AND"
+            f" LEAD(s) OVER (PARTITION BY w ORDER BY k) = (SELECT b FROM m{i}), FALSE) AS hit"
+            f" FROM x{i})"
+        )
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT w, k FROM (SELECT w, k,"
+            f" (k - MIN(k) OVER (PARTITION BY w, grp)) % 2 AS par FROM"
+            f" (SELECT w, k, k - ROW_NUMBER() OVER (PARTITION BY w ORDER BY k) AS grp"
+            f" FROM h{i} WHERE hit)) WHERE par = 0)"
+        )
+        parts.append(
+            f"v{i+1} AS MATERIALIZED (SELECT x.w,"
+            f" list(CASE WHEN tk.k IS NOT NULL THEN x.s || (SELECT b FROM m{i})"
+            f" ELSE x.s END ORDER BY x.k) AS syms, ANY_VALUE(x.n) AS n"
+            f" FROM h{i} x"
+            f" LEFT JOIN t{i} tk ON x.w = tk.w AND x.k = tk.k"
+            f" LEFT JOIN t{i} dp ON x.w = dp.w AND x.k = dp.k + 1"
+            f" WHERE dp.k IS NULL GROUP BY x.w)"
+        )
+    return parts
+
+
+def _bpe_merges_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    sel = [
+        f'SELECT CAST({i} AS BIGINT) AS rank, a AS "left", b AS "right",'
+        f" CAST(cnt AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(n_merges)
+    ]
+    return "WITH " + ",\n".join(_bpe_ctes(n_merges)) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def _bpe_encoded_oracle_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Encode half: the final vocabulary state maps every distinct word to
+    its subword count (the encoder's lowest-rank-first loop is pytest-proved
+    identical to the trainer's sequential replay), so per-doc token counts
+    are one occurrence join + sum."""
+    parts = _bpe_ctes(n_merges)
+    parts.append(f"wl AS MATERIALIZED (SELECT w, len(syms) AS nt FROM v{n_merges})")
+    parts.append(
+        "dt AS MATERIALIZED (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w"
+        " FROM documents)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT d.doc_id, CAST(COALESCE(SUM(j.nt), 0) AS BIGINT) AS n_bpe_tokens\n"
+        "FROM documents d LEFT JOIN"
+        " (SELECT dt.doc_id, wl.nt FROM dt JOIN wl USING (w)) j\n"
+        "ON d.doc_id = j.doc_id GROUP BY d.doc_id"
+    )
 
 
 def _q_event_value_collision_pairs(sf_dir: str):
@@ -5141,12 +5228,14 @@ def _q_cross_corpus_near_dups(sf_dir: str):
 def _q_bpe_encoded_docs(sf_dir: str):
     """Tokenizer ENCODE half (train -> encode -> pack): the 30 merges
     learned by bpe_merges applied back over the corpus on an actor pool
-    with a persistent word->tokens cache (merges ray.put once). Rows-only:
-    BPE apply is iterative per word; segmentation parity with the trainer's
-    own vocabulary evolution is pytest-gated
-    (tests/test_round3.py::test_bpe_encode_matches_trainer_vocab)."""
+    with a persistent word->tokens cache (merges ray.put once). The oracle
+    replays training to the final vocabulary state in unrolled CTEs and
+    joins word -> subword count per occurrence — sound because the
+    encoder's lowest-rank-first loop is provably identical to the trainer's
+    sequential replay (pytest-gated:
+    tests/test_round3.py::test_bpe_encode_matches_trainer_vocab)."""
     ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
-    merges = F_text.bpe_train_merges(ds, "text", 30)
+    merges = F_text.bpe_train_merges(ds, "text", _BPE_MERGES)
     out = F_text.bpe_encode(ds, "text", merges)
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
@@ -7920,6 +8009,8 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY k DESC, doc_id LIMIT 200
         """,
         "embedding_pca": _pca_power_oracle_sql(),
+        "bpe_merges": _bpe_merges_oracle_sql(),
+        "bpe_encoded_docs": _bpe_encoded_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "semantic_dedup_capped": _semantic_dedup_capped_oracle_sql(),
