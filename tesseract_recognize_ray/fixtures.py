@@ -254,6 +254,10 @@ def build_tables(
               space — no raster stream, no text layer; readable only via
               the rasterize-at-density route (pdfcodec.rasterize_pdf_pages,
               bit-exact at any density that is an integer multiple of 72);
+      "webp"  lossless VP8L WebP per single-page media, drawn across the
+              transform/coding paths (plain / subtract-green+cache /
+              predictor / palette / meta-prefix+VP8X), TIFF for
+              multi-page (WebP is single-frame without ANIM);
       "mixed" deterministic per-media rng choice among the four
               single-draw encodings (raw/png/tiff/jpeg).
     Decode dispatch is on magic bytes (imagecodecs.iter_page_images), so
@@ -395,6 +399,29 @@ def build_tables(
                         page_imgs,
                         image_filter=("flate", "dct")[int(rng.integers(0, 2))],
                     )
+                elif enc == "webp":
+                    if n_pages == 1:
+                        from tesseract_recognize_ray.webpcodec import encode_webp_gray
+
+                        # rotate through the transform/coding paths so the
+                        # golden e2e exercises each decoder branch
+                        pick = int(rng.integers(0, 5))
+                        if pick == 0:
+                            payload = encode_webp_gray(page_imgs[0])
+                        elif pick == 1:
+                            payload = encode_webp_gray(page_imgs[0], subtract_green=True, cache_bits=6)
+                        elif pick == 2:
+                            payload = encode_webp_gray(
+                                page_imgs[0], predictor_mode=int(rng.integers(0, 14))
+                            )
+                        elif pick == 3 and len(np.unique(page_imgs[0])) <= 256:
+                            payload = encode_webp_gray(page_imgs[0], palette=True)
+                        else:
+                            payload = encode_webp_gray(page_imgs[0], meta_groups=2, vp8x=True)
+                    else:  # WebP has no multi-page form; page chains go TIFF
+                        from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
+
+                        payload = encode_tiff_gray(page_imgs)
                 elif enc == "legacy":
                     if n_pages == 1:
                         from tesseract_recognize_ray import legacycodecs as lcod

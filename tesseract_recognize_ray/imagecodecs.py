@@ -55,9 +55,9 @@ _CT_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_format(buf) -> str:
-    """'png' | 'tiff' | 'jpeg' | 'gif' | 'bmp' | 'pnm' | 'raw' by magic
-    bytes (raw = the 8-byte-header fixture format, FIXTURES.md §2)."""
-    head = bytes(memoryview(buf)[:8])
+    """'png' | 'tiff' | 'jpeg' | 'gif' | 'bmp' | 'pnm' | 'webp' | 'raw' by
+    magic bytes (raw = the 8-byte-header fixture format, FIXTURES.md §2)."""
+    head = bytes(memoryview(buf)[:12])
     if head[:8] == PNG_SIG:
         return "png"
     if head[:4] in (b"II*\x00", b"MM\x00*"):
@@ -72,6 +72,8 @@ def sniff_format(buf) -> str:
         return "pnm"
     if head[:4] == b"%PDF":
         return "pdf"
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return "webp"
     return "raw"
 
 
@@ -663,6 +665,11 @@ def iter_page_images(buf):
         for p, img in enumerate(iter_pdf_page_images(buf)):
             yield p, img
         return
+    if fmt == "webp":
+        from tesseract_recognize_ray.webpcodec import decode_webp
+
+        yield 0, decode_webp(buf)
+        return
     mv = memoryview(buf)
     off, p, n = 0, 0, len(mv)
     while off < n:
@@ -812,6 +819,10 @@ def sniff_metadata(buf) -> dict:
             "bit_depth": 8,
             "n_pages": len(pages),
         }
+    if fmt == "webp":
+        from tesseract_recognize_ray.webpcodec import webp_metadata
+
+        return webp_metadata(data)
     # raw fixture blobs: 8-byte (w, h) LE headers per page
     off, n_pages, first = 0, 0, None
     while off + 8 <= len(data):

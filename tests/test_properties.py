@@ -257,7 +257,7 @@ def test_simhash_md5_vectorized_equals_naive(texts):
 @given(
     w=st.integers(min_value=1, max_value=90),
     h=st.integers(min_value=1, max_value=70),
-    fmt=st.sampled_from(["png", "tiff", "jpeg", "gif", "bmp", "pnm", "pdf"]),
+    fmt=st.sampled_from(["png", "tiff", "jpeg", "gif", "bmp", "pnm", "pdf", "webp"]),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 def test_sniff_metadata_agrees_with_encoder_input(w, h, fmt, seed):
@@ -288,6 +288,10 @@ def test_sniff_metadata_agrees_with_encoder_input(w, h, fmt, seed):
         blob, pages = lcod.encode_bmp_gray(img), 1
     elif fmt == "pnm":
         blob, pages = lcod.encode_pnm_gray(img), 1
+    elif fmt == "webp":
+        from tesseract_recognize_ray.webpcodec import encode_webp_gray
+
+        blob, pages = encode_webp_gray(img), 1
     else:
         blob, pages = encode_pdf_scanned([img]), 1
     m = sniff_metadata(blob)
