@@ -441,15 +441,61 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_embedding_near_dup(sf_dir: str):
-    """Dedup: embedding-cosine near-duplicate pairs via random-hyperplane LSH
-    buckets. Approximate by design; rows-only check."""
+    """Dedup: embedding-cosine near-duplicate pairs via hyperplane LSH —
+    the INTEGER-EXACT variant (md5-derived hyperplanes, fixed-point
+    vectors, rational cosine^2 >= 49/400 test), so the DuckDB oracle
+    replays bucketization AND verification bit-for-bit. The gaussian-plane
+    float twin (embedding_near_dup_pairs) stays the library default; this
+    entry pins the reproducible contract."""
     ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
     dim = len(pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).iloc[0, 0])
-    out = F_dedup.embedding_near_dup_pairs(ds, "vec_id", "embedding", dim=dim, n_planes=6, threshold=0.35)
+    out = F_dedup.embedding_near_dup_pairs_exact(
+        ds, "vec_id", "embedding", dim=dim, n_planes=6,
+        threshold_num=49, threshold_den=400,
+    )
     df = out.to_pandas()
     if df.empty:  # keep a stable schema even when no pair clears the bar
-        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
+        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cos_sq_e12": pd.Series(dtype="int64")})
     return df
+
+
+def _embedding_near_dup_oracle_sql(
+    n_planes: int = 6, dim: int = 64, quant: int = 10_000,
+    num: int = 49, den: int = 400, cap: int = 256,
+) -> str:
+    """Bit-exact replay of embedding_near_dup_pairs_exact: every integer in
+    the engine (quantized components, md5 planes, dots, squared norms) is
+    recomputed here; list_inner_product over values < 2^53 is exact in
+    float64, and the overflow-prone dot^2 comparison is done in HUGEINT."""
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list(CAST(FLOOR(CAST(x AS DOUBLE) * {quant} + 0.5) AS BIGINT) ORDER BY d) AS v
+  FROM (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d
+    FROM embeddings) GROUP BY vec_id),
+p AS (
+  SELECT j, list(w ORDER BY d) AS w FROM (
+    SELECT j.j AS j, d.d AS d,
+           CAST(('0x' || substr(md5('p' || j.j || ':' || d.d), 1, 16))::UBIGINT % 255 AS BIGINT) - 127 AS w
+    FROM range({n_planes}) j(j) CROSS JOIN range({dim}) d(d)) GROUP BY j),
+sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN list_inner_product(e.v, p.w) > 0 THEN (1::BIGINT << p.j) ELSE 0 END) AS bucket
+  FROM e CROSS JOIN p GROUP BY vec_id),
+capped AS (
+  SELECT s.vec_id, s.bucket, e.v,
+         CAST(list_inner_product(e.v, e.v) AS HUGEINT) AS nn
+  FROM sig s JOIN e USING (vec_id)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.bucket ORDER BY s.vec_id) <= {cap}),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_inner_product(a.v, b.v) AS HUGEINT) AS dot,
+         a.nn AS na, b.nn AS nb
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       CAST((dot * dot * 1000000000000) // (na * nb) AS BIGINT) AS cos_sq_e12
+FROM pairs WHERE dot > 0 AND {den} * dot * dot >= {num} * na * nb"""
 
 
 def _q_training_shards(sf_dir: str):
@@ -8013,6 +8059,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoded_docs": _bpe_encoded_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "semantic_dedup_capped": _semantic_dedup_capped_oracle_sql(),
         "doc_lm_score": """
             WITH toks AS (

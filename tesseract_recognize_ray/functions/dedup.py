@@ -828,6 +828,117 @@ def embedding_near_dup_pairs(
     return grouped_agg(out, ["id_a", "id_b"], [("cosine", "max", "cosine")])
 
 
+def _md5_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Integer hyperplanes an ANSI SQL engine can regenerate verbatim:
+    component (j, d) = (first 16 hex digits of md5('p{j}:{d}') as uint64)
+    % 255 - 127, i.e. a deterministic value in [-127, 127]. DuckDB replay:
+    ``('0x' || substr(md5('p'||j||':'||d), 1, 16))::UBIGINT % 255 - 127``.
+    Returns a (dim, n_planes) int64 matrix."""
+    w = np.empty((dim, n_planes), dtype=np.int64)
+    for j in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"p{j}:{d}".encode()).hexdigest()[:16], 16)
+            w[d, j] = h % 255 - 127
+    return w
+
+
+def embedding_near_dup_pairs_exact(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    n_planes: int = 6,
+    threshold_num: int = 49,
+    threshold_den: int = 400,
+    max_bucket: int = 256,
+    quant: int = 10_000,
+) -> Dataset:
+    """Integer-exact hyperplane-LSH near-duplicate pairs: the fixed-point
+    twin of :func:`embedding_near_dup_pairs` whose every arithmetic step is
+    integer, so a SQL oracle replays it bit-for-bit (no float is ever
+    compared across engines).
+
+      * vectors quantize to ``floor(x * quant + 0.5)`` int64 components;
+      * hyperplanes come from :func:`_md5_planes` (md5-derived integers);
+      * bucket = sign-bit pack of the exact integer dot products;
+      * within a bucket (earliest ``max_bucket`` ids, like the gaussian
+        variant) a pair is kept iff ``dot > 0 AND
+        threshold_den * dot^2 >= threshold_num * |a|^2 * |b|^2`` — i.e.
+        cosine^2 >= num/den on the quantized vectors, decided in exact
+        rational arithmetic (num/den = 49/400 is cosine >= 0.35);
+      * output ``cos_sq_e12 = floor(1e12 * dot^2 / (|a|^2 |b|^2))``.
+
+    Scale shape is unchanged: one map pass emits (id, bucket, int vector),
+    one groupby(bucket) exchange, pair scan inside each bucket only. The
+    dot^2 comparison overflows int64, so a vectorized float64 prescreen
+    (relative margin 1e-9, vs ~1e-16 actual error) decides all but the
+    borderline sliver, which falls back to exact Python-int arithmetic."""
+    planes = _md5_planes(n_planes, dim)
+    pref = ray.put(planes)
+    shifts = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(pref)
+        v64 = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        vi = np.floor(v64 * quant + 0.5).astype(np.int64)
+        sig = (vi @ pl) > 0
+        return pd.DataFrame(
+            {
+                "__id": batch[id_col].to_numpy(),
+                "bucket": (sig * shifts).sum(axis=1),
+                "__v": list(vi),
+            }
+        )
+
+    buckets = ds.map_batches(bucketize, batch_format="pandas")
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cos_sq_e12": pd.Series(dtype="int64"),
+        }
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__id", kind="mergesort").head(max_bucket)
+        if len(g) < 2:
+            return empty
+        ids = g["__id"].to_numpy()
+        v = np.stack(g["__v"].to_numpy())  # int64, exact
+        dot = v @ v.T
+        n2 = np.einsum("ij,ij->i", v, v)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        d, na, nb = dot[ii, jj], n2[ii], n2[jj]
+        # float64 prescreen: lhs/rhs carry ~1e-16 relative error, so a 1e-9
+        # relative margin is decisive; only the sliver between the margins
+        # needs exact (unbounded) Python-int arithmetic.
+        lhs = threshold_den * d.astype(np.float64) ** 2
+        rhs = threshold_num * na.astype(np.float64) * nb.astype(np.float64)
+        pos = d > 0
+        keep = pos & (lhs >= rhs * (1 + 1e-9))
+        border = pos & ~keep & (lhs >= rhs * (1 - 1e-9))
+        for t in np.nonzero(border)[0]:
+            di, ai, bi = int(d[t]), int(na[t]), int(nb[t])
+            keep[t] = threshold_den * di * di >= threshold_num * ai * bi
+        if not keep.any():
+            return empty
+        ki, kj = ii[keep], jj[keep]
+        cos12 = [
+            int(x) * int(x) * 10**12 // (int(a) * int(b))
+            for x, a, b in zip(dot[ki, kj], n2[ki], n2[kj])
+        ]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ki].astype("int64"),
+                "id_b": ids[kj].astype("int64"),
+                "cos_sq_e12": np.asarray(cos12, dtype=np.int64),
+            }
+        )
+
+    return buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+
+
 # -------------------------------------------------------- decontamination
 def collect_ngram_set(bench: Dataset, text_col: str, n: int = 3) -> list[str]:
     """Distinct word-n-gram set of a SMALL benchmark dataset, collected to

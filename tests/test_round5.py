@@ -277,3 +277,91 @@ def test_iround_matches_duckdb_expression():
         sql = entrymod._ir_sql(f"CAST('{num}' AS HUGEINT)", f"CAST('{den}' AS HUGEINT)")
         got = con.sql(f"SELECT {sql} AS r").fetchone()[0]
         assert int(got) == _iround(num, den), (num, den)
+
+
+# ---------------------------------------------- integer-exact embedding LSH
+def _rand_emb_df(n=48, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs[9] = vecs[2] * np.float32(1.7)  # exactly parallel: same LSH bucket
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+
+
+def test_embedding_near_dup_exact_matches_duckdb(ray_session):
+    """The whole point of the exact variant: engine and oracle agree
+    bit-for-bit on FRESH random data, not just the blessed testdata."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from tesseract_recognize_ray.functions import dedup as F_dedup
+
+    df = _rand_emb_df()
+    out = (
+        F_dedup.embedding_near_dup_pairs_exact(
+            rd.from_pandas(df), "vec_id", "embedding", dim=16, n_planes=5
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(df["vec_id"].to_numpy()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in df["embedding"]],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    gold = (
+        con.sql(entrymod._embedding_near_dup_oracle_sql(n_planes=5, dim=16))
+        .df()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(gold) and len(out) >= 1  # the planted pair at least
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), gold.astype("int64"), check_dtype=False
+    )
+    planted = out[(out.id_a == 2) & (out.id_b == 9)]
+    assert len(planted) == 1 and planted.cos_sq_e12.iloc[0] > 999_999_000_000
+
+
+def test_embedding_near_dup_exact_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import dedup as F_dedup
+
+    df = _rand_emb_df(seed=11)
+    def run(parts):
+        return (
+            F_dedup.embedding_near_dup_pairs_exact(
+                rd.from_pandas(df).repartition(parts), "vec_id", "embedding",
+                dim=16, n_planes=4,
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1), run(13))
+
+
+def test_embedding_near_dup_exact_boundary_rational():
+    """Pairs exactly ON the cosine^2 = num/den boundary are kept (>=), and
+    the float prescreen routes them through the exact Python-int path:
+    dot=1, |a|^2=2, |b|^2=1 with num/den = 1/2 is equality."""
+    from tesseract_recognize_ray.functions.dedup import _md5_planes
+
+    assert _md5_planes(2, 3).shape == (3, 2)
+    # exercise the borderline branch via the module's own arithmetic
+    d, na, nb, num, den = 1, 2, 1, 1, 2
+    lhs = den * float(d) ** 2
+    rhs = num * float(na) * float(nb)
+    assert not (lhs >= rhs * (1 + 1e-9))  # prescreen cannot decide
+    assert lhs >= rhs * (1 - 1e-9)  # ...so it lands in the border sliver
+    assert den * d * d >= num * na * nb  # exact path keeps equality
