@@ -358,6 +358,126 @@ def _q_ann_ivf_indexed(sf_dir: str):
     return res[["query_idx", "vec_id", "rank"]].astype({"query_idx": "int64", "vec_id": "int64", "rank": "int64"})
 
 
+def _ann_queries(sf_dir: str):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb[emb["vec_id"] < _ANN_NQ].sort_values("vec_id")
+    return np.stack(qdf["embedding"].to_numpy()).astype(np.float64), qdf["vec_id"].to_numpy()
+
+
+def _q_ann_ivf_flat(sf_dir: str):
+    """Similarity search: IVF-Flat L2 top-k whose coarse quantizer follows
+    the kmeans_lloyd determinism contract (first-k-by-id seeds, e6-rounded
+    means), so the DuckDB oracle replays quantizer training, cell probing
+    AND candidate ranking — a VALUE-matched approximate-NN entry. The
+    sampled-seed cosine variants (ann_ivf*) remain the recall-tuned scale
+    path; this entry pins the reproducible contract."""
+    queries, qids = _ann_queries(sf_dir)
+    # materialize once: quantizer iterations + scoring re-read the input
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16).materialize()
+    res = F_sim.ivf_flat_topk(
+        ds, "vec_id", "embedding", queries, k=_ANN_K, n_centroids=16, iters=2, nprobe=4
+    )
+    res["query_id"] = qids[res["query_idx"].to_numpy()]
+    return res[["query_id", "vec_id", "rank"]].astype("int64")
+
+
+def _ann_ivf_flat_oracle_sql(k: int = 16, iters: int = 2, nprobe: int = 4) -> str:
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes(k, iters))
+        + f""",
+qs AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {_ANN_NQ}),
+probe AS (
+  SELECT qs.query_id, c.cid FROM qs CROSS JOIN c{iters} c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qs.query_id
+          ORDER BY list_distance(qs.v, c.v), c.cid) <= {nprobe}),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND(POWER(list_distance(a.v, qs.v), 2), 6) AS d2r
+  FROM probe p JOIN af a ON a.cid = p.cid JOIN qs ON qs.query_id = p.query_id),
+r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2r, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {_ANN_K}"""
+    )
+
+
+def _q_ann_pq_adc(sf_dir: str):
+    """Similarity search: product-quantization ADC top-k, SQL-replayable
+    end-to-end — per-subspace codebooks trained with the kmeans_lloyd
+    determinism contract on the FULL corpus, codes = nearest sub-centroid,
+    ADC = ordered per-subspace squared-L2 sum rounded to e6 before ranking.
+    The sampled-seed pq variants (ann_pq, ann_ivf_pq*) remain the
+    recall-tuned scale path; this entry pins the reproducible contract."""
+    queries, qids = _ann_queries(sf_dir)
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16).materialize()
+    res = F_sim.pq_adc_topk_exact(
+        ds, "vec_id", "embedding", queries, k=_ANN_K, m=4, ksub=16, iters=2
+    )
+    res["query_id"] = qids[res["query_idx"].to_numpy()]
+    return res[["query_id", "vec_id", "rank"]].astype("int64")
+
+
+def _pq_subspace_ctes(s: int, lo: int, hi: int, ksub: int, iters: int) -> list[str]:
+    """One subspace's unrolled PQ-codebook training (the _kmeans_ctes idiom
+    with a dim slice and _s-suffixed names); ends in af_{s} = (vec_id, v,
+    cid) final code assignments and c{iters}_{s} = the final codebook."""
+    assign = (
+        f"SELECT e.vec_id, e.v, c.cid FROM e{s} e CROSS JOIN {{c}} c "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+        "ORDER BY list_distance(e.v, c.v), c.cid) = 1"
+    )
+    parts = [
+        f"e{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)",
+        f"c0_{s} AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v"
+        f" FROM e{s} ORDER BY vec_id LIMIT {ksub})",
+    ]
+    for i in range(iters):
+        parts.append(f"a{i}_{s} AS ({assign.format(c=f'c{i}_{s}')})")
+        parts.append(
+            f"m{i}_{s} AS (SELECT cid, list(val ORDER BY dim) AS v FROM ("
+            f"SELECT cid, dim, ROUND(AVG(val), 6) AS val FROM ("
+            f"SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM a{i}_{s})"
+            f" GROUP BY cid, dim) GROUP BY cid)"
+        )
+        parts.append(
+            f"c{i+1}_{s} AS (SELECT c{i}_{s}.cid, COALESCE(m{i}_{s}.v, c{i}_{s}.v) AS v"
+            f" FROM c{i}_{s} LEFT JOIN m{i}_{s} ON c{i}_{s}.cid = m{i}_{s}.cid)"
+        )
+    parts.append(f"af_{s} AS ({assign.format(c=f'c{iters}_{s}')})")
+    return parts
+
+
+def _ann_pq_adc_oracle_sql(m: int = 4, ksub: int = 16, iters: int = 2, dim: int = 64) -> str:
+    dsub = dim // m
+    parts = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    for s in range(m):
+        parts += _pq_subspace_ctes(s, s * dsub + 1, (s + 1) * dsub, ksub, iters)
+    parts.append(f"qs AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {_ANN_NQ})")
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"dist_{s} AS (SELECT q.query_id, a.vec_id,"
+            f" POWER(list_distance(q.v[{lo}:{hi}], c.v), 2) AS d2"
+            f" FROM qs q CROSS JOIN af_{s} a JOIN c{iters}_{s} c ON c.cid = a.cid)"
+        )
+    joins = " ".join(
+        f"JOIN dist_{s} d{s} ON d{s}.query_id = d0.query_id AND d{s}.vec_id = d0.vec_id"
+        for s in range(1, m)
+    )
+    total = " + ".join(f"d{s}.d2" for s in range(m))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+adc AS (SELECT d0.query_id, d0.vec_id, ROUND({total}, 6) AS adcr FROM dist_0 d0 {joins}),
+r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adcr, vec_id) AS rank
+  FROM adc)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {_ANN_K}"""
+    )
+
+
 def _q_minhash_pairs(sf_dir: str):
     """Dedup: MinHash-LSH candidate near-duplicate pairs (signatures shuffle,
     never the text). The whole chain is seed-deterministic — char-5-gram FNV
@@ -6828,6 +6948,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_force": _q_ann_brute_force,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_indexed": _q_ann_ivf_indexed,
+        "ann_ivf_flat": _q_ann_ivf_flat,
+        "ann_pq_adc": _q_ann_pq_adc,
         "minhash_pairs": _q_minhash_pairs,
         "near_dup_dedup": _q_near_dup_dedup,
         "simhash": _q_simhash,
@@ -8060,6 +8182,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
+        "ann_ivf_flat": _ann_ivf_flat_oracle_sql(),
+        "ann_pq_adc": _ann_pq_adc_oracle_sql(),
         "semantic_dedup_capped": _semantic_dedup_capped_oracle_sql(),
         "doc_lm_score": """
             WITH toks AS (

@@ -1064,6 +1064,191 @@ def grouped_embedding_variance(
     )
 
 
+# ------------------------------------------------ SQL-replayable ANN twins
+def ivf_flat_topk(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    iters: int = 2,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """IVF-Flat L2 top-k under the kmeans_lloyd determinism contract, so an
+    unrolled-CTE oracle replays it end-to-end: the coarse quantizer is
+    _kmeans_centroids (first-k-by-id seeds, e6-rounded means, argmin ties to
+    the smallest cid); a query probes its nprobe nearest cells (same metric,
+    same tie rule); candidates rank by (squared L2 distance ROUNDED to e6,
+    id ASC). Output (query_idx, vec_id, rank) — integer ranks only, float
+    distances never reach the comparator. Scale shape: centroids broadcast
+    once; one map pass assigns + scores; only n_blocks*k*Q candidate rows
+    reach the driver."""
+    cents = _kmeans_centroids(ds, id_col, vec_col, n_centroids, iters)
+    q = np.asarray(queries, dtype=np.float64)
+    d2q = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probed = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]  # ties -> smaller cid
+    cref = ray.put(cents)
+    qref = ray.put((q, probed))
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        qm, pr = ray.get(qref)
+        ids = batch[id_col].to_numpy()
+        x = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        cells = _assign(x, c)
+        rows = []
+        for qi in range(qm.shape[0]):
+            m = np.isin(cells, pr[qi])
+            if not m.any():
+                continue
+            d2r = np.round(((x[m] - qm[qi]) ** 2).sum(axis=1), 6)
+            idx = np.lexsort((ids[m], d2r))[: min(k, int(m.sum()))]
+            rows.append(
+                pd.DataFrame({"query_idx": qi, "vec_id": ids[m][idx], "d2r": d2r[idx]})
+            )
+        if not rows:
+            return pd.DataFrame(
+                {"query_idx": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="int64"), "d2r": pd.Series(dtype="float64")}
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    cand = ds.map_batches(prune, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["query_idx", "d2r", "vec_id"], kind="mergesort")
+    out = cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_idx").cumcount() + 1
+    return out[["query_idx", "vec_id", "rank"]].astype("int64")
+
+
+def _pq_codebooks_exact(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int,
+    ksub: int,
+    iters: int,
+    round_digits: int = 6,
+) -> np.ndarray:
+    """Product-quantization codebooks with the kmeans_lloyd determinism
+    contract, trained over the FULL corpus (not a sample): subspace s's
+    seeds are the first ksub rows by id sliced to dims [s*dsub, (s+1)*dsub);
+    per iteration ONE fused map pass emits (subspace, cid, partial sum, n)
+    rows for ALL subspaces — m*ksub*dsub doubles per block — and the driver
+    folds + e6-rounds. Returns (m, ksub, dsub) float64."""
+    seed_rows = ds.sort(id_col).limit(ksub).to_pandas()
+    full = np.stack(seed_rows.sort_values(id_col)[vec_col].to_numpy()).astype(np.float64)
+    d = full.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.stack([full[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)])
+
+    def partials_of(bref):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            bk = ray.get(bref)
+            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            sub, cid, sums, ns = [], [], [], []
+            for s in range(m):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                a = _assign(xs, bk[s])
+                ssum = np.zeros((ksub, dsub))
+                np.add.at(ssum, a, xs)
+                n = np.bincount(a, minlength=ksub)
+                keep = n > 0
+                sub.append(np.full(int(keep.sum()), s, dtype=np.int64))
+                cid.append(np.arange(ksub)[keep])
+                sums.extend(list(ssum[keep]))
+                ns.append(n[keep].astype("int64"))
+            return pd.DataFrame(
+                {
+                    "s": np.concatenate(sub),
+                    "cid": np.concatenate(cid),
+                    "sum": sums,
+                    "n": np.concatenate(ns),
+                }
+            )
+
+        return fn
+
+    for _ in range(iters):
+        bref = ray.put(books)
+        sums = np.zeros((m, ksub, dsub))
+        n = np.zeros((m, ksub), dtype=np.int64)
+        for b in ds.map_batches(partials_of(bref), batch_format="pandas").iter_batches(
+            batch_size=None, batch_format="pandas"
+        ):
+            si = b["s"].to_numpy()
+            ci = b["cid"].to_numpy()
+            np.add.at(sums, (si, ci), np.stack(b["sum"].to_numpy()))
+            np.add.at(n, (si, ci), b["n"].to_numpy())
+        nz = n > 0
+        new = books.copy()
+        new[nz] = np.round(sums[nz] / n[nz][:, None], round_digits)
+        books = new
+    return books
+
+
+def pq_adc_topk_exact(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+) -> pd.DataFrame:
+    """PQ asymmetric-distance (ADC) top-k, SQL-replayable end-to-end: the
+    codebooks come from _pq_codebooks_exact; every vector's code is its
+    nearest sub-centroid per subspace (argmin ties to the smallest code);
+    the ADC distance is the s=0..m-1 ordered sum of per-subspace query→
+    centroid squared L2, ROUNDED to e6 before ranking (ties by id). Encode
+    and score are fused in one pass — raw vectors are read once and never
+    shuffled. Output (query_idx, vec_id, rank)."""
+    books = _pq_codebooks_exact(ds, id_col, vec_col, m=m, ksub=ksub, iters=iters)
+    dsub = books.shape[2]
+    q = np.asarray(queries, dtype=np.float64)
+    # LUT[qi, s, c] = squared L2 between q's subvector and codeword c
+    tables = np.stack(
+        [
+            ((q[:, s * dsub : (s + 1) * dsub][:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    bref = ray.put(books)
+    tref = ray.put(tables)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        bk = ray.get(bref)
+        lut = ray.get(tref)
+        ids = b[id_col].to_numpy()
+        x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        codes = np.stack(
+            [_assign(x[:, s * dsub : (s + 1) * dsub], bk[s]) for s in range(m)], axis=1
+        )  # (n, m)
+        rows = []
+        for qi in range(lut.shape[0]):
+            # ordered s=0..m-1 sum — the same left-to-right addition the
+            # oracle's d2_0 + d2_1 + ... expression performs
+            adc = np.zeros(len(ids))
+            for s in range(m):
+                adc += lut[qi, s, codes[:, s]]
+            adcr = np.round(adc, 6)
+            idx = np.lexsort((ids, adcr))[: min(k, len(ids))]
+            rows.append(pd.DataFrame({"query_idx": qi, "vec_id": ids[idx], "adcr": adcr[idx]}))
+        return pd.concat(rows, ignore_index=True)
+
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["query_idx", "adcr", "vec_id"], kind="mergesort")
+    out = cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_idx").cumcount() + 1
+    return out[["query_idx", "vec_id", "rank"]].astype("int64")
+
+
 def mmr_select(
     ds: Dataset,
     id_col: str,

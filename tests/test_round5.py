@@ -365,3 +365,99 @@ def test_embedding_near_dup_exact_boundary_rational():
     assert not (lhs >= rhs * (1 + 1e-9))  # prescreen cannot decide
     assert lhs >= rhs * (1 - 1e-9)  # ...so it lands in the border sliver
     assert den * d * d >= num * na * nb  # exact path keeps equality
+
+
+# ------------------------------------------------ SQL-replayable ANN twins
+def _emb_tbl(df):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "vec_id": pa.array(df["vec_id"].to_numpy()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in df["embedding"]],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
+def test_ivf_flat_topk_matches_duckdb_fresh_data(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(120, dtype=np.int64),
+            "embedding": list(rng.standard_normal((120, 32)).astype(np.float32)),
+        }
+    )
+    q = np.stack(df[df.vec_id < 5]["embedding"].to_numpy()).astype(np.float64)
+    out = F_sim.ivf_flat_topk(
+        rd.from_pandas(df), "vec_id", "embedding", q, k=10,
+        n_centroids=16, iters=2, nprobe=4,
+    )
+    out = out.rename(columns={"query_idx": "query_id"})  # qids are 0..4 here
+    con = duckdb.connect()
+    con.register("embeddings", _emb_tbl(df))
+    gold = con.sql(entrymod._ann_ivf_flat_oracle_sql()).df().astype("int64")
+    key = ["query_id", "vec_id", "rank"]
+    pd.testing.assert_frame_equal(
+        out[key].sort_values(key).reset_index(drop=True),
+        gold[key].sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_pq_adc_topk_matches_duckdb_fresh_data(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(100, dtype=np.int64),
+            "embedding": list(rng.standard_normal((100, 32)).astype(np.float32)),
+        }
+    )
+    q = np.stack(df[df.vec_id < 5]["embedding"].to_numpy()).astype(np.float64)
+    out = F_sim.pq_adc_topk_exact(
+        rd.from_pandas(df), "vec_id", "embedding", q, k=10, m=4, ksub=16, iters=2
+    ).rename(columns={"query_idx": "query_id"})
+    con = duckdb.connect()
+    con.register("embeddings", _emb_tbl(df))
+    gold = con.sql(entrymod._ann_pq_adc_oracle_sql(dim=32)).df().astype("int64")
+    key = ["query_id", "vec_id", "rank"]
+    pd.testing.assert_frame_equal(
+        out[key].sort_values(key).reset_index(drop=True),
+        gold[key].sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_pq_codebooks_exact_partition_invariant(ray_session):
+    """Fused multi-subspace training folds exact partials: codebooks must be
+    bit-identical under any partitioning."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions.similarity import _pq_codebooks_exact
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(90, dtype=np.int64),
+            "embedding": list(rng.standard_normal((90, 16))),
+        }
+    )
+    a = _pq_codebooks_exact(
+        rd.from_pandas(df).repartition(1), "vec_id", "embedding", m=2, ksub=8, iters=2
+    )
+    b = _pq_codebooks_exact(
+        rd.from_pandas(df).repartition(11), "vec_id", "embedding", m=2, ksub=8, iters=2
+    )
+    assert np.array_equal(a, b)
