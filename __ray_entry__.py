@@ -717,6 +717,70 @@ def _q_dsir_selected_docs(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _q_dsir_topk_docs(sf_dir: str):
+    """DSIR hard top-k (deterministic twin of dsir_selected_docs): md5
+    feature buckets + e6-quantized integer log-ratio weights + exact integer
+    doc scores, so the DuckDB oracle replays histogramming, weighting,
+    scoring and selection end-to-end. Target domain = sources src0/src1."""
+    from tesseract_recognize_ray.functions import ml as F_ml
+
+    raw = F.load(sf_dir, "documents", columns=["doc_id", "text", "source"], num_blocks=8)
+    target = raw.filter(expr="source == 'src0' or source == 'src1'")
+    out = F_ml.dsir_topk(raw, target, "doc_id", "text", k=100)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "score_e6": b["score_e6"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _dsir_topk_oracle_sql(k: int = 100, n_buckets: int = 4096) -> str:
+    """Replays dsir_topk verbatim: same tokenization (string_split_regex
+    '\\s+' minus empties = Arrow split_whitespace), same md5 buckets, the
+    same left-associative LN expression e6-rounded, exact integer sums."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+  FROM documents),
+feats AS (
+  SELECT doc_id, source, unnest(tl) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, source, tl[i] || ' ' || tl[i + 1] AS f FROM (
+    SELECT doc_id, source, tl, unnest(generate_series(1, len(tl) - 1)) AS i
+    FROM toks WHERE len(tl) >= 2)),
+bucketed AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(f), 1, 16))::UBIGINT % {n_buckets} AS BIGINT) AS b
+  FROM feats),
+hist AS (
+  SELECT b.b,
+         COALESCE(SUM(CASE WHEN x.source IN ('src0', 'src1') THEN 1 ELSE 0 END), 0) AS tc,
+         COALESCE(COUNT(x.b), 0) AS rc
+  FROM range({n_buckets}) b(b) LEFT JOIN bucketed x ON x.b = b.b
+  GROUP BY b.b),
+tot AS (SELECT SUM(tc) + {n_buckets} AS bt, SUM(rc) + {n_buckets} AS br FROM hist),
+w AS (
+  SELECT h.b,
+         CAST(ROUND((LN(CAST(h.tc + 1 AS DOUBLE)) - LN(CAST(t.bt AS DOUBLE))
+                     - LN(CAST(h.rc + 1 AS DOUBLE)) + LN(CAST(t.br AS DOUBLE))) * 1e6)
+              AS BIGINT) AS w
+  FROM hist h CROSS JOIN tot t),
+scores AS (
+  SELECT d.doc_id, COALESCE(SUM(w.w), 0) AS score_e6
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN bucketed x ON x.doc_id = d.doc_id
+  LEFT JOIN w ON w.b = x.b
+  GROUP BY d.doc_id)
+SELECT doc_id, CAST(score_e6 AS BIGINT) AS score_e6
+FROM scores ORDER BY score_e6 DESC, doc_id LIMIT {k}"""
+
+
 def _q_ocr_to_training_corpus(sf_dir: str):
     """END-TO-END integration — scanned media to packed training windows in
     one composition, the full LLM-data path this engine exists for:
@@ -6959,6 +7023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_extract": _q_flagship_extract,
         "ocr_to_training_corpus": _q_ocr_to_training_corpus,
         "dsir_selected_docs": _q_dsir_selected_docs,
+        "dsir_topk_docs": _q_dsir_topk_docs,
         "pagexml_extract": _q_pagexml_extract,
         "rerecognize_xml": _q_rerecognize_xml,
         "rerecognize_inplace": _q_rerecognize_inplace,
@@ -8184,6 +8249,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "ann_ivf_flat": _ann_ivf_flat_oracle_sql(),
         "ann_pq_adc": _ann_pq_adc_oracle_sql(),
+        "dsir_topk_docs": _dsir_topk_oracle_sql(),
         "semantic_dedup_capped": _semantic_dedup_capped_oracle_sql(),
         "doc_lm_score": """
             WITH toks AS (

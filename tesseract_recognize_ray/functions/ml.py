@@ -236,6 +236,107 @@ def dsir_select(
     return topk(keyed, "sample_key", k, descending=True, tiebreak=[id_col])
 
 
+def _md5_bucket(strs: np.ndarray, n_buckets: int) -> np.ndarray:
+    """md5-derived bucket per string — the one hash ANSI SQL also exposes:
+    ``('0x'||substr(md5(s),1,16))::UBIGINT % n_buckets`` in DuckDB. Hashes
+    UNIQUE strings only (vocab << token count), then scatters back."""
+    import hashlib
+
+    uniq, inv = np.unique(strs, return_inverse=True)
+    hu = np.fromiter(
+        (int(hashlib.md5(u.encode()).hexdigest()[:16], 16) % n_buckets for u in uniq),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return hu[inv]
+
+
+def _md5_ngram_hist(ds: "Dataset", text_col: str, n_buckets: int, ngram_ns=(1, 2)) -> np.ndarray:
+    """Like _hashed_ngram_partials but with md5 buckets (SQL-replayable);
+    integer counts returned as int64."""
+    from .textstats import flat_ngrams
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        if b.num_rows == 0:
+            return pd.DataFrame({"c": []})
+        vec = np.zeros(n_buckets, dtype=np.int64)
+        col = b.column(text_col)
+        for n in ngram_ns:
+            ng, _ridx = flat_ngrams(col, n)
+            if len(ng):
+                bk = _md5_bucket(np.asarray(ng), n_buckets)
+                vec += np.bincount(bk, minlength=n_buckets)
+        return pd.DataFrame({"c": [vec]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return np.zeros(n_buckets, dtype=np.int64)
+    return np.stack(parts["c"].to_numpy()).sum(0)
+
+
+def dsir_topk(
+    raw: "Dataset",
+    target: "Dataset",
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 100,
+    n_buckets: int = 4096,
+) -> pd.DataFrame:
+    """DSIR hard top-k selection with an ANSI-SQL-replayable contract — the
+    deterministic twin of dsir_select (which keeps Gumbel sampling as the
+    statistically-correct scale path):
+
+      * features = whitespace uni+bigrams, bucketed by md5 % n_buckets;
+      * per-bucket weight = ROUND(1e6 * (ln(tc+1) - ln(T+B) - ln(rc+1)
+        + ln(R+B))) as int64 (Laplace smoothing 1, e6-quantized so the
+        cross-engine float risk collapses to a ~1e-9 rounding-boundary
+        sliver per bucket);
+      * doc score_e6 = exact integer sum of its features' weights
+        (multiplicity counted);
+      * selection = top-k by (score_e6 DESC, id ASC).
+
+    Scale shape: two n_buckets-int histogram passes, one broadcast weight
+    vector, map-only scoring, a k-row top-k exchange. Returns a k-row
+    Dataset of (id, score_e6)."""
+    from .relational import topk
+    from .textstats import flat_ngrams
+
+    c_raw = _md5_ngram_hist(raw, text_col, n_buckets)
+    c_tgt = _md5_ngram_hist(target, text_col, n_buckets)
+    big_t = float(c_tgt.sum()) + n_buckets
+    big_r = float(c_raw.sum()) + n_buckets
+    w = np.round(
+        (
+            np.log(c_tgt + 1.0)
+            - np.log(big_t)
+            - np.log(c_raw + 1.0)
+            + np.log(big_r)
+        )
+        * 1e6
+    ).astype(np.int64)
+    wref = ray.put(w)
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        if b.num_rows == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"), "score_e6": pd.Series([], dtype="int64")}
+            )
+        wv = ray.get(wref)
+        s = np.zeros(b.num_rows, dtype=np.int64)
+        col = b.column(text_col)
+        for n in (1, 2):
+            ng, ridx = flat_ngrams(col, n)
+            if len(ng):
+                bk = _md5_bucket(np.asarray(ng), n_buckets)
+                np.add.at(s, ridx, wv[bk])
+        return pd.DataFrame({id_col: b.column(id_col).to_pandas(), "score_e6": s})
+
+    scored = raw.map_batches(score, batch_format="pyarrow")
+    out = topk(scored, "score_e6", k, descending=True, tiebreak=[id_col])
+    return out
+
+
 def nb_train(
     ds: "Dataset",
     label_col: str,

@@ -461,3 +461,56 @@ def test_pq_codebooks_exact_partition_invariant(ray_session):
         rd.from_pandas(df).repartition(11), "vec_id", "embedding", m=2, ksub=8, iters=2
     )
     assert np.array_equal(a, b)
+
+
+# -------------------------------------------------------- DSIR hard top-k
+def test_dsir_topk_partition_invariant_and_ranked(ray_session):
+    """Integer scores commute: selection must be identical under any
+    partitioning, descending by score with id tiebreak."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import ml as F_ml
+
+    rng = np.random.default_rng(8)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 20))) for _ in range(120)]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(120, dtype=np.int64),
+            "text": docs,
+            "source": ["src0" if i % 3 == 0 else "src5" for i in range(120)],
+        }
+    )
+
+    def run(parts):
+        raw = rd.from_pandas(df).repartition(parts)
+        tgt = raw.filter(expr="source == 'src0'")
+        return (
+            F_ml.dsir_topk(raw, tgt, "doc_id", "text", k=25)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+
+    a, b = run(1), run(9)
+    pd.testing.assert_frame_equal(
+        a.sort_values(["doc_id"]).reset_index(drop=True),
+        b.sort_values(["doc_id"]).reset_index(drop=True),
+    )
+    s = a.sort_values(["score_e6", "doc_id"], ascending=[False, True])
+    assert list(s["doc_id"]) == list(a.sort_values(["score_e6", "doc_id"], ascending=[False, True])["doc_id"])
+    assert a["score_e6"].dtype == np.int64
+
+
+def test_md5_bucket_matches_duckdb():
+    import duckdb
+
+    from tesseract_recognize_ray.functions.ml import _md5_bucket
+
+    strs = np.array(["hello", "hello world", "a", "", "ZETA zeta"], dtype=object)
+    got = _md5_bucket(strs, 4096)
+    con = duckdb.connect()
+    for s, g in zip(strs, got):
+        want = con.sql(
+            f"SELECT CAST(('0x' || substr(md5('{s}'), 1, 16))::UBIGINT % 4096 AS BIGINT)"
+        ).fetchone()[0]
+        assert int(want) == int(g), s
