@@ -6530,6 +6530,57 @@ def _q_mmr_diverse_topk(sf_dir: str):
     return out[["rank", "vec_id"]].astype({"rank": "int64", "vec_id": "int64"})
 
 
+def _q_mmr_diverse_topk_exact(sf_dir: str):
+    """MMR diverse retrieval, integer-exact twin: cosines quantize to e6
+    ints at the moment of computation, the greedy recurrence
+    (7*rel - 3*max_div, ties id ASC) is then exact integer arithmetic, and
+    an unrolled 10-step CTE oracle replays every argmax. The float variant
+    (mmr_diverse_topk) stays as the literature-faithful path."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(emb.loc[emb["vec_id"] == 0, "embedding"].iloc[0], dtype=np.float64)
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16)
+    out = F_sim.mmr_select_exact(
+        ds, "vec_id", "embedding", q, k=10, lambda_num=7, lambda_den=10, n_candidates=200
+    )
+    return out[["rank", "vec_id", "score10_e6"]].astype("int64")
+
+
+def _mmr_exact_oracle_sql(k: int = 10, n_cand: int = 200, lnum: int = 7, lden: int = 10) -> str:
+    """Unrolled greedy MMR: step i's CTE cross-joins the i-1 single-row
+    selection CTEs, takes GREATEST of the e6-quantized diversity cosines,
+    and argmaxes the integer score with an id tiebreak — replaying
+    mmr_select_exact's recurrence verbatim."""
+    mu = lden - lnum
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "q AS (SELECT v FROM e WHERE vec_id = 0)",
+        f"cand AS (SELECT e.vec_id, e.v,"
+        f" CAST(ROUND(1e6 * list_cosine_similarity(e.v, q.v)) AS BIGINT) AS rel"
+        f" FROM e CROSS JOIN q ORDER BY rel DESC, e.vec_id LIMIT {n_cand})",
+        f"s1 AS (SELECT vec_id, v, {lnum} * rel AS sc FROM cand ORDER BY sc DESC, vec_id LIMIT 1)",
+    ]
+    for i in range(2, k + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        joins = " ".join(f"CROSS JOIN {p}" for p in prev)
+        divs = ", ".join(
+            f"CAST(ROUND(1e6 * list_cosine_similarity(c.v, {p}.v)) AS BIGINT)" for p in prev
+        )
+        notin = ", ".join(f"{p}.vec_id" for p in prev)
+        parts.append(
+            f"s{i} AS (SELECT c.vec_id, c.v, {lnum} * c.rel - {mu} * GREATEST({divs}) AS sc"
+            f" FROM cand c {joins} WHERE c.vec_id NOT IN ({notin})"
+            f" ORDER BY sc DESC, c.vec_id LIMIT 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, sc FROM s{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(rank AS BIGINT) AS rank, vec_id,"
+        f" CAST(sc AS BIGINT) AS score10_e6 FROM ({union})"
+    )
+
+
 def _q_events_snapshot_diff(sf_dir: str):
     """CDC snapshot compare: two deterministic views of the events table
     play yesterday's and today's snapshot — event_id % 4 == 1 rows exist
@@ -7058,6 +7109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg_refresh": _q_incremental_agg_refresh,
         "doc_backoff_lm_score": _q_doc_backoff_lm_score,
         "mmr_diverse_topk": _q_mmr_diverse_topk,
+        "mmr_diverse_topk_exact": _q_mmr_diverse_topk_exact,
         "events_snapshot_diff": _q_events_snapshot_diff,
         "events_quality_audit": _q_events_quality_audit,
         "loo_target_encoding": _q_loo_target_encoding,
@@ -8250,6 +8302,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_flat": _ann_ivf_flat_oracle_sql(),
         "ann_pq_adc": _ann_pq_adc_oracle_sql(),
         "dsir_topk_docs": _dsir_topk_oracle_sql(),
+        "mmr_diverse_topk_exact": _mmr_exact_oracle_sql(),
         "semantic_dedup_capped": _semantic_dedup_capped_oracle_sql(),
         "doc_lm_score": """
             WITH toks AS (

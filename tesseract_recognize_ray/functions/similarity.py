@@ -1249,6 +1249,84 @@ def pq_adc_topk_exact(
     return out[["query_idx", "vec_id", "rank"]].astype("int64")
 
 
+def mmr_select_exact(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    lambda_num: int = 7,
+    lambda_den: int = 10,
+    n_candidates: int = 200,
+) -> pd.DataFrame:
+    """MMR diverse top-k with an SQL-replayable integer contract — the
+    quantized twin of :func:`mmr_select`. Every cosine is rounded to e6
+    integer units the moment it is computed; from then on the greedy
+    recurrence is exact integer arithmetic, so an unrolled-CTE oracle
+    replays each step's argmax bit-for-bit:
+
+      * rel_e6(d) = ROUND(1e6 * cos(query, d)) as int64;
+      * shortlist = n_candidates best by (rel_e6 DESC, id ASC);
+      * step score (scaled by lambda_den to stay integral):
+        score = lambda_num * rel_e6 - (lambda_den - lambda_num) *
+        max_{s in selected} ROUND(1e6 * cos(d, s))   [0 when none selected];
+      * argmax ties break on id ASC.
+
+    Same two-phase scale shape as mmr_select: distributed relevance prune,
+    driver-side greedy over the bounded shortlist. Returns
+    (rank, id, score10_e6)."""
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    qref = ray.put(q)
+    mu = lambda_den - lambda_num
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(qref)
+        ids = batch[id_col].to_numpy()
+        if not len(ids):
+            return pd.DataFrame({id_col: [], "__rel": [], vec_col: []})
+        v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        rel = np.round(v @ qv * 1e6).astype(np.int64)
+        idx = np.lexsort((ids, -rel))[: min(n_candidates, len(ids))]
+        return pd.DataFrame({id_col: ids[idx], "__rel": rel[idx], vec_col: list(v[idx])})
+
+    cand = ds.map_batches(prune, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(
+        ["__rel", id_col], ascending=[False, True], kind="mergesort"
+    ).head(n_candidates)
+    if not len(cand):
+        return pd.DataFrame(
+            {"rank": pd.Series(dtype="int64"), id_col: pd.Series(dtype="int64"), "score10_e6": pd.Series(dtype="int64")}
+        )
+
+    ids = cand[id_col].to_numpy()
+    rel = cand["__rel"].to_numpy()
+    mat = np.stack(cand[vec_col].to_numpy())
+    kk = min(k, len(ids))
+    sel, sel_scores = [], []
+    max_div = np.zeros(len(ids), dtype=np.int64)
+    taken = np.zeros(len(ids), dtype=bool)
+    for step in range(kk):
+        score = lambda_num * rel - (mu * max_div if step else 0)
+        # mask rather than sentinel: negating int64-min in the lexsort key
+        # would overflow back to the minimum and re-select taken rows
+        avail = np.nonzero(~taken)[0]
+        best = avail[np.lexsort((ids[avail], -score[avail]))[0]]
+        sel.append(best)
+        sel_scores.append(int(score[best]))
+        taken[best] = True
+        div = np.round(mat @ mat[best] * 1e6).astype(np.int64)
+        np.maximum(max_div, div, out=max_div)
+    si = np.asarray(sel)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, kk + 1, dtype=np.int64),
+            id_col: ids[si],
+            "score10_e6": np.asarray(sel_scores, dtype=np.int64),
+        }
+    )
+
+
 def mmr_select(
     ds: Dataset,
     id_col: str,

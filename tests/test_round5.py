@@ -514,3 +514,57 @@ def test_md5_bucket_matches_duckdb():
             f"SELECT CAST(('0x' || substr(md5('{s}'), 1, 16))::UBIGINT % 4096 AS BIGINT)"
         ).fetchone()[0]
         assert int(want) == int(g), s
+
+
+# ----------------------------------------------------- integer-exact MMR
+def test_mmr_exact_matches_duckdb_fresh_data(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(80, dtype=np.int64),
+            "embedding": list(rng.standard_normal((80, 24)).astype(np.float32)),
+        }
+    )
+    q = np.asarray(df.loc[df.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    out = F_sim.mmr_select_exact(
+        rd.from_pandas(df), "vec_id", "embedding", q, k=8, n_candidates=40
+    ).astype("int64")
+    con = duckdb.connect()
+    con.register("embeddings", _emb_tbl(df))
+    gold = con.sql(entrymod._mmr_exact_oracle_sql(k=8, n_cand=40)).df().astype("int64")
+    pd.testing.assert_frame_equal(
+        out.sort_values("rank").reset_index(drop=True),
+        gold.sort_values("rank").reset_index(drop=True)[out.columns.tolist()],
+    )
+
+
+def test_mmr_exact_partition_invariant_and_diverse(ray_session):
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    rng = np.random.default_rng(10)
+    base = rng.standard_normal((60, 16)).astype(np.float32)
+    base[5] = base[3]  # exact duplicate of a relevant doc
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64), "embedding": list(base)})
+    q = np.asarray(base[3], dtype=np.float64)
+
+    def run(parts):
+        # lambda=0.3: diversity-heavy, so an exact duplicate of the rank-1
+        # pick scores 3e6 - 7e6 < 0 and cannot be rank 2 (at 0.7 the dup's
+        # 7e6 - 3e6 = 4e6 would legitimately beat every other candidate)
+        return F_sim.mmr_select_exact(
+            rd.from_pandas(df).repartition(parts), "vec_id", "embedding", q,
+            k=6, n_candidates=30, lambda_num=3, lambda_den=10,
+        ).astype("int64")
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    assert a.iloc[0]["vec_id"] == 3  # ties at rel=1e6 break to smaller id
+    assert a.iloc[1]["vec_id"] != 5
