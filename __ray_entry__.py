@@ -478,6 +478,64 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {_ANN
     )
 
 
+def _q_ann_ivf_pq_exact(sf_dir: str):
+    """Similarity search: the FULL IVF-PQ path value-matched — deterministic
+    coarse quantizer (k=8) + full-corpus PQ codebooks (m=4, ksub=16), probe
+    3 cells, ADC-rank candidates; the oracle replays coarse training, PQ
+    training, probing, encoding and ranking in one CTE pyramid."""
+    queries, qids = _ann_queries(sf_dir)
+    ds = F.load(sf_dir, "embeddings", columns=["vec_id", "embedding"], num_blocks=16).materialize()
+    res = F_sim.ivf_pq_topk_exact(
+        ds, "vec_id", "embedding", queries, k=_ANN_K,
+        n_centroids=8, nprobe=3, m=4, ksub=16, iters=2,
+    )
+    res["query_id"] = qids[res["query_idx"].to_numpy()]
+    return res[["query_id", "vec_id", "rank"]].astype("int64")
+
+
+def _ann_ivf_pq_exact_oracle_sql(
+    n_centroids: int = 8, nprobe: int = 3, m: int = 4, ksub: int = 16,
+    iters: int = 2, dim: int = 64,
+) -> str:
+    dsub = dim // m
+    parts = list(_kmeans_ctes(n_centroids, iters))  # e, c0..c{iters}, af
+    for s in range(m):
+        parts += _pq_subspace_ctes(s, s * dsub + 1, (s + 1) * dsub, ksub, iters)
+    parts.append(f"qs AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {_ANN_NQ})")
+    parts.append(
+        f"probe AS (SELECT qs.query_id, c.cid FROM qs CROSS JOIN c{iters} c"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY qs.query_id"
+        f" ORDER BY list_distance(qs.v, c.v), c.cid) <= {nprobe})"
+    )
+    parts.append(
+        "cand AS (SELECT p.query_id, a.vec_id FROM probe p JOIN af a ON a.cid = p.cid)"
+    )
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"dist_{s} AS (SELECT cd.query_id, cd.vec_id,"
+            f" POWER(list_distance(q.v[{lo}:{hi}], c.v), 2) AS d2"
+            f" FROM cand cd JOIN qs q ON q.query_id = cd.query_id"
+            f" JOIN af_{s} a ON a.vec_id = cd.vec_id"
+            f" JOIN c{iters}_{s} c ON c.cid = a.cid)"
+        )
+    joins = " ".join(
+        f"JOIN dist_{s} d{s} ON d{s}.query_id = d0.query_id AND d{s}.vec_id = d0.vec_id"
+        for s in range(1, m)
+    )
+    total = " + ".join(f"d{s}.d2" for s in range(m))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+adc AS (SELECT d0.query_id, d0.vec_id, ROUND({total}, 6) AS adcr FROM dist_0 d0 {joins}),
+r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adcr, vec_id) AS rank
+  FROM adc)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {_ANN_K}"""
+    )
+
+
 def _q_minhash_pairs(sf_dir: str):
     """Dedup: MinHash-LSH candidate near-duplicate pairs (signatures shuffle,
     never the text). The whole chain is seed-deterministic — char-5-gram FNV
@@ -7065,6 +7123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_indexed": _q_ann_ivf_indexed,
         "ann_ivf_flat": _q_ann_ivf_flat,
         "ann_pq_adc": _q_ann_pq_adc,
+        "ann_ivf_pq_exact": _q_ann_ivf_pq_exact,
         "minhash_pairs": _q_minhash_pairs,
         "near_dup_dedup": _q_near_dup_dedup,
         "simhash": _q_simhash,
@@ -8303,6 +8362,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": _ann_pq_adc_oracle_sql(),
         "dsir_topk_docs": _dsir_topk_oracle_sql(),
         "mmr_diverse_topk_exact": _mmr_exact_oracle_sql(),
+        "ann_ivf_pq_exact": _ann_ivf_pq_exact_oracle_sql(),
         "semantic_dedup_capped": _semantic_dedup_capped_oracle_sql(),
         "doc_lm_score": """
             WITH toks AS (

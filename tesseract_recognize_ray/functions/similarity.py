@@ -1249,6 +1249,79 @@ def pq_adc_topk_exact(
     return out[["query_idx", "vec_id", "rank"]].astype("int64")
 
 
+def ivf_pq_topk_exact(
+    ds: Dataset,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+) -> pd.DataFrame:
+    """IVF-PQ ANN, SQL-replayable end-to-end: the coarse quantizer is
+    _kmeans_centroids and the codebooks are _pq_codebooks_exact (both under
+    the kmeans_lloyd determinism contract); codebooks are trained on the
+    FULL corpus, not per-cell residuals — the simpler classic layout whose
+    every step a CTE oracle can replay. A query probes its nprobe nearest
+    cells, candidates score by the ordered per-subspace ADC sum ROUNDED to
+    e6, ties break on id. Output (query_idx, vec_id, rank). One scoring
+    pass: cell assignment, PQ encoding and LUT scoring are fused, raw
+    vectors are read once and never shuffled."""
+    cents = _kmeans_centroids(ds, id_col, vec_col, n_centroids, iters)
+    books = _pq_codebooks_exact(ds, id_col, vec_col, m=m, ksub=ksub, iters=iters)
+    dsub = books.shape[2]
+    q = np.asarray(queries, dtype=np.float64)
+    d2q = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probed = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]
+    tables = np.stack(
+        [
+            ((q[:, s * dsub : (s + 1) * dsub][:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    cref = ray.put(cents)
+    bref = ray.put(books)
+    tref = ray.put((tables, probed))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        bk = ray.get(bref)
+        lut, pr = ray.get(tref)
+        ids = b[id_col].to_numpy()
+        x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        cells = _assign(x, c)
+        codes = np.stack(
+            [_assign(x[:, s * dsub : (s + 1) * dsub], bk[s]) for s in range(m)], axis=1
+        )
+        rows = []
+        for qi in range(lut.shape[0]):
+            msk = np.isin(cells, pr[qi])
+            if not msk.any():
+                continue
+            adc = np.zeros(int(msk.sum()))
+            for s in range(m):
+                adc += lut[qi, s, codes[msk, s]]
+            adcr = np.round(adc, 6)
+            idx = np.lexsort((ids[msk], adcr))[: min(k, len(adcr))]
+            rows.append(pd.DataFrame({"query_idx": qi, "vec_id": ids[msk][idx], "adcr": adcr[idx]}))
+        if not rows:
+            return pd.DataFrame(
+                {"query_idx": pd.Series(dtype="int64"), "vec_id": pd.Series(dtype="int64"), "adcr": pd.Series(dtype="float64")}
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["query_idx", "adcr", "vec_id"], kind="mergesort")
+    out = cand.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_idx").cumcount() + 1
+    return out[["query_idx", "vec_id", "rank"]].astype("int64")
+
+
 def mmr_select_exact(
     ds: Dataset,
     id_col: str,

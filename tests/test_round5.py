@@ -568,3 +568,32 @@ def test_mmr_exact_partition_invariant_and_diverse(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert a.iloc[0]["vec_id"] == 3  # ties at rel=1e6 break to smaller id
     assert a.iloc[1]["vec_id"] != 5
+
+
+def test_ivf_pq_exact_matches_duckdb_fresh_data(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(110, dtype=np.int64),
+            "embedding": list(rng.standard_normal((110, 32)).astype(np.float32)),
+        }
+    )
+    q = np.stack(df[df.vec_id < 5]["embedding"].to_numpy()).astype(np.float64)
+    out = F_sim.ivf_pq_topk_exact(
+        rd.from_pandas(df), "vec_id", "embedding", q, k=10,
+        n_centroids=8, nprobe=3, m=4, ksub=16, iters=2,
+    ).rename(columns={"query_idx": "query_id"})
+    con = duckdb.connect()
+    con.register("embeddings", _emb_tbl(df))
+    gold = con.sql(entrymod._ann_ivf_pq_exact_oracle_sql(dim=32)).df().astype("int64")
+    key = ["query_id", "vec_id", "rank"]
+    pd.testing.assert_frame_equal(
+        out[key].sort_values(key).reset_index(drop=True),
+        gold[key].sort_values(key).reset_index(drop=True),
+    )
