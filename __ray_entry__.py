@@ -5647,6 +5647,116 @@ def _q_doc_quality_logreg(sf_dir: str):
     )
 
 
+_LOGREG_X_ITERS = 20
+
+
+def _q_doc_quality_logreg_exact(sf_dir: str):
+    """Quality-classifier training under the SQL-replay contract: the same
+    full-batch logistic regression as doc_quality_logreg but with mean/std
+    and the weight vector ROUNDED to e6 after every GD step (round_digits=6
+    — the kmeans_lloyd idiom), so an unrolled 20-iteration CTE oracle
+    replays the whole training trajectory. Coefficients emit as exact e6
+    integers. The float variant stays as the unconstrained path."""
+    from tesseract_recognize_ray.functions import ml as F_ml
+
+    ds = F.load(sf_dir, "documents", columns=["lang", "text", "n_chars"], num_blocks=16)
+    return _q_doc_quality_logreg_exact_from_df(ds)
+
+
+def _q_doc_quality_logreg_exact_from_df(ds):
+    from tesseract_recognize_ray.functions import ml as F_ml
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):  # empty-block schema-loss guard (Ray 2.49)
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="float64") for c in _LOGREG_FEATURES}
+                | {"y": pd.Series([], dtype="int64")}
+            )
+        texts = b["text"].fillna("")
+        n_tok = texts.str.split().str.len().to_numpy(np.float64)
+        n_chr = b["n_chars"].to_numpy(np.float64)
+        digits = texts.str.count(r"[0-9]").to_numpy(np.float64)  # ASCII class = SQL's
+        return pd.DataFrame(
+            {
+                "f_len": n_chr,
+                "f_tokens": n_tok,
+                "f_avg_tok": n_chr / np.maximum(n_tok, 1.0),
+                "f_digit": digits / np.maximum(n_chr, 1.0),
+                "y": (b["lang"] == "en").astype("int64"),
+            }
+        )
+
+    fds = ds.map_batches(feats, batch_format="pandas").materialize()
+    model = F_ml.logreg_train(
+        fds, _LOGREG_FEATURES, "y", iters=_LOGREG_X_ITERS, lr=0.5, l2=1e-3, round_digits=6
+    )
+    coefs = np.append(model["coef"], model["intercept"])
+    return pd.DataFrame(
+        {
+            "feature": _LOGREG_FEATURES + ["__intercept__"],
+            "coef_e6": np.round(coefs * 1e6).astype(np.int64),
+        }
+    )
+
+
+def _logreg_exact_oracle_sql(iters: int = _LOGREG_X_ITERS, lr: float = 0.5, l2: float = 1e-3) -> str:
+    """Unrolled GD: w{i+1} = ROUND(w{i} - lr*(grad/n + l2*w{i}), 6). The
+    standardized features are bit-identical across engines (same rounded
+    mean/std, same IEEE divides); sigmoid/sum wobble (~1e-13) is crushed by
+    the per-step e6 rounding — the kmeans-oracle error argument."""
+    names = ["f_len", "f_tokens", "f_avg_tok", "f_digit"]
+    parts = [
+        """f AS MATERIALIZED (
+  SELECT CAST(n_chars AS DOUBLE) AS x1r,
+         CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t <> '')) AS DOUBLE) AS x2r,
+         CAST(n_chars AS DOUBLE) / GREATEST(CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t <> '')) AS DOUBLE), 1.0) AS x3r,
+         CAST(length(regexp_replace(COALESCE(text, ''), '[^0-9]', '', 'g')) AS DOUBLE)
+             / GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS x4r,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents)""",
+        "st AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n,"
+        + ", ".join(
+            f"ROUND(AVG(x{i}r), 6) AS m{i},"
+            f" ROUND(SQRT(GREATEST(SUM(x{i}r * x{i}r) / COUNT(*) - ROUND(AVG(x{i}r), 6) ^ 2, 1e-12)), 6) AS s{i}"
+            for i in range(1, 5)
+        )
+        + " FROM f)",
+        "x AS MATERIALIZED (SELECT "
+        + ", ".join(f"(f.x{i}r - st.m{i}) / st.s{i} AS x{i}" for i in range(1, 5))
+        + ", f.y FROM f CROSS JOIN st)",
+        "w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS b)",
+    ]
+    # every per-iteration CTE is MATERIALIZED: each is referenced 5+ times
+    # downstream and un-materialized inlining re-evaluates the whole chain
+    # per reference — a 5^iters blowup
+    for i in range(iters):
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT "
+            + ", ".join(f"SUM(x{j} * d) AS g{j}" for j in range(1, 5))
+            + ", SUM(d) AS gb FROM ("
+            "SELECT x.*, (1.0 / (1.0 + EXP(-(x.x1 * w.w1 + x.x2 * w.w2 + x.x3 * w.w3"
+            f" + x.x4 * w.w4 + w.b))) - x.y) AS d FROM x CROSS JOIN w{i} w))"
+        )
+        parts.append(
+            f"w{i+1} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"ROUND(w.w{j} - {lr} * (g.g{j} / st.n + {l2} * w.w{j}), 6) AS w{j}"
+                for j in range(1, 5)
+            )
+            + f", ROUND(w.b - {lr} * (g.gb / st.n), 6) AS b"
+            f" FROM w{i} w CROSS JOIN g{i} g CROSS JOIN st)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT '{names[j-1]}' AS feature, CAST(ROUND(w{j} * 1e6) AS BIGINT) AS coef_e6 FROM w{iters}"
+        for j in range(1, 5)
+    )
+    finals += (
+        f" UNION ALL SELECT '__intercept__' AS feature,"
+        f" CAST(ROUND(b * 1e6) AS BIGINT) AS coef_e6 FROM w{iters}"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
 _ANN_FILTER_LABEL = 2
 
 
@@ -6985,6 +7095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_pq": _q_ann_pq,
         "doc_quality_logreg": _q_doc_quality_logreg,
+        "doc_quality_logreg_exact": _q_doc_quality_logreg_exact,
         "ann_filtered": _q_ann_filtered,
         "late_event_flags": _q_late_event_flags,
         "running_revenue_total": _q_running_revenue_total,
@@ -8363,6 +8474,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_topk_docs": _dsir_topk_oracle_sql(),
         "mmr_diverse_topk_exact": _mmr_exact_oracle_sql(),
         "ann_ivf_pq_exact": _ann_ivf_pq_exact_oracle_sql(),
+        "doc_quality_logreg_exact": _logreg_exact_oracle_sql(),
         "semantic_dedup_capped": _semantic_dedup_capped_oracle_sql(),
         "doc_lm_score": """
             WITH toks AS (

@@ -35,6 +35,7 @@ def logreg_train(
     lr: float = 0.5,
     l2: float = 1e-3,
     standardize: bool = True,
+    round_digits: int | None = None,
 ) -> dict:
     """Full-batch logistic regression via distributed gradient partials:
     every iteration is ONE pass where each block ships (d+1 floats of
@@ -68,8 +69,15 @@ def logreg_train(
         s = np.stack(parts["s"].to_numpy()).sum(0)
         sq = np.stack(parts["sq"].to_numpy()).sum(0)
         mean = s / n_total
+        if round_digits is not None:
+            # SQL-replay contract (the kmeans_lloyd idiom): round the model
+            # state so the ~1e-13 distributed-sum wobble can't leak into the
+            # standardized features or compound across GD iterations
+            mean = np.round(mean, round_digits)
         var = np.maximum(sq / n_total - mean**2, 1e-12)
         std = np.sqrt(var)
+        if round_digits is not None:
+            std = np.round(std, round_digits)
 
     w = np.zeros(d + 1)  # [coef..., intercept]
     losses = []
@@ -96,6 +104,8 @@ def logreg_train(
         loss = float(parts["loss"].sum()) / n_total + 0.5 * l2 * float(w[:d] @ w[:d])
         losses.append(loss)
         w = w - lr * g
+        if round_digits is not None:
+            w = np.round(w, round_digits)
 
     return {
         "coef": w[:d],

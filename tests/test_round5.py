@@ -597,3 +597,47 @@ def test_ivf_pq_exact_matches_duckdb_fresh_data(ray_session):
         out[key].sort_values(key).reset_index(drop=True),
         gold[key].sort_values(key).reset_index(drop=True),
     )
+
+
+# ------------------------------------------- SQL-replayable logreg training
+def test_logreg_exact_matches_duckdb_fresh_data(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(13)
+    n = 300
+    langs = rng.choice(["en", "de", "fr"], size=n, p=[0.5, 0.25, 0.25])
+    texts = []
+    for la in langs:
+        # plant real signal: en docs are longer and digit-free
+        k = rng.integers(20, 40) if la == "en" else rng.integers(3, 15)
+        toks = [("word" if la == "en" else "w0rd9") for _ in range(k)]
+        texts.append(" ".join(toks))
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": langs,
+            "text": texts,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    got = (
+        entrymod._q_doc_quality_logreg_exact_from_df(rd.from_pandas(df).repartition(6))
+        .sort_values("feature")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pa.Table.from_pandas(df))
+    gold = (
+        con.sql(entrymod._logreg_exact_oracle_sql())
+        .df()
+        .sort_values("feature")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, gold[got.columns.tolist()])
+    # the planted signal must be learned: longer docs => en
+    coef = dict(zip(got["feature"], got["coef_e6"]))
+    assert coef["f_tokens"] > 0 or coef["f_len"] > 0
