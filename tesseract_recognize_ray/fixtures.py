@@ -230,6 +230,9 @@ def build_tables(
       "png_adam7"  like "png" but Adam7-interlaced;
       "tiff_lzw"  TIFF with drawn compression (LZW / Deflate / PackBits),
               drawn predictor-2 differencing and drawn multi-strip layout;
+      "tiff_jpeg"  JPEG-in-TIFF (compression 7, TIFF6 TechNote 2): q95
+              JPEG strips with drawn multi-strip layout and drawn shared
+              JPEGTables-tag factoring (abbreviated streams);
       "legacy"  drawn GIF (plain/interlaced) / BMP (bottom-up/top-down) /
               PNM (P5 or bilevel P4) per single-page media, TIFF for
               multi-page;
@@ -482,6 +485,16 @@ def build_tables(
                         compression=comp,
                         predictor=2 if comp in (5, 8) and rng.random() < 0.5 else 1,
                         rows_per_strip=(None, 16)[int(rng.integers(0, 2))],
+                    )
+                elif enc == "tiff_jpeg":  # JPEG-in-TIFF (TechNote 2), lossy
+                    from tesseract_recognize_ray.imagecodecs import encode_tiff_gray
+
+                    payload = encode_tiff_gray(
+                        page_imgs,
+                        compression=7,
+                        jpeg_quality=95,
+                        rows_per_strip=(None, 24)[int(rng.integers(0, 2))],
+                        jpeg_tables=bool(rng.integers(0, 2)),
                     )
                 else:
                     payload = b"".join(blobs)

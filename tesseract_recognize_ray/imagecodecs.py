@@ -321,7 +321,7 @@ def encode_png_gray(
 
 
 # -------------------------------------------------------------------- TIFF
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1}
 
 
 def _packbits_decode(data: bytes) -> bytes:
@@ -471,7 +471,7 @@ def _read_ifd(mv: memoryview, off: int, bo: str):
         size = _TYPE_SIZE.get(typ, 1) * n
         if size > 4:
             (vpos,) = struct.unpack_from(bo + "I", mv, vpos)
-        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}.get(typ)  # 7 = UNDEFINED bytes
         if fmt is not None:
             if vpos + size > len(mv):  # corrupt count: array exceeds the file
                 raise ValueError(f"TIFF: tag {tag} value array exceeds file size")
@@ -509,6 +509,30 @@ def iter_tiff_pages(buf):
         offsets = tags[273]
         counts = tags.get(279, [((w * bits + 7) // 8) * h * spp])
         strips = [bytes(mv[o : o + c]) for o, c in zip(offsets, counts)]
+        if comp == 7:  # JPEG-in-TIFF (TIFF6 TechNote 2): strips are JPEG streams
+            from .jpegcodec import decode_jpeg
+
+            jt = tags.get(347)  # shared JPEGTables: SOI + DQT/DHT segs + EOI
+            if jt is not None:
+                tb = bytes(jt)
+                if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+                    raise ValueError("TIFF: malformed JPEGTables framing")
+                tables = tb[2:-2]
+            else:
+                tables = b""  # strips are standalone JPEGs
+            parts = []
+            for s in strips:
+                if s[:2] != b"\xff\xd8":
+                    raise ValueError("TIFF: JPEG strip missing SOI")
+                # splice the shared tables right after the strip's SOI — the
+                # strip's own tables (if any) simply override them later
+                parts.append(decode_jpeg(b"\xff\xd8" + tables + s[2:]))
+            img = parts[0] if len(parts) == 1 else np.vstack(parts)
+            img = np.ascontiguousarray(img[:h, :w])
+            if photo == 0:  # WhiteIsZero
+                img = np.uint8(255) - img
+            yield img
+            continue
         if comp == 1:
             data = b"".join(strips)
         elif comp == 5:
@@ -545,23 +569,53 @@ def iter_tiff_pages(buf):
         yield img
 
 
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a standalone JPEG into (tables, abbreviated stream) per TIFF6
+    TechNote 2: DQT (0xDB) / DHT (0xC4) segments move into the JPEGTables
+    blob (framed SOI...EOI); everything else — APPn, SOF, DRI, SOS and the
+    entropy data through EOI — stays in the strip stream."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: bad SOI")
+    pos = 2
+    tables = bytearray(b"\xff\xd8")
+    keep = bytearray(b"\xff\xd8")
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data (incl. EOI) is kept verbatim
+            keep += stream[pos:]
+            break
+        (seglen,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else keep).extend(seg)
+        pos += 2 + seglen
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(keep)
+
+
 def encode_tiff_gray(
     pages: "list[np.ndarray]",
     *,
     compression: int = 1,
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    jpeg_quality: int = 92,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Gray-8 TIFF, little-endian, with the multi-page IFD chain the
     reference expands (tesseract-recognize.cc:455-487). compression: 1
-    (none), 5 (LZW), 8 (Deflate) or 32773 (PackBits); predictor 2 applies
-    horizontal differencing (LZW/Deflate only per spec §14); rows_per_strip
-    splits each page into independently compressed strips."""
+    (none), 5 (LZW), 7 (JPEG per TIFF6 TechNote 2), 8 (Deflate) or 32773
+    (PackBits); predictor 2 applies horizontal differencing (LZW/Deflate
+    only per spec §14); rows_per_strip splits each page into independently
+    compressed strips. With compression=7, jpeg_tables=True factors the
+    shared DQT/DHT segments into a JPEGTables tag (347) and writes
+    abbreviated per-strip streams — the layout libtiff produces."""
     if not pages:
         raise ValueError("TIFF: need at least one page")
-    if compression not in (1, 5, 8, 32773):
+    if compression not in (1, 5, 7, 8, 32773):
         raise ValueError(f"TIFF encode: unsupported compression {compression}")
-    if predictor == 2 and compression in (1, 32773):
+    if predictor == 2 and compression in (1, 7, 32773):
         raise ValueError("TIFF encode: predictor 2 is defined for LZW/Deflate only")
     out = bytearray(b"II*\x00")
     out += struct.pack("<I", 0)  # patched to first IFD offset below
@@ -577,20 +631,38 @@ def encode_tiff_gray(
             src[:, 1:] = img[:, 1:] - img[:, :-1]  # uint8 wraparound diff
         strip_offs: list[int] = []
         strip_cnts: list[int] = []
+        tblob: bytes | None = None
         for y0 in range(0, h, rps):
-            raw = src[y0 : y0 + rps].tobytes()
-            if compression == 5:
-                raw = _lzw_encode(raw)
-            elif compression == 8:
-                raw = zlib.compress(raw, 6)
-            elif compression == 32773:
-                raw = _packbits_encode(raw)
+            if compression == 7:
+                from .jpegcodec import encode_jpeg_gray
+
+                raw = encode_jpeg_gray(img[y0 : y0 + rps], quality=jpeg_quality)
+                if jpeg_tables:
+                    tb, raw = _split_jpeg_tables(raw)
+                    if tblob is None:
+                        tblob = tb
+                    elif tblob != tb:  # same quality => same tables, always
+                        raise ValueError("TIFF: JPEGTables differ across strips")
+            else:
+                raw = src[y0 : y0 + rps].tobytes()
+                if compression == 5:
+                    raw = _lzw_encode(raw)
+                elif compression == 8:
+                    raw = zlib.compress(raw, 6)
+                elif compression == 32773:
+                    raw = _packbits_encode(raw)
             strip_offs.append(len(out))
             strip_cnts.append(len(raw))
             out += raw
         nstrips = len(strip_offs)
         if len(out) % 2:
             out += b"\x00"  # IFDs must be word-aligned
+        jt_pos = 0
+        if tblob is not None:
+            jt_pos = len(out)
+            out += tblob
+            if len(out) % 2:
+                out += b"\x00"
         if nstrips > 1:  # LONG arrays don't fit the 4-byte inline slot
             offs_pos = len(out)
             out += struct.pack(f"<{nstrips}I", *strip_offs)
@@ -613,7 +685,9 @@ def encode_tiff_gray(
         ]
         if predictor != 1:
             entries.append((317, 3, 1, predictor))
-            entries.sort()  # IFD entries must be tag-ordered
+        if tblob is not None:
+            entries.append((347, 7, len(tblob), jt_pos))  # JPEGTables
+        entries.sort()  # IFD entries must be tag-ordered
         out += struct.pack("<H", len(entries))
         for tag, typ, n, v in entries:
             out += struct.pack("<HHII", tag, typ, n, v)

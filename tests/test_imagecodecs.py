@@ -455,3 +455,78 @@ def test_corrupt_payloads_fail_fast_never_hang():
             except Exception:
                 pass  # clean errors are the contract; hangs are the bug
             assert time.time() - t0 < 5.0
+
+
+# ------------------------------------------------ JPEG-in-TIFF (comp 7)
+def test_tiff_jpeg_roundtrip_matches_plain_jpeg():
+    """Compression-7 strips must decode exactly like the same content as a
+    standalone JPEG (single strip) / vstack of per-strip JPEGs."""
+    from tesseract_recognize_ray.imagecodecs import encode_tiff_gray, iter_tiff_pages
+    from tesseract_recognize_ray.jpegcodec import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (70, 53)).astype(np.uint8)
+    (got,) = iter_tiff_pages(encode_tiff_gray([img], compression=7))
+    assert np.array_equal(got, decode_jpeg(encode_jpeg_gray(img)))
+
+    (gots,) = iter_tiff_pages(
+        encode_tiff_gray([img], compression=7, rows_per_strip=24)
+    )
+    ref = np.vstack(
+        [decode_jpeg(encode_jpeg_gray(img[y : y + 24])) for y in range(0, 70, 24)]
+    )
+    assert np.array_equal(gots, ref)
+
+
+def test_tiff_jpeg_tables_factoring_identical_and_smaller():
+    """jpeg_tables=True moves shared DQT/DHT into tag 347 (abbreviated
+    strips): same pixels, smaller file; the decoder splices them back."""
+    from tesseract_recognize_ray.imagecodecs import encode_tiff_gray, iter_tiff_pages
+
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (64, 40)).astype(np.uint8)
+    plain = encode_tiff_gray([img], compression=7, rows_per_strip=16)
+    shared = encode_tiff_gray([img], compression=7, rows_per_strip=16, jpeg_tables=True)
+    (a,) = iter_tiff_pages(plain)
+    (b,) = iter_tiff_pages(shared)
+    assert np.array_equal(a, b)
+    assert len(shared) < len(plain)
+    assert b"\xff\xd8" in shared  # abbreviated strips still carry SOI
+
+
+def test_tiff_jpeg_multipage_and_malformed_tables():
+    from tesseract_recognize_ray.imagecodecs import encode_tiff_gray, iter_tiff_pages
+
+    rng = np.random.default_rng(23)
+    pages = [rng.integers(0, 256, (30, 30)).astype(np.uint8) for _ in range(3)]
+    t = encode_tiff_gray(pages, compression=7, jpeg_tables=True)
+    assert len(list(iter_tiff_pages(t))) == 3
+    # corrupt the JPEGTables framing: scoped ValueError, not garbage pixels
+    bad = bytearray(t)
+    soi = bad.find(b"\xff\xd8")
+    bad[soi] = 0x00
+    with pytest.raises(ValueError):
+        list(iter_tiff_pages(bytes(bad)))
+
+
+def test_e2e_span_equality_on_tiff_jpeg_corpus(ray_session):
+    """Golden-span gate over JPEG-in-TIFF media (drawn strip layout and
+    JPEGTables factoring): q95 is lossless for binarization on the bilevel
+    glyph pages, so spans must match byte-exactly."""
+    import pyarrow.parquet as pq
+
+    from tesseract_recognize_ray.fixtures import corpus_cached
+    from tesseract_recognize_ray.pipelines.extract import extract_spans
+
+    paths = corpus_cached("/tmp/trr_test_corpus_tiny_tjpg", 48, media_encoding="tiff_jpeg")
+    media = pq.read_table(paths["media"])
+    comps = set()
+    for b in media.column("bytes").to_pylist():
+        raw = bytes(b)
+        if raw[:4] == b"II*\x00":
+            pos = raw.find(struct.pack("<HH", 259, 3))
+            comps.add(struct.unpack_from("<I", raw, pos + 8)[0])
+    assert comps == {7}, f"corpus should be all comp-7 TIFFs, got {comps}"
+    golden = pq.read_table(paths["golden_spans"]).to_pandas()
+    out = extract_spans(paths["docs"], paths["media"]).to_pandas()
+    pd.testing.assert_frame_equal(_norm(out), _norm(golden))
