@@ -798,13 +798,18 @@ def _q_dsir_topk_docs(sf_dir: str):
 
 
 def _dsir_topk_oracle_sql(k: int = 100, n_buckets: int = 4096) -> str:
-    """Replays dsir_topk verbatim: same tokenization (string_split_regex
-    '\\s+' minus empties = Arrow split_whitespace), same md5 buckets, the
-    same left-associative LN expression e6-rounded, exact integer sums."""
+    """Replays dsir_topk verbatim: exotic whitespace normalized to ' '
+    first (WS_NORM_RE2 — the shared contract that makes Arrow
+    split_whitespace provably equal to RE2 '\\s+' on any input, not just
+    ASCII testdata), then the same md5 buckets, the same left-associative
+    LN expression e6-rounded, exact integer sums."""
+    from tesseract_recognize_ray.functions.ml import WS_NORM_RE2
+
     return f"""
 WITH toks AS (
   SELECT doc_id, source,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tl
+         list_filter(string_split_regex(
+             regexp_replace(text, '{WS_NORM_RE2}', ' ', 'g'), '\\s+'), x -> x <> '') AS tl
   FROM documents),
 feats AS (
   SELECT doc_id, source, unnest(tl) AS f FROM toks
@@ -5618,24 +5623,7 @@ def _q_doc_quality_logreg(sf_dir: str):
     ds = F.load(sf_dir, "documents", columns=["lang", "text", "n_chars"], num_blocks=16)
 
     def feats(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):  # empty-block schema-loss guard (Ray 2.49)
-            return pd.DataFrame(
-                {c: pd.Series([], dtype="float64") for c in _LOGREG_FEATURES}
-                | {"y": pd.Series([], dtype="int64")}
-            )
-        texts = b["text"].fillna("")
-        n_tok = texts.str.split().str.len().to_numpy(np.float64)
-        n_chr = b["n_chars"].to_numpy(np.float64)
-        digits = texts.str.count(r"\d").to_numpy(np.float64)
-        return pd.DataFrame(
-            {
-                "f_len": n_chr,
-                "f_tokens": n_tok,
-                "f_avg_tok": n_chr / np.maximum(n_tok, 1.0),
-                "f_digit": digits / np.maximum(n_chr, 1.0),
-                "y": (b["lang"] == "en").astype("int64"),
-            }
-        )
+        return _logreg_feats_batch(b, r"\d", ws_normalize=False)
 
     fds = ds.map_batches(feats, batch_format="pandas").materialize()
     model = F_ml.logreg_train(fds, _LOGREG_FEATURES, "y", iters=40, lr=0.5, l2=1e-3)
@@ -5663,28 +5651,41 @@ def _q_doc_quality_logreg_exact(sf_dir: str):
     return _q_doc_quality_logreg_exact_from_df(ds)
 
 
+def _logreg_feats_batch(b: pd.DataFrame, digit_pattern: str, ws_normalize: bool) -> pd.DataFrame:
+    """Shared feature extraction for both logreg variants. The exact-SQL
+    twin passes digit_pattern='[0-9]' (the ASCII class DuckDB's RE2 also
+    means) and ws_normalize=True (exotic whitespace -> ' ' per
+    ml.WS_NORM_PY, so pandas str.split() == SQL '\\s+' on any input); the
+    float variant keeps Python's \\d / native split semantics."""
+    if not len(b):  # empty-block schema-loss guard (Ray 2.49)
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="float64") for c in _LOGREG_FEATURES}
+            | {"y": pd.Series([], dtype="int64")}
+        )
+    texts = b["text"].fillna("")
+    if ws_normalize:
+        from tesseract_recognize_ray.functions.ml import WS_NORM_PY
+
+        texts = texts.str.replace(WS_NORM_PY, " ", regex=True)
+    n_tok = texts.str.split().str.len().to_numpy(np.float64)
+    n_chr = b["n_chars"].to_numpy(np.float64)
+    digits = texts.str.count(digit_pattern).to_numpy(np.float64)
+    return pd.DataFrame(
+        {
+            "f_len": n_chr,
+            "f_tokens": n_tok,
+            "f_avg_tok": n_chr / np.maximum(n_tok, 1.0),
+            "f_digit": digits / np.maximum(n_chr, 1.0),
+            "y": (b["lang"] == "en").astype("int64"),
+        }
+    )
+
+
 def _q_doc_quality_logreg_exact_from_df(ds):
     from tesseract_recognize_ray.functions import ml as F_ml
 
     def feats(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):  # empty-block schema-loss guard (Ray 2.49)
-            return pd.DataFrame(
-                {c: pd.Series([], dtype="float64") for c in _LOGREG_FEATURES}
-                | {"y": pd.Series([], dtype="int64")}
-            )
-        texts = b["text"].fillna("")
-        n_tok = texts.str.split().str.len().to_numpy(np.float64)
-        n_chr = b["n_chars"].to_numpy(np.float64)
-        digits = texts.str.count(r"[0-9]").to_numpy(np.float64)  # ASCII class = SQL's
-        return pd.DataFrame(
-            {
-                "f_len": n_chr,
-                "f_tokens": n_tok,
-                "f_avg_tok": n_chr / np.maximum(n_tok, 1.0),
-                "f_digit": digits / np.maximum(n_chr, 1.0),
-                "y": (b["lang"] == "en").astype("int64"),
-            }
-        )
+        return _logreg_feats_batch(b, r"[0-9]", ws_normalize=True)
 
     fds = ds.map_batches(feats, batch_format="pandas").materialize()
     model = F_ml.logreg_train(
@@ -5705,11 +5706,15 @@ def _logreg_exact_oracle_sql(iters: int = _LOGREG_X_ITERS, lr: float = 0.5, l2: 
     mean/std, same IEEE divides); sigmoid/sum wobble (~1e-13) is crushed by
     the per-step e6 rounding — the kmeans-oracle error argument."""
     names = ["f_len", "f_tokens", "f_avg_tok", "f_digit"]
+    from tesseract_recognize_ray.functions.ml import WS_NORM_RE2
+
+    ntext = f"regexp_replace(COALESCE(text, ''), '{WS_NORM_RE2}', ' ', 'g')"
+    ntoks = f"CAST(len(list_filter(string_split_regex({ntext}, '\\s+'), t -> t <> '')) AS DOUBLE)"
     parts = [
-        """f AS MATERIALIZED (
+        f"""f AS MATERIALIZED (
   SELECT CAST(n_chars AS DOUBLE) AS x1r,
-         CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t <> '')) AS DOUBLE) AS x2r,
-         CAST(n_chars AS DOUBLE) / GREATEST(CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), t -> t <> '')) AS DOUBLE), 1.0) AS x3r,
+         {ntoks} AS x2r,
+         CAST(n_chars AS DOUBLE) / GREATEST({ntoks}, 1.0) AS x3r,
          CAST(length(regexp_replace(COALESCE(text, ''), '[^0-9]', '', 'g')) AS DOUBLE)
              / GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS x4r,
          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y

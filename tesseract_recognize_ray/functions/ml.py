@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -246,6 +247,21 @@ def dsir_select(
     return topk(keyed, "sample_key", k, descending=True, tiebreak=[id_col])
 
 
+# Whitespace the ENGINE tokenizers split on but DuckDB's RE2 '\s' (ASCII
+# [\t\n\f\r ]) does not: VT, FS..US, NEL, NBSP and the Unicode Zs/line
+# separators. Exact-contract operators normalize these to ' ' on BOTH
+# sides first, making Arrow utf8_split_whitespace / Python str.split()
+# provably equal to SQL string_split_regex('\s+') on any input — not just
+# the ASCII testdata.
+_WS_EXOTIC = (
+    [0x0B, 0x1C, 0x1D, 0x1E, 0x1F, 0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B))
+    + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+)
+WS_NORM_RE2 = "[" + "".join(f"\\x{{{c:X}}}" for c in _WS_EXOTIC) + "]"  # Arrow/DuckDB
+WS_NORM_PY = "[" + "".join(chr(c) for c in _WS_EXOTIC) + "]"  # Python re / pandas
+
+
 def _md5_bucket(strs: np.ndarray, n_buckets: int) -> np.ndarray:
     """md5-derived bucket per string — the one hash ANSI SQL also exposes:
     ``('0x'||substr(md5(s),1,16))::UBIGINT % n_buckets`` in DuckDB. Hashes
@@ -270,7 +286,7 @@ def _md5_ngram_hist(ds: "Dataset", text_col: str, n_buckets: int, ngram_ns=(1, 2
         if b.num_rows == 0:
             return pd.DataFrame({"c": []})
         vec = np.zeros(n_buckets, dtype=np.int64)
-        col = b.column(text_col)
+        col = pc.replace_substring_regex(b.column(text_col), WS_NORM_RE2, " ")
         for n in ngram_ns:
             ng, _ridx = flat_ngrams(col, n)
             if len(ng):
@@ -292,11 +308,13 @@ def dsir_topk(
     *,
     k: int = 100,
     n_buckets: int = 4096,
-) -> pd.DataFrame:
+) -> "Dataset":
     """DSIR hard top-k selection with an ANSI-SQL-replayable contract — the
     deterministic twin of dsir_select (which keeps Gumbel sampling as the
     statistically-correct scale path):
 
+      * exotic whitespace (WS_NORM_RE2) normalizes to ' ' first, making
+        the Arrow tokenizer provably equal to SQL '\\s+' on ANY input;
       * features = whitespace uni+bigrams, bucketed by md5 % n_buckets;
       * per-bucket weight = ROUND(1e6 * (ln(tc+1) - ln(T+B) - ln(rc+1)
         + ln(R+B))) as int64 (Laplace smoothing 1, e6-quantized so the
@@ -334,7 +352,7 @@ def dsir_topk(
             )
         wv = ray.get(wref)
         s = np.zeros(b.num_rows, dtype=np.int64)
-        col = b.column(text_col)
+        col = pc.replace_substring_regex(b.column(text_col), WS_NORM_RE2, " ")
         for n in (1, 2):
             ng, ridx = flat_ngrams(col, n)
             if len(ng):

@@ -1377,7 +1377,9 @@ def mmr_select_exact(
     mat = np.stack(cand[vec_col].to_numpy())
     kk = min(k, len(ids))
     sel, sel_scores = [], []
-    max_div = np.zeros(len(ids), dtype=np.int64)
+    max_div = None  # true (possibly NEGATIVE) max over selected — a
+    # zero-init + np.maximum would clamp the penalty at 0 and diverge from
+    # the oracle's unclamped GREATEST when every selected cosine is negative
     taken = np.zeros(len(ids), dtype=bool)
     for step in range(kk):
         score = lambda_num * rel - (mu * max_div if step else 0)
@@ -1389,7 +1391,7 @@ def mmr_select_exact(
         sel_scores.append(int(score[best]))
         taken[best] = True
         div = np.round(mat @ mat[best] * 1e6).astype(np.int64)
-        np.maximum(max_div, div, out=max_div)
+        max_div = div if max_div is None else np.maximum(max_div, div)
     si = np.asarray(sel)
     return pd.DataFrame(
         {

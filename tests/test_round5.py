@@ -496,9 +496,83 @@ def test_dsir_topk_partition_invariant_and_ranked(ray_session):
         a.sort_values(["doc_id"]).reset_index(drop=True),
         b.sort_values(["doc_id"]).reset_index(drop=True),
     )
-    s = a.sort_values(["score_e6", "doc_id"], ascending=[False, True])
-    assert list(s["doc_id"]) == list(a.sort_values(["score_e6", "doc_id"], ascending=[False, True])["doc_id"])
     assert a["score_e6"].dtype == np.int64
+    # selection correctness (not just invariance): the 25 kept docs must be
+    # exactly the top-25 of a local recompute of the same integer rule
+    import hashlib
+
+    tgt = df[df.source == "src0"]["text"]
+    def hist(texts):
+        h = np.zeros(4096, dtype=np.int64)
+        for t in texts:
+            toks = t.split()
+            for f in toks + [" ".join(p) for p in zip(toks, toks[1:])]:
+                h[int(hashlib.md5(f.encode()).hexdigest()[:16], 16) % 4096] += 1
+        return h
+    ct, cr = hist(tgt), hist(df["text"])
+    w = np.round(
+        (np.log(ct + 1.0) - np.log(float(ct.sum()) + 4096)
+         - np.log(cr + 1.0) + np.log(float(cr.sum()) + 4096)) * 1e6
+    ).astype(np.int64)
+    scores = []
+    for t in df["text"]:
+        toks = t.split()
+        s = sum(int(w[int(hashlib.md5(f.encode()).hexdigest()[:16], 16) % 4096])
+                for f in toks + [" ".join(p) for p in zip(toks, toks[1:])])
+        scores.append(s)
+    ref = (
+        pd.DataFrame({"doc_id": df["doc_id"], "score_e6": scores})
+        .sort_values(["score_e6", "doc_id"], ascending=[False, True])
+        .head(25)
+    )
+    got = a.sort_values(["score_e6", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref.reset_index(drop=True), check_dtype=False)
+
+
+def test_dsir_topk_unicode_whitespace_matches_oracle(ray_session):
+    """The WS_NORM contract: a document with NBSP / EM-space / NEL must
+    tokenize identically in the engine (Arrow split_whitespace) and the
+    oracle (RE2 '\\s+') — the normalization map closes the gap."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from tesseract_recognize_ray.functions import ml as F_ml
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "plain ascii words here",
+                "nbsp separated tokens",
+                "em space and line sep",
+                "nel\x85and fs\x1cseparators",
+                "tabs\tand\nnewlines stay",
+                "target domain words words",
+            ],
+            "source": ["src0", "src5", "src5", "src5", "src5", "src0"],
+        }
+    )
+    raw = rd.from_pandas(df)
+    tgt = raw.filter(expr="source == 'src0'")
+    got = (
+        F_ml.dsir_topk(raw, tgt, "doc_id", "text", k=6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    con = duckdb.connect()
+    con.register("documents", pa.Table.from_pandas(df))
+    gold = (
+        con.sql(entrymod._dsir_topk_oracle_sql(k=6))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, gold[got.columns.tolist()])
 
 
 def test_md5_bucket_matches_duckdb():
@@ -641,3 +715,32 @@ def test_logreg_exact_matches_duckdb_fresh_data(ray_session):
     # the planted signal must be learned: longer docs => en
     coef = dict(zip(got["feature"], got["coef_e6"]))
     assert coef["f_tokens"] > 0 or coef["f_len"] > 0
+
+
+def test_mmr_exact_negative_cosine_penalty_not_clamped(ray_session):
+    """Regression (round-5 review): the diversity penalty is the TRUE max
+    over selected cosines, which can be negative — a candidate anti-similar
+    to the selected set gets a BONUS (7*rel - 3*negative), exactly as the
+    oracle's unclamped GREATEST computes. A zero-clamped max_div would pick
+    the other candidate."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import similarity as F_sim
+
+    vecs = np.array(
+        [
+            [0.6, 0.8, 0.0],     # id 0: rank 1 (highest rel to q)
+            [0.58, -0.8146, 0.0],  # id 1: cos to id0 ~ -0.30 -> big bonus
+            [0.599, -0.4368, 0.6711],  # id 2: cos to id0 ~ +0.01
+        ],
+        dtype=np.float64,
+    )
+    df = pd.DataFrame({"vec_id": np.arange(3, dtype=np.int64), "embedding": list(vecs)})
+    out = F_sim.mmr_select_exact(
+        rd.from_pandas(df), "vec_id", "embedding", np.array([1.0, 0.0, 0.0]), k=2
+    )
+    assert list(out["vec_id"]) == [0, 1], out
+    # and the emitted score carries the unclamped (negative-penalty) value:
+    # 7*rel(id1) - 3*cos(id1,id0) with cos negative => score > 7*rel
+    rel1 = int(np.round(1e6 * vecs[1][0] / np.linalg.norm(vecs[1])))
+    assert int(out.loc[out.vec_id == 1, "score10_e6"].iloc[0]) > 7 * rel1
