@@ -296,3 +296,54 @@ def test_sniff_metadata_agrees_with_encoder_input(w, h, fmt, seed):
         blob, pages = encode_pdf_scanned([img]), 1
     m = sniff_metadata(blob)
     assert (m["format"], m["width"], m["height"], m["n_pages"]) == (fmt, w, h, pages)
+
+
+# ------------------------------------------ WS_NORM cross-engine contract
+def test_ws_norm_tokenizer_equivalence_hypothesis():
+    """The exact-twin contract (ml.WS_NORM_*): after normalization, Arrow
+    utf8_split_whitespace, Python str.split() and DuckDB's RE2 '\\s+' must
+    produce IDENTICAL token lists for ARBITRARY unicode text — this is the
+    invariant dsir_topk_docs and doc_quality_logreg_exact replay through.
+    Any whitespace-ish codepoint missing from the map shows up here as a
+    counterexample."""
+    import re
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from hypothesis import find
+    from hypothesis import strategies as st
+
+    from tesseract_recognize_ray.functions.ml import WS_NORM_PY, WS_NORM_RE2
+
+    con = duckdb.connect()
+    py_norm = re.compile(WS_NORM_PY)
+
+    def mismatch(text: str) -> bool:
+        arrow_norm = pc.replace_substring_regex(pa.array([text]), WS_NORM_RE2, " ")
+        arrow_toks = [t for t in pc.utf8_split_whitespace(arrow_norm)[0].as_py() if t]
+        py_toks = py_norm.sub(" ", text).split()
+        sql_toks = con.execute(
+            "SELECT list_filter(string_split_regex("
+            f"regexp_replace(?, '{WS_NORM_RE2}', ' ', 'g'), '\\s+'), x -> x <> '')",
+            [text],
+        ).fetchone()[0]
+        return not (arrow_toks == py_toks == list(sql_toks))
+
+    # hypothesis.find raises NoSuchExample when NO counterexample exists —
+    # that's the pass condition; a found example prints the offending text
+    import pytest
+    from hypothesis.errors import NoSuchExample
+
+    with pytest.raises(NoSuchExample):
+        find(
+            st.text(max_size=40),
+            mismatch,
+            settings=__import__("hypothesis").settings(
+                max_examples=500, deadline=None
+            ),
+        )
+
+    # and the documented exotic characters are definitely normalized
+    for ch in "\x0b\x1c\x1d\x1e\x1f\x85\xa0        　":
+        assert not mismatch(f"a{ch}b"), hex(ord(ch))
