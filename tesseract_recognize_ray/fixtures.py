@@ -435,8 +435,12 @@ def build_tables(
                                 page_imgs[0], interlace=bool(rng.integers(0, 2))
                             )
                         elif pick == 1:
+                            rle = bool(rng.integers(0, 2))
                             payload = lcod.encode_bmp_gray(
-                                page_imgs[0], top_down=bool(rng.integers(0, 2))
+                                page_imgs[0],
+                                # RLE bitmaps are bottom-up by spec
+                                top_down=bool(rng.integers(0, 2)) and not rle,
+                                rle=rle,
                             )
                         elif pick == 2:
                             payload = lcod.encode_pnm_gray(page_imgs[0])

@@ -266,13 +266,54 @@ def decode_bmp(buf) -> np.ndarray:
     if hdr_size < 40:
         raise ValueError("BMP: pre-BITMAPINFOHEADER headers not supported")
     _planes, bpp, comp = struct.unpack_from("<HHI", mv, 26)
-    if comp != 0:
-        raise ValueError(f"BMP: compression {comp} not supported (BI_RGB only)")
+    if comp not in (0, 1):
+        raise ValueError(f"BMP: compression {comp} not supported (BI_RGB/BI_RLE8 only)")
     h = abs(h_signed)
-    stride = ((w * bpp + 31) // 32) * 4
-    raw = np.frombuffer(mv, dtype=np.uint8, offset=data_off, count=stride * h).reshape(h, stride)
-    if h_signed > 0:  # bottom-up storage
-        raw = raw[::-1]
+    if comp == 1:  # BI_RLE8: runs + escapes (EOL/EOB/delta/absolute mode)
+        if bpp != 8:
+            raise ValueError("BMP: BI_RLE8 requires 8 bpp")
+        if h_signed < 0:
+            raise ValueError("BMP: BI_RLE8 bitmaps must be bottom-up")
+        idx = np.zeros((h, w), dtype=np.uint8)
+        data = bytes(mv[data_off:])
+        x = y = i = 0
+        ended = False
+        while i + 2 <= len(data):
+            cnt, val = data[i], data[i + 1]
+            i += 2
+            if cnt:  # encoded run
+                if y >= h:
+                    raise ValueError("BMP: RLE8 run below last row")
+                idx[y, x : min(x + cnt, w)] = val
+                x = min(x + cnt, w)
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                ended = True
+                break
+            elif val == 2:  # delta: skipped pixels stay palette index 0
+                if i + 2 > len(data):
+                    raise ValueError("BMP: RLE8 truncated delta")
+                x, y = x + data[i], y + data[i + 1]
+                i += 2
+            else:  # absolute mode: val literal bytes, word-aligned
+                if y >= h:
+                    raise ValueError("BMP: RLE8 literals below last row")
+                if i + val > len(data):
+                    raise ValueError("BMP: RLE8 truncated literals")
+                lit = np.frombuffer(data, np.uint8, count=val, offset=i)
+                take = min(x + val, w) - x
+                idx[y, x : x + take] = lit[:take]
+                x += take
+                i += val + (val & 1)
+        if not ended:
+            raise ValueError("BMP: RLE8 stream missing end-of-bitmap")
+        raw = idx[::-1]  # bottom-up, like BI_RGB
+    else:
+        stride = ((w * bpp + 31) // 32) * 4
+        raw = np.frombuffer(mv, dtype=np.uint8, offset=data_off, count=stride * h).reshape(h, stride)
+        if h_signed > 0:  # bottom-up storage
+            raw = raw[::-1]
     if bpp == 8:
         (n_colors,) = struct.unpack_from("<I", mv, 46)
         n = n_colors or 256
@@ -289,21 +330,43 @@ def decode_bmp(buf) -> np.ndarray:
     raise ValueError(f"BMP: unsupported bpp {bpp}")
 
 
-def encode_bmp_gray(img: np.ndarray, *, top_down: bool = False) -> bytes:
-    """(h, w) uint8 -> 8-bit palettized BI_RGB BMP."""
+def encode_bmp_gray(img: np.ndarray, *, top_down: bool = False, rle: bool = False) -> bytes:
+    """(h, w) uint8 -> 8-bit palettized BMP (BI_RGB, or BI_RLE8 run-length
+    with rle=True; RLE bitmaps are bottom-up by spec so rle excludes
+    top_down)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape
-    stride = ((w + 3) // 4) * 4
-    rows = np.zeros((h, stride), dtype=np.uint8)
-    rows[:, :w] = img if top_down else img[::-1]
+    if rle and top_down:
+        raise ValueError("BMP: BI_RLE8 bitmaps must be bottom-up")
     pal = np.zeros((256, 4), dtype=np.uint8)
     pal[:, 0] = pal[:, 1] = pal[:, 2] = np.arange(256)
+    if rle:
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up row order
+            row = img[y]
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                body += bytes((run, int(row[x])))
+                x += run
+            body += b"\x00\x00" if y else b"\x00\x01"  # EOL; EOB on last
+        data, comp, size_img = bytes(body), 1, len(body)
+    else:
+        stride = ((w + 3) // 4) * 4
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w] = img if top_down else img[::-1]
+        data, comp, size_img = rows.tobytes(), 0, stride * h
     data_off = 14 + 40 + 1024
     out = bytearray(b"BM")
-    out += struct.pack("<IHHI", data_off + stride * h, 0, 0, data_off)
-    out += struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 8, 0, stride * h, 2835, 2835, 256, 0)
+    out += struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+    out += struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if top_down else h, 1, 8, comp, size_img, 2835, 2835, 256, 0,
+    )
     out += pal.tobytes()
-    out += rows.tobytes()
+    out += data
     return bytes(out)
 
 

@@ -106,8 +106,13 @@ def test_bmp_24_and_32bpp():
 
 def test_bmp_rejects_compressed():
     buf = bytearray(lc.encode_bmp_gray(np.zeros((2, 2), np.uint8)))
-    struct.pack_into("<I", buf, 30, 1)  # BI_RLE8
-    with pytest.raises(ValueError, match="compression 1"):
+    struct.pack_into("<I", buf, 30, 2)  # BI_RLE4: still unsupported
+    with pytest.raises(ValueError, match="compression 2"):
+        lc.decode_bmp(bytes(buf))
+    # comp=1 stamped on a raw (non-RLE) payload is now parsed as RLE and
+    # must die scoped (the zero padding never reaches end-of-bitmap)
+    struct.pack_into("<I", buf, 30, 1)
+    with pytest.raises(ValueError, match="RLE8"):
         lc.decode_bmp(bytes(buf))
 
 
@@ -189,3 +194,50 @@ def test_e2e_span_equality_on_legacy_corpus(ray_session):
     golden = pq.read_table(paths["golden_spans"]).to_pandas()
     out = extract_spans(paths["docs"], paths["media"]).to_pandas()
     pd.testing.assert_frame_equal(_norm(out), _norm(golden))
+
+
+# ----------------------------------------------------------- BMP BI_RLE8
+def test_bmp_rle8_roundtrip():
+    from tesseract_recognize_ray.legacycodecs import decode_bmp, encode_bmp_gray
+
+    rng = np.random.default_rng(3)
+    img = (rng.integers(0, 8, (37, 61)) * 32).astype(np.uint8)  # worst case
+    got = decode_bmp(encode_bmp_gray(img, rle=True))
+    assert np.array_equal(got, img)
+    # genuine runs (document-like bilevel stripes) actually compress
+    stripes = np.repeat(rng.integers(0, 2, (37, 8)) * 255, 8, axis=1).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp_gray(stripes, rle=True)), stripes)
+    assert len(encode_bmp_gray(stripes, rle=True)) < len(encode_bmp_gray(stripes))
+    with pytest.raises(ValueError, match="bottom-up"):
+        encode_bmp_gray(img, rle=True, top_down=True)
+
+
+def test_bmp_rle8_absolute_delta_and_poison():
+    """Hand-crafted stream exercising the escapes the fixture encoder never
+    emits: absolute mode (word-padded literals), delta (skipped pixels stay
+    index 0), and the missing-EOB poison."""
+    import struct
+
+    from tesseract_recognize_ray.legacycodecs import decode_bmp
+
+    body = bytes(
+        [0, 5, 1, 2, 3, 4, 5, 0,  # absolute mode: 5 literals + pad
+         1, 9, 0, 0,              # run 1 of 9, EOL (-> bitmap y=1)
+         0, 2, 2, 2,              # delta +2,+2 (-> x=2, bitmap y=3)
+         3, 7, 0, 0, 0, 0, 0, 1]  # run 3 of 7, EOL, EOL... EOB
+    )
+    pal = np.zeros((256, 4), np.uint8)
+    pal[:, 0] = pal[:, 1] = pal[:, 2] = np.arange(256)
+    data_off = 14 + 40 + 1024
+    hdr = bytearray(b"BM")
+    hdr += struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, 6, 4, 1, 8, 1, len(body), 2835, 2835, 256, 0)
+    hdr += pal.tobytes() + body
+    got = decode_bmp(bytes(hdr))
+    want = np.zeros((4, 6), np.uint8)
+    want[3, :5] = [1, 2, 3, 4, 5]  # bitmap row 0 = bottom image row
+    want[3, 5] = 9
+    want[0, 2:5] = 7  # bitmap row 3 (delta target) = top image row
+    assert np.array_equal(got, want), got.tolist()
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        decode_bmp(bytes(hdr[:-2]))
