@@ -167,6 +167,12 @@ _BENCH_QUERIES = [
     "pdf_vector_extract",
     "semantic_dedup_capped",
     "media_metadata_profile",
+    # round-5 SQL-replayable exact twins
+    "embedding_near_dup",
+    "ann_ivf_flat",
+    "ann_pq_adc",
+    "dsir_topk_docs",
+    "mmr_diverse_topk_exact",
 ]
 
 
