@@ -434,10 +434,13 @@ def test_corrupt_payloads_fail_fast_never_hang():
         ic.encode_png_gray(img, interlace=True),
         ic.encode_tiff_gray([img, img]),
         ic.encode_tiff_gray([img], compression=5),
+        ic.encode_tiff_gray([img], compression=7, rows_per_strip=8),
+        ic.encode_tiff_gray([img], compression=7, jpeg_tables=True),
         encode_jpeg_gray(img),
         encode_jpeg_gray(img, progressive=True),
         lc.encode_gif_gray(img),
         lc.encode_bmp_gray(img),
+        lc.encode_bmp_gray(img, rle=True),
         lc.encode_pnm_gray(img),
         pcodec.encode_pdf_scanned([img]),
     ]
