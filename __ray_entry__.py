@@ -3803,6 +3803,70 @@ def _q_dup_token_spans(sf_dir: str):
     return F_dedup.duplicate_token_spans(ds, "doc_id", "text", k=5)
 
 
+def _q_dedup_cleaned_docs(sf_dir: str):
+    """Lee-et-al. substring dedup APPLIED (the curation step the span
+    detector exists for): cut every maximal duplicated 5-token span out of
+    each document and re-emit single-space-normalized cleaned text plus the
+    removed-token count. Spans broadcast once (gated); the cleaning pass is
+    map-only — the oracle replays detection, the anti-join cut and the
+    string_agg reconstruction end-to-end."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    out = F_dedup.remove_duplicate_spans(ds, "doc_id", "text", k=5)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "clean_text": b["clean_text"].astype(str),
+                "n_removed": b["n_removed"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+_DEDUP_CLEAN_ORACLE = """
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+), g AS (
+    SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS ng
+    FROM t, unnest(generate_series(1, len(toks) - 4)) AS u(i)
+), d AS (
+    SELECT ng FROM g GROUP BY ng HAVING COUNT(*) > 1
+), o AS (
+    SELECT g.doc_id, g.pos FROM g JOIN d USING (ng)
+), b AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) <= 5
+                THEN 0 ELSE 1 END AS brk
+    FROM o
+), grp AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS gid
+    FROM b
+), spans AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) + 5 AS e FROM grp GROUP BY doc_id, gid
+), cut AS (
+    SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos FROM spans
+), tp AS (
+    SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+    FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+), kept AS (
+    SELECT tp.doc_id, tp.pos, tp.tok
+    FROM tp LEFT JOIN cut ON cut.doc_id = tp.doc_id AND cut.pos = tp.pos
+    WHERE cut.pos IS NULL
+), agg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt, COUNT(*) AS n
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(a.txt, '') AS clean_text,
+       CAST(len(t.toks) - COALESCE(a.n, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing (GPT-style pretraining prep): all
     documents' whitespace tokens laid end-to-end in doc_id order, cut into
@@ -7122,6 +7186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customer_names": _q_nation_customer_names,
         "grouping_sets_lineitem": _q_grouping_sets_lineitem,
         "dup_token_spans": _q_dup_token_spans,
+        "dedup_cleaned_docs": _q_dedup_cleaned_docs,
         "pack_sequences": _q_pack_sequences,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
         "doc_split_counts": _q_doc_split_counts,
@@ -8480,6 +8545,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_diverse_topk_exact": _mmr_exact_oracle_sql(),
         "ann_ivf_pq_exact": _ann_ivf_pq_exact_oracle_sql(),
         "doc_quality_logreg_exact": _logreg_exact_oracle_sql(),
+        "dedup_cleaned_docs": _DEDUP_CLEAN_ORACLE,
         "semantic_dedup_capped": _semantic_dedup_capped_oracle_sql(),
         "doc_lm_score": """
             WITH toks AS (

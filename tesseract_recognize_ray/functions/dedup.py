@@ -828,6 +828,76 @@ def embedding_near_dup_pairs(
     return grouped_agg(out, ["id_a", "id_b"], [("cosine", "max", "cosine")])
 
 
+def remove_duplicate_spans(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    *,
+    max_span_rows: int = 2_000_000,
+) -> Dataset:
+    """APPLY the Lee-et-al. substring dedup: cut every maximal duplicated
+    k-token span (from :func:`duplicate_token_spans`) out of each document
+    and re-emit the cleaned text. Output (id, clean_text, n_removed) where
+    clean_text = surviving tokens joined by ' ' (single-space normalized —
+    the deterministic reconstruction a SQL oracle replays with
+    string_agg(tok, ' ' ORDER BY pos)) and n_removed = tokens cut.
+
+    Scale shape: spans are the SMALL side (one row per maximal duplicated
+    span, not per token) — they broadcast once via ray.put into a per-doc
+    interval dict; the cleaning pass is map-only over the docs. The
+    max_span_rows assert is the broadcast gate: above it, swap the
+    broadcast for a bucketed hash join of (id, pos) cut rows against the
+    exploded token stream (the relational.bucket_join shape)."""
+    from .textstats import flat_ngrams_pos
+
+    spans = duplicate_token_spans(ds, id_col, text_col, k).to_pandas()
+    assert len(spans) <= max_span_rows, (
+        f"remove_duplicate_spans: {len(spans)} span rows exceed the broadcast "
+        "gate — use a bucketed (id, pos) join instead (docstring)"
+    )
+    by_doc: dict = {}
+    for r in spans.itertuples(index=False):
+        by_doc.setdefault(getattr(r, id_col), []).append(
+            (int(r.span_start), int(r.span_end))
+        )
+    sref = ray.put(by_doc)
+
+    def clean(b: pa.Table) -> pa.Table:
+        cuts = ray.get(sref)
+        toks, ridx, pos = flat_ngrams_pos(b.column(text_col), 1)
+        ids = b.column(id_col).to_pylist()
+        n = b.num_rows
+        toks_np = np.asarray(toks.to_pylist(), dtype=object)
+        # row-grained work (one string join per doc) — token-level masking
+        # stays numpy interval arithmetic, never a per-token Python test
+        starts = np.searchsorted(ridx, np.arange(n))
+        ends = np.searchsorted(ridx, np.arange(n), side="right")
+        removed = np.zeros(n, dtype=np.int64)
+        out_texts = []
+        for ri in range(n):
+            seg = toks_np[starts[ri] : ends[ri]]
+            iv = cuts.get(ids[ri])
+            if not iv:
+                out_texts.append(" ".join(seg))
+                continue
+            p = pos[starts[ri] : ends[ri]]
+            m = np.zeros(len(seg), dtype=bool)
+            for s, e in iv:
+                m |= (p >= s) & (p < e)
+            removed[ri] = int(m.sum())
+            out_texts.append(" ".join(seg[~m]))
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "clean_text": pa.array(out_texts, pa.string()),
+                "n_removed": pa.array(removed),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
 def _md5_planes(n_planes: int, dim: int) -> np.ndarray:
     """Integer hyperplanes an ANSI SQL engine can regenerate verbatim:
     component (j, d) = (first 16 hex digits of md5('p{j}:{d}') as uint64)

@@ -744,3 +744,45 @@ def test_mmr_exact_negative_cosine_penalty_not_clamped(ray_session):
     # 7*rel(id1) - 3*cos(id1,id0) with cos negative => score > 7*rel
     rel1 = int(np.round(1e6 * vecs[1][0] / np.linalg.norm(vecs[1])))
     assert int(out.loc[out.vec_id == 1, "score10_e6"].iloc[0]) > 7 * rel1
+
+
+# --------------------------------------------- substring dedup APPLIED
+def test_remove_duplicate_spans_planted(ray_session):
+    """A 6-token passage pasted into two docs must be cut from BOTH (the
+    5-gram windows merge into one maximal span), unique text survives, and
+    the output is partition-invariant."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import dedup as F_dedup
+
+    boiler = "all rights reserved by the publisher"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                f"alpha beta {boiler} gamma delta",
+                f"unrelated words here {boiler} tail tokens",
+                "totally unique document three",
+                "another unique document four",
+            ],
+        }
+    )
+
+    def run(parts):
+        return (
+            F_dedup.remove_duplicate_spans(
+                rd.from_pandas(df).repartition(parts), "doc_id", "text", k=5
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    a = run(1)
+    pd.testing.assert_frame_equal(a, run(3))
+    assert a.loc[0, "n_removed"] == 6 and a.loc[1, "n_removed"] == 6
+    for i in (0, 1):
+        assert boiler not in a.loc[i, "clean_text"]
+    assert a.loc[0, "clean_text"] == "alpha beta gamma delta"
+    assert a.loc[2, "n_removed"] == 0
+    assert a.loc[2, "clean_text"] == "totally unique document three"
