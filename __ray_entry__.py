@@ -3867,6 +3867,43 @@ FROM t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_doc_novelty_scores(sf_dir: str):
+    """Per-doc 3-gram novelty: the share of a document's distinct word
+    trigrams whose global first occurrence (min doc_id) is this document —
+    integer-exact (floor e6 ratio), one combiner reduce + one bucketed
+    join; text never shuffles."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    out = F_text.doc_ngram_novelty(ds, "doc_id", "text", n=3)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_ngrams": b["n_ngrams"].astype("int64"),
+                "n_first": b["n_first"].astype("int64"),
+                "novelty_e6": b["novelty_e6"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+_DOC_NOVELTY_ORACLE = """
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+), g AS (
+    SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS ng
+    FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+), m AS (
+    SELECT ng, MIN(doc_id) AS fd FROM g GROUP BY ng
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN m.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       CAST(SUM(CASE WHEN m.fd = g.doc_id THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS novelty_e6
+FROM g JOIN m USING (ng) GROUP BY g.doc_id
+"""
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing (GPT-style pretraining prep): all
     documents' whitespace tokens laid end-to-end in doc_id order, cut into
@@ -7187,6 +7224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets_lineitem": _q_grouping_sets_lineitem,
         "dup_token_spans": _q_dup_token_spans,
         "dedup_cleaned_docs": _q_dedup_cleaned_docs,
+        "doc_novelty_scores": _q_doc_novelty_scores,
         "pack_sequences": _q_pack_sequences,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
         "doc_split_counts": _q_doc_split_counts,
@@ -8546,6 +8584,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_pq_exact": _ann_ivf_pq_exact_oracle_sql(),
         "doc_quality_logreg_exact": _logreg_exact_oracle_sql(),
         "dedup_cleaned_docs": _DEDUP_CLEAN_ORACLE,
+        "doc_novelty_scores": _DOC_NOVELTY_ORACLE,
         "semantic_dedup_capped": _semantic_dedup_capped_oracle_sql(),
         "doc_lm_score": """
             WITH toks AS (

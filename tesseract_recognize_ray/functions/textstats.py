@@ -1080,6 +1080,75 @@ def bpe_train_merges(
     )
 
 
+def doc_ngram_novelty(ds, id_col: str, text_col: str, n: int = 3):
+    """Per-document n-gram NOVELTY — the share of a doc's distinct word
+    n-grams whose global first occurrence (smallest id among docs that
+    contain the n-gram) is this document. The classic burstiness/boilerplate
+    curation signal: near-1 for fresh content, near-0 for template text.
+    Integer-exact everywhere (novelty_e6 = floor(1e6 * n_first / n_ngrams)),
+    so a SQL oracle replays it verbatim. Docs with no n-gram (< n tokens)
+    emit no row (inner-join semantics, like the SQL twin).
+
+    Scale shape: distinct (id, ngram) pairs per block (vectorized explode +
+    per-batch dedupe), ONE grouped min(id) combiner reduce, and ONE bucketed
+    co-shuffle joining pairs back to their first-doc — the exact_dedup
+    exchange pattern; raw text never moves."""
+    from .relational import bucket_join, grouped_agg
+
+    def explode(b: pa.Table) -> pa.Table:
+        ng, ridx = flat_ngrams(b.column(text_col), n)
+        t = pa.table(
+            {
+                id_col: b.column(id_col).take(pa.array(ridx)),
+                "__ng": ng,
+            }
+        )
+        # per-batch distinct: a doc's repeated n-gram must count once
+        return t.group_by([id_col, "__ng"]).aggregate([])
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    id_type = pairs.schema().base_schema.field(id_col).type
+    firsts = grouped_agg(pairs, ["__ng"], [(id_col, "min", "__first")])
+    joined = bucket_join(pairs, firsts, ("__ng",))
+
+    def fold(b: pa.Table) -> pa.Table:
+        # bucket_join's shared-schema null padding upcasts an int id to
+        # float64 inside the pandas merge — cast back to the source type
+        ids = pc.cast(b.column(id_col), id_type)
+        t = pa.table(
+            {
+                id_col: ids,
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "first": pc.cast(
+                    pc.equal(ids, pc.cast(b.column("__first"), id_type)), pa.int64()
+                ),
+            }
+        )
+        return t.group_by([id_col]).aggregate([("one", "sum"), ("first", "sum")])
+
+    partials = joined.map_batches(fold, batch_format="pyarrow")
+    totals = grouped_agg(
+        partials.map_batches(
+            lambda b: b.rename_columns([id_col, "n_ngrams", "n_first"]),
+            batch_format="pyarrow",
+        ),
+        [id_col],
+        [("n_ngrams", "sum", "n_ngrams"), ("n_first", "sum", "n_first")],
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        # pyarrow end-to-end: an empty pandas block would upcast the id
+        # column to float64 and poison downstream schema unification
+        ng = pc.cast(b.column("n_ngrams"), pa.int64())
+        nf = pc.cast(b.column("n_first"), pa.int64())
+        nov = pc.divide(pc.multiply(nf, pa.scalar(1_000_000, pa.int64())), ng)
+        return pa.table(
+            {id_col: b.column(id_col), "n_ngrams": ng, "n_first": nf, "novelty_e6": nov}
+        )
+
+    return totals.map_batches(fin, batch_format="pyarrow")
+
+
 def phrase_match(
     ds: Dataset,
     id_col: str,

@@ -786,3 +786,36 @@ def test_remove_duplicate_spans_planted(ray_session):
     assert a.loc[0, "clean_text"] == "alpha beta gamma delta"
     assert a.loc[2, "n_removed"] == 0
     assert a.loc[2, "clean_text"] == "totally unique document three"
+
+
+def test_doc_ngram_novelty_planted(ray_session):
+    """Doc 0 owns its trigrams (novelty 1.0); doc 2 repeats doc 0 verbatim
+    (novelty 0.0); doc 1 is half boilerplate. Partition-invariant."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import textstats as F_text
+
+    base = "the quick brown fox jumps over the lazy dog"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [base, f"{base} with fresh novel unique closing words", base],
+        }
+    )
+
+    def run(parts):
+        return (
+            F_text.doc_ngram_novelty(
+                rd.from_pandas(df).repartition(parts), "doc_id", "text", n=3
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .set_index("doc_id")
+        )
+
+    a = run(1)
+    pd.testing.assert_frame_equal(a, run(4))
+    assert a.loc[0, "novelty_e6"] == 1_000_000  # every trigram first here
+    assert a.loc[2, "novelty_e6"] == 0  # verbatim copy of doc 0
+    assert 0 < a.loc[1, "novelty_e6"] < 1_000_000  # half boilerplate
+    assert a.loc[1, "n_first"] == a.loc[1, "n_ngrams"] - a.loc[0, "n_ngrams"]
