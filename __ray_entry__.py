@@ -581,6 +581,26 @@ def _q_near_dup_dedup(sf_dir: str):
     return kept.map_batches(project, batch_format="pyarrow")
 
 
+def _q_near_dup_dedup_longest(sf_dir: str):
+    """near_dup_dedup under the curation-grade keep rule: the LONGEST
+    cluster member (whitespace tokens DESC, id ASC) survives — preserves
+    the most complete copy instead of the arbitrary smallest id. Adds one
+    bucketed components-x-token-counts co-shuffle + a per-component window
+    rank; the oracle swaps only the final keep CTE."""
+    ds = F.load(sf_dir, "documents", columns=["doc_id", "text"], num_blocks=16)
+    kept = F_dedup.near_dup_dedup(ds, "doc_id", "text", threshold=0.8, keep="longest")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": pc.utf8_length(b.column("text")).cast(pa.int64()),
+            }
+        )
+
+    return kept.map_batches(project, batch_format="pyarrow")
+
+
 def _q_simhash(sf_dir: str):
     """Dedup: 64-bit simhash fingerprint per document (hex), md5 token
     hashing so the ENTIRE fingerprint computation (tokenize -> per-token
@@ -7345,6 +7365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_pq_exact": _q_ann_ivf_pq_exact,
         "minhash_pairs": _q_minhash_pairs,
         "near_dup_dedup": _q_near_dup_dedup,
+        "near_dup_dedup_longest": _q_near_dup_dedup_longest,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
@@ -7529,6 +7550,24 @@ def oracle_sql() -> dict[str, str]:
             ),
             comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
             drops AS (SELECT node FROM comp WHERE node <> component)
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM drops)
+    """
+    )
+    # same chain, curation-grade keep rule: the LONGEST doc per component
+    # (whitespace tokens DESC, id ASC) survives instead of the smallest id
+    _near_dup_longest_sql = (
+        _near_dup_sql[: _near_dup_sql.index("drops AS (")]
+        + """drops AS (
+                SELECT node FROM (
+                    SELECT c.node,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY c.component
+                               ORDER BY len(regexp_extract_all(d.text, '\\S+')) DESC,
+                                        c.node) AS rk
+                    FROM comp c JOIN documents d ON d.doc_id = c.node
+                ) WHERE rk <> 1)
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
             WHERE doc_id NOT IN (SELECT node FROM drops)
@@ -9642,6 +9681,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_pairs_sql,
         "near_dup_dedup": _near_dup_sql,
+        "near_dup_dedup_longest": _near_dup_longest_sql,
         "event_value_collision_pairs": """
             WITH e AS (
                 SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS c

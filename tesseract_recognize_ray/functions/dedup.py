@@ -337,6 +337,16 @@ def verify_jaccard_pairs(
     return pairs.map_batches(fn, batch_format="pandas")
 
 
+def _pa_type_of(t) -> pa.DataType:
+    """Arrow type from a Ray schema entry (Arrow type or numpy dtype)."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (TypeError, pa.ArrowNotImplementedError):
+        return pa.string()
+
+
 def verify_jaccard_pairs_joined(
     pairs: Dataset,
     ds: Dataset,
@@ -350,7 +360,11 @@ def verify_jaccard_pairs_joined(
     """Scale path of verify_jaccard_pairs: candidate pairs are hash-joined
     against the docs table twice (id_a side, id_b side) so NO text set is
     ever materialized on one node — the right shape when the doc corpus is
-    unbounded. Same output contract: (id_a, id_b, jaccard >= threshold)."""
+    unbounded. Same output contract: (id_a, id_b, jaccard >= threshold).
+    Joins run through relational.bucket_join, not Ray's acero Dataset.join:
+    the sparse pairs side used to hit join.py:118's zero-column
+    empty-partition crash on small multi-block corpora."""
+    from .relational import bucket_join
 
     def rename(side: str):
         def fn(b: pa.Table) -> pa.Table:
@@ -360,8 +374,22 @@ def verify_jaccard_pairs_joined(
 
     a_side = ds.map_batches(rename("a"), batch_format="pyarrow")
     b_side = ds.map_batches(rename("b"), batch_format="pyarrow")
-    j = pairs.join(a_side, join_type="inner", num_partitions=num_partitions, on=("id_a",), right_on=("__a_id",))
-    j = j.join(b_side, join_type="inner", num_partitions=num_partitions, on=("id_b",), right_on=("__b_id",))
+    # explicit schemas: the chained first-join output is lazy, and letting
+    # bucket_join infer a schema from it yields null types on an
+    # empty-first-block plan (cast int64 -> null crash in pad_right)
+    dsch = ds.schema()
+    id_type = _pa_type_of(dict(zip(dsch.names, dsch.types))[id_col])
+    psch = pairs.schema()
+    pairs_sch = pa.schema(
+        [pa.field(n, _pa_type_of(t)) for n, t in zip(psch.names, psch.types)]
+    )
+    a_sch = pa.schema([pa.field("__a_id", id_type), pa.field("__a_text", pa.string())])
+    b_sch = pa.schema([pa.field("__b_id", id_type), pa.field("__b_text", pa.string())])
+    j = bucket_join(
+        pairs, a_side, ("id_a",), ("__a_id",), left_schema=pairs_sch, right_schema=a_sch
+    )
+    j_sch = pa.schema(list(pairs_sch) + [pa.field("__a_text", pa.string())])
+    j = bucket_join(j, b_side, ("id_b",), ("__b_id",), left_schema=j_sch, right_schema=b_sch)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         def jac(a, b):
@@ -457,17 +485,24 @@ def near_dup_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     min_est: float = 0.5,
+    keep: str = "min_id",
 ) -> Dataset:
     """End-to-end near-duplicate REMOVAL (the RefinedWeb/CCNet chain):
     MinHash-LSH candidates -> exact char-shingle Jaccard verify (two hash
     joins, no text broadcast) -> connected components over verified pairs
-    (hash-to-min, functions/graph.py) -> keep the min-id doc per duplicate
-    cluster. Returns the surviving rows of `ds` (all columns); docs in no
-    cluster pass through untouched.
+    (hash-to-min, functions/graph.py) -> keep ONE doc per duplicate
+    cluster. keep="min_id" (default) keeps the smallest id; keep="longest"
+    keeps the doc with the most whitespace tokens (ties to the smallest
+    id) — the curation-grade rule that preserves the most complete copy.
+    Returns the surviving rows of `ds` (all columns); docs in no cluster
+    pass through untouched.
 
     Scale notes: only signatures and (id, id) pairs move through shuffles;
     the drop set is |duplicates| ids — broadcast here, swap in a hash
-    left-anti join when clusters approach corpus size."""
+    left-anti join when clusters approach corpus size. The "longest" rule
+    adds one bucketed co-shuffle (components x token counts) plus a
+    per-component window rank — both |duplicates|-sized on the component
+    side."""
     from .graph import connected_components
     from .relational import broadcast_anti_join
 
@@ -491,6 +526,44 @@ def near_dup_dedup(
         pairs, ds, id_col, text_col, shingle_k=shingle_k, threshold=threshold
     )
     comp = connected_components(verified, "id_a", "id_b")
+
+    if keep == "longest":
+        from .relational import bucket_join, window_row_number
+        from .textstats import token_count
+
+        comp = comp.materialize()
+        node_t = comp.schema().base_schema.field("node").type
+        int_ids = pa.types.is_integer(node_t)
+        tok = token_count(ds, text_col).map_batches(
+            lambda b: b[[id_col, "n_tokens"]], batch_format="pandas"
+        )
+        joined = bucket_join(comp, tok, ("node",), right_on=(id_col,))
+
+        def keyed(b: pd.DataFrame) -> pd.DataFrame:
+            # bucket_join's null padding upcasts int keys to float64 — pin
+            # them back before ranking (ties break on node ASC)
+            return pd.DataFrame(
+                {
+                    "node": b["node"].astype("int64") if int_ids else b["node"],
+                    "component": b["component"].astype("int64") if int_ids else b["component"],
+                    "__neg": -pd.to_numeric(b["n_tokens"]).astype("int64"),
+                }
+            )
+
+        ranked = window_row_number(
+            joined.map_batches(keyed, batch_format="pandas"),
+            "component",
+            ["__neg", "node"],
+            out_col="__rk",
+        )
+
+        def non_canonical_ranked(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"__drop_id": b.loc[b["__rk"] != 1, "node"]})
+
+        drops = ranked.map_batches(non_canonical_ranked, batch_format="pandas")
+        return broadcast_anti_join(ds, drops, id_col, "__drop_id")
+    if keep != "min_id":
+        raise ValueError(f"near_dup_dedup: unknown keep rule {keep!r}")
 
     def non_canonical(b: pa.Table) -> pa.Table:
         t = b.filter(pc.not_equal(b.column("node"), b.column("component")))

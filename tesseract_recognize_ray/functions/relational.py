@@ -2017,7 +2017,26 @@ def bucket_join(
         for k in keys[1:]:
             keep = pc.and_(keep, pc.is_valid(rt.column(k)))
         out = lf.merge(rt.filter(keep).to_pandas(), on=keys, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        # TYPE-STABLE output: the pandas round trip upcasts int columns that
+        # ever carried padding nulls to float64, which silently breaks a
+        # chained bucket_join (float keys hash into different buckets than
+        # the other side's ints). Cast every column back to its declared
+        # type; pandas NaNs became Arrow nulls above, so int casts succeed —
+        # anything genuinely uncastable keeps the merged type.
+        want = {c: ltypes[c] for c in left_cols}
+        want.update({r_out[c]: rtypes[c] for c in r_payload})
+        arrays = []
+        for name in tbl.column_names:
+            col = tbl.column(name)
+            wt = want.get(name)
+            if wt is not None and col.type != wt and not pa.types.is_null(wt):
+                try:
+                    col = pc.cast(col, wt)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    pass
+            arrays.append(col)
+        return pa.table(dict(zip(tbl.column_names, arrays)))
 
     tagged = tagged.map_batches(add_bucket, batch_format="pyarrow")
     if reduce_blocks is not None:

@@ -819,3 +819,50 @@ def test_doc_ngram_novelty_planted(ray_session):
     assert a.loc[2, "novelty_e6"] == 0  # verbatim copy of doc 0
     assert 0 < a.loc[1, "novelty_e6"] < 1_000_000  # half boilerplate
     assert a.loc[1, "n_first"] == a.loc[1, "n_ngrams"] - a.loc[0, "n_ngrams"]
+
+
+def test_near_dup_dedup_longest_keeps_most_complete(ray_session):
+    """Planted near-dup cluster where the LONGEST member has the LARGEST
+    id: keep='longest' must keep it (default min_id keeps the smallest),
+    and unique docs always survive."""
+    import ray.data as rd
+
+    from tesseract_recognize_ray.functions import dedup as F_dedup
+
+    base = (
+        "the common boilerplate passage that appears in every mirror copy "
+        "of this particular web page with only trivial variations present"
+    )
+    rng = np.random.default_rng(77)
+    uniq = [
+        " ".join(rng.choice(list("abcdefghijklmnop"), size=30)) + f" tail{i}"
+        for i in range(5)
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                base,                                  # id 0: short copy
+                base + " extra",                       # id 1: slightly longer
+                base + " extra trailing tokens kept",  # id 2: the longest
+            ]
+            + uniq,
+        }
+    )
+
+    def run(keep):
+        # multi-block on a tiny corpus: regression for the acero-join
+        # empty-partition crash verify_jaccard_pairs_joined used to hit
+        return set(
+            F_dedup.near_dup_dedup(
+                rd.from_pandas(df).repartition(3), "doc_id", "text",
+                threshold=0.8, keep=keep,
+            )
+            .to_pandas()["doc_id"]
+            .tolist()
+        )
+
+    assert run("min_id") == {0, 3, 4, 5, 6, 7}
+    assert run("longest") == {2, 3, 4, 5, 6, 7}
+    with pytest.raises(ValueError, match="keep rule"):
+        run("best_vibes")
